@@ -1,0 +1,128 @@
+"""KGroupedStream — post-groupBy, pre-aggregation (reference §2c-2e).
+
+Aggregations return KTables (changelog views), mirroring the reference where
+``count/aggregate/reduce`` on a KGroupedStream yield KTable
+(DSLStatefulTransformation.scala:63-95). Algebraic folds (count/sum/min/max)
+compile to hash aggregations with map-side partial combine — the scalable
+path. Arbitrary non-algebraic folds go through ``fold`` (applyInPandas,
+Arrow-batched) — the explicit slow path, mirroring the reference's Processor
+API escape hatch.
+
+Windowed aggregation (``windowed_by``) compiles to ``F.window`` /
+``F.session_window`` grouping (DSLStatefulTransformation.scala:79-86).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.operators.windows import SessionWindows, TimeWindows
+
+KEY, VALUE, TS = "key", "value", "timestamp"
+
+
+class KGroupedStream:
+    """Grouping handle; holds the (possibly re-keyed) canonical DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- unwindowed aggregations (§2d) ------------------------------------
+    def _agg(self, agg_col: Column) -> "KTable":
+        from kafka_streams_demo_spark.operators.ktable import KTable
+
+        return KTable(self.df.groupBy(KEY).agg(agg_col.alias(VALUE)))
+
+    def count(self) -> "KTable":
+        """Running count per key. Reference: WordCountScalaExample.scala:116,
+        DSLStatefulTransformation.scala:63."""
+        return self._agg(F.count(F.lit(1)))
+
+    def reduce(self, reducer: Callable[[Column], Column]) -> "KTable":
+        """reduce(adder): fold without initializer. For algebraic adders the
+        reducer is an aggregate expression over the value column, e.g.
+        ``lambda v: F.sum(v)``. Reference: DSLStatefulTransformation.scala:94-95."""
+        return self._agg(reducer(F.col(VALUE)))
+
+    def aggregate(self, aggregator: Callable[[Column], Column]) -> "KTable":
+        """aggregate(initializer)(adder) for algebraic folds — in Spark the
+        initializer is the aggregate's identity, so this equals ``reduce``.
+        Reference: DSLStatefulTransformation.scala:70-71 (seed 0L, adder +)."""
+        return self._agg(aggregator(F.col(VALUE)))
+
+    def fold(
+        self,
+        func: Callable,
+        schema: str,
+    ) -> DataFrame:
+        """General non-algebraic fold: ``applyInPandas`` over each key group.
+        ``func(pdf) -> pdf`` receives all rows of one key (Arrow-batched).
+        The escape hatch for folds Spark can't express algebraically —
+        equivalent in role to the reference's Processor API state loop
+        (WordCountProcessorExample.scala:41-51)."""
+        return self.df.groupBy(KEY).applyInPandas(func, schema=schema)
+
+    # -- windowing (§2e) ---------------------------------------------------
+    def windowed_by(self, windows: TimeWindows | SessionWindows) -> "WindowedKGroupedStream":
+        return WindowedKGroupedStream(self.df, windows)
+
+
+class WindowedKGroupedStream:
+    """Grouping by (event-time window, key).
+
+    Result schema: ``key, window_start, window_end, value`` — the flattened
+    form of the reference's ``KTable[Windowed[K], V]``
+    (DSLStatefulTransformation.scala:79-86, key rendering :117-123).
+    """
+
+    def __init__(self, df: DataFrame, windows: TimeWindows | SessionWindows, ts_col: str = TS):
+        self.df = df
+        self.windows = windows
+        self.ts_col = ts_col
+
+    def _window_col(self) -> Column:
+        w = self.windows
+        if isinstance(w, SessionWindows):
+            return F.session_window(F.col(self.ts_col), w.gap)
+        if w.advance_by is not None:
+            return F.window(F.col(self.ts_col), w.size, w.advance_by)
+        return F.window(F.col(self.ts_col), w.size)
+
+    def _agg(self, agg_col: Column) -> DataFrame:
+        win = self._window_col().alias("_w")
+        out = self.df.groupBy(win, F.col(KEY)).agg(agg_col.alias(VALUE))
+        return out.select(
+            KEY,
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            VALUE,
+        )
+
+    def count(self) -> DataFrame:
+        """Tumbling/session count. Reference: DSLStatefulTransformation.scala:79-86."""
+        return self._agg(F.count(F.lit(1)))
+
+    def reduce(self, reducer: Callable[[Column], Column]) -> DataFrame:
+        return self._agg(reducer(F.col(VALUE)))
+
+    def aggregate(self, aggregator: Callable[[Column], Column]) -> DataFrame:
+        return self._agg(aggregator(F.col(VALUE)))
+
+
+def windowed_key_string(df: DataFrame) -> DataFrame:
+    """Render the reference's windowed-key format ``key@[start : end]``
+    (DSLStatefulTransformation.scala:117-123) over a windowed-agg result."""
+    return df.select(
+        F.concat(
+            F.col(KEY).cast("string"),
+            F.lit("@["),
+            F.col("window_start").cast("string"),
+            F.lit(" : "),
+            F.col("window_end").cast("string"),
+            F.lit("]"),
+        ).alias(KEY),
+        F.col(VALUE),
+    )

@@ -1,0 +1,233 @@
+"""KStream — unbounded keyed record stream, compiled to DataFrame ops.
+
+The reference's KStream[K, V] (e.g. WordCountScalaExample.scala:111,
+DSLStatefulTransformation.scala:47) is an append-only sequence of
+``(key, value)`` facts with an event timestamp. Here it is a thin wrapper
+over a DataFrame with the canonical columns::
+
+    key <any>, value <any>, timestamp TIMESTAMP?, offset LONG?
+
+``offset`` is per-key arrival order — required only for latest-per-key
+KTable semantics (to_table). All transforms are column expressions: user
+callables receive pyspark Columns and return Columns, so the whole pipeline
+stays JVM-side inside whole-stage codegen (no Python in the hot path).
+
+Scale notes (100 TB): stateless ops are narrow (no shuffle); group_by /
+joins shuffle on the key exactly like the reference's repartition topics,
+but Catalyst merges redundant exchanges and AQE handles skew — the
+equivalent of the reference's TOPOLOGY_OPTIMIZATION flag
+(ConfigHelper.scala:24), always on.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.operators.windows import JoinWindows
+
+KEY, VALUE, TS, OFFSET = "key", "value", "timestamp", "offset"
+META_COLS = (TS, OFFSET)
+
+
+def _meta(df: DataFrame) -> list[str]:
+    return [c for c in META_COLS if c in df.columns]
+
+
+class KStream:
+    """Fluent keyed-stream API; every method returns a new KStream lazily."""
+
+    def __init__(self, df: DataFrame):
+        cols = df.columns
+        if KEY not in cols or VALUE not in cols:
+            raise ValueError(f"KStream requires '{KEY}' and '{VALUE}' columns, got {cols}")
+        self.df = df.select(KEY, VALUE, *_meta(df))
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_df(
+        cls,
+        df: DataFrame,
+        key: str | Column,
+        value: str | Column,
+        timestamp: str | Column | None = None,
+        offset: str | Column | None = None,
+    ) -> "KStream":
+        """Adapt an arbitrary DataFrame into the canonical record shape."""
+        sel = [F.col(key).alias(KEY) if isinstance(key, str) else key.alias(KEY),
+               F.col(value).alias(VALUE) if isinstance(value, str) else value.alias(VALUE)]
+        if timestamp is not None:
+            sel.append(F.col(timestamp).alias(TS) if isinstance(timestamp, str) else timestamp.alias(TS))
+        if offset is not None:
+            sel.append(F.col(offset).alias(OFFSET) if isinstance(offset, str) else offset.alias(OFFSET))
+        return cls(df.select(*sel))
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    # -- stateless transforms (§2b) --------------------------------------
+    def map_values(self, f: Callable[[Column], Column]) -> "KStream":
+        """mapValues: transform value, keep key — no repartition.
+        Reference: MapFunctionScalaExample.scala:117, DSLStatelessTransformation.scala:46."""
+        return KStream(self.df.withColumn(VALUE, f(F.col(VALUE))))
+
+    def map(self, f: Callable[[Column, Column], tuple[Column, Column]]) -> "KStream":
+        """map: transform key AND value (re-key — downstream grouping shuffles).
+        Reference: MapFunctionScalaExample.scala:121, WordCountScalaExample.scala:123-126."""
+        k, v = f(F.col(KEY), F.col(VALUE))
+        return KStream(self.df.select(k.alias(KEY), v.alias(VALUE), *_meta(self.df)))
+
+    def select_key(self, f: Callable[[Column, Column], Column]) -> "KStream":
+        """selectKey: re-key only. Reference: DSLStatelessTransformation.scala:92."""
+        return KStream(self.df.withColumn(KEY, f(F.col(KEY), F.col(VALUE))))
+
+    def filter(self, p: Callable[[Column, Column], Column]) -> "KStream":
+        """Reference: DSLStatelessTransformation.scala:56, KStreamTest.scala:40."""
+        return KStream(self.df.filter(p(F.col(KEY), F.col(VALUE))))
+
+    def filter_not(self, p: Callable[[Column, Column], Column]) -> "KStream":
+        """Reference: DSLStatelessTransformation.scala:58."""
+        return KStream(self.df.filter(~p(F.col(KEY), F.col(VALUE))))
+
+    def flat_map_values(self, f: Callable[[Column], Column]) -> "KStream":
+        """flatMapValues: value → array column, exploded; key kept.
+        Reference tokenize: WordCountScalaExample.scala:114."""
+        arr = f(F.col(VALUE))
+        return KStream(
+            self.df.select(F.col(KEY), F.explode(arr).alias(VALUE), *_meta(self.df))
+        )
+
+    def flat_map(
+        self, f: Callable[[Column, Column], Sequence[tuple[Column, Column]]]
+    ) -> "KStream":
+        """flatMap: 1 record → 0..N (key, value) pairs via explode of struct array.
+        Reference: DSLStatelessTransformation.scala:61-66."""
+        pairs = f(F.col(KEY), F.col(VALUE))
+        arr = F.array(*[F.struct(k.alias(KEY), v.alias(VALUE)) for k, v in pairs])
+        exploded = self.df.select(F.explode(arr).alias("_kv"), *_meta(self.df))
+        return KStream(
+            exploded.select(F.col("_kv." + KEY).alias(KEY), F.col("_kv." + VALUE).alias(VALUE), *_meta(exploded))
+        )
+
+    def branch(self, *predicates: Callable[[Column, Column], Column]) -> list["KStream"]:
+        """branch: split by FIRST matching predicate (first-match-wins, like the
+        reference's ordered predicate list, DSLStatelessTransformation.scala:48-53).
+        Implemented as N sibling filters with accumulated negations — Catalyst
+        shares the scan; each branch is an independent narrow plan."""
+        branches: list[KStream] = []
+        not_prior: Column | None = None
+        for p in predicates:
+            cond = p(F.col(KEY), F.col(VALUE))
+            full = cond if not_prior is None else (not_prior & cond)
+            branches.append(KStream(self.df.filter(full)))
+            not_prior = (~cond) if not_prior is None else (not_prior & ~cond)
+        return branches
+
+    def merge(self, other: "KStream") -> "KStream":
+        """KStream#merge (DSL surface; unused in reference but part of the API)."""
+        return KStream(self.df.unionByName(other.df, allowMissingColumns=True))
+
+    def peek(self, action: Callable) -> "KStream":
+        """peek: side effect, pass-through (DSLStatelessTransformation.scala:53,92).
+        Executes ``action(row)`` per record at action time via a foreach on a
+        cloned plan — the returned stream is unchanged. For metric-style peeks
+        prefer ``observe``."""
+        self.df.foreach(action)
+        return self
+
+    def observe(self, name: str, *exprs: Column) -> "KStream":
+        """Zero-cost metric tap (engine-idiomatic peek): df.observe()."""
+        return KStream(self.df.observe(name, *exprs))
+
+    def foreach(self, action: Callable) -> None:
+        """Terminal side effect. Reference: StreamToStreamJoinExample.scala:65."""
+        self.df.foreach(action)
+
+    # -- grouping (§2c) ---------------------------------------------------
+    def group_by(self, f: Callable[[Column, Column], Column]) -> "KGroupedStream":
+        """groupBy((k,v) => newK): re-key + shuffle (reference comment
+        DSLStatelessTransformation.scala:77). Spark inserts the Exchange."""
+        from kafka_streams_demo_spark.operators.grouped import KGroupedStream
+
+        rekeyed = self.df.withColumn(KEY, f(F.col(KEY), F.col(VALUE)))
+        return KGroupedStream(rekeyed)
+
+    def group_by_key(self) -> "KGroupedStream":
+        """groupByKey: group on the existing key — Catalyst reuses upstream
+        partitioning when possible (EnsureRequirements), mirroring the
+        reference's no-repartition fast path (DSLStatelessTransformation.scala:79-81)."""
+        from kafka_streams_demo_spark.operators.grouped import KGroupedStream
+
+        return KGroupedStream(self.df)
+
+    # -- KTable conversion (§1) -------------------------------------------
+    def to_table(self) -> "KTable":
+        """KStream → KTable: latest value per key (changelog materialization).
+        Reference recipe: DSLStatefulTransformation.scala:97-104,
+        StreamToTableJoinExample.scala:59-67.
+
+        Implemented as ``max_by(struct(value…), offset)`` — one hash
+        aggregation with map-side partial combine (no sort, no full-row
+        window), the scalable latest-per-key plan."""
+        from kafka_streams_demo_spark.operators.ktable import KTable
+
+        return KTable.from_stream(self)
+
+    # -- joins (§2f) ------------------------------------------------------
+    def _stream_join(self, other: "KStream", combiner, windows: JoinWindows, how: str) -> "KStream":
+        left = self.df.alias("l")
+        right = other.df.alias("r")
+        cond = F.col("l." + KEY) == F.col("r." + KEY)
+        if windows is not None:
+            cond = cond & (
+                F.col("r." + TS)
+                >= F.col("l." + TS) - F.expr(f"INTERVAL {windows.before}")
+            ) & (
+                F.col("r." + TS)
+                <= F.col("l." + TS) + F.expr(f"INTERVAL {windows.after}")
+            )
+        joined = left.join(right, cond, how)
+        key = F.coalesce(F.col("l." + KEY), F.col("r." + KEY)).alias(KEY)
+        value = combiner(F.col("l." + VALUE), F.col("r." + VALUE)).alias(VALUE)
+        sel = [key, value]
+        if TS in self.df.columns:
+            sel.append(F.coalesce(F.col("l." + TS), F.col("r." + TS)).alias(TS))
+        return KStream(joined.select(*sel))
+
+    def join(self, other, combiner: Callable[[Column, Column], Column], windows: JoinWindows | None = None) -> "KStream":
+        """Windowed stream-stream inner join (StreamToStreamJoinExample.scala:92,
+        KStreamTest.scala:148) or stream-table join (StreamToTableJoinExample.scala:107)
+        when ``other`` is a KTable."""
+        from kafka_streams_demo_spark.operators.ktable import KTable
+
+        if isinstance(other, KTable):
+            return other._join_stream(self, combiner, "inner")
+        return self._stream_join(other, combiner, windows, "inner")
+
+    def left_join(self, other, combiner, windows: JoinWindows | None = None) -> "KStream":
+        """Reference: StreamToStreamJoinExample.scala:93, StreamToTableJoinExample.scala:108."""
+        from kafka_streams_demo_spark.operators.ktable import KTable
+
+        if isinstance(other, KTable):
+            return other._join_stream(self, combiner, "left")
+        return self._stream_join(other, combiner, windows, "left_outer")
+
+    def outer_join(self, other: "KStream", combiner, windows: JoinWindows | None = None) -> "KStream":
+        """Windowed full-outer stream-stream join (StreamToStreamJoinExample.scala:94)."""
+        return self._stream_join(other, combiner, windows, "full_outer")
+
+    # -- sinks (§2a) ------------------------------------------------------
+    def to(self, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+        """stream.to(topic) equivalent for batch: write canonical records.
+        Reference: WordCountScalaExample.scala:117."""
+        self.df.write.format(fmt).mode(mode).save(path)
+
+    def print(self, n: int = 20, label: str | None = None) -> None:
+        """stream.print(Printed.toSysOut/withLabel) — debug sink.
+        Reference: WordCountScalaExample.scala:170-171."""
+        df = self.df
+        if label is not None:
+            df = df.select(F.lit(label).alias("label"), *df.columns)
+        df.show(n, truncate=False)

@@ -1,0 +1,67 @@
+"""Window descriptors — declarative equivalents of the reference's window types.
+
+Reference usage (all in DSLStatefulTransformation.scala / StreamToStreamJoinExample.scala):
+- ``TimeWindows.of(Duration.ofMinutes(5)).grace(Duration.ofMinutes(3))``
+  (DSLStatefulTransformation.scala:79-81) → tumbling event-time window
+- ``SessionWindows.with(Duration.ofSeconds(5))``
+  (DSLStatefulTransformation.scala:84-86) → session window, inactivity gap
+- ``JoinWindows.of(Duration.ofSeconds(1))``
+  (StreamToStreamJoinExample.scala:92-95) → symmetric stream-stream join bound
+
+These are pure descriptors; the grouped/join operators translate them to
+``F.window`` / ``F.session_window`` / time-bound join predicates, and grace
+to ``withWatermark`` in streaming mode (batch mode ignores grace — every
+record is on time, identical final results).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+def _as_interval(spec: str | float | int) -> str:
+    """Accept '5 minutes' or a number of seconds; return a SQL interval string."""
+    if isinstance(spec, (int, float)):
+        return f"{spec} seconds"
+    return spec
+
+
+@dataclass(frozen=True)
+class TimeWindows:
+    """Tumbling (or, with ``advance_by``, hopping) event-time windows."""
+
+    size: str
+    grace: str | None = None
+    advance_by: str | None = None
+
+    @classmethod
+    def of(cls, size: str | float, grace: str | float | None = None) -> "TimeWindows":
+        return cls(_as_interval(size), _as_interval(grace) if grace is not None else None)
+
+    def advance(self, step: str | float) -> "TimeWindows":
+        return TimeWindows(self.size, self.grace, _as_interval(step))
+
+
+@dataclass(frozen=True)
+class SessionWindows:
+    """Session windows: events within ``gap`` of each other merge into one session."""
+
+    gap: str
+
+    @classmethod
+    def with_gap(cls, gap: str | float) -> "SessionWindows":
+        return cls(_as_interval(gap))
+
+
+@dataclass(frozen=True)
+class JoinWindows:
+    """Stream-stream join time bound: pair iff same key and
+    ``other.ts`` within ``[this.ts - before, this.ts + after]``."""
+
+    before: str
+    after: str
+
+    @classmethod
+    def of(cls, size: str | float) -> "JoinWindows":
+        iv = _as_interval(size)
+        return cls(iv, iv)

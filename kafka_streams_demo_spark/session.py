@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference's whole runtime-tuning surface is one flag
+(``TOPOLOGY_OPTIMIZATION=OPTIMIZE``, reference ConfigHelper.scala:24); in
+Spark the equivalent optimizations (shuffle reuse/merge, operator fusion)
+are Catalyst built-ins. What we DO tune is the physical execution surface
+that matters at 100 TB:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast demotion/promotion based on observed sizes)
+- shuffle partition count sized from the env, so local[32] tests don't
+  inherit the 200 default while a real cluster can override
+- Arrow on, so any pandas-UDF boundary is batched, never per-row
+- parquet pushdown/pruning left on (defaults) — plans/explain.py asserts it
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "kafka-streams-demo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster, pass ``master=None`` with a spark-submit-provided
+    master; locally defaults to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # At 100 TB scale: bounded scan-task size; 128m is the sweet spot for
+        # parquet row-group alignment.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Broadcast threshold: dimension tables (region/nation/supplier) stay
+        # broadcast even at sf100; AQE can still demote at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

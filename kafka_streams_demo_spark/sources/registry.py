@@ -1,0 +1,151 @@
+"""Source registry — explicit-schema loaders for the driver testdata and
+generic batch/stream sources.
+
+The reference's sources are Kafka topics with serde-implied schemas
+(builder.stream/table, ConfigHelper.scala:26-29). Our engine declares
+explicit schemas per source (SURVEY §1): strict StructTypes, never inferred,
+so a scan at 100 TB never pays schema inference and pushdown always has
+typed columns to push into.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Explicit schemas for every driver table (TESTDATA.md). Kept strict: a
+# mismatch fails loudly at read, not silently mid-query.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType()
+    .add("r_regionkey", T.IntegerType())
+    .add("r_name", T.StringType()),
+    "nation": T.StructType()
+    .add("n_nationkey", T.IntegerType())
+    .add("n_name", T.StringType())
+    .add("n_regionkey", T.IntegerType()),
+    "customer": T.StructType()
+    .add("c_custkey", T.LongType())
+    .add("c_name", T.StringType())
+    .add("c_nationkey", T.IntegerType())
+    .add("c_acctbal", T.DoubleType())
+    .add("c_mktsegment", T.StringType()),
+    "supplier": T.StructType()
+    .add("s_suppkey", T.LongType())
+    .add("s_name", T.StringType())
+    .add("s_nationkey", T.IntegerType())
+    .add("s_acctbal", T.DoubleType()),
+    "part": T.StructType()
+    .add("p_partkey", T.LongType())
+    .add("p_name", T.StringType())
+    .add("p_brand", T.StringType())
+    .add("p_type", T.StringType())
+    .add("p_size", T.IntegerType())
+    .add("p_retailprice", T.DoubleType()),
+    "orders": T.StructType()
+    .add("o_orderkey", T.LongType())
+    .add("o_custkey", T.LongType())
+    .add("o_orderstatus", T.StringType())
+    .add("o_totalprice", T.DoubleType())
+    .add("o_orderdate", T.TimestampType())
+    .add("o_orderpriority", T.StringType()),
+    "lineitem": T.StructType()
+    .add("l_orderkey", T.LongType())
+    .add("l_partkey", T.LongType())
+    .add("l_suppkey", T.LongType())
+    .add("l_linenumber", T.IntegerType())
+    .add("l_quantity", T.DoubleType())
+    .add("l_extendedprice", T.DoubleType())
+    .add("l_discount", T.DoubleType())
+    .add("l_tax", T.DoubleType())
+    .add("l_returnflag", T.StringType())
+    .add("l_linestatus", T.StringType())
+    .add("l_shipdate", T.TimestampType()),
+    "events": T.StructType()
+    .add("event_id", T.LongType())
+    .add("ts", T.TimestampType())
+    .add("user_id", T.LongType())
+    .add("event_type", T.StringType())
+    .add("value", T.DoubleType())
+    .add("props", T.StringType()),
+    "documents": T.StructType()
+    .add("doc_id", T.LongType())
+    .add("text", T.StringType())
+    .add("lang", T.StringType())
+    .add("source", T.StringType())
+    .add("n_chars", T.LongType()),
+    "embeddings": T.StructType()
+    .add("vec_id", T.LongType())
+    .add("embedding", T.ArrayType(T.FloatType()))
+    .add("label", T.IntegerType()),
+}
+
+TABLE_NAMES = tuple(SCHEMAS)
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one driver parquet table with its declared schema."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+class Tables:
+    """Convenience handle: ``Tables(spark, sf_dir).lineitem`` etc."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in SCHEMAS:
+            return load_table(self._spark, name, self._sf_dir)
+        raise AttributeError(name)
+
+
+def read_stream_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Streaming read of a driver table (file source — the test-harness
+    stand-in for a Kafka topic; SURVEY §3 EP3: availableNow + file source is
+    PySpark's TopologyTestDriver equivalent)."""
+    return spark.readStream.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    brokers: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """builder.stream(topic) → Structured Streaming Kafka source with the
+    canonical record projection (SURVEY §2a). Not exercised in tests (no
+    broker in the container) but the production entry point.
+
+    Reference: WordCountScalaExample.scala:111; AUTO_OFFSET_RESET earliest
+    (WordCountProcessorExample.scala:19) → startingOffsets."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.selectExpr(
+        "CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS value",
+        "timestamp",
+        "offset",
+    )
+
+
+def kafka_sink(df: DataFrame, topic: str, brokers: str, checkpoint: str):
+    """stream.to(topic) → Kafka sink (WordCountScalaExample.scala:117)."""
+    return (
+        df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
