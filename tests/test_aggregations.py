@@ -1,0 +1,77 @@
+"""Stateful aggregation parity (SURVEY §2d) on fixture #6
+(DSLStatefulTransformation.scala:40-44: key=(i%3), value=i, i=1..10)."""
+
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark import KStream, KTable
+from kafka_streams_demo_spark.sources import fixtures
+
+# fixture #6: keys "1"(1,4,7,10) "2"(2,5,8) "0"(3,6,9)
+EXPECTED_COUNT = {"0": 3, "1": 4, "2": 3}
+EXPECTED_SUM = {"0": 18, "1": 22, "2": 15}
+EXPECTED_MAX = {"0": 9, "1": 10, "2": 8}
+
+
+def _kv(table):
+    return {r["key"]: r["value"] for r in table.to_df().collect()}
+
+
+def test_count(spark):
+    """DSLStatefulTransformation.scala:63."""
+    t = KStream(fixtures.stateful_input(spark)).group_by_key().count()
+    assert _kv(t) == EXPECTED_COUNT
+
+
+def test_aggregate_sum(spark):
+    """DSLStatefulTransformation.scala:70-71: aggregate(0L)((k,new,agg)=>agg+new)."""
+    t = KStream(fixtures.stateful_input(spark)).group_by_key().aggregate(lambda v: F.sum(v))
+    assert _kv(t) == EXPECTED_SUM
+
+
+def test_reduce_plus(spark):
+    """DSLStatefulTransformation.scala:94-95: reduce(_+_)."""
+    t = KStream(fixtures.stateful_input(spark)).group_by_key().reduce(lambda v: F.sum(v))
+    assert _kv(t) == EXPECTED_SUM
+
+
+def test_max_aggregation(spark):
+    """ConfluentKStreamsDemoTest.java:31-52 custom max-agg."""
+    t = KStream(fixtures.stateful_input(spark)).group_by_key().reduce(lambda v: F.max(v))
+    assert _kv(t) == EXPECTED_MAX
+
+
+def test_group_by_rekey_aggregate(spark):
+    """DSLStatefulTransformation.scala:61: groupBy re-keys (here: parity of value)."""
+    t = (
+        KStream(fixtures.stateful_input(spark))
+        .group_by(lambda k, v: (v % 2 == 0).cast("string"))
+        .aggregate(lambda v: F.sum(v))
+    )
+    assert _kv(t) == {"true": 30, "false": 25}
+
+
+def test_ktable_groupby_reduce_no_subtractor(spark):
+    """DSLStatefulTransformation.scala:105-111: KTable.groupBy.reduce(adder,
+    subtractor). Spark recomputes over the latest-state view — for the
+    user_regions changelog, count per region must reflect alice's update
+    (europe gains alice, asia loses her)."""
+    regions = KTable.from_stream(KStream(fixtures.user_regions(spark)))
+    per_region = regions.group_by(lambda k, v: v).count()
+    assert _kv(per_region) == {"asia": 2, "americas": 2, "europe": 2}
+
+
+def test_fold_applyinpandas(spark):
+    """General non-algebraic fold escape hatch (Processor-API shaped):
+    product of values per key via applyInPandas."""
+    import pandas as pd
+
+    def product(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": [pdf["key"].iloc[0]], "value": [int(pdf["value"].prod())]})
+
+    out = (
+        KStream(fixtures.stateful_input(spark))
+        .group_by_key()
+        .fold(product, "key string, value long")
+    )
+    got = {r["key"]: r["value"] for r in out.collect()}
+    assert got == {"0": 3 * 6 * 9, "1": 1 * 4 * 7 * 10, "2": 2 * 5 * 8}

@@ -1,0 +1,110 @@
+"""Join family parity (SURVEY §2f): windowed stream-stream inner/left/outer,
+stream-table, table-table — combiner v1+v2 everywhere like the reference."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark import KStream, KTable
+from kafka_streams_demo_spark.operators.windows import JoinWindows
+from kafka_streams_demo_spark.sources import fixtures
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _pairs(stream):
+    return sorted(
+        (r["key"], r["value"]) for r in stream.to_df().collect()
+    )
+
+
+def test_stream_stream_inner_join_windowed(spark):
+    """StreamToStreamJoinExample.scala:92 + KStreamTest.scala:140-162.
+    topic1: (b,1)@1s (a,2)@2s; topic2: (b,1)@1.5s (a,2)@2.5s (a,7)@100s.
+    1-s window pairs (b,1)+(b,1)=2 and (a,2)+(a,2)=4; the @100s record
+    is outside every window (expiry)."""
+    s1 = KStream(fixtures.join_input(spark, 1))
+    s2 = KStream(fixtures.join_input(spark, 2))
+    out = s1.join(s2, lambda v1, v2: v1 + v2, JoinWindows.of("1 second"))
+    assert _pairs(out) == [("a", 4), ("b", 2)]
+
+
+def test_stream_stream_left_join_windowed(spark):
+    """StreamToStreamJoinExample.scala:93: left rows always emitted; no
+    right match → combiner sees null (sum with null → null, Kafka's
+    leftJoin(null) behavior surfaces as a null-combined value)."""
+    s1 = KStream(fixtures.join_input(spark, 1))
+    s2 = KStream(fixtures.join_input(spark, 2))
+    # shrink window to 0.1 s so nothing matches
+    out = s1.left_join(s2, lambda v1, v2: v1 + v2, JoinWindows.of("0.1 seconds"))
+    assert _pairs(out) == [("a", None), ("b", None)]
+
+
+def test_stream_stream_outer_join_windowed(spark):
+    """StreamToStreamJoinExample.scala:94: both sides' unmatched rows emitted."""
+    s1 = KStream(fixtures.join_input(spark, 1))
+    s2 = KStream(fixtures.join_input(spark, 2))
+    out = s1.outer_join(s2, lambda v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+                        JoinWindows.of("1 second"))
+    # matches (a,4) (b,2) + unmatched right (a,7)@100s → (a,7)
+    assert _pairs(out) == [("a", 4), ("a", 7), ("b", 2)]
+
+
+def test_stream_table_join(spark):
+    """StreamToTableJoinExample.scala:107: inner — clicks for users with a
+    region only; alice enriched with her LATEST region."""
+    clicks = KStream(fixtures.user_clicks(spark))
+    regions = KTable.from_stream(KStream(fixtures.user_regions(spark)))
+    out = clicks.join(regions, lambda c, r: F.concat(r, F.lit(":"), c.cast("string")))
+    got = _pairs(out)
+    assert ("alice", "europe:13") in got and ("alice", "europe:40") in got
+    assert len(got) == 8  # every click user has a region
+
+
+def test_stream_table_left_join_missing_key(spark):
+    """StreamToTableJoinExample.scala:108: left — user without region row
+    still emitted, combiner sees null."""
+    clicks_df = fixtures.user_clicks(spark)
+    extra = spark.createDataFrame(
+        [("ghost", 1, T0, 99)], "key string, value long, timestamp timestamp, offset long"
+    )
+    clicks = KStream(clicks_df.unionByName(extra))
+    regions = KTable.from_stream(KStream(fixtures.user_regions(spark)))
+    out = clicks.left_join(regions, lambda c, r: r)
+    got = dict(_pairs(out) + [("_n", len(_pairs(out)))])
+    assert got["ghost"] is None
+    assert got["_n"] == 9
+
+
+def test_table_table_joins(spark):
+    """TableToTableJoinExample.scala:115-118: inner/left/outer over two
+    changelogs. Left table: user→clicks (latest), right: user→region (latest)."""
+    left = KTable.from_stream(KStream(fixtures.user_clicks(spark)))   # latest click per user
+    right_rows = [("alice", "asia"), ("bob", "americas"), ("alice", "europe"), ("zed", "mars")]
+    right_df = spark.createDataFrame(
+        [(k, v, T0, i) for i, (k, v) in enumerate(right_rows)],
+        "key string, value string, timestamp timestamp, offset long",
+    )
+    right = KTable.from_stream(KStream(right_df))
+
+    inner = left.join(right, lambda v1, v2: F.concat_ws("-", v1.cast("string"), v2))
+    got_inner = {r["key"]: r["value"] for r in inner.to_df().collect()}
+    assert got_inner == {"alice": "40-europe", "bob": "19-americas"}
+
+    outer = left.outer_join(right, lambda v1, v2: F.concat_ws("-", v1.cast("string"), v2))
+    got_outer = {r["key"]: r["value"] for r in outer.to_df().collect()}
+    assert got_outer["zed"] == "mars"          # right-only
+    assert got_outer["chao"] == "25"           # left-only (concat_ws skips null)
+    assert len(got_outer) == 7                 # 6 click users + zed
+
+
+def test_ktable_tombstone_delete(spark):
+    """Kafka null-value tombstone deletes the key from the view; a later
+    re-insert resurrects it (order decided by offset)."""
+    rows = [("a", "x", 0), ("b", "y", 1), ("a", None, 2), ("b", None, 3), ("b", "z", 4)]
+    df = spark.createDataFrame(
+        [(k, v, T0 + dt.timedelta(seconds=o), o) for k, v, o in rows],
+        "key string, value string, timestamp timestamp, offset long",
+    )
+    view = {r["key"]: r["value"] for r in KTable.from_stream(KStream(df)).to_df().collect()}
+    assert view == {"b": "z"}  # a deleted; b deleted then re-inserted

@@ -1,0 +1,134 @@
+"""Stateless operator parity (SURVEY §2b) — mirrors KStreamTest.scala +
+DSLStatelessTransformation.scala golden behavior on the exact fixtures."""
+
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark import KStream
+from kafka_streams_demo_spark.sources import fixtures
+
+
+def _kv(stream):
+    return sorted((r["key"], r["value"]) for r in stream.to_df().collect())
+
+
+def test_filter(spark):
+    """KStreamTest.scala:35-56: filter value != 'value2' keeps value1, value3
+    and nothing else (the 'no further output' assertion)."""
+    s = KStream(fixtures.kv_string_stream(spark))
+    out = s.filter(lambda k, v: v != F.lit("value2"))
+    assert _kv(out) == [("1", "value1"), ("3", "value3")]
+
+
+def test_filter_not(spark):
+    """KStreamTest.scala:58-79."""
+    s = KStream(fixtures.kv_string_stream(spark))
+    out = s.filter_not(lambda k, v: v == F.lit("value2"))
+    assert _kv(out) == [("1", "value1"), ("3", "value3")]
+
+
+def test_filter_key_predicate(spark):
+    """DSLStatelessTransformation.scala:56: k != 'd' (all keys a/b/c pass)."""
+    s = KStream(fixtures.stateless_input(spark))
+    assert out_count(s.filter(lambda k, v: k != F.lit("d"))) == 10
+    assert out_count(s.filter(lambda k, v: k == F.lit("a"))) == 3
+
+
+def out_count(stream):
+    return stream.to_df().count()
+
+
+def test_map_values_upper(spark):
+    """MapFunctionScalaExample.scala:117: uppercase values."""
+    s = KStream(fixtures.kv_string_stream(spark))
+    out = s.map_values(lambda v: F.upper(v))
+    assert _kv(out) == [("1", "VALUE1"), ("2", "VALUE2"), ("3", "VALUE3")]
+
+
+def test_map_rekey(spark):
+    """MapFunctionScalaExample.scala:121: move value into key."""
+    s = KStream(fixtures.kv_string_stream(spark))
+    out = s.map(lambda k, v: (F.upper(v), v))
+    assert _kv(out) == [("VALUE1", "value1"), ("VALUE2", "value2"), ("VALUE3", "value3")]
+
+
+def test_map_split_colon(spark):
+    """WordCountScalaExample.scala:123-126: split 'k:v' strings into pairs."""
+    df = spark.createDataFrame(
+        [(None, "a:1"), (None, "b:2")], "key string, value string"
+    )
+    out = KStream(df).map(
+        lambda k, v: (F.split(v, ":")[0], F.split(v, ":")[1])
+    )
+    assert _kv(out) == [("a", "1"), ("b", "2")]
+
+
+def test_select_key(spark):
+    """DSLStatelessTransformation.scala:92 (charAt(0)) & KStreamTest.scala:120-138."""
+    s = KStream(fixtures.kv_string_stream(spark))
+    out = s.select_key(lambda k, v: F.substring(v, 1, 1))
+    assert _kv(out) == [("v", "value1"), ("v", "value2"), ("v", "value3")]
+
+
+def test_flat_map_values_tokenize(spark):
+    """WordCountScalaExample.scala:114: lower + split \\W+ explodes words."""
+    s = KStream(fixtures.text_lines(spark))
+    words = s.flat_map_values(lambda v: F.split(F.lower(v), r"\W+"))
+    vals = sorted(r["value"] for r in words.to_df().collect())
+    assert len(vals) == 11  # 3 + 5 + 3 words
+    assert vals.count("kafka") == 3
+
+
+def test_flat_map_two_outputs(spark):
+    """DSLStatelessTransformation.scala:61-66: each record emits
+    (k, len(v)) and (k, len(k))."""
+    s = KStream(fixtures.kv_string_stream(spark))
+    out = s.flat_map(lambda k, v: [(k, F.length(v)), (k, F.length(k))])
+    got = _kv(out)
+    assert len(got) == 6
+    assert got.count(("1", 6)) == 1 and got.count(("1", 1)) == 1
+
+
+def test_branch_first_match_wins(spark):
+    """DSLStatelessTransformation.scala:48-53: prefix-a / prefix-b / default,
+    first match wins, branches are disjoint and cover the stream."""
+    s = KStream(fixtures.stateless_input(spark))
+    a, b, rest = s.branch(
+        lambda k, v: k.startswith("a"),
+        lambda k, v: k.startswith("b"),
+        lambda k, v: F.lit(True),
+    )
+    ca, cb, cr = a.to_df().count(), b.to_df().count(), rest.to_df().count()
+    assert (ca, cb, cr) == (3, 4, 3)  # keys: i%3==0→a (3,6,9), 1→b (1,4,7,10), else c
+    # overlap check: 'a' branch predicate is also true of nothing in rest
+    assert rest.filter(lambda k, v: k.startswith("a")).to_df().count() == 0
+
+
+def test_merge(spark):
+    s1 = KStream(fixtures.kv_string_stream(spark))
+    s2 = KStream(fixtures.kv_string_stream(spark))
+    assert s1.merge(s2).to_df().count() == 6
+
+
+def test_peek_and_foreach_side_effects(spark):
+    """KStreamTest.scala:81-118: foreach/peek run the action per record;
+    peek passes the stream through unchanged."""
+    s = KStream(fixtures.kv_string_stream(spark))
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(row):
+        acc.add(1)
+
+    out = s.peek(bump)
+    assert out.to_df().count() == 3
+    assert acc.value == 3
+    acc2 = spark.sparkContext.accumulator(0)
+    s.foreach(lambda row: acc2.add(1))
+    assert acc2.value == 3
+
+
+def test_observe_metric_tap(spark):
+    from pyspark.sql import Observation  # noqa: F401 — engine uses named observe
+
+    s = KStream(fixtures.kv_string_stream(spark))
+    out = s.observe("tap", F.count(F.lit(1)).alias("n"))
+    assert out.to_df().count() == 3

@@ -1,0 +1,80 @@
+"""Windowed aggregation parity (SURVEY §2e) on fixture #6 timestamps
+(4-minute spacing from 2024-01-01T00:00, offsets 0..9)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark import KStream
+from kafka_streams_demo_spark.operators.grouped import windowed_key_string
+from kafka_streams_demo_spark.operators.windows import SessionWindows, TimeWindows
+from kafka_streams_demo_spark.sources import fixtures
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def test_tumbling_window_count(spark):
+    """DSLStatefulTransformation.scala:79-81: 5-min tumbling count.
+    Records at minutes 0,4,8,...,36; window [0,5) holds offsets 0,1;
+    [5,10) holds offset 2; etc."""
+    s = KStream(fixtures.stateful_input(spark))
+    out = s.group_by_key().windowed_by(TimeWindows.of("5 minutes", "3 minutes")).count()
+    rows = {(r["key"], r["window_start"]): r["value"] for r in out.collect()}
+    # total records preserved
+    assert sum(rows.values()) == 10
+    # offsets 0 (key "1", t=0min) and 1 (key "2", t=4min) both in window [0,5)
+    assert rows[("1", T0)] == 1
+    assert rows[("2", T0)] == 1
+    # every count is 1 except none share (key, 5-min window) — check all 1s
+    assert all(v == 1 for v in rows.values())
+
+
+def test_tumbling_window_multiple_per_window(spark):
+    """Coarser window so keys repeat within one window: 15-min windows over
+    4-min-spaced records → window [0,15) holds offsets 0,1,2,3."""
+    s = KStream(fixtures.stateful_input(spark))
+    out = s.group_by_key().windowed_by(TimeWindows.of("15 minutes")).count()
+    rows = {(r["key"], r["window_start"]): r["value"] for r in out.collect()}
+    assert rows[("1", T0)] == 2  # offsets 0 (v=1) and 3 (v=4) both key "1"
+    assert sum(rows.values()) == 10
+
+
+def test_hopping_window(spark):
+    """TimeWindows.advanceBy equivalent (not exercised by reference —
+    SURVEY §2e marks it as an extension): 10-min window, 5-min hop →
+    every record lands in exactly 2 windows."""
+    s = KStream(fixtures.stateful_input(spark))
+    out = s.group_by_key().windowed_by(TimeWindows.of("10 minutes").advance("5 minutes")).count()
+    assert sum(r["value"] for r in out.collect()) == 20
+
+
+def test_session_window_count(spark):
+    """DSLStatefulTransformation.scala:84-86: session window, 5-s gap.
+    4-min spacing ≫ 5-s gap → every record is its own session."""
+    s = KStream(fixtures.stateful_input(spark))
+    out = s.group_by_key().windowed_by(SessionWindows.with_gap("5 seconds")).count()
+    rows = out.collect()
+    assert len(rows) == 10 and all(r["value"] == 1 for r in rows)
+
+
+def test_session_window_merging(spark):
+    """Sessions actually merge when records are within the gap: 10-min gap
+    merges each key's 12-min-spaced records into one session per key...
+    except key '1' whose 4 records span 36 min of 12-min steps — still one
+    session (each consecutive pair is 12 min apart ≤ gap? no: 12 > 10).
+    Use 15-min gap → one session per key."""
+    s = KStream(fixtures.stateful_input(spark))
+    out = s.group_by_key().windowed_by(SessionWindows.with_gap("15 minutes")).count()
+    rows = {r["key"]: r["value"] for r in out.collect()}
+    assert rows == {"0": 3, "1": 4, "2": 3}  # one merged session per key
+
+
+def test_windowed_key_rendering(spark):
+    """DSLStatefulTransformation.scala:117-123: key@[start : end] format."""
+    s = KStream(fixtures.stateful_input(spark))
+    out = windowed_key_string(
+        s.group_by_key().windowed_by(TimeWindows.of("5 minutes")).count()
+    )
+    one = out.filter(F.col("key").startswith("1@[")).first()
+    assert one is not None
+    assert " : " in one["key"] and one["key"].endswith("]")
