@@ -1,0 +1,590 @@
+"""Query catalog — the driver-facing inventory of implemented operators.
+
+Each entry pairs an engine-API (or DataFrame) implementation with an ANSI
+SQL oracle DuckDB runs on the same parquet. Design rules for exact
+hash-parity between Spark and DuckDB:
+
+- integer/string output columns wherever possible
+- money/double aggregates as integer cents: per-row
+  ``CAST(ROUND(col*100, 0) AS BIGINT)`` then SUM — identical IEEE per-row
+  ops in both engines, then exact integer arithmetic (order-independent,
+  unlike summing doubles)
+- timestamps surfaced as ``unix_micros`` BIGINT (session tz is UTC)
+- every computed column aliased identically on both sides
+
+Scale notes are inline per query: what shuffles, what broadcasts, what
+pushes down.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.operators.kstream import KStream
+from kafka_streams_demo_spark.operators.ktable import KTable
+from kafka_streams_demo_spark.operators.windows import JoinWindows, SessionWindows, TimeWindows
+from kafka_streams_demo_spark.sources.registry import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def cents(col: Column) -> Column:
+    """Exact-comparable money: per-row round-to-cents then integer sum."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def _events_stream(spark, sf_dir, value="value") -> KStream:
+    ev = load_table(spark, "events", sf_dir)
+    return KStream.from_df(ev, key="user_id", value=value, timestamp="ts", offset="event_id")
+
+
+# ---------------------------------------------------------------------------
+# §2b stateless transforms
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_events",
+    "SELECT event_id AS key, event_type AS value FROM events WHERE event_type <> 'error'",
+)
+def filter_events(spark, sf_dir):
+    """filter(p) — DSLStatelessTransformation.scala:56. Predicate reaches the
+    parquet scan as a pushed filter (narrow, no shuffle)."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_id", value="event_type")
+    return s.filter(lambda k, v: v != F.lit("error")).to_df()
+
+
+@register(
+    "filter_not_low",
+    "SELECT event_id AS key, value FROM events WHERE NOT (value < 50)",
+)
+def filter_not_low(spark, sf_dir):
+    """filterNot(p) — DSLStatelessTransformation.scala:58."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_id", value="value")
+    return s.filter_not(lambda k, v: v < 50).to_df()
+
+
+@register(
+    "map_values_upper",
+    "SELECT event_id AS key, upper(event_type) AS value FROM events",
+)
+def map_values_upper(spark, sf_dir):
+    """mapValues(upper) — MapFunctionScalaExample.scala:117."""
+    ev = load_table(spark, "events", sf_dir)
+    return KStream.from_df(ev, key="event_id", value="event_type").map_values(F.upper).to_df()
+
+
+@register(
+    "map_rekey",
+    "SELECT event_type AS key, event_id AS value FROM events",
+)
+def map_rekey(spark, sf_dir):
+    """map((k,v) => (v,k)) re-key — MapFunctionScalaExample.scala:121."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_id", value="event_type")
+    return s.map(lambda k, v: (v, k)).to_df()
+
+
+@register(
+    "select_key_prefix",
+    "SELECT substring(event_type, 1, 1) AS key, event_id AS value FROM events",
+)
+def select_key_prefix(spark, sf_dir):
+    """selectKey(charAt(0)) — DSLStatelessTransformation.scala:92."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_type", value="event_id")
+    return s.select_key(lambda k, v: F.substring(k, 1, 1)).to_df()
+
+
+@register(
+    "flat_map_pairs",
+    "SELECT doc_id AS key, n_chars AS value FROM documents "
+    "UNION ALL SELECT doc_id AS key, CAST(len(string_split(text, ' ')) AS BIGINT) AS value FROM documents",
+)
+def flat_map_pairs(spark, sf_dir):
+    """flatMap: 1 record → 2 records (k, len-ish metrics) —
+    DSLStatelessTransformation.scala:61-66 (emits (k, len(v)) and (k, len(k)))."""
+    docs = load_table(spark, "documents", sf_dir)
+    s = KStream.from_df(docs, key="doc_id", value=F.struct(F.col("text"), F.col("n_chars")))
+    out = s.flat_map(
+        lambda k, v: [
+            (k, v["n_chars"]),
+            (k, F.size(F.split(v["text"], " ")).cast("long")),
+        ]
+    )
+    return out.to_df()
+
+
+@register(
+    "branch_c",
+    "SELECT event_id AS key, event_type AS value FROM events WHERE event_type LIKE 'c%'",
+)
+def branch_c(spark, sf_dir):
+    """branch predicate 1 (first match) — DSLStatelessTransformation.scala:48-53."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_id", value="event_type")
+    b = s.branch(lambda k, v: v.startswith("c"), lambda k, v: v.startswith("s"), lambda k, v: F.lit(True))
+    return b[0].to_df()
+
+
+@register(
+    "branch_s",
+    "SELECT event_id AS key, event_type AS value FROM events "
+    "WHERE event_type NOT LIKE 'c%' AND event_type LIKE 's%'",
+)
+def branch_s(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_id", value="event_type")
+    b = s.branch(lambda k, v: v.startswith("c"), lambda k, v: v.startswith("s"), lambda k, v: F.lit(True))
+    return b[1].to_df()
+
+
+@register(
+    "branch_default",
+    "SELECT event_id AS key, event_type AS value FROM events "
+    "WHERE event_type NOT LIKE 'c%' AND event_type NOT LIKE 's%'",
+)
+def branch_default(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_id", value="event_type")
+    b = s.branch(lambda k, v: v.startswith("c"), lambda k, v: v.startswith("s"), lambda k, v: F.lit(True))
+    return b[2].to_df()
+
+
+@register(
+    "word_count",
+    "SELECT word AS key, count(*) AS value FROM ("
+    "  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents"
+    ") t WHERE word <> '' GROUP BY word",
+)
+def word_count(spark, sf_dir):
+    """The flagship: flatMapValues(tokenize) → groupBy(word) → count —
+    WordCountScalaExample.scala:111-117. One shuffle (on word); map-side
+    partial counts make the exchange tiny at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    s = KStream.from_df(docs, key="doc_id", value="text")
+    words = s.flat_map_values(lambda v: F.split(F.lower(v), "[^a-z0-9]+"))
+    return (
+        words.filter(lambda k, v: v != F.lit(""))
+        .group_by(lambda k, v: v)
+        .count()
+        .to_df()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2c-2d grouping & aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "count_by_key",
+    "SELECT user_id AS key, count(*) AS value FROM events GROUP BY user_id",
+)
+def count_by_key(spark, sf_dir):
+    """count() — WordCountScalaExample.scala:116, DSLStatefulTransformation.scala:63."""
+    return _events_stream(spark, sf_dir).group_by_key().count().to_df()
+
+
+@register(
+    "aggregate_sum_cents",
+    "SELECT user_id AS key, SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS value "
+    "FROM events GROUP BY user_id",
+)
+def aggregate_sum_cents(spark, sf_dir):
+    """aggregate(0)(+) — DSLStatefulTransformation.scala:70-71; sums as exact
+    integer cents (hash agg, map-side combine)."""
+    s = _events_stream(spark, sf_dir).map_values(cents)
+    return s.group_by_key().aggregate(lambda v: F.sum(v)).to_df()
+
+
+@register(
+    "reduce_max",
+    "SELECT user_id AS key, MAX(value) AS value FROM events GROUP BY user_id",
+)
+def reduce_max(spark, sf_dir):
+    """reduce / custom max-agg — ConfluentKStreamsDemoTest.java:31-52."""
+    return _events_stream(spark, sf_dir).group_by_key().reduce(lambda v: F.max(v)).to_df()
+
+
+@register(
+    "ktable_latest",
+    "SELECT key, value FROM ("
+    "  SELECT user_id AS key, event_type AS value, "
+    "         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+    "  FROM events) t WHERE rn = 1",
+)
+def ktable_latest(spark, sf_dir):
+    """builder.table / KStream→KTable: latest-per-key via max_by(offset) —
+    DSLStatefulTransformation.scala:97-104. One hash agg; no sort, no window
+    (the oracle's row_number is the *slow* formulation we deliberately avoid)."""
+    return _events_stream(spark, sf_dir, value="event_type").to_table().to_df().select("key", "value")
+
+
+@register(
+    "ktable_groupby_count",
+    "SELECT value AS key, count(*) AS value FROM ("
+    "  SELECT event_type AS value, "
+    "         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+    "  FROM events) t WHERE rn = 1 GROUP BY 1",
+)
+def ktable_groupby_count(spark, sf_dir):
+    """KTable.groupBy(...).count() over the changelog view —
+    DSLStatefulTransformation.scala:105-111 (no subtractor needed: recompute
+    over latest-state view, SURVEY §2d)."""
+    t = _events_stream(spark, sf_dir, value="event_type").to_table()
+    return t.group_by(lambda k, v: v).count().to_df()
+
+
+@register(
+    "json_extract_sum",
+    "SELECT event_type AS key, SUM(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS value "
+    "FROM events GROUP BY event_type",
+)
+def json_extract_sum(spark, sf_dir):
+    """LogAndContinue-style permissive parse: JSON props → typed column →
+    agg (SURVEY §2i maps serde errors to null-and-filter)."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_type", value=F.get_json_object("props", "$.k").cast("long"))
+    return s.group_by_key().aggregate(lambda v: F.sum(v)).to_df()
+
+
+# ---------------------------------------------------------------------------
+# §2e windowed aggregation (batch parity of the streaming windows)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tumbling_window_count",
+    "SELECT event_type AS key, epoch_us(date_trunc('hour', ts)) AS window_start_us, "
+    "count(*) AS value FROM events GROUP BY 1, 2",
+)
+def tumbling_window_count(spark, sf_dir):
+    """windowedBy(TimeWindows.of(...)).count() — DSLStatefulTransformation.scala:79-81
+    (1-hour windows over events.ts; epoch-aligned like F.window)."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_type", value="value", timestamp="ts")
+    out = s.group_by_key().windowed_by(TimeWindows.of("1 hour", "3 minutes")).count()
+    return out.select(
+        "key", F.unix_micros("window_start").alias("window_start_us"), "value"
+    )
+
+
+@register(
+    "hopping_window_count",
+    "SELECT event_type AS key, "
+    "CAST((FLOOR(epoch(ts)/1800) - s.i) * 1800 * 1000000 AS BIGINT) AS window_start_us, "
+    "count(*) AS value "
+    "FROM events CROSS JOIN (VALUES (0), (1)) AS s(i) GROUP BY 1, 2",
+)
+def hopping_window_count(spark, sf_dir):
+    """Hopping windows (TimeWindows.advanceBy — SURVEY §2e extension):
+    1-hour windows advancing 30 min; every event in exactly 2 windows."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_type", value="value", timestamp="ts")
+    out = s.group_by_key().windowed_by(TimeWindows.of("1 hour").advance("30 minutes")).count()
+    return out.select(
+        "key", F.unix_micros("window_start").alias("window_start_us"), "value"
+    )
+
+
+@register(
+    "session_window_count",
+    """
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, 1)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id AS key, epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           count(*) AS value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def session_window_count(spark, sf_dir):
+    """windowedBy(SessionWindows.with(gap)).count() —
+    DSLStatefulTransformation.scala:84-86 (30-min inactivity gap per user)."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="user_id", value="value", timestamp="ts")
+    out = s.group_by_key().windowed_by(SessionWindows.with_gap("30 minutes")).count()
+    return out.select(
+        "key",
+        F.unix_micros("window_start").alias("session_start_us"),
+        F.unix_micros("window_end").alias("session_end_us"),
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2f joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_stream_join_window",
+    "SELECT e1.user_id AS key, e1.event_id AS left_id, e2.event_id AS right_id, "
+    "CAST(ROUND((e1.value + e2.value) * 100, 0) AS BIGINT) AS value "
+    "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
+    "AND e1.event_type = 'purchase' AND e2.event_type = 'error' "
+    "AND e2.ts BETWEEN e1.ts - INTERVAL 1 HOUR AND e1.ts + INTERVAL 1 HOUR",
+)
+def stream_stream_join_window(spark, sf_dir):
+    """Windowed stream-stream inner join — StreamToStreamJoinExample.scala:92:
+    purchases ⋈ errors same user within ±1 h; combiner v1+v2 (as cents).
+    Equi-key + time-bound → Spark plans a range-bounded SMJ/hash join on
+    user_id; both sides shuffle once on the key."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = KStream.from_df(
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id", value=F.struct(F.col("event_id"), F.col("value")), timestamp="ts",
+    )
+    errors = KStream.from_df(
+        ev.filter(F.col("event_type") == "error"),
+        key="user_id", value=F.struct(F.col("event_id"), F.col("value")), timestamp="ts",
+    )
+    joined = purchases.join(
+        errors,
+        lambda v1, v2: F.struct(
+            v1["event_id"].alias("left_id"),
+            v2["event_id"].alias("right_id"),
+            cents(v1["value"] + v2["value"]).alias("v"),
+        ),
+        JoinWindows.of("1 hour"),
+    )
+    return joined.to_df().select(
+        "key",
+        F.col("value.left_id").alias("left_id"),
+        F.col("value.right_id").alias("right_id"),
+        F.col("value.v").alias("value"),
+    )
+
+
+@register(
+    "stream_table_join_segment",
+    "SELECT c.c_mktsegment AS key, SUM(CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT)) AS value "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",
+)
+def stream_table_join_segment(spark, sf_dir):
+    """The clicks-per-region query shape at testdata scale —
+    StreamToTableJoinExample.scala:107 + golden StreamToTableJoinTestData.scala:55-59:
+    fact stream ⋈ dimension table → re-key by dimension attr → sum.
+    customer is dimension-sized → broadcast join, zero fact shuffle before
+    the aggregation."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    clicks = KStream.from_df(orders, key="o_custkey", value=F.col("o_totalprice"))
+    segments = KTable(
+        customer.select(F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("value"))
+    )
+    enriched = clicks.join(
+        segments, lambda price, seg: F.struct(cents(price).alias("c"), seg.alias("seg"))
+    )
+    return (
+        enriched.group_by(lambda k, v: v["seg"])
+        .aggregate(lambda v: F.sum(v["c"]))
+        .to_df()
+    )
+
+
+@register(
+    "table_table_join_inner",
+    "SELECT c.c_custkey AS key, c.c_mktsegment || ':' || lo.o_orderstatus AS value "
+    "FROM customer c JOIN ("
+    "  SELECT o_custkey, o_orderstatus FROM ("
+    "    SELECT o_custkey, o_orderstatus, "
+    "           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn "
+    "    FROM orders) t WHERE rn = 1"
+    ") lo ON c.c_custkey = lo.o_custkey",
+)
+def table_table_join_inner(spark, sf_dir):
+    """Table-table inner join — TableToTableJoinExample.scala:115: customers
+    (PK table) ⋈ latest-order-status-per-customer (stream→KTable)."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust_t = KTable(customer.select(F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("value")))
+    latest_order = KStream.from_df(
+        orders, key="o_custkey", value="o_orderstatus", offset="o_orderkey"
+    ).to_table()
+    joined = cust_t.join(latest_order, lambda seg, st: F.concat(seg, F.lit(":"), st))
+    return joined.to_df()
+
+
+@register(
+    "table_table_join_outer",
+    "SELECT COALESCE(c.c_custkey, lo.o_custkey) AS key, "
+    "concat_ws('-', c.c_mktsegment, lo.o_orderstatus) AS value "
+    "FROM customer c FULL OUTER JOIN ("
+    "  SELECT o_custkey, o_orderstatus FROM ("
+    "    SELECT o_custkey, o_orderstatus, "
+    "           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn "
+    "    FROM orders) t WHERE rn = 1"
+    ") lo ON c.c_custkey = lo.o_custkey",
+)
+def table_table_join_outer(spark, sf_dir):
+    """Table-table outer join — TableToTableJoinExample.scala:118."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust_t = KTable(customer.select(F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("value")))
+    latest_order = KStream.from_df(
+        orders, key="o_custkey", value="o_orderstatus", offset="o_orderkey"
+    ).to_table()
+    joined = cust_t.outer_join(latest_order, lambda seg, st: F.concat_ws("-", seg, st))
+    return joined.to_df()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics (bench headliners; same operator inventory at scale)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS sum_qty_c, "
+    "SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS sum_base_c, "
+    "SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS sum_disc_c, "
+    "SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100, 0) AS BIGINT)) AS sum_charge_c, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy grouped agg. Filter + column pruning push
+    to the parquet scan; 6 aggregates in one hash-agg pass, map-side combine
+    → the shuffle carries ~|groups| rows regardless of input size."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_c"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+            ).alias("sum_charge_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    "SELECT l.l_orderkey, SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT)) AS revenue_c, "
+    "epoch_us(o.o_orderdate) AS orderdate_us, o.o_orderpriority "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+    "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
+    "ORDER BY revenue_c DESC, l_orderkey LIMIT 10",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → fact join → top-k. customer
+    broadcasts; the orders⋈lineitem join shuffles on orderkey; global top-10
+    via TakeOrderedAndProject (no full sort)."""
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_c"))
+        .select(
+            "l_orderkey",
+            "revenue_c",
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue_c"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    "SELECT n.n_name, SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT)) AS revenue_c "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
+)
+def q5_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join. All dims (customer/supplier/nation/
+    region) broadcast; only orders⋈lineitem shuffles — one exchange on the
+    fact key at any scale."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_c"))
+    )
+
+
+@register(
+    "orders_per_nation",
+    "SELECT n.n_name AS key, count(*) AS orders_cnt, "
+    "SUM(CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT)) AS total_c "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1",
+)
+def orders_per_nation(spark, sf_dir):
+    """Star-join rollup: orders enriched through two broadcast dims, grouped
+    by nation — the stream-table-join pattern over the TPC-H tables."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("orders_cnt"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+        )
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

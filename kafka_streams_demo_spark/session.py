@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no ns
+        # timestamp — read as long ns and convert (registry.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # At 100 TB scale: bounded scan-task size; 128m is the sweet spot for
         # parquet row-group alignment.
         .config("spark.sql.files.maxPartitionBytes", "128m")
@@ -54,6 +57,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

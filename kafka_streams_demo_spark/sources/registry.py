@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,9 +65,12 @@ SCHEMAS: dict[str, T.StructType] = {
     .add("l_returnflag", T.StringType())
     .add("l_linestatus", T.StringType())
     .add("l_shipdate", T.TimestampType()),
+    # ts is physically TIMESTAMP(NANOS) → read as long (nanosAsLong) and
+    # converted to micros TimestampType in load_table (truncation matches
+    # DuckDB's ns→us cast).
     "events": T.StructType()
     .add("event_id", T.LongType())
-    .add("ts", T.TimestampType())
+    .add("ts", T.LongType())
     .add("user_id", T.LongType())
     .add("event_type", T.StringType())
     .add("value", T.DoubleType())
@@ -90,7 +94,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """Read one driver parquet table with its declared schema."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ns→us truncation via integer division (double division would lose
+        # precision above 2^53 ns); matches DuckDB's ns→us cast exactly.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 class Tables:
