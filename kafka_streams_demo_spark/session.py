@@ -52,6 +52,10 @@ def get_spark(
         # At 100 TB scale: bounded scan-task size; 128m is the sweet spot for
         # parquet row-group alignment.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Split small scans across the cluster even when files < 128m —
+        # harmless at 100 TB (scan count dominated by maxPartitionBytes),
+        # keeps all cores busy at small SF.
+        .config("spark.sql.files.minPartitionNum", str(2 * DEFAULT_CPUS))
         # Broadcast threshold: dimension tables (region/nation/supplier) stay
         # broadcast even at sf100; AQE can still demote at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
