@@ -582,6 +582,251 @@ def orders_per_nation(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / text analysis / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies "
+    "FROM documents GROUP BY 1",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, one representative + copy count per
+    distinct text. One shuffle on the digest."""
+    from kafka_streams_demo_spark.functions.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load_table(spark, "documents", sf_dir))
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS s FROM idx),
+d AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT p.i, p.j, ROUND(p.common / (d1.n + d2.n - p.common), 6) AS jaccard
+FROM pairs p JOIN d d1 ON p.i = d1.doc_id JOIN d d2 ON p.j = d2.doc_id
+WHERE ROUND(p.common / (d1.n + d2.n - p.common), 6) >= 0.5
+"""
+
+
+@register("ngram_jaccard_pairs", _JACCARD_ORACLE)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5) — the
+    ground-truth near-dup operator; MinHash-LSH approximates it at scale."""
+    from kafka_streams_demo_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), n=3, threshold=0.5)
+
+
+@register("minhash_lsh_pairs")  # no SQL oracle: probabilistic recall; see tests
+def minhash_lsh_pairs_q(spark, sf_dir):
+    """MinHash(64)+LSH(16×4) near-dup pairs, threshold 0.8, exact-verified.
+    tests/test_dedup.py asserts parity with the exact method at this
+    threshold (recall 1-(1-J⁴)¹⁶ ≈ 1 for J ≥ 0.8)."""
+    from kafka_streams_demo_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+
+
+@register("simhash_pairs")  # no SQL oracle: signature family not SQL-expressible
+def simhash_pairs_q(spark, sf_dir):
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) via 4×16-bit segment index."""
+    from kafka_streams_demo_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+
+
+@register(
+    "token_counts",
+    "SELECT doc_id AS key, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, "
+    r"CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe "
+    "FROM documents",
+)
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex tokenizations."""
+    from kafka_streams_demo_spark.functions import text as TX
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("key"),
+        TX.token_count_ws(F.col("text")).alias("n_ws"),
+        TX.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+_LANG_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+s AS (SELECT doc_id,
+  len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS s_en,
+  len(list_filter(w, x -> x IN ('el','la','de','los','y'))) AS s_es,
+  len(list_filter(w, x -> x IN ('der','die','und','das','ein'))) AS s_de,
+  len(list_filter(w, x -> x IN ('le','les','et','un','une'))) AS s_fr
+FROM t)
+SELECT doc_id AS key, CASE
+  WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+  WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+  WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+  WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+  ELSE 'und' END AS value
+FROM s
+"""
+
+
+@register("lang_id", _LANG_ORACLE)
+def lang_id_q(spark, sf_dir):
+    """Language-ID heuristic (marker tokens, deterministic tie-break)."""
+    from kafka_streams_demo_spark.functions import text as TX
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(F.col("doc_id").alias("key"), TX.lang_id(F.col("text")).alias("value"))
+
+
+_QUALITY_ORACLE = """
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_tok,
+  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS stop_cnt
+FROM t)
+SELECT doc_id AS key, n_tok, n_uniq, stop_cnt,
+  ROUND(0.5*LEAST(n_chars/500.0, 1.0) + 0.3*(stop_cnt/n_tok) + 0.2*(n_uniq/n_tok), 6) AS score
+FROM c
+"""
+
+
+@register("quality_score", _QUALITY_ORACLE)
+def quality_score_q(spark, sf_dir):
+    """Document quality scoring: length/stopword/uniqueness components."""
+    from kafka_streams_demo_spark.functions import text as TX
+
+    docs = load_table(spark, "documents", sf_dir)
+    comps = TX.quality_components(F.col("text"), F.col("n_chars"))
+    return docs.select(
+        F.col("doc_id").alias("key"),
+        comps["n_tok"].alias("n_tok"),
+        comps["n_uniq"].alias("n_uniq"),
+        comps["stop_cnt"].alias("stop_cnt"),
+        TX.quality_score(F.col("text"), F.col("n_chars")).alias("score"),
+    )
+
+
+@register(
+    "fingerprint_bow",
+    "SELECT doc_id AS key, "
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp "
+    "FROM documents",
+)
+def fingerprint_bow_q(spark, sf_dir):
+    """Bag-of-words document fingerprint (order-insensitive digest)."""
+    from kafka_streams_demo_spark.functions import text as TX
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(F.col("doc_id").alias("key"), TX.fingerprint_bow(F.col("text")).alias("fp"))
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+el AS (SELECT q_id, n_id, CAST(q_vec[g.i] AS DOUBLE) AS qa, CAST(n_vec[g.i] AS DOUBLE) AS na
+       FROM q, c, generate_series(1, 64) g(i) WHERE n_id <> q_id),
+s AS (SELECT q_id, n_id, SUM(qa*na) AS dp, SUM(qa*qa) AS qq, SUM(na*na) AS nn
+      FROM el GROUP BY 1, 2),
+r AS (SELECT q_id, n_id, ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) AS cos,
+      row_number() OVER (PARTITION BY q_id ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, n_id) AS rank
+      FROM s)
+SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+@register("ann_topk_bruteforce", _ANN_ORACLE)
+def ann_topk_bruteforce_q(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors over the whole corpus —
+    the similarity-search baseline (queries broadcast; corpus never
+    shuffles)."""
+    from kafka_streams_demo_spark.functions.similarity import topk_bruteforce
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = topk_bruteforce(emb, queries_df, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_lsh_topk")  # no SQL oracle: recall is probabilistic; see tests
+def ann_lsh_topk_q(spark, sf_dir):
+    """ANN scale path: hyperplane-LSH bucketed top-10 for the same 5 query
+    vectors; recall vs brute force asserted in tests/test_similarity.py."""
+    from kafka_streams_demo_spark.functions.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = lsh_bucketed_topk(emb, queries_df, k=10, planes=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_KNN_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+el AS (SELECT a.vec_id i, b.vec_id j,
+       CAST(a.embedding[g.i] AS DOUBLE) AS qa, CAST(b.embedding[g.i] AS DOUBLE) AS na
+       FROM e a, e b, generate_series(1, 64) g(i)
+       WHERE a.label = b.label AND a.vec_id <> b.vec_id),
+s AS (SELECT i, j, SUM(qa*na) AS dp, SUM(qa*qa) AS qq, SUM(na*na) AS nn FROM el GROUP BY 1, 2),
+r AS (SELECT i, j, ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) AS cos,
+      row_number() OVER (PARTITION BY i ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, j) AS rn
+      FROM s)
+SELECT i, j, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 1
+"""
+
+
+@register("embedding_knn_blocked", _KNN_ORACLE)
+def embedding_knn_blocked_q(spark, sf_dir):
+    """Embedding near-dup linkage: top-1 cosine neighbor per vector within
+    its label block (blocking bounds the pair count at scale)."""
+    from kafka_streams_demo_spark.functions.dedup import embedding_knn_blocked
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = embedding_knn_blocked(emb, block_col="label", k=1)
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+@register(
+    "multimodal_meta",
+    "SELECT doc_id AS key, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
+    "sha256(text) AS checksum FROM documents",
+)
+def multimodal_meta_q(spark, sf_dir):
+    """Multimodal column plumbing: opaque binary payload + typed metadata
+    (byte length, sha256 checksum) — metadata math happens without ever
+    decoding the payload."""
+    from kafka_streams_demo_spark.functions.multimodal import attach_binary
+
+    docs = load_table(spark, "documents", sf_dir)
+    mm = attach_binary(docs)
+    return mm.select(
+        F.col("doc_id").alias("key"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+@register("multimodal_features")  # no SQL oracle: pandas-UDF decode stub
+def multimodal_features_q(spark, sf_dir):
+    """Decode-stub feature extraction over mapInPandas (Arrow batches):
+    deterministic byte-histogram stand-in for image decode."""
+    from kafka_streams_demo_spark.functions.multimodal import attach_binary, decode_features
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = decode_features(attach_binary(docs), fake=True)
+    return feats.select(
+        "doc_id", "modality", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,229 @@
+"""Deduplication family for training-data pipelines.
+
+Four tiers, each a standalone operator over a ``documents``-shaped
+DataFrame (doc_id, text):
+
+- **exact**: hash-groupBy on md5(text) — one shuffle, exact.
+- **n-gram Jaccard (exact near-dup)**: shingle equi-join computes true
+  Jaccard for every pair sharing ≥1 shingle — the oracle-checkable ground
+  truth. Cost is bounded by shingle co-occurrence, not O(n²).
+- **MinHash + LSH**: 64 minhashes → 16 bands × 4 rows → bucket join →
+  exact-Jaccard verification of candidates only. The 100 TB path: cost is
+  O(docs × shingles) + tiny candidate set; recall for J ≥ 0.8 is
+  1-(1-J⁴)¹⁶ ≈ 1-2e-4.
+- **SimHash**: 64-bit signature; near-dup = Hamming ≤ k, candidates via
+  4×16-bit segment index (pigeonhole: Hamming ≤ 3 ⇒ ≥1 equal segment).
+
+All signature math is native column expressions (xxhash64 / bit ops /
+higher-order functions) — no Python in the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.functions.text import tokenize, word_shingles
+
+NUM_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (min id) + duplicate count per
+    distinct text hash. Single hash-shuffle on the digest."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) distinct rows."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(word_shingles(tokenize(F.col(text_col)), n)).alias("s"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold (i < j). Join on shared
+    shingles → common counts → Jaccard from per-doc set sizes. The shuffle
+    keys are shingles; frequent-shingle skew is the scale hazard — AQE skew
+    handling plus (optionally) dropping ubiquitous shingles mitigates."""
+    sh = shingle_rows(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    si, sj = sizes.alias("si"), sizes.alias("sj")
+    return (
+        common.join(si, F.col("i") == F.col("si.doc_id"))
+        .join(sj, F.col("j") == F.col("sj.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("si.n_sh") + F.col("sj.n_sh") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """64 minhashes per doc in ONE aggregation pass (64 min() aggregates
+    over seeded xxhash64 — map-side combine keeps the shuffle at
+    |docs| × 64 longs regardless of corpus size)."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8,
+    num_hashes: int = NUM_HASHES, bands: int = BANDS,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification.
+
+    shingle → 64×minhash → band-hash → bucket self-join (candidates) →
+    verify true Jaccard via per-doc shingle sets. Only candidate pairs pay
+    the verification cost; precision is exact, recall 1-(1-J^r)^b."""
+    rows = num_hashes // bands
+    sh = shingle_rows(docs, n, text_col, id_col)
+    sig = minhash_signatures(sh, num_hashes)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("i"), F.col("r.doc_id").alias("j"))
+        .distinct()
+    )
+    doc_sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("shset"))
+    di, dj = doc_sets.alias("di"), doc_sets.alias("dj")
+    return (
+        candidates.join(di, F.col("i") == F.col("di.doc_id"))
+        .join(dj, F.col("j") == F.col("dj.doc_id"))
+        .withColumn("common", F.size(F.array_intersect(F.col("di.shset"), F.col("dj.shset"))))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size(F.col("di.shset")) + F.size(F.col("dj.shset")) - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array: per-bit majority vote over token
+    xxhash64s, recomposed into one BIGINT. Pure expression (aggregate over
+    the token array + bit ops)."""
+    def bit_vote(bit: int) -> Column:
+        # Σ over tokens of (+1 if bit set else -1)
+        return F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(bit_vote(b) > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(sig_i, sig_j) ≤ max_hamming.
+    Candidates via 4×16-bit segment equality (pigeonhole for ≤3 bit flips),
+    verified with bit_count(xor). Scales as a 4-way segment equi-join."""
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"), simhash64(tokenize(F.col(text_col))).alias("sig")
+    )
+    segs = sigs.select(
+        "doc_id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("seg"),
+                    F.shiftright(F.col("sig"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("segval"),
+                )
+                for k in range(4)
+            ])
+        ).alias("sv"),
+    ).select("doc_id", "sig", F.col("sv.seg").alias("seg"), F.col("sv.segval").alias("segval"))
+    l, r = segs.alias("l"), segs.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.segval") == F.col("r.segval"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("i"), F.col("r.doc_id").alias("j"),
+            F.col("l.sig").alias("sig_i"), F.col("r.sig").alias("sig_j"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )
+
+
+def embedding_knn_blocked(
+    emb: DataFrame, block_col: str = "label", k: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest neighbor per vector within a blocking key (embedding
+    near-dup linkage). Blocking bounds the pair count; cosine is native
+    column math (zip_with + aggregate in doubles)."""
+    from kafka_streams_demo_spark.functions.similarity import cosine
+    from pyspark.sql.window import Window
+
+    a = emb.select(F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("j"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, ["blk"]).filter(F.col("i") != F.col("j"))
+    scored = pairs.select(
+        "i", "j", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("cos"), F.asc("j"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("i", "j", "cos", "rn")
+    )

@@ -1,0 +1,105 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads travel as ``binary`` columns beside a metadata
+struct (modality, byte_len, checksum). Decode / feature-extraction runs as
+Arrow-batched pandas iterators over ``mapInPandas`` — the only sanctioned
+Python boundary, sized by batch not by row.
+
+The decode step is STUBBED: the real implementation needs image/audio
+codecs not present in this container. ``decode_features`` raises
+``NotImplementedError`` unless ``fake=True``, which computes a
+deterministic per-payload byte-histogram feature vector — the Spark-side
+plumbing (schema, batching, partitioning) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+MULTIMODAL_SCHEMA = (
+    "doc_id long, modality string, byte_len long, checksum string"
+)
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  modality: str = "image") -> DataFrame:
+    """Wrap a source column as an opaque binary payload + metadata struct
+    (stand-in for real image/audio bytes; schema identical to production)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.octet_length(payload).cast("long").alias("byte_len"),
+            F.sha2(payload, 256).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in: 16-bin byte histogram, L1-normalized."""
+    hist = [0] * FEATURE_DIM
+    for byte in payload[:4096]:
+        hist[byte % FEATURE_DIM] += 1
+    total = float(sum(hist)) or 1.0
+    return [h / total for h in hist]
+
+
+def decode_features(multimodal: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode payloads → feature vectors via mapInPandas (Arrow batches).
+
+    Real decode requires codec libraries absent here → NotImplementedError.
+    ``fake=True`` switches to the deterministic byte-histogram stub so the
+    distributed plumbing (batch iteration, schema, output shape) is
+    exercised end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image/audio decode requires codec libs not in this container; "
+            "pass fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "features": [_fake_features(p) for p in pdf["payload"]],
+                }
+            )
+
+    return multimodal.mapInPandas(
+        batches, schema="doc_id long, modality string, features array<double>"
+    )
+
+
+def frame_sample(multimodal: DataFrame, every_n_bytes: int = 1024, fake: bool = False) -> DataFrame:
+    """Frame-sampling stub (video → every-Nth-frame): emits one row per
+    sampled 'frame' offset with a checksum slice. Real frame extraction
+    needs a video codec → NotImplementedError unless fake=True."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires a video codec; pass fake=True for the stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_no": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fno, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(fno)
+                    rows["frame_bytes"].append(len(payload[off:off + every_n_bytes]))
+            yield pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(
+        batches, schema="doc_id long, frame_no int, frame_bytes int"
+    )

@@ -1,0 +1,127 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (marker-token heuristic), quality scoring (length/stopword/
+uniqueness ratios), token counting (whitespace + BPE-ish regex), document
+fingerprinting (bag-of-words digest + polynomial rolling hash), word
+shingles. All pure column expressions — no UDFs, so plans stay inside
+whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/marker heuristic. Ordered:
+# ties resolve to the earlier entry (deterministic, mirrored in oracle SQL).
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "to"]),
+    ("es", ["el", "la", "de", "los", "y"]),
+    ("de", ["der", "die", "und", "das", "ein"]),
+    ("fr", ["le", "les", "et", "un", "une"]),
+]
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def tokenize(col: Column) -> Column:
+    """Whitespace tokenization (documents are pre-normalized)."""
+    return F.split(col, " ")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(col)).cast("long")
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: alpha runs, single digits, single punctuation —
+    a cheap proxy for subword token budgets."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def marker_score(tokens: Column, markers: list[str]) -> Column:
+    """How many tokens are in the marker list (occurrence count)."""
+    lits = [F.lit(m) for m in markers]
+    return F.size(F.filter(tokens, lambda t: t.isin(*[m for m in markers]))).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-based language ID with deterministic tie-break (list order);
+    'und' when no marker fires. A real deployment swaps the marker lists for
+    char-n-gram profiles — the operator shape (pure expression, argmax with
+    stable ties) is what scales."""
+    toks = tokenize(F.lower(text))
+    scores = {lang: marker_score(toks, ms) for lang, ms in LANG_MARKERS}
+    best: Column = F.lit("und")
+    # build argmax right-to-left so earlier langs win ties
+    for lang, _ in reversed(LANG_MARKERS):
+        better_than_later = [scores[lang] >= scores[l2] for l2, _ in LANG_MARKERS
+                             if l2 != lang]
+        cond = scores[lang] > 0
+        for b in better_than_later:
+            cond = cond & b
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+    # iterate in reverse so the first language's when() ends up outermost
+    return best
+
+
+def quality_components(text: Column, n_chars: Column) -> dict[str, Column]:
+    """Quality sub-scores, each derived from exact integer counts so the
+    arithmetic is reproducible bit-for-bit across engines."""
+    toks = tokenize(text)
+    n_tok = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    stop_cnt = marker_score(toks, EN_STOPWORDS)
+    return {
+        "n_tok": n_tok,
+        "n_uniq": n_uniq,
+        "stop_cnt": stop_cnt,
+        "len_score": F.least(n_chars / F.lit(500.0), F.lit(1.0)),
+        "stop_ratio": stop_cnt / n_tok,
+        "uniq_ratio": n_uniq / n_tok,
+    }
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Weighted quality score in [0, 1]: length + stopword plausibility +
+    lexical diversity. Round(…, 6) for cross-engine hash stability."""
+    c = quality_components(text, n_chars)
+    return F.round(
+        F.lit(0.5) * c["len_score"] + F.lit(0.3) * c["stop_ratio"] + F.lit(0.2) * c["uniq_ratio"],
+        6,
+    )
+
+
+def fingerprint_bow(text: Column) -> Column:
+    """Bag-of-words fingerprint: md5 over the sorted distinct token set —
+    catches reorder-only duplicates that exact hashing misses."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(text)))))
+
+
+ROLLING_HASH_MOD = (1 << 56) - 5
+
+
+def rolling_hash(text: Column, base: int = 31, mod: int = ROLLING_HASH_MOD) -> Column:
+    """Polynomial rolling hash over tokens (order-sensitive fingerprint):
+    h = h*base + xxhash64(token) (mod 2^56-5), computed via the higher-order
+    ``aggregate`` — stays JVM-side, no UDF. The modulus keeps
+    ``acc*base + h < 2^63`` so ANSI-mode long arithmetic never overflows."""
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)),
+    )
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as '_'-joined strings; empty array when the doc
+    is shorter than n tokens."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    make = F.transform(
+        idx, lambda i: F.concat_ws("_", *[F.element_at(tokens, i + j) for j in range(n)])
+    )
+    return F.when(F.size(tokens) >= n, make).otherwise(F.array().cast("array<string>"))

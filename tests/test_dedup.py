@@ -1,0 +1,79 @@
+"""Dedup family: exact, MinHash-LSH (recall vs exact), SimHash properties."""
+
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.functions.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+)
+from kafka_streams_demo_spark.functions.text import tokenize
+from kafka_streams_demo_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    got = {r["keep_id"]: r["n_copies"] for r in exact_dedup_groups(docs).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    docs = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # identical → J=1
+        (3, "completely different words here entirely now"),  # disjoint
+    ])
+    pairs = {(r["i"], r["j"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_lsh_matches_exact_at_high_threshold(spark):
+    """On the driver corpus the planted near-dups have J ≥ 0.8 where LSH
+    recall is ≈1 — LSH + exact-verify must equal the exact method."""
+    docs = load_table(spark, "documents", SF)
+    exact = {(r["i"], r["j"]) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r["i"], r["j"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert lsh == exact
+    assert len(exact) > 0  # the corpus does contain planted near-dups
+
+
+def test_minhash_lsh_precision_is_exact(spark):
+    """Verification step makes precision exact: every reported pair really
+    has J ≥ threshold (check against the exact scorer at a lower cut)."""
+    docs = load_table(spark, "documents", SF)
+    all_true = {(r["i"], r["j"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    for r in minhash_lsh_pairs(docs, threshold=0.8).collect():
+        assert all_true[(r["i"], r["j"])] >= 0.8
+
+
+def test_simhash_deterministic_and_similarity_sensitive(spark):
+    docs = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # identical
+        (3, "the quick brown fox jumps over the lazy cat today"),  # 1 word off
+        (4, "zeta eta theta iota kappa lambda mu nu xi omicron"),  # unrelated
+    ])
+    sigs = {r["doc_id"]: r["sig"] for r in docs.select(
+        "doc_id", simhash64(tokenize(F.col("text"))).alias("sig")).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    ham_13 = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    ham_14 = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_finds_identical(spark):
+    docs = _docs(spark, [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ])
+    got = {(r["i"], r["j"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == {(1, 2): 0}
