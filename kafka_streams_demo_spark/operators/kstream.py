@@ -145,6 +145,12 @@ class KStream:
         """Terminal side effect. Reference: StreamToStreamJoinExample.scala:65."""
         self.df.foreach(action)
 
+    def with_watermark(self, delay: str) -> "KStream":
+        """Grace-period parity (``.grace(Duration)``,
+        DSLStatefulTransformation.scala:80): bound late data in streaming
+        mode. No-op semantics in batch (every record is on time)."""
+        return KStream(self.df.withWatermark(TS, delay))
+
     # -- grouping (§2c) ---------------------------------------------------
     def group_by(self, f: Callable[[Column, Column], Column]) -> "KGroupedStream":
         """groupBy((k,v) => newK): re-key + shuffle (reference comment

@@ -1,0 +1,153 @@
+"""Query lifecycle — the KafkaStreams.start()/close()/cleanUp() surface.
+
+Reference mapping (SURVEY §2i):
+- ``KafkaStreams.start`` / ``close(timeout)``
+  (WordCountScalaExample.scala:175,189,193) → ``writeStream.start()`` /
+  ``query.stop()`` / ``awaitTermination``
+- ``streams.cleanUp()`` (WordCountScalaExample.scala:187) → delete the
+  checkpoint directory
+- application reset (README.md:25-33) → fresh checkpoint +
+  ``startingOffsets=earliest``
+- 1 s commit interval (StreamToTableJoinScalaIntegrationTestBase.scala:65)
+  → ``trigger(processingTime='1 second')``
+- state listener sketch (ConfluentKStreamsDemo.java:80-89) →
+  ``StreamingQueryListener``
+
+The availableNow harness is PySpark's TopologyTestDriver equivalent
+(SURVEY §3 EP3): file source → transform → memory sink, synchronously
+drained.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+def run_available_now(
+    out: DataFrame,
+    output_mode: str = "update",
+    name: str | None = None,
+    checkpoint: str | None = None,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run a streaming DataFrame to a memory sink with
+    ``trigger(availableNow)`` and return the result table — the synchronous
+    pipe-records-through-the-DAG test path."""
+    spark = out.sparkSession
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
+def run_foreach_batch(
+    out: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    output_mode: str = "update",
+    checkpoint: str | None = None,
+    timeout_s: int = 120,
+) -> None:
+    """availableNow foreachBatch run — the KTable-materialization and
+    arbitrary-sink path (stream-table join timing per SURVEY §2f)."""
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        out.writeStream.foreachBatch(fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def clean_up(checkpoint_dir: str) -> None:
+    """streams.cleanUp() parity: reset local state so the app reprocesses
+    from scratch on next start."""
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)
+
+
+class CollectingListener(StreamingQueryListener):
+    """StreamingQueryListener parity with the reference's state-listener
+    sketch (ConfluentKStreamsDemo.java:80-89): collects progress events."""
+
+    def __init__(self):
+        self.started: list[str] = []
+        self.progress: list[dict] = []
+        self.terminated: list[str] = []
+
+    def onQueryStarted(self, event):
+        self.started.append(str(event.id))
+
+    def onQueryProgress(self, event):
+        self.progress.append({"id": str(event.progress.id), "numInputRows": event.progress.numInputRows})
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        self.terminated.append(str(event.id))
+
+
+def materialize_ktable(
+    stream: DataFrame,
+    snapshot_dir: str,
+    key_col: str = "key",
+    order_col: str = "offset",
+    checkpoint: str | None = None,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming KTable materialization: maintain a latest-per-key parquet
+    snapshot via foreachBatch merge (SURVEY §1 design (b)).
+
+    Each micro-batch: new-batch latest ∪ previous snapshot → recompute
+    latest-per-key → write a NEW versioned snapshot dir (atomic swap via
+    directory rename impossible on object stores; versioned dirs + latest
+    pointer is the portable pattern). Returns the final snapshot DataFrame.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = stream.sparkSession
+    payload_cols = None
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        nonlocal payload_cols
+        payload_cols = [c for c in batch.columns if c != key_col]
+        versions = sorted(
+            (d for d in os.listdir(snapshot_dir) if d.startswith("v")),
+            key=lambda d: int(d[1:]),
+        ) if os.path.isdir(snapshot_dir) else []
+        if versions:
+            prev = spark.read.parquet(os.path.join(snapshot_dir, versions[-1]))
+            union = batch.unionByName(prev)
+        else:
+            union = batch
+        latest = (
+            union.groupBy(key_col)
+            .agg(F.max_by(F.struct(*payload_cols), F.col(order_col)).alias("_l"))
+            .select(key_col, *[F.col(f"_l.{c}").alias(c) for c in payload_cols])
+        )
+        latest.write.mode("overwrite").parquet(os.path.join(snapshot_dir, f"v{batch_id}"))
+
+    run_foreach_batch(stream, merge, output_mode="append", checkpoint=checkpoint, timeout_s=timeout_s)
+    import os as _os
+
+    versions = sorted(
+        (d for d in _os.listdir(snapshot_dir) if d.startswith("v")), key=lambda d: int(d[1:])
+    )
+    return spark.read.parquet(_os.path.join(snapshot_dir, versions[-1]))

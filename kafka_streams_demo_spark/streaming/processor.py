@@ -1,0 +1,89 @@
+"""Processor API surface — custom stateful operators with keyed state.
+
+The reference's Processor API (SURVEY §2h) is arbitrary per-record code
+with a keyed state store and punctuator timers
+(WordCountProcessorExample.scala:23-61). The idiomatic PySpark equivalent is
+``applyInPandasWithState``:
+
+- ``context.getStateStore().get/put``  → ``GroupState.get/update``
+- ``context.schedule(..., punctuator)``→ ``GroupStateTimeout`` + timed-out
+  emission per key (per-key timers, not cross-key store scans — same output
+  set, idiomatic Spark shape; SURVEY §7 'punctuator parity')
+- ``context.forward(k, v)``            → yielding output rows
+- ``context.commit()``                 → checkpointing (automatic)
+
+This boundary crosses JVM⇄Python via Arrow batches — the one serialization
+cost the reference doesn't have, which is why it's reserved for semantics
+the native operators can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def process_with_state(
+    stream: DataFrame,
+    group_cols: list[str],
+    func: Callable[[Any, Iterator[pd.DataFrame], Any], Iterator[pd.DataFrame]],
+    output_schema: str,
+    state_schema: str,
+    output_mode: str = "update",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Topology.addProcessor equivalent: run ``func(key, batches, state)``
+    per key group with persistent GroupState across micro-batches."""
+    return stream.groupBy(*group_cols).applyInPandasWithState(
+        func,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=timeout,
+    )
+
+
+def running_count_processor(
+    stream: DataFrame, group_cols: list[str] = ("key",)
+) -> DataFrame:
+    """WordCountProcessor parity (WordCountProcessorExample.scala:23-61):
+    per-key running count held in a state store, updated counts forwarded
+    downstream each commit. Input: already-tokenized keyed records."""
+
+    def count_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"key": [key[0]], "value": [n]})
+
+    return process_with_state(
+        stream,
+        list(group_cols),
+        count_fn,
+        output_schema="key string, value long",
+        state_schema="n long",
+    )
+
+
+def running_sum_processor(stream: DataFrame, group_cols: list[str] = ("key",)) -> DataFrame:
+    """Generalized aggregate(initializer)(adder) with explicit state —
+    the non-algebraic escape hatch in streaming mode."""
+
+    def sum_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += int(pdf["value"].sum())
+        state.update((total,))
+        yield pd.DataFrame({"key": [key[0]], "value": [total]})
+
+    return process_with_state(
+        stream,
+        list(group_cols),
+        sum_fn,
+        output_schema="key string, value long",
+        state_schema="total long",
+    )

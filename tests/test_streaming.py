@@ -1,0 +1,127 @@
+"""Streaming-mode parity: the same operator layer driven through
+Structured Streaming with trigger(availableNow) — PySpark's
+TopologyTestDriver equivalent (SURVEY §3 EP3).
+"""
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark import KStream
+from kafka_streams_demo_spark.operators.windows import JoinWindows, TimeWindows
+from kafka_streams_demo_spark.sources import fixtures
+from kafka_streams_demo_spark.streaming.lifecycle import (
+    CollectingListener,
+    clean_up,
+    materialize_ktable,
+    run_available_now,
+)
+from kafka_streams_demo_spark.streaming.processor import running_count_processor
+
+
+def _as_stream(spark, df, tmp_path, name):
+    """Batch fixture → file-source stream with identical schema."""
+    path = str(tmp_path / f"{name}_{uuid.uuid4().hex[:6]}")
+    df.write.parquet(path)
+    return spark.readStream.schema(df.schema).parquet(path)
+
+
+def test_streaming_word_count_update_mode(spark, tmp_path):
+    """WordCount through a real streaming query (update output mode) —
+    golden histogram (WordCountScalaExample.scala:82-92)."""
+    lines = _as_stream(spark, fixtures.text_lines(spark), tmp_path, "lines")
+    counts = (
+        KStream(lines)
+        .flat_map_values(lambda v: F.split(F.lower(v), r"\W+"))
+        .group_by(lambda k, v: v)
+        .count()
+        .to_df()
+    )
+    out = run_available_now(counts, output_mode="update")
+    got = {r["key"]: r["value"] for r in out.collect()}
+    assert got == fixtures.EXPECTED_WORD_COUNTS
+
+
+def test_streaming_tumbling_window_append_with_watermark(spark, tmp_path):
+    """Windowed count with grace: watermark bounds lateness; append mode
+    emits finalized windows (DSLStatefulTransformation.scala:79-81)."""
+    src = _as_stream(spark, fixtures.stateful_input(spark), tmp_path, "stateful")
+    out_df = (
+        KStream(src)
+        .with_watermark("3 minutes")
+        .group_by_key()
+        .windowed_by(TimeWindows.of("15 minutes", "3 minutes"))
+        .count()
+    )
+    out = run_available_now(out_df, output_mode="append")
+    rows = {(r["key"], r["window_start"]): r["value"] for r in out.collect()}
+    # Append emits only watermark-finalized windows: max event time is 36 min,
+    # watermark 33 min → [0,15) and [15,30) flush (8 records); [30,45) stays
+    # open — the same expiry behavior as Kafka Streams' grace period.
+    assert sum(rows.values()) == 8
+    import datetime as dt
+
+    assert rows[("1", dt.datetime(2024, 1, 1))] == 2
+    assert not any(ws >= dt.datetime(2024, 1, 1, 0, 30) for _, ws in rows)
+
+
+def test_streaming_stream_stream_join(spark, tmp_path):
+    """Windowed stream-stream inner join as a streaming query with
+    watermarks on both sides (StreamToStreamJoinExample.scala:92)."""
+    s1 = KStream(_as_stream(spark, fixtures.join_input(spark, 1), tmp_path, "j1")).with_watermark("1 minute")
+    s2 = KStream(_as_stream(spark, fixtures.join_input(spark, 2), tmp_path, "j2")).with_watermark("1 minute")
+    joined = s1.join(s2, lambda v1, v2: v1 + v2, JoinWindows.of("1 second"))
+    out = run_available_now(joined.to_df().select("key", "value"), output_mode="append")
+    got = sorted((r["key"], r["value"]) for r in out.collect())
+    assert got == [("a", 4), ("b", 2)]
+
+
+def test_streaming_processor_with_state(spark, tmp_path):
+    """Processor API parity (WordCountProcessorExample.scala:23-61): per-key
+    state store counts via applyInPandasWithState — golden
+    {kafka:5, streams:3, hello:2}."""
+    src = _as_stream(spark, fixtures.wc_processor_input(spark), tmp_path, "wc")
+    words = KStream(src).flat_map_values(lambda v: F.split(F.lower(v), r"\s")).select_key(lambda k, v: v)
+    out_df = running_count_processor(words.to_df().select("key", "value"))
+    out = run_available_now(out_df, output_mode="update")
+    got = {r["key"]: r["value"] for r in out.collect()}
+    assert got == fixtures.EXPECTED_PROCESSOR_COUNTS
+
+
+def test_materialize_ktable_snapshot(spark, tmp_path):
+    """Streaming KTable materialization via foreachBatch merge: the
+    user_regions changelog resolves alice asia→europe in the snapshot."""
+    src = _as_stream(spark, fixtures.user_regions(spark), tmp_path, "regions")
+    snap_dir = str(tmp_path / "snap")
+    os.makedirs(snap_dir, exist_ok=True)
+    snapshot = materialize_ktable(src, snap_dir)
+    got = {r["key"]: r["value"] for r in snapshot.select("key", "value").collect()}
+    assert got["alice"] == "europe"
+    assert len(got) == 6
+
+
+def test_listener_and_cleanup(spark, tmp_path):
+    """StreamingQueryListener parity + cleanUp (checkpoint reset)."""
+    listener = CollectingListener()
+    spark.streams.addListener(listener)
+    try:
+        src = _as_stream(spark, fixtures.kv_string_stream(spark), tmp_path, "kv")
+        ckpt = str(tmp_path / "ckpt_listener")
+        out = run_available_now(
+            KStream(src).filter(lambda k, v: v != F.lit("value2")).to_df(),
+            output_mode="append",
+            checkpoint=ckpt,
+        )
+        assert out.count() == 2
+        deadline = time.time() + 30
+        while time.time() < deadline and not listener.terminated:
+            time.sleep(0.5)
+        assert listener.started and listener.terminated
+        assert os.path.isdir(ckpt)
+        clean_up(ckpt)
+        assert not os.path.isdir(ckpt)
+    finally:
+        spark.streams.removeListener(listener)
