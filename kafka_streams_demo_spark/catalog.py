@@ -451,6 +451,331 @@ def table_table_join_outer(spark, sf_dir):
     return joined.to_df()
 
 
+@register(
+    "stream_stream_left_join_window",
+    "SELECT e1.user_id AS key, e1.event_id AS left_id, e2.event_id AS right_id, "
+    "CAST(ROUND((e1.value + COALESCE(e2.value, 0)) * 100, 0) AS BIGINT) AS value "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') e1 "
+    "LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e2 "
+    "ON e1.user_id = e2.user_id "
+    "AND e2.ts BETWEEN e1.ts - INTERVAL 1 HOUR AND e1.ts + INTERVAL 1 HOUR",
+)
+def stream_stream_left_join_window(spark, sf_dir):
+    """Windowed stream-stream LEFT join — StreamToStreamJoinExample.scala:93:
+    unmatched purchases pass through with a null right side (combiner sees
+    null, Kafka Streams semantics). Same range-bounded join plan as the
+    inner variant; the outer side adds no extra shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = KStream.from_df(
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id", value=F.struct(F.col("event_id"), F.col("value")), timestamp="ts",
+    )
+    errors = KStream.from_df(
+        ev.filter(F.col("event_type") == "error"),
+        key="user_id", value=F.struct(F.col("event_id"), F.col("value")), timestamp="ts",
+    )
+    joined = purchases.left_join(
+        errors,
+        lambda v1, v2: F.struct(
+            v1["event_id"].alias("left_id"),
+            v2["event_id"].alias("right_id"),
+            cents(v1["value"] + F.coalesce(v2["value"], F.lit(0.0))).alias("v"),
+        ),
+        JoinWindows.of("1 hour"),
+    )
+    return joined.to_df().select(
+        "key",
+        F.col("value.left_id").alias("left_id"),
+        F.col("value.right_id").alias("right_id"),
+        F.col("value.v").alias("value"),
+    )
+
+
+@register(
+    "stream_stream_outer_join_window",
+    "SELECT COALESCE(e1.user_id, e2.user_id) AS key, e1.event_id AS left_id, "
+    "e2.event_id AS right_id, "
+    "CAST(ROUND((COALESCE(e1.value, 0) + COALESCE(e2.value, 0)) * 100, 0) AS BIGINT) AS value "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') e1 "
+    "FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'error') e2 "
+    "ON e1.user_id = e2.user_id "
+    "AND e2.ts BETWEEN e1.ts - INTERVAL 1 HOUR AND e1.ts + INTERVAL 1 HOUR",
+)
+def stream_stream_outer_join_window(spark, sf_dir):
+    """Windowed stream-stream FULL OUTER join — StreamToStreamJoinExample.scala:94."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = KStream.from_df(
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id", value=F.struct(F.col("event_id"), F.col("value")), timestamp="ts",
+    )
+    errors = KStream.from_df(
+        ev.filter(F.col("event_type") == "error"),
+        key="user_id", value=F.struct(F.col("event_id"), F.col("value")), timestamp="ts",
+    )
+    joined = purchases.outer_join(
+        errors,
+        lambda v1, v2: F.struct(
+            v1["event_id"].alias("left_id"),
+            v2["event_id"].alias("right_id"),
+            cents(
+                F.coalesce(v1["value"], F.lit(0.0)) + F.coalesce(v2["value"], F.lit(0.0))
+            ).alias("v"),
+        ),
+        JoinWindows.of("1 hour"),
+    )
+    return joined.to_df().select(
+        "key",
+        F.col("value.left_id").alias("left_id"),
+        F.col("value.right_id").alias("right_id"),
+        F.col("value.v").alias("value"),
+    )
+
+
+@register(
+    "stream_table_left_join",
+    "SELECT o.o_custkey AS key, "
+    "CAST(CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT) AS VARCHAR) || ':' || "
+    "COALESCE(c.c_mktsegment, 'none') AS value "
+    "FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c "
+    "ON o.o_custkey = c.c_custkey",
+)
+def stream_table_left_join(spark, sf_dir):
+    """Stream ⟕ table — StreamToTableJoinExample.scala:108: stream records
+    keep flowing when the table has no entry for the key (combiner sees
+    null). Table side filtered to 1/3 of keys to exercise the miss path."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") % 3 == 0)
+    clicks = KStream.from_df(orders, key="o_custkey", value=F.col("o_totalprice"))
+    segments = KTable(
+        customer.select(F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("value"))
+    )
+    joined = clicks.left_join(
+        segments,
+        lambda price, seg: F.concat_ws(
+            ":", cents(price).cast("string"), F.coalesce(seg, F.lit("none"))
+        ),
+    )
+    return joined.to_df().select("key", "value")
+
+
+@register(
+    "table_table_left_join",
+    "SELECT c.c_custkey AS key, "
+    "c.c_mktsegment || '-' || COALESCE(lo.o_orderstatus, 'none') AS value "
+    "FROM customer c LEFT JOIN ("
+    "  SELECT o_custkey, o_orderstatus FROM ("
+    "    SELECT o_custkey, o_orderstatus, "
+    "           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn "
+    "    FROM orders WHERE o_custkey % 2 = 0) t WHERE rn = 1"
+    ") lo ON c.c_custkey = lo.o_custkey",
+)
+def table_table_left_join(spark, sf_dir):
+    """Table ⟕ table — TableToTableJoinExample.scala:116-117 (right side
+    restricted to even custkeys so the null branch is exercised)."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") % 2 == 0)
+    cust_t = KTable(customer.select(F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("value")))
+    latest_order = KStream.from_df(
+        orders, key="o_custkey", value="o_orderstatus", offset="o_orderkey"
+    ).to_table()
+    joined = cust_t.left_join(
+        latest_order,
+        lambda seg, st: F.concat(seg, F.lit("-"), F.coalesce(st, F.lit("none"))),
+    )
+    return joined.to_df()
+
+
+@register(
+    "merge_streams",
+    "SELECT event_id AS key, event_type AS value FROM events WHERE event_type = 'purchase' "
+    "UNION ALL SELECT event_id AS key, event_type AS value FROM events WHERE event_type = 'error'",
+)
+def merge_streams(spark, sf_dir):
+    """KStream#merge (DSL op available but unused in the reference —
+    SURVEY §2d note): interleave two streams. Pure union, no shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = KStream.from_df(ev.filter(F.col("event_type") == "purchase"), key="event_id", value="event_type")
+    errors = KStream.from_df(ev.filter(F.col("event_type") == "error"), key="event_id", value="event_type")
+    return purchases.merge(errors).to_df()
+
+
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT user_id AS key, event_type AS value FROM events",
+)
+def distinct_pairs(spark, sf_dir):
+    """dropDuplicates — engine-completeness op (SURVEY §2d note): exact
+    distinct on (key, value). One shuffle on both columns with map-side
+    partial dedup."""
+    s = _events_stream(spark, sf_dir, value="event_type")
+    return s.to_df().select("key", "value").dropDuplicates()
+
+
+@register(
+    "count_distinct_types",
+    "SELECT user_id AS key, count(DISTINCT event_type) AS value FROM events GROUP BY user_id",
+)
+def count_distinct_types(spark, sf_dir):
+    """Exact distinct-count per key (approx_count_distinct is the scale
+    path — same plan shape with an HLL sketch instead of the dedup)."""
+    s = _events_stream(spark, sf_dir, value="event_type")
+    return s.group_by_key().aggregate(lambda v: F.count_distinct(v)).to_df()
+
+
+@register("approx_distinct_users")  # no SQL oracle: HLL estimates differ per engine
+def approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++, rsd 2%) — the 100 TB-scale
+    substitute for exact distinct: no dedup shuffle, constant-size sketch
+    merged map-side. tests/test_aggregations.py bounds the estimate error
+    against the exact count."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("value")
+    )
+
+
+@register(
+    "top_k_spenders",
+    "SELECT user_id AS key, SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS total_c "
+    "FROM events WHERE event_type = 'purchase' GROUP BY user_id "
+    "ORDER BY total_c DESC, key LIMIT 10",
+)
+def top_k_spenders(spark, sf_dir):
+    """Top-k — orderBy(...).limit(k) compiles to TakeOrderedAndProject:
+    per-partition heaps + driver merge, never a full sort at scale."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "purchase")
+    s = KStream.from_df(ev, key="user_id", value=cents(F.col("value")))
+    totals = s.group_by_key().aggregate(lambda v: F.sum(v)).to_df()
+    return (
+        totals.select("key", F.col("value").alias("total_c"))
+        .orderBy(F.desc("total_c"), "key")
+        .limit(10)
+    )
+
+
+@register(
+    "windowed_key_render",
+    "SELECT event_type || '@[' || CAST(date_trunc('hour', ts) AS VARCHAR) || ' : ' || "
+    "CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS VARCHAR) || ']' AS key, "
+    "count(*) AS value FROM events GROUP BY 1",
+)
+def windowed_key_render(spark, sf_dir):
+    """Windowed-key rendering ``key@[start : end]`` —
+    DSLStatefulTransformation.scala:117-123 over a tumbling count."""
+    from kafka_streams_demo_spark.operators.grouped import windowed_key_string
+
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_type", value="value", timestamp="ts")
+    out = s.group_by_key().windowed_by(TimeWindows.of("1 hour")).count()
+    return windowed_key_string(out)
+
+
+@register(
+    "tumbling_window_sum_cents",
+    "SELECT event_type AS key, epoch_us(date_trunc('hour', ts)) AS window_start_us, "
+    "SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS value FROM events GROUP BY 1, 2",
+)
+def tumbling_window_sum_cents(spark, sf_dir):
+    """Windowed aggregate (beyond count) — windowedBy(...).aggregate(sum)."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_type", value=cents(F.col("value")), timestamp="ts")
+    out = s.group_by_key().windowed_by(TimeWindows.of("1 hour")).aggregate(lambda v: F.sum(v))
+    return out.select("key", F.unix_micros("window_start").alias("window_start_us"), "value")
+
+
+@register(
+    "event_time_extract",
+    "SELECT event_id AS key, epoch_us(COALESCE("
+    "  CASE WHEN value >= 10 THEN ts END, "
+    "  last_value(CASE WHEN value >= 10 THEN ts END IGNORE NULLS) "
+    "    OVER (PARTITION BY user_id ORDER BY event_id "
+    "          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "  TIMESTAMP '2020-01-01')) AS value "
+    "FROM events",
+)
+def event_time_extract(spark, sf_dir):
+    """TimestampExtractor fallback chain — MyEventTimeExtractor.java:9-25:
+    embedded event time if valid (here: value >= 10 stands in for ts > 0),
+    else the stream's previous valid timestamp (partition-time), else a
+    fixed epoch (wall-clock stand-in, kept deterministic for the oracle)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    embedded = F.when(F.col("value") >= 10, F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    extracted = F.coalesce(
+        embedded,
+        F.last(embedded, ignorenulls=True).over(w),
+        F.lit("2020-01-01").cast("timestamp"),
+    )
+    return ev.select(
+        F.col("event_id").alias("key"), F.unix_micros(extracted).alias("value")
+    )
+
+
+@register(
+    "ktable_reduce_sum",
+    "SELECT event_type AS key, SUM(c) AS value FROM ("
+    "  SELECT event_type, CAST(ROUND(value*100, 0) AS BIGINT) AS c, "
+    "         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+    "  FROM events) t WHERE rn = 1 GROUP BY 1",
+)
+def ktable_reduce_sum(spark, sf_dir):
+    """KGroupedTable.reduce(adder, subtractor) —
+    DSLStatefulTransformation.scala:107-111. No subtractor primitive needed:
+    the agg is recomputed over the latest-state view per batch (SURVEY §2d),
+    which is exactly adder/subtractor semantics at a coarser granularity."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(
+        ev,
+        key="user_id",
+        value=F.struct(F.col("event_type").alias("t"), cents(F.col("value")).alias("c")),
+        offset="event_id",
+    )
+    t = s.to_table()
+    return t.group_by(lambda k, v: v["t"]).reduce(lambda v: F.sum(v["c"])).to_df()
+
+
+@register(
+    "peek_passthrough",
+    "SELECT event_id AS key, CAST(ROUND(value*100, 0) AS BIGINT) AS value FROM events",
+)
+def peek_passthrough(spark, sf_dir):
+    """peek/observe — DSLStatelessTransformation.scala:53: zero-cost metric
+    tap via df.observe(); records pass through unchanged."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="event_id", value=cents(F.col("value")))
+    return s.observe("tap", F.count(F.lit(1)).alias("n")).to_df()
+
+
+@register(
+    "set_ops_intersect_except",
+    "SELECT 'both' AS tag, event_type AS value FROM ("
+    "  SELECT event_type FROM events WHERE user_id < 30 "
+    "  INTERSECT SELECT event_type FROM events WHERE user_id >= 120) "
+    "UNION ALL "
+    "SELECT 'only_low' AS tag, event_type AS value FROM ("
+    "  SELECT event_type FROM events WHERE value < 5 "
+    "  EXCEPT SELECT event_type FROM events WHERE value >= 5)",
+)
+def set_ops_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT — engine-completeness set ops (SURVEY §2d note)."""
+    ev = load_table(spark, "events", sf_dir)
+    low = ev.filter(F.col("user_id") < 30).select("event_type")
+    high = ev.filter(F.col("user_id") >= 120).select("event_type")
+    cheap = ev.filter(F.col("value") < 5).select("event_type")
+    rich = ev.filter(F.col("value") >= 5).select("event_type")
+    both = low.intersect(high).select(F.lit("both").alias("tag"), F.col("event_type").alias("value"))
+    only = cheap.exceptAll(rich).distinct().select(
+        F.lit("only_low").alias("tag"), F.col("event_type").alias("value")
+    )
+    return both.unionAll(only)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped analytics (bench headliners; same operator inventory at scale)
 # ---------------------------------------------------------------------------

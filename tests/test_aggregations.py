@@ -75,3 +75,25 @@ def test_fold_applyinpandas(spark):
     )
     got = {r["key"]: r["value"] for r in out.collect()}
     assert got == {"0": 3 * 6 * 9, "1": 1 * 4 * 7 * 10, "2": 2 * 5 * 8}
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """approx_distinct_users (catalog): the HLL++ estimate at rsd=0.02 must
+    land within 5% of the exact distinct count — the scale path for
+    count-distinct without the dedup shuffle."""
+    from kafka_streams_demo_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["key"]: r["value"] for r in catalog.QUERIES["approx_distinct_users"](spark, sf).collect()
+    }
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", sf)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
