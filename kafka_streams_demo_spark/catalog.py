@@ -229,8 +229,12 @@ def reduce_max(spark, sf_dir):
 )
 def ktable_latest(spark, sf_dir):
     """builder.table / KStream→KTable: latest-per-key via max_by(offset) —
-    DSLStatefulTransformation.scala:97-104. One hash agg; no sort, no window
-    (the oracle's row_number is the *slow* formulation we deliberately avoid)."""
+    DSLStatefulTransformation.scala:97-104. One aggregation with map-side
+    combine: the exchange carries only latest-per-key rows, never the full
+    changelog (the oracle's row_number window is the *slow* formulation we
+    deliberately avoid — it shuffles and sorts every input row). String
+    values put the agg in partial SortAggregate (per-partition CPU sort);
+    fixed-width values get pure HashAggregate from the same API."""
     return _events_stream(spark, sf_dir, value="event_type").to_table().to_df().select("key", "value")
 
 

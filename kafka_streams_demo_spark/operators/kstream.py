@@ -174,9 +174,12 @@ class KStream:
         Reference recipe: DSLStatefulTransformation.scala:97-104,
         StreamToTableJoinExample.scala:59-67.
 
-        Implemented as ``max_by(struct(value…), offset)`` — one hash
-        aggregation with map-side partial combine (no sort, no full-row
-        window), the scalable latest-per-key plan."""
+        Implemented as ``max_by(struct(value…), offset)`` — one aggregation
+        with map-side partial combine: the exchange carries only the
+        latest-per-key rows, never the full changelog (vs row_number-window,
+        which shuffles + sorts every row). Var-length values place it in
+        partial SortAggregate (per-partition CPU sort, same tiny exchange);
+        fixed-width values get pure HashAggregate."""
         from kafka_streams_demo_spark.operators.ktable import KTable
 
         return KTable.from_stream(self)

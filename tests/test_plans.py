@@ -1,0 +1,106 @@
+"""Plan audits — pin the physical-plan properties that matter at 100 TB.
+
+Each test asserts the *plan we want*, not just correct rows: pushdown reaches
+the scan, dimensions broadcast, aggregation is partial before the exchange,
+hot paths stay JVM-side (no Python eval nodes), latest-per-key never sorts.
+A change that silently de-optimizes a headline query fails here first.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_demo_spark import catalog
+from kafka_streams_demo_spark.plans import audit
+from kafka_streams_demo_spark.plans.explain import assert_scan_pruned
+
+SF = "/root/testdata/sf0.001"
+
+
+def _audit(spark, name):
+    return audit(catalog.QUERIES[name](spark, SF))
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    """Q1: shipdate filter + column pruning reach the scan; one partial
+    hash-agg before the single exchange; everything in codegen."""
+    a = _audit(spark, "q1_pricing_summary")
+    assert_scan_pruned(a, ["l_shipdate"], max_cols=7)
+    assert a.partial_aggs >= 1
+    assert a.python_evals == 0
+    assert a.codegen_stages >= 1
+    assert a.exchanges <= 2  # agg exchange (+ AQE read), nothing else
+
+
+def test_q5_star_join_broadcasts(spark):
+    """Q5: all four dimension joins broadcast; only the fact-fact join may
+    shuffle. A plan where a dimension join shuffles the fact table would
+    move ~100 TB instead of ~KBs."""
+    a = _audit(spark, "q5_regional_revenue")
+    assert a.broadcast_joins >= 4, a.plan
+    assert a.sort_merge_joins + a.shuffled_hash_joins <= 1
+    assert a.python_evals == 0
+
+
+def test_q3_broadcast_dim_topk_no_global_sort(spark):
+    """Q3: customer (filtered dim) broadcasts; top-10 compiles to
+    TakeOrderedAndProject — per-partition heaps, never a full global sort."""
+    a = _audit(spark, "q3_shipping_priority")
+    assert a.broadcast_joins >= 1
+    assert "TakeOrderedAndProject" in a.plan
+    assert a.python_evals == 0
+
+
+def test_ktable_latest_single_small_exchange(spark):
+    """KTable materialization must be the max_by aggregate plan, never the
+    row_number window (the oracle's formulation): a Window would shuffle and
+    sort FULL changelog rows. max_by with a string value lands in partial
+    SortAggregate (var-length agg buffers can't use HashAggregate) — the
+    sort is per-partition CPU, while the exchange still carries only the
+    map-side-combined latest-per-key rows. With fixed-width values Spark
+    picks pure HashAggregate for the same API call."""
+    a = _audit(spark, "ktable_latest")
+    assert "Window" not in a.plan
+    assert a.exchanges == 1, a.plan
+    assert a.partial_aggs >= 1, a.plan
+    assert a.python_evals == 0
+
+
+def test_word_count_partial_count(spark):
+    """Word count: explode stays in codegen; the count is partial before its
+    exchange so the shuffle carries |distinct words| not |tokens|."""
+    a = _audit(spark, "word_count")
+    assert a.partial_aggs >= 1
+    assert a.python_evals == 0
+    assert a.codegen_stages >= 1
+
+
+def test_stream_table_join_broadcasts(spark):
+    """Clicks-per-region shape: the dimension (customer→segment KTable)
+    broadcasts; the fact stream is never shuffled before aggregation."""
+    a = _audit(spark, "stream_table_join_segment")
+    assert a.broadcast_joins >= 1, a.plan
+    assert a.python_evals == 0
+
+
+def test_top_k_take_ordered(spark):
+    a = _audit(spark, "top_k_spenders")
+    assert "TakeOrderedAndProject" in a.plan
+    assert a.python_evals == 0
+
+
+def test_stateless_ops_no_shuffle(spark):
+    """§2b stateless transforms are narrow: zero exchanges end to end."""
+    for name in ["filter_events", "map_values_upper", "select_key_prefix", "branch_c"]:
+        a = _audit(spark, name)
+        assert a.exchanges == 0, f"{name} shuffles:\n{a.plan}"
+        assert a.python_evals == 0, name
+
+
+def test_multimodal_features_is_arrow_not_row_udf(spark):
+    """The one sanctioned Python boundary (decode stub) must be Arrow-batched
+    (MapInPandas), never row-at-a-time BatchEvalPython."""
+    df = catalog.QUERIES["multimodal_features"](spark, SF)
+    a = audit(df)
+    assert "MapInPandas" in a.plan or "mapInPandas" in a.plan
+    assert "BatchEvalPython" not in a.plan
