@@ -151,6 +151,16 @@ class KStream:
         mode. No-op semantics in batch (every record is on time)."""
         return KStream(self.df.withWatermark(TS, delay))
 
+    def dedup_within_watermark(self, cols: list[str] | None = None) -> "KStream":
+        """Streaming-safe dedup: first record per key within the watermark
+        horizon (``dropDuplicatesWithinWatermark``) — state is expired at
+        the watermark, so memory stays bounded on an unbounded stream. In
+        batch, falls back to plain dropDuplicates (no watermark concept)."""
+        cols = list(cols) if cols else [KEY]
+        if self.df.isStreaming:
+            return KStream(self.df.dropDuplicatesWithinWatermark(cols))
+        return KStream(self.df.dropDuplicates(cols))
+
     # -- grouping (§2c) ---------------------------------------------------
     def group_by(self, f: Callable[[Column, Column], Column]) -> "KGroupedStream":
         """groupBy((k,v) => newK): re-key + shuffle (reference comment

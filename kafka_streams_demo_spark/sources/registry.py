@@ -122,6 +122,60 @@ def read_stream_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_D
     return spark.readStream.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = False,
+    permissive: bool = True,
+) -> DataFrame:
+    """CSV scan source (the reference's orphaned fixture
+    src/test/resources/song_source.csv — SURVEY §2a). PERMISSIVE mode +
+    ``_corrupt_record`` is the batch equivalent of Kafka Streams'
+    LogAndContinueExceptionHandler (DSLStatefulTransformation.scala:21,30):
+    undeserializable rows don't kill the query, they surface for
+    dead-lettering (SURVEY §2i)."""
+    if not permissive:
+        return (
+            spark.read.option("header", str(header).lower())
+            .option("mode", "FAILFAST")
+            .schema(schema)
+            .csv(path)
+        )
+    # Permissive path parses via from_csv over a text scan instead of the
+    # native CSV reader: filtering on the reader's _corrupt_record column is
+    # disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN — column pruning would
+    # break corruption detection), while expression-level parsing has no
+    # pruning hazard and keeps the raw line for the dead-letter sink. One
+    # scan, JVM-side parse, any scale. (Trade-off: no multiline-quoted rows.)
+    full = T.StructType(list(schema.fields)).add("_corrupt_record", T.StringType())
+    raw = spark.read.text(path)
+    if header:
+        first = raw.limit(1).collect()[0][0]
+        raw = raw.filter(F.col("value") != F.lit(first))
+    parsed = raw.select(
+        F.from_csv(
+            F.col("value"),
+            full.simpleString(),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("_r")
+    )
+    return parsed.select("_r.*")
+
+
+def dead_letter_split(df: DataFrame, corrupt_col: str = "_corrupt_record") -> tuple[DataFrame, DataFrame]:
+    """(good, dead) split of a permissively-parsed frame: good rows with the
+    corrupt column dropped; dead rows as the raw corrupt payload, ready for
+    a dead-letter sink. Both are narrow filters over one scan."""
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    # Spark disallows scans that reference ONLY the corrupt column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the dead side keeps the parsed
+    # columns alongside the raw payload — useful in the dead-letter sink
+    # anyway (partial parses aid triage).
+    dead = df.filter(F.col(corrupt_col).isNotNull()).withColumnRenamed(corrupt_col, "raw")
+    return good, dead
+
+
 def kafka_stream(
     spark: SparkSession,
     topic: str,

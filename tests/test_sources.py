@@ -1,0 +1,79 @@
+"""Source-layer tests: CSV scan with explicit schema, permissive parse +
+dead-letter split (LogAndContinueExceptionHandler parity — SURVEY §2a/§2i),
+and the strict-schema loaders.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_streams_demo_spark.sources.registry import (
+    SCHEMAS,
+    dead_letter_split,
+    load_table,
+    read_csv,
+)
+
+SONG_SCHEMA = (
+    T.StructType()
+    .add("id", T.IntegerType())
+    .add("album", T.StringType())
+    .add("artist", T.StringType())
+    .add("song", T.StringType())
+    .add("genre", T.StringType())
+)
+
+# Own fixture in the shape of the reference's song_source.csv (21 rows of
+# id,album,artist,song,genre — orphaned scan fixture, SURVEY §2a), with one
+# deliberately corrupt row (non-integer id) for the dead-letter path.
+SONG_ROWS = [
+    "1,Blue Train,John Coltrane,Locomotion,Jazz",
+    "2,Kind of Blue,Miles Davis,So What,Jazz",
+    "3,Giant Steps,John Coltrane,Naima,Jazz",
+    "4,Head Hunters,Herbie Hancock,Chameleon,Funk",
+    "oops,not-an-id-row,x,y,z",
+    "5,Thrust,Herbie Hancock,Actual Proof,Funk",
+]
+
+
+@pytest.fixture
+def song_csv(tmp_path):
+    p = tmp_path / "songs.csv"
+    p.write_text("\n".join(SONG_ROWS) + "\n")
+    return str(p)
+
+
+def test_csv_scan_permissive_dead_letter(spark, song_csv):
+    df = read_csv(spark, song_csv, SONG_SCHEMA)
+    good, dead = dead_letter_split(df)
+    assert good.count() == 5
+    assert "_corrupt_record" not in good.columns
+    dead_rows = [r["raw"] for r in dead.collect()]
+    assert dead_rows == ["oops,not-an-id-row,x,y,z"]
+    # typed columns usable downstream
+    jazz = good.filter(F.col("genre") == "Jazz")
+    assert jazz.count() == 3
+    assert dict(good.groupBy("artist").count().collect())["Herbie Hancock"] == 2
+
+
+def test_csv_failfast_raises(spark, song_csv):
+    from py4j.protocol import Py4JJavaError
+
+    df = read_csv(spark, song_csv, SONG_SCHEMA, permissive=False)
+    with pytest.raises(Exception):
+        df.collect()
+
+
+def test_load_table_strict_schema(spark):
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    with pytest.raises(KeyError):
+        load_table(spark, "nope", "/root/testdata/sf0.001")
+
+
+def test_all_tables_load(spark):
+    for name in SCHEMAS:
+        df = load_table(spark, name, "/root/testdata/sf0.001")
+        assert df.limit(1).count() == 1, name

@@ -125,3 +125,40 @@ def test_listener_and_cleanup(spark, tmp_path):
         assert not os.path.isdir(ckpt)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_session_window_append(spark, tmp_path):
+    """Session windows in a real streaming query
+    (DSLStatefulTransformation.scala:84-86): 5-min gap over the 4-min-spaced
+    stateful fixture means every record is its own session; append emits
+    only sessions whose end precedes the final watermark (33 min) — 8 of 10."""
+    from kafka_streams_demo_spark.operators.windows import SessionWindows
+
+    src = _as_stream(spark, fixtures.stateful_input(spark), tmp_path, "sess")
+    out_df = (
+        KStream(src)
+        .with_watermark("3 minutes")
+        .group_by_key()
+        .windowed_by(SessionWindows.with_gap("5 minutes"))
+        .count()
+    )
+    out = run_available_now(out_df, output_mode="append")
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(r["value"] == 1 for r in rows)
+    assert sum(1 for r in rows if r["key"] == "1") == 3
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: bounded-state streaming dedup — the
+    user_regions changelog (7 records, alice twice) dedups to 6 keys, and
+    the state for each key expires at the watermark instead of growing
+    forever (the 100 TB-stream requirement)."""
+    src = _as_stream(spark, fixtures.user_regions(spark), tmp_path, "dd")
+    deduped = KStream(src).with_watermark("1 minute").dedup_within_watermark(["key"])
+    out = run_available_now(deduped.to_df().select("key", "value"), output_mode="append")
+    got = {r["key"]: r["value"] for r in out.collect()}
+    assert len(got) == 6
+    # one survivor per key; within a single micro-batch arrival order is not
+    # offset order, so either alice record may win
+    assert got["alice"] in ("asia", "europe")
