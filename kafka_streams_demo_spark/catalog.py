@@ -254,6 +254,26 @@ def ktable_groupby_count(spark, sf_dir):
 
 
 @register(
+    "ktable_tombstone",
+    "SELECT key, value FROM ("
+    "  SELECT user_id AS key, "
+    "         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS value, "
+    "         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+    "  FROM events) t WHERE rn = 1 AND value IS NOT NULL",
+)
+def ktable_tombstone(spark, sf_dir):
+    """KTable delete semantics: a null value is a tombstone — the key leaves
+    the table when its *latest* record is a delete (Kafka changelog
+    contract, SURVEY §1). 'error' events model the null-value tombstone;
+    the latest-per-key max_by runs first, so a key deleted-then-reborn
+    correctly survives."""
+    s = _events_stream(spark, sf_dir, value="event_type").map_values(
+        lambda v: F.when(v == "error", F.lit(None).cast("string")).otherwise(v)
+    )
+    return KTable.from_stream(s, drop_tombstones=True).to_df().select("key", "value")
+
+
+@register(
     "json_extract_sum",
     "SELECT event_type AS key, SUM(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS value "
     "FROM events GROUP BY event_type",
@@ -1096,6 +1116,79 @@ def ann_lsh_topk_q(spark, sf_dir):
     )
     out = lsh_bucketed_topk(emb, queries_df, k=10, planes=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_IVF_ORACLE = """
+WITH cent AS (
+  SELECT label AS cell, g.i AS pos, AVG(CAST(embedding[g.i] AS DOUBLE)) AS m
+  FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+ce AS (
+  SELECT e.vec_id, c.cell,
+         SUM(CAST(e.embedding[c.pos] AS DOUBLE) * c.m) AS dp,
+         SUM(CAST(e.embedding[c.pos] AS DOUBLE) * CAST(e.embedding[c.pos] AS DOUBLE)) AS qq,
+         SUM(c.m * c.m) AS nn
+  FROM embeddings e, cent c GROUP BY 1, 2),
+asg AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, cell) AS crn
+  FROM ce),
+corpus AS (SELECT vec_id AS n_id, cell FROM asg WHERE crn = 1),
+probes AS (SELECT vec_id AS q_id, cell FROM asg WHERE crn <= 2 AND vec_id < 5),
+cand AS (SELECT q_id, n_id FROM probes p JOIN corpus c USING (cell) WHERE n_id <> q_id),
+el AS (
+  SELECT q_id, n_id,
+         CAST(a.embedding[g.i] AS DOUBLE) AS qa, CAST(b.embedding[g.i] AS DOUBLE) AS na
+  FROM cand
+  JOIN embeddings a ON a.vec_id = q_id
+  JOIN embeddings b ON b.vec_id = n_id, generate_series(1, 64) g(i)),
+s AS (SELECT q_id, n_id, SUM(qa*na) AS dp, SUM(qa*qa) AS qq, SUM(na*na) AS nn
+      FROM el GROUP BY 1, 2),
+r AS (SELECT q_id, n_id, ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) AS cos,
+      row_number() OVER (PARTITION BY q_id ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, n_id) AS rank
+      FROM s)
+SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+@register("ann_ivf_topk", _IVF_ORACLE)
+def ann_ivf_topk_q(spark, sf_dir):
+    """ANN scale path #2 — IVF: per-label mean centroids as the coarse
+    quantizer, corpus assigned to its nearest cell, each query probes its 2
+    nearest cells and reranks exactly inside. Unlike LSH the quantizer is
+    data-derived, so cells track the actual density; candidate volume is
+    nprobe/|cells| of the corpus regardless of total size."""
+    from kafka_streams_demo_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(emb, queries_df, k=10, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_EMB_DEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+el AS (SELECT a.vec_id i, b.vec_id j,
+       CAST(a.embedding[g.i] AS DOUBLE) AS qa, CAST(b.embedding[g.i] AS DOUBLE) AS na
+       FROM e a, e b, generate_series(1, 64) g(i)
+       WHERE a.label = b.label AND a.vec_id < b.vec_id),
+s AS (SELECT i, j, SUM(qa*na) AS dp, SUM(qa*qa) AS qq, SUM(na*na) AS nn FROM el GROUP BY 1, 2)
+SELECT i, j, ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) AS cos FROM s
+WHERE ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) >= 0.35
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-dup: all (i < j) pairs within a label block
+    whose cosine clears the threshold — the dedup-family counterpart of the
+    knn linkage (pairs, not per-doc top-1)."""
+    from kafka_streams_demo_spark.functions.dedup import embedding_cosine_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_cosine_pairs(emb, threshold=0.35, block_col="label")
 
 
 _KNN_ORACLE = """

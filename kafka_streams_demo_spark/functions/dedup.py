@@ -227,3 +227,30 @@ def embedding_knn_blocked(
         .filter(F.col("rn") <= k)
         .select("i", "j", "cos", "rn")
     )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = 0.35, block_col: str = "label",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (i < j) within a blocking key whose
+    cosine (rounded to 6 dp) clears ``threshold``.
+
+    Blocking bounds the candidate count — at 100 TB the pair join is
+    per-block, never corpus×corpus; blocks shuffle on the blocking key only.
+    Pair with ``ivf_assign`` cells as the blocking key when no natural one
+    exists."""
+    from kafka_streams_demo_spark.functions.similarity import cosine
+
+    a = emb.select(
+        F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("j"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -108,3 +108,79 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+def ivf_centroids(
+    emb: DataFrame, cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: one elementwise-mean centroid per cell.
+
+    posexplode → per-(cell, position) avg → re-assemble ordered array.
+    Two small shuffles over |cells|×dim rows of doubles — negligible at any
+    corpus size; the centroid table is tiny (|cells| rows) and broadcasts.
+    """
+    pos = emb.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "v"))
+    return (
+        pos.groupBy("cell", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda x: x["m"]).alias("centroid"))
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, n: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n`` nearest centroids by cosine
+    (rounded to 6 dp for cross-engine determinism; ties break on cell id).
+    Centroids broadcast — the corpus never shuffles for assignment."""
+    scored = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).join(
+        F.broadcast(centroids)
+    ).select(
+        "vid", "vec", "cell",
+        F.round(cosine(F.col("vec"), F.col("centroid")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cell"))
+    return (
+        scored.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= n)
+        .select("vid", "vec", "cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = 2,
+    cell_col: str = "label", id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid (1 cell each); each
+    query probes its ``nprobe`` nearest cells and reranks exactly inside.
+
+    At 100 TB: assignment is a broadcast-join map pass (no shuffle), the
+    corpus is written partitioned by cell once, and each query touches
+    nprobe/|cells| of the data. Candidate volume scales with nprobe, not
+    corpus size."""
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    corpus = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col).select(
+        F.col("vid").alias("n_id"), F.col("vec").alias("n_vec"), "cell"
+    )
+    probes = ivf_assign(
+        queries, cents, n=nprobe, id_col=q_id_col, vec_col=q_vec_col
+    ).select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"), "cell")
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )

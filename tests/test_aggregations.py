@@ -97,3 +97,26 @@ def test_approx_count_distinct_error_bound(spark):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_ktable_tombstone_delete_semantics(spark):
+    """Null value = tombstone (Kafka changelog contract): a key whose LATEST
+    record is a delete leaves the table; deleted-then-reborn survives with
+    the reborn value; drop_tombstones=False keeps the null row visible."""
+    df = spark.createDataFrame(
+        [
+            ("a", "v1", 1),
+            ("a", None, 2),          # a deleted → gone
+            ("b", "v1", 1),
+            ("b", None, 2),
+            ("b", "v3", 3),          # b reborn → v3
+            ("c", "v9", 1),          # c untouched
+        ],
+        "key string, value string, offset long",
+    )
+    t = KTable.from_stream(KStream(df))
+    got = {r["key"]: r["value"] for r in t.to_df().select("key", "value").collect()}
+    assert got == {"b": "v3", "c": "v9"}
+    raw = KTable.from_stream(KStream(df), drop_tombstones=False)
+    got_raw = {r["key"]: r["value"] for r in raw.to_df().select("key", "value").collect()}
+    assert got_raw == {"a": None, "b": "v3", "c": "v9"}

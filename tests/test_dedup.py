@@ -77,3 +77,27 @@ def test_simhash_pairs_finds_identical(spark):
     ])
     got = {(r["i"], r["j"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=3).collect()}
     assert got == {(1, 2): 0}
+
+
+def test_embedding_cosine_pairs_detects_copies(spark):
+    """Identical vectors in one block → cos 1.0 pair; orthogonal vectors
+    stay out; i<j canonical orientation; threshold respected."""
+    from kafka_streams_demo_spark.functions.dedup import embedding_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0, 0.0]),
+            (2, 0, [1.0, 0.0, 0.0]),     # exact copy of 1
+            (3, 0, [0.0, 1.0, 0.0]),     # orthogonal
+            (4, 1, [1.0, 0.0, 0.0]),     # copy of 1 but different block
+            (5, 0, [0.9, 0.1, 0.0]),     # near-dup of 1
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {(r["i"], r["j"]): r["cos"] for r in
+           embedding_cosine_pairs(df, threshold=0.9, block_col="label").collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) not in got          # blocking: cross-block pair never scored
+    assert (2, 1) not in got          # canonical i<j only
+    assert all(c >= 0.9 for c in got.values())
+    assert (1, 5) in got and got[(1, 5)] < 1.0

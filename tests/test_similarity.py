@@ -69,3 +69,37 @@ def test_lsh_topk_consistent_with_bruteforce(spark):
     # determinism: same call twice → same rows
     again = lsh_bucketed_topk(emb, queries, k=10, planes=4).collect()
     assert sorted(map(tuple, ann)) == sorted(map(tuple, again))
+
+
+def test_ivf_centroids_shape(spark):
+    from kafka_streams_demo_spark.functions.similarity import ivf_centroids
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids(emb, cell_col="label").collect()
+    labels = {r["cell"] for r in cents}
+    assert labels == set(range(10)) & labels and len(cents) == len(labels)
+    assert all(len(r["centroid"]) == 64 for r in cents)
+    # centroid of a cell = elementwise mean: spot-check dim 0 of one cell
+    rows = emb.filter(F.col("label") == cents[0]["cell"]).select(
+        F.element_at("embedding", 1).cast("double").alias("v")).collect()
+    mean0 = sum(r["v"] for r in rows) / len(rows)
+    assert abs(cents[0]["centroid"][0] - mean0) < 1e-9
+
+
+def test_ivf_topk_self_similarity_and_exact_rerank(spark):
+    """A query identical to a corpus vector lands in the same cell → rank 1
+    with cos 1.0; all reported cosines equal brute-force values."""
+    from kafka_streams_demo_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = ivf_topk(emb, queries, k=10, nprobe=2).collect()
+    assert got
+    bf = topk_bruteforce(emb, queries, k=500).collect()
+    bf_cos = {(r["q_id"], r["n_id"]): r["cos"] for r in bf}
+    for r in got:
+        assert r["n_id"] != r["q_id"]
+        assert bf_cos[(r["q_id"], r["n_id"])] == r["cos"]
+    again = ivf_topk(emb, queries, k=10, nprobe=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
