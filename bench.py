@@ -33,6 +33,12 @@ HEADLINE = [
     "stream_stream_join_window",
     "stream_table_join_segment",
     "table_table_join_outer",
+    # LLM-pipeline extension family (first-class: dedup / text / ANN)
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "token_counts",
+    "ann_topk_bruteforce",
+    "ann_ivf_topk",
 ]
 
 

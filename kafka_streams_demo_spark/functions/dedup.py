@@ -40,11 +40,10 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) distinct rows."""
-    return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(word_shingles(tokenize(F.col(text_col)), n)).alias("s"))
-        .distinct()
+    """(doc_id, shingle) distinct rows — row-local dedup (array_distinct
+    before explode), so distinctness costs no shuffle."""
+    return doc_shingle_sets(docs, n, text_col, id_col).select(
+        "doc_id", F.explode("shset").alias("s")
     )
 
 
@@ -90,6 +89,30 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def doc_shingle_sets(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shset) with the distinct shingle set kept ROW-LOCAL as an
+    array column — zero shuffle: tokenize/shingle/dedup are per-row
+    expressions, so shingling 100 TB of documents is a pure map stage.
+    Empty docs are dropped (they have no shingles to match on).
+
+    The token array is materialized behind its own projection before the
+    shingle transform: element_at(tokens, ...) inside an interpreted HOF
+    lambda re-evaluates an inline split() per array element (~10× slower,
+    measured). No size() filter here — Catalyst would push it down by
+    substituting the full inline expression, re-creating the slow path;
+    empty sets drop out downstream (explode yields no rows, jaccard nulls
+    fail thresholds)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("_toks"), n)).alias("shset"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
     num_hashes: int = NUM_HASHES, bands: int = BANDS,
@@ -101,8 +124,16 @@ def minhash_lsh_pairs(
     verify true Jaccard via per-doc shingle sets. Only candidate pairs pay
     the verification cost; precision is exact, recall 1-(1-J^r)^b."""
     rows = num_hashes // bands
-    sh = shingle_rows(docs, n, text_col, id_col)
-    sig = minhash_signatures(sh, num_hashes)
+    ds = doc_shingle_sets(docs, n, text_col, id_col)
+    # minhash i = min over the row-local shingle set of xxhash64(i, s):
+    # identical values to the groupBy formulation, but computed as per-row
+    # array math — the whole signature stage is shuffle-free.
+    # (single-arg lambda via factory: a 2-arg lambda would make transform
+    # bind the second parameter to the ARRAY INDEX, corrupting the seed)
+    def _mh(i: int) -> Column:
+        return F.array_min(F.transform("shset", lambda s: F.xxhash64(F.lit(i), s)))
+
+    sig = ds.select("doc_id", *[_mh(i).alias(f"h{i}") for i in range(num_hashes)])
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -124,10 +155,11 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("i"), F.col("r.doc_id").alias("j"))
         .distinct()
     )
-    doc_sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("shset"))
-    di, dj = doc_sets.alias("di"), doc_sets.alias("dj")
+    di, dj = ds.alias("di"), ds.alias("dj")
     return (
-        candidates.join(di, F.col("i") == F.col("di.doc_id"))
+        # candidates ≪ corpus: broadcast them so the shingle-set table is
+        # never shuffled for verification (two map-side joins at any scale)
+        F.broadcast(candidates).join(di, F.col("i") == F.col("di.doc_id"))
         .join(dj, F.col("j") == F.col("dj.doc_id"))
         .withColumn("common", F.size(F.array_intersect(F.col("di.shset"), F.col("dj.shset"))))
         .withColumn(
