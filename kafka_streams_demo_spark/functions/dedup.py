@@ -175,17 +175,18 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash of a token array: per-bit majority vote over token
-    xxhash64s, recomposed into one BIGINT. Pure expression (aggregate over
-    the token array + bit ops)."""
+def simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from a pre-hashed token array: per-bit majority vote,
+    recomposed into one BIGINT. Takes HASHES (not tokens) so callers can
+    project ``transform(tokens, xxhash64)`` once — the 64 bit-votes then
+    read a materialized array instead of re-hashing every token 64×."""
     def bit_vote(bit: int) -> Column:
-        # Σ over tokens of (+1 if bit set else -1)
+        # Σ over token hashes of (+1 if bit set else -1)
         return F.aggregate(
-            tokens,
+            hashes,
             F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
         )
 
     sig = F.lit(0).cast("long")
@@ -194,16 +195,30 @@ def simhash64(tokens: Column) -> Column:
     return sig
 
 
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array (convenience wrapper; prefer
+    projecting the hash array first in hot paths — see simhash_pairs)."""
+    return simhash_from_hashes(F.transform(tokens, lambda t: F.xxhash64(t)))
+
+
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming(sig_i, sig_j) ≤ max_hamming.
     Candidates via 4×16-bit segment equality (pigeonhole for ≤3 bit flips),
-    verified with bit_count(xor). Scales as a 4-way segment equi-join."""
-    sigs = docs.select(
-        F.col(id_col).alias("doc_id"), simhash64(tokenize(F.col(text_col))).alias("sig")
+    verified with bit_count(xor). Scales as a 4-way segment equi-join.
+
+    Tokens and their hashes are each materialized behind their own
+    projection: the 64 bit-vote aggregates would otherwise re-evaluate
+    split + xxhash64 per token per bit (measured ~10× slower)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
     )
+    hashed = toks.select(
+        "doc_id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th")
+    )
+    sigs = hashed.select("doc_id", simhash_from_hashes(F.col("_th")).alias("sig"))
     segs = sigs.select(
         "doc_id", "sig",
         F.explode(
@@ -244,14 +259,19 @@ def embedding_knn_blocked(
     """Top-k nearest neighbor per vector within a blocking key (embedding
     near-dup linkage). Blocking bounds the pair count; cosine is native
     column math (zip_with + aggregate in doubles)."""
-    from kafka_streams_demo_spark.functions.similarity import cosine
+    from kafka_streams_demo_spark.functions.similarity import dot, norm
     from pyspark.sql.window import Window
 
-    a = emb.select(F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("j"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb"))
+    a = emb.select(
+        F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
+    ).select("*", norm(F.col("va")).alias("na"))
+    b = emb.select(
+        F.col(id_col).alias("j"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb")
+    ).select("*", norm(F.col("vb")).alias("nb"))
     pairs = a.join(b, ["blk"]).filter(F.col("i") != F.col("j"))
     scored = pairs.select(
-        "i", "j", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        "i", "j",
+        F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
     )
     w = Window.partitionBy("i").orderBy(F.desc("cos"), F.asc("j"))
     return (
@@ -272,17 +292,20 @@ def embedding_cosine_pairs(
     per-block, never corpus×corpus; blocks shuffle on the blocking key only.
     Pair with ``ivf_assign`` cells as the blocking key when no natural one
     exists."""
-    from kafka_streams_demo_spark.functions.similarity import cosine
+    from kafka_streams_demo_spark.functions.similarity import dot, norm
 
     a = emb.select(
         F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
-    )
+    ).select("*", norm(F.col("va")).alias("na"))
     b = emb.select(
         F.col(id_col).alias("j"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb")
-    )
+    ).select("*", norm(F.col("vb")).alias("nb"))
     return (
         a.join(b, ["blk"])
         .filter(F.col("i") < F.col("j"))
-        .select("i", "j", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .select(
+            "i", "j",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )

@@ -66,13 +66,27 @@ def decode_features(multimodal: DataFrame, fake: bool = False) -> DataFrame:
             "pass fake=True for the deterministic stub"
         )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # self-contained closure: no references to this module's globals, so
+    # cloudpickle ships it fully by value and workers never need to import
+    # kafka_streams_demo_spark (which may not be on their PYTHONPATH)
+    feature_dim = FEATURE_DIM
+
+    def batches(it):
+        import pandas as _pd
+
+        def fake_features(payload):
+            hist = [0] * feature_dim
+            for byte in payload[:4096]:
+                hist[byte % feature_dim] += 1
+            total = float(sum(hist)) or 1.0
+            return [h / total for h in hist]
+
         for pdf in it:
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": [m["modality"] for m in pdf["meta"]],
-                    "features": [_fake_features(p) for p in pdf["payload"]],
+                    "features": [fake_features(p) for p in pdf["payload"]],
                 }
             )
 
@@ -90,7 +104,9 @@ def frame_sample(multimodal: DataFrame, every_n_bytes: int = 1024, fake: bool = 
             "real frame sampling requires a video codec; pass fake=True for the stub"
         )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def batches(it):
+        import pandas as _pd
+
         for pdf in it:
             rows = {"doc_id": [], "frame_no": [], "frame_bytes": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -98,7 +114,7 @@ def frame_sample(multimodal: DataFrame, every_n_bytes: int = 1024, fake: bool = 
                     rows["doc_id"].append(doc_id)
                     rows["frame_no"].append(fno)
                     rows["frame_bytes"].append(len(payload[off:off + every_n_bytes]))
-            yield pd.DataFrame(rows)
+            yield _pd.DataFrame(rows)
 
     return multimodal.mapInPandas(
         batches, schema="doc_id long, frame_no int, frame_bytes int"

@@ -44,14 +44,22 @@ def topk_bruteforce(
     """Exact top-k cosine neighbors per query vector (self-matches by id
     excluded). Queries are broadcast — the corpus never shuffles; ranking
     happens on round(cos, 6) with id tie-break for determinism."""
-    corpus = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"))
+    # norms projected per side BEFORE the pair join: cosine inside the join
+    # would recompute each vector's self-dot once per PAIR (≈3× the work)
+    corpus = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")).select(
+        "*", norm(F.col("n_vec")).alias("n_nrm")
+    )
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")).select(
+        "*", norm(F.col("q_vec")).alias("q_nrm")
+    )
     scored = (
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id", "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
@@ -89,17 +97,19 @@ def lsh_bucketed_topk(
     corpus = emb.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
         lsh_bucket(F.col(vec_col), hp).alias("bucket"),
-    )
+    ).select("*", norm(F.col("n_vec")).alias("n_nrm"))
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"),
         lsh_bucket(F.col(q_vec_col), hp).alias("bucket"),
-    )
+    ).select("*", norm(F.col("q_vec")).alias("q_nrm"))
     scored = (
         corpus.join(F.broadcast(q), "bucket")
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id", "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
@@ -137,11 +147,15 @@ def ivf_assign(
     """Assign each vector to its ``n`` nearest centroids by cosine
     (rounded to 6 dp for cross-engine determinism; ties break on cell id).
     Centroids broadcast — the corpus never shuffles for assignment."""
-    scored = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).join(
-        F.broadcast(centroids)
-    ).select(
+    vecs = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).select(
+        "*", norm(F.col("vec")).alias("_vnrm")
+    )
+    cents = centroids.select("*", norm(F.col("centroid")).alias("_cnrm"))
+    scored = vecs.join(F.broadcast(cents)).select(
         "vid", "vec", "cell",
-        F.round(cosine(F.col("vec"), F.col("centroid")), 6).alias("ccos"),
+        F.round(
+            dot(F.col("vec"), F.col("centroid")) / (F.col("_vnrm") * F.col("_cnrm")), 6
+        ).alias("ccos"),
     )
     w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cell"))
     return (
@@ -166,16 +180,20 @@ def ivf_topk(
     cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
     corpus = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col).select(
         F.col("vid").alias("n_id"), F.col("vec").alias("n_vec"), "cell"
-    )
+    ).select("*", norm(F.col("n_vec")).alias("n_nrm"))
     probes = ivf_assign(
         queries, cents, n=nprobe, id_col=q_id_col, vec_col=q_vec_col
-    ).select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"), "cell")
+    ).select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"), "cell").select(
+        "*", norm(F.col("q_vec")).alias("q_nrm")
+    )
     scored = (
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id", "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))

@@ -37,6 +37,14 @@ def get_spark(
     master = master or f"local[{DEFAULT_CPUS}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
 
+    # Python workers must be able to import this package regardless of the
+    # driver's cwd (pandas-UDF closures may reference it): export the repo
+    # root on PYTHONPATH before the JVM / worker daemon launches.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + (os.pathsep + py_path if py_path else "")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
