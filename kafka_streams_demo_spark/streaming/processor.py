@@ -87,3 +87,48 @@ def running_sum_processor(stream: DataFrame, group_cols: list[str] = ("key",)) -
         output_schema="key string, value long",
         state_schema="total long",
     )
+
+
+def punctuated_count_processor(
+    stream: DataFrame,
+    group_cols: list[str] = ("key",),
+    punctuate_interval_ms: int = 1000,
+) -> DataFrame:
+    """Punctuator parity (WordCountProcessorExample.scala:31-36):
+    ``context.schedule(interval, STREAM_TIME, punctuator)`` re-emits the
+    store contents as stream time advances — here each key re-forwards its
+    running count when its event-time timer fires, even with no new input.
+
+    Per-key ``GroupStateTimeout.EventTimeTimeout`` timers replace the
+    reference's cross-key store scan (SURVEY §7 'punctuator parity': same
+    output set, idiomatic per-key shape). Requires ``withWatermark`` on the
+    input — timers fire when the watermark passes them.
+    """
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        n = state.get[0] if state.exists else 0
+        if state.hasTimedOut:
+            # punctuator fire: forward current count, re-arm relative to
+            # the advancing watermark (STREAM_TIME semantics)
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + punctuate_interval_ms
+            )
+            yield _pd.DataFrame({"key": [key[0]], "value": [n]})
+            return
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + punctuate_interval_ms)
+        yield _pd.DataFrame({"key": [key[0]], "value": [n]})
+
+    return process_with_state(
+        stream,
+        list(group_cols),
+        fn,
+        output_schema="key string, value long",
+        state_schema="n long",
+        output_mode="update",
+        timeout="EventTimeTimeout",
+    )

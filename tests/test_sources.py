@@ -77,3 +77,38 @@ def test_all_tables_load(spark):
     for name in SCHEMAS:
         df = load_table(spark, name, "/root/testdata/sf0.001")
         assert df.limit(1).count() == 1, name
+
+
+def test_kafka_builder_options_and_serde():
+    """builder.stream option plumbing (no broker needed): subscribe,
+    AUTO_OFFSET_RESET parity, serde casts."""
+    from kafka_streams_demo_spark.sources.kafka import kafka_options, select_serde
+
+    opts = kafka_options("clicks", brokers="b1:9092,b2:9092", starting_offsets="latest")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "clicks",
+        "startingOffsets": "latest",
+    }
+    assert select_serde("string", "long") == [
+        "CAST(key AS STRING) AS key",
+        "CAST(CAST(value AS STRING) AS LONG) AS value",
+        "timestamp",
+        "offset",
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported serde"):
+        select_serde("string", "avro")
+
+
+def test_kafka_stream_fails_clearly_without_connector(spark):
+    """This container ships no Kafka connector jar: the builder must fail
+    at load() with the standard missing-data-source error, not something
+    cryptic from our plumbing."""
+    import pytest as _pytest
+
+    from kafka_streams_demo_spark.sources.kafka import kafka_stream
+
+    with _pytest.raises(Exception, match="(?i)kafka"):
+        kafka_stream(spark, "clicks")

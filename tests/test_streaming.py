@@ -162,3 +162,40 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # one survivor per key; within a single micro-batch arrival order is not
     # offset order, so either alice record may win
     assert got["alice"] in ("asia", "europe")
+
+
+def test_punctuated_processor_event_time_timer(spark, tmp_path):
+    """Punctuator parity (WordCountProcessorExample.scala:31-36): a key with
+    NO new input re-forwards its count when its event-time timer fires as
+    the watermark advances across micro-batches."""
+    import time as _time
+
+    from kafka_streams_demo_spark.streaming.processor import punctuated_count_processor
+
+    path = str(tmp_path / "punct_src")
+    batch1 = spark.createDataFrame(
+        [("a", "x", "2026-01-01 00:00:00"), ("a", "y", "2026-01-01 00:00:01"),
+         ("b", "z", "2026-01-01 00:00:02")],
+        "key string, value string, ts_s string",
+    ).select("key", "value", F.col("ts_s").cast("timestamp").alias("ts"))
+    batch1.coalesce(1).write.parquet(path)
+    _time.sleep(1.2)  # file-source orders batches by modification time
+    spark.createDataFrame(
+        [("b", "w", "2026-01-01 00:10:00")], "key string, value string, ts_s string"
+    ).select("key", "value", F.col("ts_s").cast("timestamp").alias("ts")).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    src = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark("ts", "0 seconds")
+    )
+    out_df = punctuated_count_processor(src, punctuate_interval_ms=1000)
+    rows = run_available_now(out_df, output_mode="update").collect()
+    emissions = [(r["key"], r["value"]) for r in rows]
+    # batch 1 emits (a,2),(b,1); batch 2 emits (b,2) plus the PUNCTUATED
+    # re-forward of a's unchanged count as its timer fires
+    assert emissions.count(("a", 2)) >= 2, emissions
+    assert ("b", 2) in emissions, emissions
