@@ -118,8 +118,20 @@ class Tables:
 def read_stream_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Streaming read of a driver table (file source — the test-harness
     stand-in for a Kafka topic; SURVEY §3 EP3: availableNow + file source is
-    PySpark's TopologyTestDriver equivalent)."""
-    return spark.readStream.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    PySpark's TopologyTestDriver equivalent).
+
+    The file stream source only accepts directories/globs, so the single
+    per-table file is selected via pathGlobFilter over the sf dir."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    df = (
+        spark.readStream.schema(SCHEMAS[name])
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_csv(

@@ -1,0 +1,78 @@
+"""End-to-end streaming throughput (BASELINE.md): run the word-count and
+clicks-per-region pipeline shapes through Structured Streaming with
+trigger(availableNow) over the driver tables and report rows/s.
+
+Usage: python tools/bench_streaming.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_streams_demo_spark import KStream  # noqa: E402
+from kafka_streams_demo_spark.session import get_spark  # noqa: E402
+from kafka_streams_demo_spark.sources.registry import load_table, read_stream_table  # noqa: E402
+
+
+def run_noop(out, output_mode: str = "update") -> None:
+    q = (
+        out.writeStream.format("noop")
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_bench_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict[str, float]] = {}
+
+    # word count over streaming events (flatMap -> groupBy -> count, update)
+    n_events = load_table(spark, "events", sf_dir).count()
+    ev = read_stream_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="user_id", value="value", timestamp="ts", offset="event_id")
+    t0 = time.monotonic()
+    run_noop(s.group_by_key().count().to_df())
+    dt = time.monotonic() - t0
+    results["events_count_by_key"] = {"rows": n_events, "sec": round(dt, 2),
+                                      "rows_per_sec": round(n_events / dt)}
+
+    # clicks-per-region shape on streaming orders joined to a broadcast dim
+    n_orders = load_table(spark, "orders", sf_dir).count()
+    o = read_stream_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    enriched = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("total_c"))
+    )
+    t0 = time.monotonic()
+    run_noop(enriched)
+    dt = time.monotonic() - t0
+    results["orders_per_nation_stream"] = {"rows": n_orders, "sec": round(dt, 2),
+                                           "rows_per_sec": round(n_orders / dt)}
+
+    print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
+                      "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
