@@ -134,6 +134,11 @@ def minhash_lsh_pairs(
         return F.array_min(F.transform("shset", lambda s: F.xxhash64(F.lit(i), s)))
 
     sig = ds.select("doc_id", *[_mh(i).alias(f"h{i}") for i in range(num_hashes)])
+    # shingle-less docs have all-null signatures: they'd collide into one
+    # bucket per band and then 0/0 at verification (ANSI mode throws).
+    # Filtering on h0 is cheap even when pushdown re-inlines it (one
+    # minhash, not the whole signature).
+    sig = sig.filter(F.col("h0").isNotNull())
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -163,12 +168,11 @@ def minhash_lsh_pairs(
         .join(dj, F.col("j") == F.col("dj.doc_id"))
         .withColumn("common", F.size(F.array_intersect(F.col("di.shset"), F.col("dj.shset"))))
         .withColumn(
+            "_union", F.size(F.col("di.shset")) + F.size(F.col("dj.shset")) - F.col("common")
+        )
+        .withColumn(
             "jaccard",
-            F.round(
-                F.col("common")
-                / (F.size(F.col("di.shset")) + F.size(F.col("dj.shset")) - F.col("common")),
-                6,
-            ),
+            F.round(F.col("common") / F.nullif(F.col("_union"), F.lit(0)), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")

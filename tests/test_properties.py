@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) — randomized invariants the
+reference's example-based suite never checks (SURVEY §5: 'no
+property-based/randomized testing' in the reference; we add it).
+
+Each property reduces a Spark result to a Python-computed model on the
+same random input. Example counts stay small: every example is a real
+Spark job.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark import KStream, KTable
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.sampled_from(["a", "b", "c", "d"])
+vals = st.one_of(st.none(), st.text(alphabet="xyz", min_size=0, max_size=3))
+changelogs = st.lists(st.tuples(keys, vals), min_size=1, max_size=25)
+
+
+@given(rows=changelogs)
+@settings(**SETTINGS)
+def test_ktable_latest_matches_python_model(spark, rows):
+    """Latest-per-key with tombstone drop == the obvious sequential model,
+    for any interleaving of updates and null deletes."""
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "key string, value string, offset long",
+    )
+    got = {
+        r["key"]: r["value"]
+        for r in KTable.from_stream(KStream(df)).to_df().select("key", "value").collect()
+    }
+    model: dict[str, str | None] = {}
+    for k, v in rows:
+        model[k] = v
+    expected = {k: v for k, v in model.items() if v is not None}
+    assert got == expected
+
+
+@given(rows=st.lists(st.tuples(keys, st.text(alphabet="abz", max_size=4)), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_branch_partitions_first_match_wins(spark, rows):
+    """branch(p1..pn, default): branches are pairwise disjoint, cover every
+    record, and route by FIRST matching predicate."""
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "key string, value string, offset long",
+    )
+    b = KStream(df).branch(
+        lambda k, v: v.startswith("a"),
+        lambda k, v: v.startswith("b"),
+        lambda k, v: F.lit(True),
+    )
+    got = [sorted((r["offset"]) for r in s.df.collect()) for s in b]
+    def route(v):
+        if v.startswith("a"):
+            return 0
+        if v.startswith("b"):
+            return 1
+        return 2
+    expected = [[], [], []]
+    for i, (_, v) in enumerate(rows):
+        expected[route(v)].append(i)
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet=" qw", min_size=0, max_size=30), min_size=2, max_size=12
+    )
+)
+@settings(**SETTINGS)
+def test_minhash_reported_jaccard_is_exact_and_subset_of_groundtruth(spark, docs):
+    """Every pair MinHash-LSH reports carries the TRUE Jaccard (verification
+    is exact) and appears in the exact all-pairs ground truth; LSH may only
+    lose pairs (recall), never invent or mis-score them."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    exact = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=2, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, n=2, threshold=0.5).collect()
+    }
+    for pair, jac in lsh.items():
+        assert pair in exact, (pair, exact)
+        assert jac == exact[pair]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(min_value=0, max_value=3600)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_tumbling_window_counts_partition_the_stream(spark, rows):
+    """Σ per-window counts == row count and each (key, window) bucket matches
+    the Python model — windows partition event time with no loss/overlap."""
+    df = spark.createDataFrame(
+        [(k, f"2026-01-01 00:{s // 60:02d}:{s % 60:02d}") for k, s in rows],
+        "key string, ts_s string",
+    ).select("key", F.col("ts_s").cast("timestamp").alias("timestamp"))
+    got = {
+        (r["key"], r["window"]["start"].minute // 5): r["count"]
+        for r in df.groupBy(F.window("timestamp", "5 minutes"), "key")
+        .count()
+        .collect()
+    }
+    model: dict[tuple[str, int], int] = {}
+    for k, s in rows:
+        bucket = (k, (s // 60) // 5)
+        model[bucket] = model.get(bucket, 0) + 1
+    assert got == model
+    assert sum(got.values()) == len(rows)
