@@ -274,6 +274,26 @@ def ktable_tombstone(spark, sf_dir):
 
 
 @register(
+    "processor_running_count",
+    "SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS value "
+    "FROM events GROUP BY user_id",
+)
+def processor_running_count(spark, sf_dir):
+    """Processor API through the REAL streaming path: per-key GroupState
+    counts via applyInPandasWithState, driven with trigger(availableNow) to
+    a memory sink (WordCountProcessorExample.scala:23-61 parity). One
+    micro-batch over the fixture file → final state per key == count(*).
+    The one deliberate Arrow⇄Python boundary in the catalog (SURVEY §3 EP2)."""
+    from kafka_streams_demo_spark.sources.registry import read_stream_table
+    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+    from kafka_streams_demo_spark.streaming.processor import running_count_processor
+
+    ev = read_stream_table(spark, "events", sf_dir)
+    keyed = ev.select(F.col("user_id").cast("string").alias("key"), F.col("event_type").alias("value"))
+    return run_available_now(running_count_processor(keyed), output_mode="update")
+
+
+@register(
     "json_extract_sum",
     "SELECT event_type AS key, SUM(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS value "
     "FROM events GROUP BY event_type",

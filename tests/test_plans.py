@@ -104,3 +104,31 @@ def test_multimodal_features_is_arrow_not_row_udf(spark):
     a = audit(df)
     assert "MapInPandas" in a.plan or "mapInPandas" in a.plan
     assert "BatchEvalPython" not in a.plan
+
+
+def test_ann_ops_broadcast_never_shuffle_corpus(spark):
+    """Similarity ops: queries/probes/centroids broadcast; the corpus side
+    must never SortMergeJoin (a corpus shuffle at 100 TB)."""
+    for name in ["ann_topk_bruteforce", "ann_lsh_topk", "ann_ivf_topk"]:
+        a = _audit(spark, name)
+        assert a.broadcast_joins >= 1, f"{name} has no broadcast join:\n{a.plan}"
+        assert a.sort_merge_joins == 0, f"{name} sort-merge-joins the corpus:\n{a.plan}"
+        assert a.python_evals == 0, f"{name} fell off the JVM path"
+
+
+def test_dedup_family_stays_jvm_side(spark):
+    """Signature math (minhash/simhash/cosine) is pure column expressions —
+    no Python eval nodes anywhere in the dedup plans."""
+    for name in ["dedup_exact", "minhash_lsh_pairs", "simhash_pairs",
+                 "ngram_jaccard_pairs", "dedup_embedding_cosine", "embedding_knn_blocked"]:
+        a = _audit(spark, name)
+        assert a.python_evals == 0, f"{name} fell off the JVM path:\n{a.plan}"
+
+
+def test_minhash_scan_prunes_to_needed_columns(spark):
+    """The documents scan under minhash reads only (doc_id, text) — column
+    pruning reached the parquet reader."""
+    a = _audit(spark, "minhash_lsh_pairs")
+    assert a.read_schemas, a.plan
+    for rs in a.read_schemas:
+        assert "lang" not in rs and "source" not in rs, rs
