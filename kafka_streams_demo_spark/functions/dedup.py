@@ -134,15 +134,18 @@ def minhash_lsh_pairs(
         return F.array_min(F.transform("shset", lambda s: F.xxhash64(F.lit(i), s)))
 
     sig = ds.select("doc_id", *[_mh(i).alias(f"h{i}") for i in range(num_hashes)])
-    # shingle-less docs have all-null signatures: they'd collide into one
-    # bucket per band and then 0/0 at verification (ANSI mode throws).
-    # Filtering on h0 is cheap even when pushdown re-inlines it (one
-    # minhash, not the whole signature).
-    sig = sig.filter(F.col("h0").isNotNull())
+    # shingle-less docs have all-null signatures and would collide into one
+    # bucket per band (then 0/0 at verification — ANSI mode throws). A
+    # filter here would be pushdown-poison (the whole shingle chain gets
+    # re-inlined into it); instead the bucket is NULL for null signatures —
+    # the band equi-join drops null keys for free.
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bucket"),
+            F.when(
+                F.col("h0").isNotNull(),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]),
+            ).alias("bucket"),
         )
         for b in range(bands)
     ])
