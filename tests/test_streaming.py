@@ -199,3 +199,45 @@ def test_punctuated_processor_event_time_timer(spark, tmp_path):
     # re-forward of a's unchanged count as its timer fires
     assert emissions.count(("a", 2)) >= 2, emissions
     assert ("b", 2) in emissions, emissions
+
+
+def test_streaming_left_join_emits_unmatched_at_watermark(spark, tmp_path):
+    """Windowed LEFT stream-stream join in streaming mode
+    (StreamToStreamJoinExample.scala:93): the unmatched left row must emit
+    with a null right side — but only once the watermark passes its join
+    window (Kafka Streams' grace-expiry semantics; SURVEY §7 calls out this
+    edge). A second micro-batch advances the watermark to force emission."""
+    import time as _time
+
+    left_dir = str(tmp_path / "ljl")
+    right_dir = str(tmp_path / "ljr")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "key string, value long, ts_s string"
+    ).select(
+        "key", "value", F.col("ts_s").cast("timestamp").alias("timestamp")
+    )
+    # batch 1: 'a' matches within 1s; 'lonely' has no right-side partner
+    mk([("a", 1, "2026-01-01 00:00:00"), ("lonely", 7, "2026-01-01 00:00:00")]).coalesce(
+        1
+    ).write.parquet(left_dir)
+    mk([("a", 3, "2026-01-01 00:00:00")]).coalesce(1).write.parquet(right_dir)
+    _time.sleep(1.2)
+    # batch 2: far-future rows on BOTH sides push the watermark past
+    # lonely's window (they match each other so append mode can finish them)
+    mk([("zz", 100, "2026-01-01 01:00:00")]).coalesce(1).write.mode("append").parquet(left_dir)
+    mk([("zz", 200, "2026-01-01 01:00:00")]).coalesce(1).write.mode("append").parquet(right_dir)
+
+    schema = "key string, value long, timestamp timestamp"
+    ls = KStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(left_dir)
+    ).with_watermark("0 seconds")
+    rs = KStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(right_dir)
+    ).with_watermark("0 seconds")
+    joined = ls.left_join(
+        rs, lambda v1, v2: v1 + F.coalesce(v2, F.lit(0)), JoinWindows.of("1 second")
+    )
+    out = run_available_now(joined.to_df().select("key", "value"), output_mode="append")
+    got = sorted((r["key"], r["value"]) for r in out.collect())
+    assert ("a", 4) in got, got
+    assert ("lonely", 7) in got, got  # null right → combiner saw coalesce(null,0)
