@@ -17,6 +17,7 @@ that matters at 100 TB:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -81,6 +82,15 @@ def get_spark(
         # broadcast even at sf100; AQE can still demote at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # static config — must be set before the session exists; bucketed
+        # tables (sources/bucketing.py) land here via saveAsTable
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "spark-graft-warehouse"),
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

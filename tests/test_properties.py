@@ -104,7 +104,7 @@ def test_minhash_reported_jaccard_is_exact_and_subset_of_groundtruth(spark, docs
 
 @given(
     rows=st.lists(
-        st.tuples(keys, st.integers(min_value=0, max_value=3600)),
+        st.tuples(keys, st.integers(min_value=0, max_value=3599)),
         min_size=1,
         max_size=25,
     )

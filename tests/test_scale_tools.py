@@ -1,0 +1,61 @@
+"""Scale tooling: bucketed co-located joins (no Exchange) and skew salting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.functions.skew import salted_count, with_salt
+from kafka_streams_demo_spark.plans.explain import audit
+from kafka_streams_demo_spark.sources.bucketing import read_table, write_bucketed
+from kafka_streams_demo_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key with equal bucket counts → the
+    sort-merge join reads co-located buckets, zero shuffles in the plan.
+    This is the fact⋈fact layout for 100 TB (vs 2 full-table Exchanges)."""
+    o = load_table(spark, "orders", SF)
+    l = load_table(spark, "lineitem", SF)
+    write_bucketed(o, "orders_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(l, "lineitem_b", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # sf0.001 fits under the broadcast threshold, which would bypass the
+    # bucketed layout entirely — force the shuffle-family join the layout
+    # is designed for (at real scale neither fact side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob, lb = read_table(spark, "orders_b"), read_table(spark, "lineitem_b")
+        joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"]).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        a = audit(joined)
+        # the join itself must not shuffle; only the tiny post-join agg may
+        assert a.sort_merge_joins + a.shuffled_hash_joins >= 1, a.plan
+        assert a.exchanges <= 1, f"bucketed join still shuffles:\n{a.plan}"
+        # correctness: same result as the unbucketed join
+        plain = (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_count_matches_plain_count_under_skew(spark):
+    """90%-hot-key input: salted two-phase count equals the plain count and
+    phase 1 spreads the hot key across salt buckets."""
+    rows = [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string, v long")
+    got = {r["key"]: r["value"] for r in salted_count(df, "key", buckets=8).collect()}
+    expected = {r["key"]: r["count"] for r in df.groupBy("key").count().collect()}
+    assert got == expected
+    # the salt actually spreads: the hot key occupies >1 salt bucket
+    spread = (
+        with_salt(df, 8).filter(F.col("key") == "hot").select("_salt").distinct().count()
+    )
+    assert spread > 1
