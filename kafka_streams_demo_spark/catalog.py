@@ -1256,6 +1256,31 @@ def multimodal_meta_q(spark, sf_dir):
     )
 
 
+@register(
+    "salted_count_skew",
+    "SELECT event_type AS key, count(*) AS value FROM events GROUP BY 1",
+)
+def salted_count_skew_q(spark, sf_dir):
+    """Skew-safe two-phase count on the low-cardinality event_type key
+    (5 keys over all rows — exactly the hot-key shape): phase-1
+    groupBy(key, salt) spreads each key over 16 buckets, phase-2 combines
+    ≤16 partial rows per key. Result identical to the plain count."""
+    from kafka_streams_demo_spark.functions.skew import salted_count
+
+    ev = load_table(spark, "events", sf_dir)
+    return salted_count(ev, "event_type").withColumnRenamed("event_type", "key")
+
+
+@register("multimodal_frames")  # no SQL oracle: pandas-UDF frame-sample stub
+def multimodal_frames_q(spark, sf_dir):
+    """Video frame-sampling plumbing (every-Nth-byte stub over mapInPandas):
+    one row per sampled frame offset with its byte length."""
+    from kafka_streams_demo_spark.functions.multimodal import attach_binary, frame_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return frame_sample(attach_binary(docs), every_n_bytes=128, fake=True)
+
+
 @register("multimodal_features")  # no SQL oracle: pandas-UDF decode stub
 def multimodal_features_q(spark, sf_dir):
     """Decode-stub feature extraction over mapInPandas (Arrow batches):
