@@ -1294,6 +1294,232 @@ def multimodal_features_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Temporal & analytic extensions: as-of join, window functions, rollup,
+# additional TPC-H shapes (q6/q10)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = (
+    "WITH m AS ("
+    " SELECT c.event_id, c.user_id, c.ts, p.event_id AS purchase_id,"
+    " p.ts AS p_ts, p.value AS p_value,"
+    " row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn"
+    " FROM (SELECT * FROM events WHERE event_type = 'click') c"
+    " LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p"
+    " ON p.user_id = c.user_id AND p.ts <= c.ts)"
+    " SELECT event_id, user_id, epoch_us(ts) AS ts_us, purchase_id,"
+    " epoch_us(p_ts) AS purchase_ts_us,"
+    " CAST(ROUND(p_value*100, 0) AS BIGINT) AS purchase_c"
+    " FROM m WHERE rn = 1"
+)
+
+
+def _asof_click_purchase(spark, sf_dir, tolerance=None):
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    from kafka_streams_demo_spark.operators.asof import asof_join
+
+    res = asof_join(
+        clicks,
+        purchases,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        tie_break="purchase_id",
+        tolerance=tolerance,
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "purchase_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        cents(F.col("p_value")).alias("purchase_c"),
+    )
+
+
+@register("asof_join_purchase", _ASOF_ORACLE)
+def asof_join_purchase(spark, sf_dir):
+    """As-of join: each click paired with the user's latest purchase
+    at-or-before it (operators/asof.py — merge formulation: one shuffle on
+    the key + one sort, no pair blow-up; see module docstring)."""
+    return _asof_click_purchase(spark, sf_dir)
+
+
+_ASOF_TOL_ORACLE = _ASOF_ORACLE.replace(
+    "ON p.user_id = c.user_id AND p.ts <= c.ts",
+    "ON p.user_id = c.user_id AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR",
+)
+
+
+@register("asof_join_purchase_1h", _ASOF_TOL_ORACLE)
+def asof_join_purchase_1h(spark, sf_dir):
+    """As-of join with tolerance: matches older than 1 hour are nulled —
+    the bounded-staleness variant (trade enriched with a quote only if the
+    quote is fresh)."""
+    return _asof_click_purchase(spark, sf_dir, tolerance="1 hour")
+
+
+@register(
+    "running_sum_per_user",
+    "SELECT event_id, user_id, "
+    "SUM(CAST(ROUND(value*100, 0) AS BIGINT)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c "
+    "FROM events",
+)
+def running_sum_per_user(spark, sf_dir):
+    """Cumulative per-key analytics (window-function family — absent from
+    the reference DSL, native in Spark): running sum of event value per
+    user in event-time order. One Exchange on user_id + one sort — the
+    same cost envelope as a keyed windowed aggregation at any scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum(cents(F.col("value"))).over(w).alias("running_c")
+    )
+
+
+@register(
+    "top3_orders_per_cust",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS price_c, rn FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) WHERE rn <= 3",
+)
+def top3_orders_per_cust(spark, sf_dir):
+    """Top-N per group via row_number — the per-group variant of top-k
+    (global top-k is `top_k_spenders`). Deterministic tie-break on the
+    orderkey. Scales as one shuffle; rank filter prunes before any
+    downstream work."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            cents(F.col("o_totalprice")).alias("price_c"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "rollup_revenue",
+    "SELECT r.r_name, n.n_name, "
+    "SUM(CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT)) AS total_c, "
+    "count(*) AS orders_cnt "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY ROLLUP(r.r_name, n.n_name)",
+)
+def rollup_revenue(spark, sf_dir):
+    """Hierarchical rollup (region → nation → grand total) — grouping-sets
+    family, absent from the reference, native in Spark. Dims broadcast;
+    the rollup is a single hash-agg pass expanding each row into its 3
+    grouping sets before the map-side combine."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+            F.count(F.lit(1)).alias("orders_cnt"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    "SELECT SUM(CAST(ROUND(l_extendedprice*l_discount*100, 0) AS BIGINT)) AS revenue_c "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate. All three predicates and
+    the 3-column projection push to the parquet scan (row-group skipping on
+    shipdate at real scale); the shuffle carries exactly one partial row
+    per task."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_c"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    "SELECT c.c_custkey, c.c_name, "
+    "SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT)) AS revenue_c, "
+    "CAST(ROUND(c.c_acctbal*100, 0) AS BIGINT) AS acctbal_c, n.n_name "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-04-01' "
+    "AND l.l_returnflag = 'R' "
+    "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
+    "ORDER BY revenue_c DESC, c_custkey LIMIT 20",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20. Both
+    date and returnflag predicates push to the fact scans; customer/nation
+    broadcast; the only shuffle is orders⋈lineitem on orderkey; global
+    top-20 via TakeOrderedAndProject."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_c"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue_c",
+            cents(F.col("c_acctbal")).alias("acctbal_c"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue_c"), "c_custkey")
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
