@@ -59,8 +59,17 @@ def main() -> None:
     qs = catalog.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warmup: codegen + parquet footer caches
+    # warmup: codegen + parquet footer caches, plus the Python worker
+    # daemon + Arrow path (first pandas-UDF call pays ~1-2 s of process
+    # startup that is not steady-state execution)
     materialize(qs["count_by_key"](spark, sf_dir))
+    import pandas as pd
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    materialize(spark.range(32).mapInPandas(_noop, "id long"))
 
     timings: dict[str, float] = {}
     for name in names:
