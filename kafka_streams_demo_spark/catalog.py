@@ -1720,6 +1720,39 @@ def sessionize_gap(spark, sf_dir):
     )
 
 
+@register(
+    "cube_status_priority",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+    "SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS total_c "
+    "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+)
+def cube_status_priority(spark, sf_dir):
+    """CUBE: all 4 grouping sets of (status, priority) in one hash-agg pass
+    (each row expands 4×, map-side combine before the shuffle). Completes
+    the grouping-sets family next to rollup_revenue."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+    )
+
+
+@register(
+    "set_ops_all_multiset",
+    "SELECT user_id FROM events WHERE event_type = 'click' "
+    "INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'purchase'",
+)
+def set_ops_all_multiset(spark, sf_dir):
+    """Multiset INTERSECT ALL (bag semantics: each user survives
+    min(#clicks, #purchases) times) — the ALL-variant completing
+    set_ops_intersect_except. Spark plans this as a counted hash-agg join,
+    one shuffle per side."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersectAll(purchases)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

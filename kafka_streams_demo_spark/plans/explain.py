@@ -92,12 +92,11 @@ def audit(df: DataFrame) -> PlanAudit:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
     a.codegen_stages = int(m.group(1)) if m else len(set(re.findall(r"\*\((\d+)\)", simple)))
-    a.python_evals = (
-        plan.count("BatchEvalPython")
-        + plan.count("ArrowEvalPython")
-        + plan.count("FlatMapGroupsInPandas")
-        + plan.count("MapInPandas")
-    )
+    # formatted plans list each node twice (tree + "(n) NodeName" detail):
+    # count unique detail ids when present, else fall back to raw matches
+    _py_nodes = "BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas(?:WithState)?|MapInPandas"
+    _ids = re.findall(rf"^\(\d+\) (?:{_py_nodes})", plan, re.M)
+    a.python_evals = len(_ids) or len(re.findall(_py_nodes, plan))
     a.sorts = len(re.findall(r"\bSort\b(?!MergeJoin)", plan))
     a.partial_aggs = len(re.findall(r"Functions \[\d+\]: \[partial_", plan)) + len(
         re.findall(r"\bpartial_(?:sum|count|max|min|avg|first)", simple)

@@ -1,0 +1,59 @@
+"""sf0.001 oracle parity for the analytics/extension batch (the driver
+gate runs the same comparison at sf0.01; this keeps plain pytest
+self-contained). Exact row-set equality after stringify-normalization."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from kafka_streams_demo_spark import catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+NEW_QUERIES = [
+    "running_sum_per_user",
+    "top3_orders_per_cust",
+    "rollup_revenue",
+    "cube_status_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "percentile_value_by_type",
+    "histogram_event_values",
+    "sample_split_train",
+    "orders_high_value_semi",
+    "customers_without_orders_anti",
+    "pivot_priority_by_nation",
+    "sessionize_gap",
+    "set_ops_all_multiset",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle_at_sf0001(spark, ddb, name):
+    sdf = catalog.queries()[name](spark, SF_DIR)
+    cur = ddb.execute(catalog.oracle_sql()[name])
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert _norm(s_rows, sdf.columns) == _norm(d_rows, d_cols), name

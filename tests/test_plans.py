@@ -117,12 +117,29 @@ def test_ann_ops_broadcast_never_shuffle_corpus(spark):
 
 
 def test_dedup_family_stays_jvm_side(spark):
-    """Signature math (minhash/simhash/cosine) is pure column expressions —
-    no Python eval nodes anywhere in the dedup plans."""
-    for name in ["dedup_exact", "minhash_lsh_pairs", "simhash_pairs",
+    """Signature math (simhash/cosine/jaccard) is pure column expressions —
+    no Python eval nodes in those plans. minhash is the deliberate
+    exception: its signature stage is Arrow-vectorized numpy (measured 4×
+    over the interpreted HOF chain) — exactly ONE Python node (the
+    mapInPandas signature pass), twice in the plan because LSH candidates
+    and verification both read the shingle sets."""
+    for name in ["dedup_exact", "simhash_pairs",
                  "ngram_jaccard_pairs", "dedup_embedding_cosine", "embedding_knn_blocked"]:
         a = _audit(spark, name)
         assert a.python_evals == 0, f"{name} fell off the JVM path:\n{a.plan}"
+    a = _audit(spark, "minhash_lsh_pairs")
+    assert 1 <= a.python_evals <= 2, f"unexpected Python nodes:\n{a.plan}"
+
+
+def test_minhash_native_impl_stays_jvm_side(spark):
+    """The native fallback signature path has NO Python runtime in its
+    plan — it exists for Python-worker-free deployments."""
+    from kafka_streams_demo_spark.functions.dedup import minhash_lsh_pairs
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    a = audit(minhash_lsh_pairs(docs, signature_impl="native"))
+    assert a.python_evals == 0, a.plan
 
 
 def test_minhash_scan_prunes_to_needed_columns(spark):
