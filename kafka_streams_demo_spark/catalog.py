@@ -1753,6 +1753,39 @@ def set_ops_all_multiset(spark, sf_dir):
     return clicks.intersectAll(purchases)
 
 
+@register(
+    "repetition_ratio",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "bg AS (SELECT doc_id, w[i] || '_' || w[i+1] AS bigram "
+    "FROM t, LATERAL UNNEST(generate_series(1, len(w)-1)) AS g(i)), "
+    "c AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2) "
+    "SELECT doc_id AS key, MAX(n) AS top_cnt, SUM(n) AS n_bg, "
+    "ROUND(MAX(n)/CAST(SUM(n) AS DOUBLE), 6) AS rep_ratio "
+    "FROM c GROUP BY 1",
+)
+def repetition_ratio(spark, sf_dir):
+    """Repetition quality signal (Gopher-style): frequency share of the
+    most repeated bigram per document — high ratio flags boilerplate/spam
+    for training-data filtering. Shingles are row-local expressions; both
+    aggregations shuffle on doc_id (the second reuses the first's
+    partitioning — one Exchange total). Docs under 2 tokens drop out."""
+    from kafka_streams_demo_spark.functions.text import tokenize, word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    bg = docs.select(
+        F.col("doc_id"), tokenize(F.col("text")).alias("_toks")
+    ).select("doc_id", F.explode(word_shingles(F.col("_toks"), 2)).alias("bigram"))
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy(F.col("doc_id").alias("key"))
+        .agg(
+            F.max("n").alias("top_cnt"),
+            F.sum("n").alias("n_bg"),
+            F.round(F.max("n") / F.sum("n").cast("double"), 6).alias("rep_ratio"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -48,6 +48,7 @@ class PlanAudit:
     sorts: int = 0
     partial_aggs: int = 0
     pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
 
     @property
@@ -102,6 +103,9 @@ def audit(df: DataFrame) -> PlanAudit:
         re.findall(r"\bpartial_(?:sum|count|max|min|avg|first)", simple)
     )
     a.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    a.partition_filters = [
+        pf for pf in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if pf.strip()
+    ]
     a.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
     return a
 

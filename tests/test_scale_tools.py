@@ -59,3 +59,27 @@ def test_salted_count_matches_plain_count_under_skew(spark):
         with_salt(df, 8).filter(F.col("key") == "hot").select("_salt").distinct().count()
     )
     assert spread > 1
+
+
+def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
+    """ANN corpus written partitioned by IVF cell: a probe for 2 cells must
+    prune at the directory level (PartitionFilters on the scan) and read
+    exactly those cells' rows."""
+    from kafka_streams_demo_spark.functions.similarity import ivf_assign, ivf_centroids
+    from kafka_streams_demo_spark.sources.layout import read_cells, write_partitioned
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cents = ivf_centroids(emb)
+    assigned = ivf_assign(emb, cents, n=1)
+    path = str(tmp_path / "corpus_by_cell")
+    write_partitioned(assigned, path, "cell")
+
+    probe = read_cells(spark, path, "cell", [0, 1])
+    a = audit(probe)
+    assert a.partition_filters, f"no PartitionFilters on the probe scan:\n{a.plan}"
+    assert "cell" in " ".join(a.partition_filters)
+    # correctness: pruned read == full read filtered
+    full = spark.read.parquet(path)
+    assert probe.count() == full.filter(F.col("cell").isin([0, 1])).count()
+    assert probe.count() > 0
