@@ -1786,6 +1786,45 @@ def repetition_ratio(spark, sf_dir):
     )
 
 
+@register(
+    "contamination_check",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS s "
+    "FROM t, LATERAL UNNEST(generate_series(1, len(w)-2)) AS g(i)), "
+    "ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1), "
+    "tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0) "
+    "SELECT ev.doc_id AS key, count(*) AS n_sh, "
+    "count(*) FILTER (WHERE tr.s IS NOT NULL) AS n_shared, "
+    "ROUND(count(*) FILTER (WHERE tr.s IS NOT NULL) / CAST(count(*) AS DOUBLE), 6) AS ratio "
+    "FROM ev LEFT JOIN tr ON ev.s = tr.s GROUP BY 1",
+)
+def contamination_check(spark, sf_dir):
+    """Train/eval decontamination: per eval doc (odd ids), the share of its
+    3-gram shingles that also occur anywhere in the train split (even ids).
+    Shingling is row-local; the train side collapses to its DISTINCT
+    shingle set before the join (one dedup shuffle, then shingle-keyed
+    join) — at 100 TB the train set is also the natural bloom-filter feed.
+    Docs under 3 tokens have no shingles and drop out, same as the oracle."""
+    from kafka_streams_demo_spark.functions.dedup import doc_shingle_sets
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = doc_shingle_sets(docs, n=3).select(
+        "doc_id", F.explode("shset").alias("s")
+    )
+    ev = sh.filter(F.col("doc_id") % 2 == 1)
+    tr = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
+    tr_marked = tr.withColumn("_hit", F.lit(1))
+    return (
+        ev.join(tr_marked, "s", "left")
+        .groupBy(F.col("doc_id").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("_hit").alias("n_shared"),
+            F.round(F.count("_hit") / F.count(F.lit(1)).cast("double"), 6).alias("ratio"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
