@@ -114,3 +114,19 @@ def test_minhash_sig_impls_are_bit_identical(spark):
     n = {r["doc_id"]: r["sig"] for r in minhash_sig_array(ds, impl="native").collect()}
     assert a == n
     assert any(v is not None for v in a.values())
+
+
+def test_simhash_sig_impls_are_bit_identical(spark):
+    from pyspark.sql import functions as F2
+
+    from kafka_streams_demo_spark.functions.dedup import simhash_sig
+
+    docs = load_table(spark, "documents", SF)
+    hashed = docs.select(
+        F2.col("doc_id"),
+        F2.transform(tokenize(F2.col("text")), lambda t: F2.xxhash64(t)).alias("_th"),
+    )
+    a = {r["doc_id"]: r["sig"] for r in simhash_sig(hashed, impl="arrow").collect()}
+    n = {r["doc_id"]: r["sig"] for r in simhash_sig(hashed, impl="native").collect()}
+    assert a == n
+    assert any(v != 0 for v in a.values())

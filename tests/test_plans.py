@@ -123,23 +123,25 @@ def test_dedup_family_stays_jvm_side(spark):
     over the interpreted HOF chain) — exactly ONE Python node (the
     mapInPandas signature pass), twice in the plan because LSH candidates
     and verification both read the shingle sets."""
-    for name in ["dedup_exact", "simhash_pairs",
+    for name in ["dedup_exact",
                  "ngram_jaccard_pairs", "dedup_embedding_cosine", "embedding_knn_blocked"]:
         a = _audit(spark, name)
         assert a.python_evals == 0, f"{name} fell off the JVM path:\n{a.plan}"
-    a = _audit(spark, "minhash_lsh_pairs")
-    assert 1 <= a.python_evals <= 2, f"unexpected Python nodes:\n{a.plan}"
+    for name in ["minhash_lsh_pairs", "simhash_pairs"]:
+        a = _audit(spark, name)
+        assert 1 <= a.python_evals <= 2, f"unexpected Python nodes:\n{a.plan}"
 
 
 def test_minhash_native_impl_stays_jvm_side(spark):
-    """The native fallback signature path has NO Python runtime in its
-    plan — it exists for Python-worker-free deployments."""
-    from kafka_streams_demo_spark.functions.dedup import minhash_lsh_pairs
+    """The native fallback signature paths have NO Python runtime in their
+    plans — they exist for Python-worker-free deployments."""
+    from kafka_streams_demo_spark.functions.dedup import minhash_lsh_pairs, simhash_pairs
     from kafka_streams_demo_spark.sources.registry import load_table
 
     docs = load_table(spark, "documents", "/root/testdata/sf0.001")
-    a = audit(minhash_lsh_pairs(docs, signature_impl="native"))
-    assert a.python_evals == 0, a.plan
+    for fn in (minhash_lsh_pairs, simhash_pairs):
+        a = audit(fn(docs, signature_impl="native"))
+        assert a.python_evals == 0, a.plan
 
 
 def test_minhash_scan_prunes_to_needed_columns(spark):
