@@ -1825,6 +1825,22 @@ def contamination_check(spark, sf_dir):
     )
 
 
+@register("ivf_train_kmeans")  # no SQL oracle: iterative algorithm; see tests
+def ivf_train_kmeans(spark, sf_dir):
+    """Lloyd's k-means (3 iterations) training the IVF coarse quantizer —
+    the iterative-algorithm family: per-iteration broadcast-assign (map
+    pass) + mean recompute; only the k-row centroid table ever leaves the
+    cluster. Output: one row per cell with its population and centroid
+    norm."""
+    from kafka_streams_demo_spark.functions.similarity import kmeans_train, norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    trained = kmeans_train(emb, k=8, iters=3)
+    return trained.select(
+        "cell", "n_assigned", F.round(norm(F.col("centroid")), 6).alias("cnorm")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -165,6 +165,64 @@ def ivf_assign(
     )
 
 
+def kmeans_train(
+    emb: DataFrame, k: int = 8, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as an iterative DataFrame algorithm (the IVF coarse
+    quantizer when no natural cell key exists).
+
+    - deterministic init: the k vectors with smallest (xxhash64(id), id)
+    - per iteration: broadcast the k centroids → cosine-assign every
+      vector (map-only pass, corpus never shuffles) → recompute
+      elementwise means (posexplode agg, shuffle of |corpus|×dim value
+      rows reduced map-side to |k|×dim)
+    - the k×dim centroid table is collected to the driver between
+      iterations (bounded: k rows) — this prevents unbounded lazy-plan
+      growth across iterations; the corpus itself is never collected.
+
+    Returns (cell, centroid, n_assigned). Iterative — exempt from the SQL
+    oracle (rows-only check); convergence is unit-tested instead.
+    """
+    vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    spark = emb.sparkSession
+
+    init = (
+        vecs.select("vid", "vec", F.xxhash64(F.col("vid")).alias("_h"))
+        .orderBy("_h", "vid")
+        .limit(k)
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(init)],
+        "cell int, centroid array<double>",
+    )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = ivf_assign(vecs, cents, n=1, id_col="vid", vec_col="vec")
+        pos = assigned.select("cell", F.posexplode("vec").alias("pos", "v"))
+        new_cents = (
+            pos.groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda x: x["m"]).alias("centroid"))
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            [(r["cell"], list(r["centroid"])) for r in new_cents],
+            "cell int, centroid array<double>",
+        )
+
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_assigned"))
+    return cents.join(counts, "cell", "left").select(
+        "cell",
+        "centroid",
+        F.coalesce(F.col("n_assigned"), F.lit(0)).alias("n_assigned"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = 2,
     cell_col: str = "label", id_col: str = "vec_id", vec_col: str = "embedding",

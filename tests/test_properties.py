@@ -129,3 +129,43 @@ def test_tumbling_window_counts_partition_the_stream(spark, rows):
         model[bucket] = model.get(bucket, 0) + 1
     assert got == model
     assert sum(got.values()) == len(rows)
+
+
+asof_ts = st.integers(min_value=0, max_value=20)
+asof_keys = st.sampled_from(["k1", "k2"])
+
+
+@given(
+    left=st.lists(st.tuples(asof_keys, asof_ts), min_size=1, max_size=12),
+    right=st.lists(st.tuples(asof_keys, asof_ts), min_size=0, max_size=12),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce_model(spark, left, right):
+    """asof_join == the obvious per-row scan: for each left row, the right
+    row with max ts <= left ts (same key), ties broken by max rid; None
+    when absent. Random keys/timestamps including duplicates."""
+    from datetime import datetime, timedelta
+
+    from kafka_streams_demo_spark.operators.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, base + timedelta(seconds=t)) for i, (k, t) in enumerate(left)],
+        "lid long, k string, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, base + timedelta(seconds=t)) for i, (k, t) in enumerate(right)],
+        "rid long, k string, rts timestamp",
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            ldf, rdf, left_on="k", right_on="k",
+            left_ts="ts", right_ts="rts", tie_break="rid",
+        ).collect()
+    }
+    expected = {}
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, ri) for ri, (rk, rt) in enumerate(right) if rk == k and rt <= t]
+        expected[i] = max(cands)[1] if cands else None
+    assert got == expected

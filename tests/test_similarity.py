@@ -103,3 +103,32 @@ def test_ivf_topk_self_similarity_and_exact_rerank(spark):
         assert bf_cos[(r["q_id"], r["n_id"])] == r["cos"]
     again = ivf_topk(emb, queries, k=10, nprobe=2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """3 well-separated planted clusters, k=3: every trained cell is pure
+    (all members from one planted cluster) and assignments are stable."""
+    import random
+
+    from kafka_streams_demo_spark.functions.similarity import ivf_assign, kmeans_train
+
+    rng = random.Random(7)
+    rows = []
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    trained = kmeans_train(emb, k=3, iters=3)
+    cents = trained.select("cell", "centroid")
+    assigned = ivf_assign(emb, cents, n=1)
+    got = {r["vid"]: r["cell"] for r in assigned.collect()}
+    # purity: each trained cell maps to exactly one planted cluster
+    by_cell = {}
+    for vid, cell in got.items():
+        by_cell.setdefault(cell, set()).add(vid % 3)
+    assert all(len(s) == 1 for s in by_cell.values()), by_cell
+    assert len(by_cell) == 3
+    total = sum(r["n_assigned"] for r in trained.collect())
+    assert total == 90
