@@ -71,6 +71,11 @@ def get_spark(
         # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no ns
         # timestamp — read as long ns and convert (registry.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write timestamps as INT64 micros, not the legacy INT96: INT96
+        # columns carry NO min/max statistics, which silently disables
+        # row-group skipping for every time-range predicate over data we
+        # write (verified by test_range_clustered_write_tightens_rowgroup_stats).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # At 100 TB scale: bounded scan-task size; 128m is the sweet spot for
         # parquet row-group alignment.
         .config("spark.sql.files.maxPartitionBytes", "128m")

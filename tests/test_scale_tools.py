@@ -83,3 +83,45 @@ def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
     full = spark.read.parquet(path)
     assert probe.count() == full.filter(F.col("cell").isin([0, 1])).count()
     assert probe.count() > 0
+
+
+def test_range_clustered_write_tightens_rowgroup_stats(spark, tmp_path):
+    """Range-clustered lineitem: per-row-group shipdate spans shrink to a
+    fraction of the global span (the stats parquet skipping feeds on),
+    and a range filter still pushes to the scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kafka_streams_demo_spark.sources.layout import write_range_clustered
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.01").select(
+        "l_orderkey", "l_shipdate"
+    )
+    plain, clustered = str(tmp_path / "plain"), str(tmp_path / "clustered")
+    li.write.parquet(plain)
+    write_range_clustered(li, clustered, "l_shipdate", files=8)
+
+    def spans(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.names.index("l_shipdate")
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                out.append((st.max - st.min).total_seconds())
+        return out
+
+    p, c = spans(plain), spans(clustered)
+    assert p and c
+    global_span = max(max(p), max(c))
+    assert sum(c) / len(c) < 0.35 * global_span, (sum(c) / len(c), global_span)
+
+    got = spark.read.parquet(clustered).filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    a = audit(got)
+    assert any("l_shipdate" in pf for pf in a.pushed_filters), a.pushed_filters
+    expect = li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).count()
+    assert got.count() == expect
