@@ -26,6 +26,7 @@ HEADLINE = [
     "q5_regional_revenue",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q18_large_orders",
     "asof_join_purchase",
     "running_sum_per_user",
     "word_count",

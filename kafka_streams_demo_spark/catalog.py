@@ -1841,6 +1841,125 @@ def ivf_train_kmeans(spark, sf_dir):
     )
 
 
+@register(
+    "q4_late_ship_priority",
+    "SELECT o.o_orderpriority, count(*) AS n FROM orders o WHERE EXISTS ("
+    "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) GROUP BY 1",
+)
+def q4_late_ship_priority(spark, sf_dir):
+    """TPC-H Q4 shape (correlated EXISTS → left-semi join): orders with at
+    least one line shipped >60 days after order date, counted by priority.
+    The semi join ships only (orderkey, shipdate) through the shuffle and
+    never duplicates multi-line matches."""
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    cond = (l["l_orderkey"] == o["o_orderkey"]) & (
+        l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    "SELECT SUM(CASE WHEN p.p_type = 'PROMO' "
+    "THEN CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT) ELSE 0 END) AS promo_c, "
+    "SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT)) AS total_c, "
+    "ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO' "
+    "THEN CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT) ELSE 0 END) "
+    "/ SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT)), 6) AS promo_pct "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share in one month. part broadcasts;
+    the month predicate prunes lineitem at the scan (row-group skipping on
+    clustered data); conditional aggregation in one pass."""
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, "part", sf_dir)
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(promo).alias("promo_c"),
+            F.sum(rev).alias("total_c"),
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150) "
+    "SELECT c.c_custkey, o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us, "
+    "CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT) AS total_c "
+    "FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "ORDER BY total_c DESC, o_orderkey LIMIT 100",
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (HAVING → IN): orders whose total quantity exceeds
+    the threshold. The HAVING aggregate reduces lineitem to qualifying
+    orderkeys BEFORE the join (keys only through the shuffle); top-100 via
+    TakeOrderedAndProject."""
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            cents(F.col("o_totalprice")).alias("total_c"),
+        )
+        .orderBy(F.desc("total_c"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    "SELECT SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT)) AS revenue_c, "
+    "count(*) AS n_lines FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11) "
+    "OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20) "
+    "OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive brand×quantity predicates across the
+    join. Catalyst extracts the common subexpressions (quantity bounds push
+    to the lineitem scan, brand set to the part scan) before evaluating the
+    residual OR — part still broadcasts."""
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    disj = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(disj).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

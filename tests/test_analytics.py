@@ -31,6 +31,12 @@ NEW_QUERIES = [
     "pivot_priority_by_nation",
     "sessionize_gap",
     "set_ops_all_multiset",
+    "repetition_ratio",
+    "contamination_check",
+    "q4_late_ship_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
 ]
 
 
