@@ -41,7 +41,10 @@ HEADLINE = [
     # LLM-pipeline extension family (first-class: dedup / text / ANN)
     "dedup_exact",
     "minhash_lsh_pairs",
+    "simhash_pairs",
+    "contamination_check",
     "token_counts",
+    "sessionize_gap",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
 ]
