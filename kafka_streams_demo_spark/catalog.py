@@ -1960,6 +1960,20 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
 
 
+@register("approx_percentile_value")  # no SQL oracle: sketch results are engine-specific
+def approx_percentile_value(spark, sf_dir):
+    """approx_percentile (sketch family, next to the HLL in
+    approx_distinct_users): p50/p95 per event_type with bounded error —
+    the 100 TB substitute for exact percentile (map-side combinable
+    sketch, no full value set per group). Accuracy bound unit-tested
+    against the exact percentile."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile(cents(F.col("value")), F.lit(0.5), F.lit(10000)).alias("p50_c"),
+        F.approx_percentile(cents(F.col("value")), F.lit(0.95), F.lit(10000)).alias("p95_c"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -237,6 +237,43 @@ class KStream:
         """Windowed full-outer stream-stream join (StreamToStreamJoinExample.scala:94)."""
         return self._stream_join(other, combiner, windows, "full_outer")
 
+    def asof_join(
+        self,
+        other: "KStream",
+        combiner: Callable[[Column, Column], Column],
+        tolerance: str | None = None,
+    ) -> "KStream":
+        """Point-in-time enrichment (extension — the reference's join
+        families are symmetric-window or current-state only): pair each
+        record with ``other``'s LATEST record at-or-before this record's
+        timestamp for the same key; ``combiner(v, other_v)`` builds the
+        output value (other_v null when no match / match older than
+        ``tolerance``). Merge formulation — one key shuffle, no pair
+        blow-up (operators/asof.py)."""
+        from kafka_streams_demo_spark.operators.asof import asof_join as _asof
+
+        if TS not in self.df.columns or TS not in other.df.columns:
+            raise ValueError("asof_join requires timestamps on both streams")
+        rsel = [F.col(KEY).alias("_rk"), F.col(VALUE).alias("_rv"), F.col(TS).alias("_rts")]
+        tie = None
+        if OFFSET in other.df.columns:
+            rsel.append(F.col(OFFSET).alias("_roff"))
+            tie = "_roff"
+        joined = _asof(
+            self.df,
+            other.df.select(*rsel),
+            left_on=KEY,
+            right_on="_rk",
+            left_ts=TS,
+            right_ts="_rts",
+            tie_break=tie,
+            tolerance=tolerance,
+        )
+        sel = [F.col(KEY), combiner(F.col(VALUE), F.col("_rv")).alias(VALUE), F.col(TS)]
+        if OFFSET in self.df.columns:
+            sel.append(F.col(OFFSET))
+        return KStream(joined.select(*sel))
+
     # -- sinks (§2a) ------------------------------------------------------
     def to(self, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
         """stream.to(topic) equivalent for batch: write canonical records.

@@ -63,3 +63,21 @@ def test_matches_oracle_at_sf0001(spark, ddb, name):
     s_rows = [tuple(r) for r in sdf.collect()]
     assert sorted(sdf.columns) == sorted(d_cols)
     assert _norm(s_rows, sdf.columns) == _norm(d_rows, d_cols), name
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark):
+    """Sketch percentiles track the exact ones within 2% of the value
+    range per event_type (rows-only query — this is its correctness
+    evidence)."""
+    approx = {
+        r["event_type"]: (r["p50_c"], r["p95_c"])
+        for r in catalog.queries()["approx_percentile_value"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50_c"], r["p95_c"])
+        for r in catalog.queries()["percentile_value_by_type"](spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et in exact:
+        for a, e in zip(approx[et], exact[et]):
+            assert abs(a - e) <= 0.02 * 49001 + 1, (et, a, e)  # value range ~490.01*100

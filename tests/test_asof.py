@@ -114,3 +114,26 @@ def test_asof_catalog_matches_duckdb_at_sf0001(spark):
         d_rows = sorted(tuple(r) for r in con.execute(catalog.oracle_sql()[name]).fetchall())
         assert len(s_rows) == len(d_rows)
         assert s_rows == d_rows, f"{name}: first diff {next((a, b) for a, b in zip(s_rows, d_rows) if a != b)}"
+
+
+def test_kstream_asof_join_fluent(spark):
+    """The fluent KStream surface: enrich each record with the other
+    stream's latest value at-or-before it."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream
+
+    left = spark.createDataFrame(
+        [("u1", 100, ts(10), 1), ("u1", 200, ts(4), 2), ("u2", 300, ts(9), 3)],
+        "key string, value long, timestamp timestamp, offset long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 7, ts(5), 1), ("u1", 9, ts(8), 2)],
+        "key string, value long, timestamp timestamp, offset long",
+    )
+    out = KStream(left).asof_join(
+        KStream(right), lambda v, rv: v + F.coalesce(rv, F.lit(0))
+    )
+    got = {r["offset"]: r["value"] for r in out.to_df().collect()}
+    # u1@10 matches rv=9 (ts 8); u1@4 has no match (first right at 5); u2 none
+    assert got == {1: 109, 2: 200, 3: 300}

@@ -151,3 +151,18 @@ def test_minhash_scan_prunes_to_needed_columns(spark):
     assert a.read_schemas, a.plan
     for rs in a.read_schemas:
         assert "lang" not in rs and "source" not in rs, rs
+
+
+def test_analytics_family_no_nested_loops_bounded_exchanges(spark):
+    """Every analytics/extension query plans without CartesianProduct and
+    with at most 2 Exchanges — the properties that decide 100 TB viability."""
+    for name in [
+        "q4_late_ship_priority", "q14_promo_revenue", "q18_large_orders",
+        "q19_disjunctive_revenue", "q17_small_quantity_revenue",
+        "pivot_priority_by_nation", "rollup_revenue", "cube_status_priority",
+        "contamination_check", "sessionize_gap", "asof_join_purchase",
+        "top3_orders_per_cust", "running_sum_per_user",
+    ]:
+        a = _audit(spark, name)
+        assert a.nested_loop_joins == 0, f"{name} nested loop:\n{a.plan}"
+        assert a.exchanges <= 2, f"{name} has {a.exchanges} exchanges:\n{a.plan}"
