@@ -1974,6 +1974,28 @@ def approx_percentile_value(spark, sf_dir):
     )
 
 
+@register(
+    "pii_scan",
+    "SELECT doc_id AS key, "
+    "CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email, "
+    "CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_longnum "
+    "FROM documents",
+)
+def pii_scan(spark, sf_dir):
+    """PII-pattern scan (redaction/filter precursor): per-doc counts of
+    email-shaped tokens and 7+-digit runs. Patterns stay in the
+    RE2 ∩ Java-regex common subset so both engines match identically;
+    pure row-local regexp_count — a map stage at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("key"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+        ).cast("long").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]{7,}")).cast("long").alias("n_longnum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -169,3 +169,36 @@ def test_asof_join_matches_bruteforce_model(spark, left, right):
         cands = [(rt, ri) for ri, (rk, rt) in enumerate(right) if rk == k and rt <= t]
         expected[i] = max(cands)[1] if cands else None
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(min_value=0, max_value=600)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_tumbling_window_count_matches_python_model(spark, rows):
+    """Tumbling 5-min window counts == bucketing ts//300 in Python, for any
+    random (key, second-offset) set."""
+    from datetime import datetime, timedelta
+
+    from kafka_streams_demo_spark.operators.windows import TimeWindows
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, "v", base + timedelta(seconds=s), i) for i, (k, s) in enumerate(rows)],
+        "key string, value string, timestamp timestamp, offset long",
+    )
+    got = {
+        (r["key"], (r["window_start"] - base).total_seconds() // 300): r["value"]
+        for r in KStream(df)
+        .group_by_key()
+        .windowed_by(TimeWindows.of("5 minutes"))
+        .count()
+        .collect()
+    }
+    model: dict[tuple, int] = {}
+    for k, s in rows:
+        model[(k, s // 300)] = model.get((k, s // 300), 0) + 1
+    assert got == model
