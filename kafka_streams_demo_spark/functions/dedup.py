@@ -68,13 +68,33 @@ def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (i < j). Join on shared
     shingles → common counts → Jaccard from per-doc set sizes. The shuffle
     keys are shingles; frequent-shingle skew is the scale hazard — AQE skew
-    handling plus (optionally) dropping ubiquitous shingles mitigates."""
+    handling plus ``max_doc_freq`` mitigate.
+
+    ``max_doc_freq``: drop shingles occurring in more than this many docs
+    from the PAIRING join (the hot set is tiny, so it broadcast-anti-joins).
+    A boilerplate shingle shared by 1M docs would otherwise contribute a
+    10¹² -row join block. Dropped shingles still count in the set sizes, so
+    reported Jaccard becomes a lower bound — pairs held together ONLY by
+    ubiquitous boilerplate fall below threshold, which is the desired
+    behavior for near-dup detection at scale. Default None = exact."""
     sh = shingle_rows(docs, n, text_col, id_col)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        sizes_src = shingle_rows(docs, n, text_col, id_col)
+    else:
+        sizes_src = sh
+    sizes = sizes_src.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -37,6 +37,7 @@ NEW_QUERIES = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "pii_scan",
 ]
 
 

@@ -130,3 +130,24 @@ def test_simhash_sig_impls_are_bit_identical(spark):
     n = {r["doc_id"]: r["sig"] for r in simhash_sig(hashed, impl="native").collect()}
     assert a == n
     assert any(v != 0 for v in a.values())
+
+
+def test_ngram_jaccard_max_doc_freq_drops_boilerplate_pairs(spark):
+    """A huge cap changes nothing; capping at 2 kills the pair held
+    together only by a 3-doc boilerplate shingle while identical docs
+    (private shingles) survive."""
+    boiler = "lorem ipsum dolor sit amet consectetur"
+    docs = _docs(spark, [
+        (1, f"unique alpha beta gamma delta {boiler}"),
+        (2, f"unique alpha beta gamma delta {boiler}"),   # true near-dup of 1
+        (3, f"totally other words entirely here {boiler}"),  # boilerplate-only overlap
+    ])
+    uncapped = {(r["i"], r["j"]) for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    huge_cap = {(r["i"], r["j"]) for r in
+                ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100).collect()}
+    assert huge_cap == uncapped
+    capped = {(r["i"], r["j"]) for r in
+              ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=2).collect()}
+    assert (1, 2) in capped
+    assert (1, 3) not in capped and (2, 3) not in capped
+    assert (1, 3) in uncapped  # boilerplate DID pair them without the cap
