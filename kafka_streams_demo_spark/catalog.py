@@ -1996,6 +1996,31 @@ def pii_scan(spark, sf_dir):
     )
 
 
+@register(
+    "interarrival_stats",
+    "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) "
+    "SELECT user_id, count(gap_us) AS n_gaps, max(gap_us) AS max_gap_us, "
+    "ROUND(avg(gap_us), 2) AS avg_gap_us FROM g GROUP BY 1",
+)
+def interarrival_stats(spark, sf_dir):
+    """Inter-arrival profiling (lag window + rollup): per-user event-gap
+    count/max/mean in micros — the time-series health check behind rate
+    limiting and bot detection. One Exchange on user_id serves both the
+    lag pass and the aggregation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    um = F.unix_micros("ts")
+    gaps = ev.select("user_id", (um - F.lag(um).over(w)).alias("gap_us"))
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.avg("gap_us"), 2).alias("avg_gap_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -38,6 +38,7 @@ NEW_QUERIES = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "pii_scan",
+    "interarrival_stats",
 ]
 
 
