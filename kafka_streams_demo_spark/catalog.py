@@ -2021,6 +2021,54 @@ def interarrival_stats(spark, sf_dir):
     )
 
 
+@register(
+    "funnel_signup_click_purchase",
+    "WITH su AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1), "
+    "cl AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN su ON e.user_id = su.user_id "
+    "AND e.ts >= su.t1 WHERE e.event_type = 'click' GROUP BY 1), "
+    "pu AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN cl ON e.user_id = cl.user_id "
+    "AND e.ts >= cl.t2 WHERE e.event_type = 'purchase' GROUP BY 1) "
+    "SELECT su.user_id, epoch_us(su.t1) AS signup_us, epoch_us(cl.t2) AS click_us, "
+    "epoch_us(pu.t3) AS purchase_us "
+    "FROM su LEFT JOIN cl ON su.user_id = cl.user_id LEFT JOIN pu ON su.user_id = pu.user_id",
+)
+def funnel_signup_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel: first signup → first click at-or-after it
+    → first purchase at-or-after that. Each step is a keyed min-aggregation
+    joined back on the key — every shuffle is on user_id, so the three
+    steps reuse one partitioning; step tables only ever shrink."""
+    ev = load_table(spark, "events", sf_dir)
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    cl = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        su.join(cl, "user_id", "left")
+        .join(pu, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("signup_us"),
+            F.unix_micros("t2").alias("click_us"),
+            F.unix_micros("t3").alias("purchase_us"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -39,6 +39,7 @@ NEW_QUERIES = [
     "q19_disjunctive_revenue",
     "pii_scan",
     "interarrival_stats",
+    "funnel_signup_click_purchase",
 ]
 
 
