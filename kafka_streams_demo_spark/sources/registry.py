@@ -224,3 +224,21 @@ def kafka_sink(df: DataFrame, topic: str, brokers: str, checkpoint: str):
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100, num_keys: int = 8) -> DataFrame:
+    """Synthetic load generator (Spark's rate source) in the canonical
+    record shape (key/value/timestamp/offset) — the no-files-no-broker
+    streaming source for smoke and throughput runs; keys round-robin over
+    ``num_keys``. Parallelism scales with numPartitions on a cluster."""
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return df.select(
+        F.pmod(F.col("value"), F.lit(num_keys)).cast("string").alias("key"),
+        F.col("value"),
+        F.col("timestamp"),
+        F.col("value").alias("offset"),
+    )

@@ -112,3 +112,34 @@ def test_kafka_stream_fails_clearly_without_connector(spark):
 
     with _pytest.raises(Exception, match="(?i)kafka"):
         kafka_stream(spark, "clicks")
+
+
+def test_rate_stream_canonical_shape(spark, tmp_path):
+    """Rate source arrives in the canonical record shape and feeds the
+    usual operator layer (count by key, update mode)."""
+    import time
+
+    from kafka_streams_demo_spark.sources.registry import rate_stream
+
+    src = rate_stream(spark, rows_per_second=200, num_keys=4)
+    assert src.columns == ["key", "value", "timestamp", "offset"]
+    q = (
+        src.groupBy("key").count()
+        .writeStream.format("memory").queryName("rate_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 30
+        n = 0
+        while time.monotonic() < deadline:
+            n = spark.table("rate_counts").count()
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+        keys = {r["key"] for r in spark.table("rate_counts").collect()}
+        assert keys <= {"0", "1", "2", "3"}
+    finally:
+        q.stop()
