@@ -241,3 +241,41 @@ def test_streaming_left_join_emits_unmatched_at_watermark(spark, tmp_path):
     got = sorted((r["key"], r["value"]) for r in out.collect())
     assert ("a", 4) in got, got
     assert ("lonely", 7) in got, got  # null right → combiner saw coalesce(null,0)
+
+
+def test_streaming_count_with_rocksdb_state_store(spark, tmp_path):
+    """The large-state path (SURVEY §4: RocksDB provider for 100 TB-scale
+    keyed state) actually runs here: same count-by-key pipeline, state
+    backed by RocksDB, identical results to the default provider."""
+    from kafka_streams_demo_spark.sources.registry import read_stream_table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_stream_table(spark, "events", "/root/testdata/sf0.001")
+        q = (
+            ev.groupBy("event_type").count()
+            .writeStream.format("memory").queryName("rocks_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["event_type"]: r["count"] for r in spark.table("rocks_counts").collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    expect = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, "events", "/root/testdata/sf0.001")
+        .groupBy("event_type").count().collect()
+    }
+    assert got == expect and got
