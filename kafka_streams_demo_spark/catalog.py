@@ -2069,6 +2069,21 @@ def funnel_signup_click_purchase(spark, sf_dir):
     )
 
 
+@register("ann_topk_arrow")  # no SQL oracle: numpy float-sum order; recall-tested
+def ann_topk_arrow(spark, sf_dir):
+    """Arrow-vectorized exact top-k (one numpy matmul per batch, per-batch
+    top-k, global rank) — the throughput path next to the oracle-gated
+    sequential baseline; recall vs that baseline is pinned by test."""
+    from kafka_streams_demo_spark.functions.similarity import topk_bruteforce_arrow
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = topk_bruteforce_arrow(emb, queries_df, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -165,6 +165,66 @@ def ivf_assign(
     )
 
 
+def topk_bruteforce_arrow(
+    emb: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Arrow-vectorized exact top-k cosine: the query matrix (collected —
+    bounded by |Q|, never the corpus) is shipped inside the closure; each
+    Arrow batch scores |B|×|Q| via one numpy matmul and emits only its
+    per-query top-k, so the shuffle carries |tasks|×|Q|×k candidate rows;
+    a final window rank reduces to the global top-k.
+
+    Same math as topk_bruteforce up to float-sum order (numpy pairwise vs
+    sequential) — recall-tested against it, not oracle-hashed."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    q_rows = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
+    ).collect()
+    q_ids = [r["q_id"] for r in q_rows]
+    qm = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    kk = k
+
+    corpus = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+
+    out_schema = StructType([
+        StructField("q_id", LongType()),
+        StructField("n_id", LongType()),
+        StructField("cos", DoubleType()),
+    ])
+
+    def score(it):
+        for pdf in it:
+            ids = pdf["n_id"].values
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["n_vec"].values])
+            if m.size == 0:
+                continue
+            nn = np.linalg.norm(m, axis=1)
+            cos = (m @ qm.T) / np.outer(nn, qn)  # |B| × |Q|
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:kk]]
+                yield pd.DataFrame(
+                    {"q_id": qid, "n_id": ids[top], "cos": np.round(col[top], 6)}
+                )
+
+    scored = corpus.mapInPandas(score, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
 def kmeans_train(
     emb: DataFrame, k: int = 8, iters: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -132,3 +132,20 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert len(by_cell) == 3
     total = sum(r["n_assigned"] for r in trained.collect())
     assert total == 90
+
+
+def test_arrow_topk_matches_sequential_baseline(spark):
+    """Arrow matmul path returns the same neighbor sets as the oracle-gated
+    sequential baseline (cos within 1e-5; rank-boundary ties may swap)."""
+    from kafka_streams_demo_spark import catalog
+
+    sf = "/root/testdata/sf0.01"
+    exact = catalog.queries()["ann_topk_bruteforce"](spark, sf).collect()
+    arrow = catalog.queries()["ann_topk_arrow"](spark, sf).collect()
+    e = {(r["q_id"], r["n_id"]): r["cos"] for r in exact}
+    a = {(r["q_id"], r["n_id"]): r["cos"] for r in arrow}
+    assert len(a) == len(e)
+    overlap = set(a) & set(e)
+    assert len(overlap) >= 0.9 * len(e), (len(overlap), len(e))
+    for kpair in overlap:
+        assert abs(a[kpair] - e[kpair]) < 1e-5
