@@ -69,6 +69,31 @@ def main() -> None:
     results["orders_per_nation_stream"] = {"rows": n_orders, "sec": round(dt, 2),
                                            "rows_per_sec": round(n_orders / dt)}
 
+    # tumbling-window count with watermark (the stateful window path)
+    ev2 = read_stream_table(spark, "events", sf_dir)
+    windowed = (
+        ev2.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .count()
+    )
+    t0 = time.monotonic()
+    run_noop(windowed, output_mode="append")
+    dt = time.monotonic() - t0
+    results["windowed_count_stream"] = {"rows": n_events, "sec": round(dt, 2),
+                                        "rows_per_sec": round(n_events / dt)}
+
+    # stateful processor (applyInPandasWithState running count — the
+    # Processor API parity path, JVM<->Python Arrow boundary included)
+    from kafka_streams_demo_spark.streaming.processor import running_count_processor
+
+    ev3 = read_stream_table(spark, "events", sf_dir)
+    s3 = KStream.from_df(ev3, key="event_type", value="value", timestamp="ts", offset="event_id")
+    t0 = time.monotonic()
+    run_noop(running_count_processor(s3.to_df()))
+    dt = time.monotonic() - t0
+    results["processor_running_count_stream"] = {"rows": n_events, "sec": round(dt, 2),
+                                                 "rows_per_sec": round(n_events / dt)}
+
     print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
                       "results": results}))
     spark.stop()
