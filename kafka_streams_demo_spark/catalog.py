@@ -2084,6 +2084,16 @@ def ann_topk_arrow(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register("multimodal_resize")  # no SQL oracle: pandas-UDF resize stub
+def multimodal_resize_q(spark, sf_dir):
+    """Image-resize plumbing (decode→scale→re-encode stub over
+    mapInPandas): one row per image with original/target dims + scale."""
+    from kafka_streams_demo_spark.functions.multimodal import attach_binary, resize_images
+
+    docs = load_table(spark, "documents", sf_dir)
+    return resize_images(attach_binary(docs), fake=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

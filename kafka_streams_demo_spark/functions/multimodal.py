@@ -95,6 +95,46 @@ def decode_features(multimodal: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+def resize_images(
+    multimodal: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = False
+) -> DataFrame:
+    """Image resize stub (decode → scale → re-encode in production): emits
+    per-image original and target dimensions plus the scale factor. Real
+    resize needs an image codec → NotImplementedError unless fake=True,
+    which derives deterministic fake source dims from the payload bytes —
+    the Spark-side contract (Arrow batching, schema, one-row-per-image) is
+    the part under test."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires codec libs; pass fake=True for the stub"
+        )
+    tw, th = target_w, target_h
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "orig_w": [], "orig_h": [],
+                    "new_w": [], "new_h": [], "scale": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # deterministic fake dims from payload bytes (stand-in for
+                # the decoded header)
+                ow = 64 + (payload[0] if len(payload) else 0) * 8
+                oh = 64 + (payload[-1] if len(payload) else 0) * 8
+                rows["doc_id"].append(doc_id)
+                rows["orig_w"].append(ow)
+                rows["orig_h"].append(oh)
+                rows["new_w"].append(tw)
+                rows["new_h"].append(th)
+                rows["scale"].append(round(min(tw / ow, th / oh), 6))
+            yield _pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(
+        batches,
+        schema="doc_id long, orig_w int, orig_h int, new_w int, new_h int, scale double",
+    )
+
+
 def frame_sample(multimodal: DataFrame, every_n_bytes: int = 1024, fake: bool = False) -> DataFrame:
     """Frame-sampling stub (video → every-Nth-frame): emits one row per
     sampled 'frame' offset with a checksum slice. Real frame extraction

@@ -55,3 +55,33 @@ def test_frame_sample_fake(spark):
     # doc 1: 11 bytes → frames of 8 and 3
     f1 = sorted(by_doc[1], key=lambda r: r["frame_no"])
     assert [r["frame_bytes"] for r in f1] == [8, 3]
+
+
+def test_resize_stub_one_row_per_image_deterministic(spark):
+    from kafka_streams_demo_spark.functions.multimodal import attach_binary, resize_images
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    mm = attach_binary(docs)
+    out = resize_images(mm, target_w=224, target_h=224, fake=True)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    r0 = rows[0]
+    assert r0["new_w"] == 224 and r0["new_h"] == 224
+    assert 0 < r0["scale"] <= 224 / 64
+    # deterministic across runs
+    again = {r["doc_id"]: (r["orig_w"], r["orig_h"], r["scale"]) for r in out.collect()}
+    first = {r["doc_id"]: (r["orig_w"], r["orig_h"], r["scale"]) for r in rows}
+    assert again == first
+
+
+def test_resize_without_fake_raises(spark):
+    from kafka_streams_demo_spark.functions.multimodal import attach_binary, resize_images
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    try:
+        resize_images(attach_binary(docs))
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
