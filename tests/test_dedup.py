@@ -151,3 +151,29 @@ def test_ngram_jaccard_max_doc_freq_drops_boilerplate_pairs(spark):
     assert (1, 2) in capped
     assert (1, 3) not in capped and (2, 3) not in capped
     assert (1, 3) in uncapped  # boilerplate DID pair them without the cap
+
+
+def test_minhash_groupby_formulation_matches_array_formulation(spark):
+    """The map-side-combine groupBy formulation (the shape you'd use when
+    shingles arrive pre-exploded, e.g. from a shuffle-partitioned corpus)
+    produces the same signatures as the row-local array formulation."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        doc_shingle_sets,
+        minhash_sig_array,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    by_rows = minhash_signatures(shingle_rows(docs))
+    nh = len(by_rows.columns) - 1
+    a = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(nh)]
+        for r in by_rows.collect()
+    }
+    b = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_sig_array(doc_shingle_sets(docs), impl="arrow").collect()
+        if r["sig"] is not None
+    }
+    assert a == b  # shingle-less docs appear in neither
