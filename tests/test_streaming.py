@@ -279,3 +279,43 @@ def test_streaming_count_with_rocksdb_state_store(spark, tmp_path):
         .groupBy("event_type").count().collect()
     }
     assert got == expect and got
+
+
+def test_streaming_table_table_join_via_foreachbatch_snapshots(spark, tmp_path):
+    """§2f streaming mode for table-table joins (TableToTableJoinExample
+    parity): both changelogs are materialized as latest-per-key snapshots
+    per micro-batch; joining the final snapshots equals the batch KTable
+    join — including an update overriding an earlier value."""
+    import pyspark.sql.functions as F2
+
+    from kafka_streams_demo_spark.streaming.lifecycle import materialize_ktable
+
+    left_rows = [("a", 1, 0), ("b", 2, 1), ("a", 10, 2)]   # a updates 1 -> 10
+    right_rows = [("a", 100, 0), ("c", 300, 1), ("a", 111, 2)]  # a: 100 -> 111
+    ldir, rdir = tmp_path / "left", tmp_path / "right"
+    for rows, d in ((left_rows, ldir), (right_rows, rdir)):
+        spark.createDataFrame(rows, "key string, value long, offset long") \
+            .write.parquet(str(d / "data"))
+
+    lsnap = materialize_ktable(
+        spark.readStream.schema("key string, value long, offset long").parquet(str(ldir / "data")),
+        str(ldir / "snap"), checkpoint=str(ldir / "ckpt"),
+    )
+    rsnap = materialize_ktable(
+        spark.readStream.schema("key string, value long, offset long").parquet(str(rdir / "data")),
+        str(rdir / "snap"), checkpoint=str(rdir / "ckpt"),
+    )
+    joined = {
+        r["key"]: (r["lv"], r["rv"])
+        for r in lsnap.select("key", F2.col("value").alias("lv"))
+        .join(rsnap.select("key", F2.col("value").alias("rv")), "key")
+        .collect()
+    }
+    assert joined == {"a": (10, 111)}  # inner join; both sides latest value
+    outer = {
+        r["key"]: (r["lv"], r["rv"])
+        for r in lsnap.select("key", F2.col("value").alias("lv"))
+        .join(rsnap.select("key", F2.col("value").alias("rv")), "key", "full_outer")
+        .collect()
+    }
+    assert outer == {"a": (10, 111), "b": (2, None), "c": (None, 300)}
