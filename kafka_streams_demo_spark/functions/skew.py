@@ -60,3 +60,30 @@ def salted_count(df: DataFrame, key_col: str, buckets: int = 16) -> DataFrame:
         merge=[(lambda c: F.sum(c), "value")],
         buckets=buckets,
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) LEFT side, replicate
+    the (smaller) RIGHT side once per salt bucket, join on (key, salt).
+    A hot left key spreads over ``buckets`` reducers instead of melting
+    one; the right side grows ×buckets — use when the right side is
+    modest but too big (or streaming) for a broadcast, and AQE's runtime
+    skew split can't apply (e.g. stateful streaming joins, or a skew AQE
+    underestimates). Result == plain ``left.join(right, ...)`` (column
+    order: left cols then right cols; join keys from both sides kept)."""
+    salted_l = with_salt(left, buckets, "_salt")
+    replicated_r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    cond = (salted_l[left_on] == replicated_r[right_on]) & (
+        salted_l["_salt"] == replicated_r["_salt"]
+    )
+    out_cols = [salted_l[c] for c in left.columns] + [replicated_r[c] for c in right.columns]
+    return salted_l.join(replicated_r, cond, how).select(*out_cols)

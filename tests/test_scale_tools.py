@@ -125,3 +125,28 @@ def test_range_clustered_write_tightens_rowgroup_stats(spark, tmp_path):
     assert any("l_shipdate" in pf for pf in a.pushed_filters), a.pushed_filters
     expect = li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).count()
     assert got.count() == expect
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    """90%-hot-key left side: salted join returns exactly the plain join's
+    multiset, and the hot key's rows really spread across salt buckets."""
+    from kafka_streams_demo_spark.functions.skew import salted_join, with_salt
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(400)] + [(f"k{i}", i) for i in range(50)],
+        "key string, lv long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k2", 3), ("zzz", 9)], "rkey string, rv long"
+    )
+    got = sorted(
+        map(tuple, salted_join(left, right, "key", "rkey", buckets=8).collect())
+    )
+    plain = sorted(
+        map(tuple, left.join(right, left["key"] == right["rkey"]).collect())
+    )
+    assert got == plain and len(got) == 402
+    spread = (
+        with_salt(left, 8).filter(F.col("key") == "hot").select("_salt").distinct().count()
+    )
+    assert spread > 1
