@@ -2094,6 +2094,48 @@ def multimodal_resize_q(spark, sf_dir):
     return resize_images(attach_binary(docs), fake=True)
 
 
+@register(
+    "q7_nation_volume",
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year, "
+    "SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT)) AS revenue_c "
+    "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+    "WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+    "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3') "
+    "GROUP BY 1, 2, 3",
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume by year. Two independent
+    nation lookups (supplier-side and customer-side aliases of the same
+    broadcast dim); the symmetric pair predicate applies post-join; only
+    orders⋈lineitem shuffles."""
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    nd = load_table(spark, "nation", sf_dir)
+    n1 = nd.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nd.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_c"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -40,6 +40,7 @@ NEW_QUERIES = [
     "pii_scan",
     "interarrival_stats",
     "funnel_signup_click_purchase",
+    "q7_nation_volume",
 ]
 
 
