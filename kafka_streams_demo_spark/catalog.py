@@ -2136,6 +2136,74 @@ def q7_nation_volume(spark, sf_dir):
     )
 
 
+@register(
+    "tfidf_top_terms",
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+    "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "s AS (SELECT tf.doc_id, tf.term, "
+    "ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score "
+    "FROM tf JOIN df ON tf.term = df.term CROSS JOIN n), "
+    "r AS (SELECT doc_id, term, score, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s) "
+    "SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))).
+    tf and df are both map-side-combined aggregations; df (|vocab| rows)
+    broadcasts back onto tf; the rank window shuffles on doc_id. At 100 TB
+    the df table is the only corpus-global state — millions of rows, still
+    broadcastable or bucket-joinable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    "SELECT vec_id, "
+    "ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS maxabs, "
+    "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / "
+    "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127, 0) AS BIGINT)) AS qvec "
+    "FROM embeddings",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Max-abs int8 quantization per embedding (4× storage compression for
+    the 100 TB vector corpus; dequantize = qvec × maxabs/127). Pure
+    row-local array math — a map stage; the scale factor rides along for
+    exact reconstruction bounds."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    emb2 = emb.select("vec_id", "embedding", absmax.alias("_m"))
+    return emb2.select(
+        "vec_id",
+        F.round(F.col("_m"), 6).alias("maxabs"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") / F.col("_m") * 127, 0).cast("long")
+        ).alias("qvec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -41,6 +41,8 @@ NEW_QUERIES = [
     "interarrival_stats",
     "funnel_signup_click_purchase",
     "q7_nation_volume",
+    "tfidf_top_terms",
+    "embedding_quantize_int8",
 ]
 
 
