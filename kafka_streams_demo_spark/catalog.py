@@ -2204,6 +2204,56 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+@register(
+    "q8_market_share",
+    "WITH rev AS ("
+    "SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year, "
+    "n1.n_name AS supp_nation, "
+    "CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT) AS rev_c "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+    "JOIN region r ON n2.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA') "
+    "SELECT o_year, "
+    "SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END) AS nation_c, "
+    "SUM(rev_c) AS total_c, "
+    "ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END) "
+    "/ CAST(SUM(rev_c) AS DOUBLE), 6) AS mkt_share "
+    "FROM rev GROUP BY 1",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's supplier market share inside a consumer
+    region, by order year. Five broadcast dims around the one fact-fact
+    shuffle; the share is a conditional-sum ratio over integer cents."""
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    nd = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n1 = nd.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nd.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rk"))
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nat = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast("long"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rk") == r["r_regionkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nat).alias("nation_c"),
+            F.sum(rev).alias("total_c"),
+            F.round(F.sum(nat) / F.sum(rev).cast("double"), 6).alias("mkt_share"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

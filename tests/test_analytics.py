@@ -43,6 +43,7 @@ NEW_QUERIES = [
     "q7_nation_volume",
     "tfidf_top_terms",
     "embedding_quantize_int8",
+    "q8_market_share",
 ]
 
 
