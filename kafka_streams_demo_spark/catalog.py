@@ -2254,6 +2254,58 @@ def q8_market_share(spark, sf_dir):
     )
 
 
+@register(
+    "q13_custdist",
+    "WITH c_orders AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count "
+    "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY 1) "
+    "SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY 1",
+)
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: customer distribution by order count — the
+    double-aggregation with left-join zero-fill (customers with no orders
+    land in bucket 0, which an inner join would silently drop). First agg
+    shuffles on custkey; second on the tiny c_count domain."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c_orders = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    "WITH srev AS (SELECT l_suppkey, "
+    "SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS total_c "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) "
+    "SELECT s.s_suppkey, s.s_name, srev.total_c FROM supplier s "
+    "JOIN srev ON s.s_suppkey = srev.l_suppkey "
+    "WHERE srev.total_c = (SELECT max(total_c) FROM srev)",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier(s) by quarterly revenue — scalar
+    subquery against the same derived view. Integer-cents revenue makes
+    the max-equality exact (doubles would tie non-deterministically);
+    the one-row max broadcasts."""
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    srev = l.groupBy("l_suppkey").agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_c")
+    )
+    mx = srev.agg(F.max("total_c").alias("_mx"))
+    return (
+        srev.join(F.broadcast(mx), srev["total_c"] == mx["_mx"])
+        .join(F.broadcast(s), srev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_c")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

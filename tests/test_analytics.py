@@ -44,6 +44,8 @@ NEW_QUERIES = [
     "tfidf_top_terms",
     "embedding_quantize_int8",
     "q8_market_share",
+    "q13_custdist",
+    "q15_top_supplier",
 ]
 
 
