@@ -2306,6 +2306,296 @@ def q15_top_supplier(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes, adapted to the driver schema (no partsupp /
+# shipmode / phone columns — the part↔supplier bridge is the DISTINCT
+# (l_partkey, l_suppkey) projection of lineitem, and categorical stand-ins
+# replace the missing attributes). Shapes, not verbatim queries: each keeps
+# the plan structure that makes the original interesting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
+    "eu AS (SELECT s.s_suppkey, s.s_name, "
+    "CAST(ROUND(s.s_acctbal*100, 0) AS BIGINT) AS bal_c, n.n_name "
+    "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE'), "
+    "cand AS (SELECT p.p_partkey, p.p_name, eu.s_suppkey, eu.s_name, eu.n_name, eu.bal_c "
+    "FROM part p JOIN ps ON p.p_partkey = ps.l_partkey "
+    "JOIN eu ON ps.l_suppkey = eu.s_suppkey WHERE p.p_size = 15), "
+    "mn AS (SELECT p_partkey, min(bal_c) AS min_bal FROM cand GROUP BY 1) "
+    "SELECT c.p_partkey, c.p_name, c.s_suppkey, c.s_name, c.n_name, c.bal_c "
+    "FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey AND c.bal_c = mn.min_bal",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated MIN subquery, decorrelated): per size-15
+    part, the EUROPE supplier(s) with the minimum account balance among
+    suppliers who shipped it. partsupp stand-in = DISTINCT
+    (l_partkey, l_suppkey) — that distinct is the only wide op (keyed on
+    partkey); part/supplier/nation/region are all broadcast dims, and the
+    min-balance tie-break compares exact integer cents (double equality
+    would be engine-dependent). At scale the same plan holds: the bridge
+    distinct is a map-side-combined shuffle on the join key itself."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_size") == 15)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", cents(F.col("s_acctbal")).alias("bal_c"), "n_name")
+    )
+    cand = (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(eu), ps["l_suppkey"] == eu["s_suppkey"])
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "bal_c")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(F.min("bal_c").alias("min_bal"))
+    return cand.join(
+        F.broadcast(mn),
+        (cand["p_partkey"] == mn["_pk"]) & (cand["bal_c"] == mn["min_bal"]),
+    ).select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "bal_c")
+
+
+@register(
+    "q9_product_profit",
+    "SELECT n.n_name AS nation, "
+    "CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year, "
+    "SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100, 0) AS BIGINT)) AS profit_c "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE p.p_name LIKE '%red%' GROUP BY 1, 2",
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by supplier nation and year;
+    supplycost omitted — no partsupp — so profit = discounted revenue).
+    The part filter is applied BEFORE the broadcast so the fact-side join
+    prunes ~90% of lineitem early; orders is the one fact-fact shuffle."""
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%red%"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("profit_c"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    "WITH pv AS (SELECT l_partkey, "
+    "SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS val_c "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT l_partkey, val_c FROM pv "
+    "WHERE val_c > (SELECT 0.0007 * SUM(val_c) FROM pv)",
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (group value vs global-total scalar subquery): parts
+    whose total shipped value exceeds 0.07% of the whole corpus value. One
+    shuffle builds the per-part view; the global total is a one-row
+    broadcast back onto it. The threshold multiply happens once on the
+    scalar side so the per-row comparison is long-vs-double with an exact
+    integer left operand in both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pv = li.groupBy("l_partkey").agg(F.sum(cents(F.col("l_extendedprice"))).alias("val_c"))
+    tot = pv.agg((F.sum("val_c") * 0.0007).alias("_thr"))
+    return pv.join(F.broadcast(tot), pv["val_c"] > tot["_thr"]).select("l_partkey", "val_c")
+
+
+@register(
+    "q12_priority_by_class",
+    "SELECT l.l_returnflag AS ship_class, "
+    "SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, "
+    "SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count "
+    "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY 1",
+)
+def q12_priority_by_class(spark, sf_dir):
+    """TPC-H Q12 shape (two-class conditional count; return-flag stands in
+    for the missing shipmode): urgent vs non-urgent line counts per class
+    for one ship year. The date filter pushes to the lineitem scan; the
+    grouped domain is 3 rows so the second agg is trivial — the cost is
+    the one orders⋈lineitem shuffle."""
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+    "SELECT p.p_brand, p.p_type, p.p_size, "
+    "count(DISTINCT ps.l_suppkey) AS supplier_cnt "
+    "FROM ps JOIN part p ON p.p_partkey = ps.l_partkey "
+    "WHERE p.p_brand <> 'Brand#11' AND p.p_size IN (1, 5, 15, 25, 35, 45) "
+    "AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY 1, 2, 3",
+)
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (COUNT DISTINCT per attribute group with a NOT-IN
+    supplier exclusion): distinct supplier count per (brand, type, size)
+    over the lineitem-derived bridge, excluding negative-balance suppliers.
+    The NOT IN compiles to a broadcast anti-join (the exclusion list is
+    tiny); count-distinct rides the same shuffle as the group-by."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#11") & F.col("p_size").isin(1, 5, 15, 25, 35, 45)
+    )
+    bad = load_table(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    "SELECT s.s_suppkey, s.s_name FROM supplier s "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'EUROPE' AND s.s_suppkey IN ("
+    "SELECT l_suppkey FROM lineitem "
+    "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') "
+    "AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY 1 HAVING SUM(l_quantity) > 300)",
+)
+def q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (doubly-nested IN: semi-join into a grouped-HAVING
+    derived table): EUROPE suppliers who shipped >300 units of 'small'
+    parts in 1997. Inner IN = broadcast semi-join of lineitem vs the
+    filtered part keys; the HAVING view groups on suppkey; the outer IN is
+    a second semi-join against the 100-row supplier dim — every layer
+    stays semi (no fact row ever duplicates)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("small%")).select("p_partkey")
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    heavy = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    "SELECT s.s_name, count(*) AS numwait FROM supplier s "
+    "JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey "
+    "JOIN orders o ON o.o_orderkey = l1.l_orderkey "
+    "WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+    "GROUP BY 1",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT-EXISTS self-joins on the fact table;
+    return-flag 'R' stands in for the missing receipt-after-commit dates):
+    suppliers who were the sole at-fault supplier on a multi-supplier
+    finalized order. The two correlated subqueries decorrelate into ONE
+    per-order aggregate (distinct suppliers / distinct at-fault suppliers)
+    — one extra shuffle on orderkey instead of two self-join passes; the
+    oracle keeps the EXISTS form so the gate checks the decorrelation is
+    semantics-preserving, not just self-consistent."""
+    s = load_table(spark, "supplier", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    ostats = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "_n_fault"
+        ),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(o.select("o_orderkey"), l1["l_orderkey"] == F.col("o_orderkey"), "left_semi")
+        .join(ostats, l1["l_orderkey"] == ostats["_ok"])
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_fault") == 1))
+        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_balances",
+    "WITH pos AS (SELECT c_custkey, c_nationkey, "
+    "CAST(ROUND(c_acctbal*100, 0) AS BIGINT) AS bal_c FROM customer), "
+    "thr AS (SELECT AVG(bal_c) AS avg_c FROM pos WHERE bal_c > 0) "
+    "SELECT c_nationkey, count(*) AS numcust, SUM(bal_c) AS totacctbal_c "
+    "FROM pos WHERE bal_c > (SELECT avg_c FROM thr) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = pos.c_custkey "
+    "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+    "GROUP BY 1",
+)
+def q22_idle_balances(spark, sf_dir):
+    """TPC-H Q22 shape (global-average scalar subquery + anti-join;
+    nationkey stands in for the missing phone country code): wealthy
+    customers with no RECENT orders (every synthetic customer has some
+    order, so recency replaces never-ordered), grouped by nation. The
+    average is taken over exact integer cents so the single sum/count
+    division is bitwise identical in both engines (averaging raw doubles
+    would make boundary rows engine-dependent); the NOT EXISTS is a
+    shuffle anti-join against only the filtered o_custkey projection."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", cents(F.col("c_acctbal")).alias("bal_c")
+    )
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    thr = c.filter(F.col("bal_c") > 0).agg(F.avg("bal_c").alias("avg_c"))
+    return (
+        c.join(F.broadcast(thr), c["bal_c"] > thr["avg_c"])
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("bal_c").alias("totacctbal_c"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -46,6 +46,14 @@ NEW_QUERIES = [
     "q8_market_share",
     "q13_custdist",
     "q15_top_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_by_class",
+    "q16_supplier_cnt",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "q22_idle_balances",
 ]
 
 
