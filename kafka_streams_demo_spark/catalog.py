@@ -2596,6 +2596,50 @@ def q22_idle_balances(spark, sf_dir):
     )
 
 
+_CC_ORACLE = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS s FROM idx),
+d AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+cand AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT p.i, p.j FROM cand p
+          JOIN d d1 ON p.i = d1.doc_id JOIN d d2 ON p.j = d2.doc_id
+          WHERE ROUND(p.common / (d1.n + d2.n - p.common), 6) >= 0.5),
+edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1)
+SELECT doc.doc_id,
+       COALESCE(cc.cluster_id, doc.doc_id) AS cluster_id,
+       CASE WHEN COALESCE(cc.cluster_id, doc.doc_id) = doc.doc_id
+            THEN 1 ELSE 0 END AS is_canonical
+FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.node
+"""
+
+
+@register("dedup_clusters", _CC_ORACLE)
+def dedup_clusters_q(spark, sf_dir):
+    """Pairs → clusters → canonical election: connected components over the
+    exact 3-gram-Jaccard near-dup graph (threshold 0.5), every doc labeled
+    with its component's min doc_id and an is_canonical keep flag — the
+    final stage of the dedup pipeline (filter is_canonical=1 to get the
+    deduplicated corpus). Engine side is iterative min-label propagation
+    (functions/dedup.py:connected_components — one shuffle per round,
+    O(cluster-diameter) rounds); the oracle computes the same fixpoint as
+    a DuckDB recursive CTE, so the gate checks an iterative distributed
+    algorithm against a declarative transitive closure."""
+    from kafka_streams_demo_spark.functions.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("i", "j")
+    return dedup_clusters(docs, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

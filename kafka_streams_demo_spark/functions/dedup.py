@@ -453,3 +453,74 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "i", dst: str = "j", max_iter: int = 25
+) -> DataFrame:
+    """Collapse near-dup pairs into clusters: (node, cluster_id) where
+    cluster_id is the minimum id reachable through the pair graph — the
+    final stage of a dedup pipeline (pairs → clusters → keep one canonical
+    doc per cluster).
+
+    Iterative min-label propagation over symmetrized edges: each round a
+    node takes the min of its label and its neighbors' labels; converges
+    in O(longest-path) rounds — near-dup clusters are shallow (dup rings
+    around a template), so 3-5 rounds in practice, bounded by
+    ``max_iter``. Each round is one self-contained shuffle on the node
+    key; labels are persisted per round and the previous round is
+    unpersisted, so lineage stays O(1) (no exploding plan at scale —
+    the same discipline as ``kmeans_train``). Driver-side work is one
+    scalar ``count()`` per round (the convergence check), never row data.
+    """
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .persist()
+        )
+        n_changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels.unpersist()
+        labels = new_labels.select("node", "label")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-corpus cluster assignment from a pair list: every doc gets a
+    cluster_id (its component's min doc id; singletons cluster with
+    themselves) and an is_canonical flag (1 on the cluster representative
+    — the keep-list filter ``is_canonical = 1`` is the dedup output).
+
+    The cluster map is left to AQE's join planning (NOT a forced
+    broadcast): it holds one row per doc that appears in any pair, which
+    at heavy-dup corpora is a large fraction of the corpus."""
+    cc = connected_components(pairs)
+    return docs.join(cc, docs[id_col] == cc["node"], "left").select(
+        docs[id_col],
+        F.coalesce(F.col("cluster_id"), docs[id_col]).alias("cluster_id"),
+        F.when(F.coalesce(F.col("cluster_id"), docs[id_col]) == docs[id_col], 1)
+        .otherwise(0)
+        .alias("is_canonical"),
+    )

@@ -54,6 +54,7 @@ NEW_QUERIES = [
     "q20_excess_shippers",
     "q21_waiting_supplier",
     "q22_idle_balances",
+    "dedup_clusters",
 ]
 
 

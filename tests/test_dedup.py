@@ -177,3 +177,27 @@ def test_minhash_groupby_formulation_matches_array_formulation(spark):
         if r["sig"] is not None
     }
     assert a == b  # shingle-less docs appear in neither
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (needs >1 propagation round), a separate 2-clique,
+    and an untouched node: every node lands on its component's min id."""
+    from kafka_streams_demo_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "i long, j long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_canonical_election(spark):
+    """Full-corpus assignment: singletons self-cluster and are canonical;
+    exactly one canonical per cluster (the min id)."""
+    from kafka_streams_demo_spark.functions.dedup import dedup_clusters
+
+    docs = _docs(spark, [(1, "a"), (2, "a"), (3, "a"), (7, "z")])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "i long, j long")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in dedup_clusters(docs, pairs).collect()}
+    assert rows == {1: (1, 1), 2: (1, 0), 3: (1, 0), 7: (7, 1)}
