@@ -2640,6 +2640,107 @@ def dedup_clusters_q(spark, sf_dir):
     return dedup_clusters(docs, pairs)
 
 
+@register(
+    "sample_per_source",
+    "WITH ranked AS (SELECT doc_id, source, "
+    "row_number() OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+    "FROM documents) "
+    "SELECT source, doc_id, rn FROM ranked WHERE rn <= 20",
+)
+def sample_per_source(spark, sf_dir):
+    """Deterministic balanced sampling: exactly k=20 docs per source,
+    chosen by md5(doc_id) rank — the reproducible replacement for
+    rand()-based sampleBy in training-data pipelines (same keep-set on
+    every run, any engine, any partitioning). One shuffle on the group
+    key; at 100 TB swap row_number for a bounded per-partition heap
+    (top-k never needs a full sort — Spark's WindowGroupLimit pushes the
+    k-limit into the sort for exactly this shape)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    hid = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(hid, "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@register(
+    "vocab_token_freq",
+    "WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents), "
+    "freq AS (SELECT token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1) "
+    "SELECT token, tf, rank() OVER (ORDER BY tf DESC, token) AS rnk "
+    "FROM freq QUALIFY rnk <= 100",
+)
+def vocab_token_freq(spark, sf_dir):
+    """Vocabulary building: global token frequencies with Zipf rank, top
+    100. The explode→count is map-side-combined (partial agg before the
+    one shuffle on token); the rank window is over the already-tiny
+    aggregated domain. At 100 TB the token domain (~millions) stays
+    droplet-sized next to the corpus — the pattern never materializes
+    un-aggregated tokens through a shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    freq = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return freq.select("token", "tf", F.rank().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 100
+    )
+
+
+@register(
+    "corr_qty_price",
+    "WITH m AS (SELECT l_returnflag, count(*) AS n, "
+    "SUM(CAST(l_quantity AS BIGINT)) AS sx, "
+    "SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS sy, "
+    "SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx, "
+    "SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) * CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS syy, "
+    "SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS sxy "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT l_returnflag, n, "
+    "ROUND((n*sxy - sx*sy) / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_qp "
+    "FROM m",
+)
+def corr_qty_price(spark, sf_dir):
+    """Pearson correlation (quantity vs price) per return flag, computed
+    from EXACT integer moments: built-in corr() sums doubles in partition
+    order (non-deterministic across engines/partitionings), so the five
+    moments are accumulated exactly — per-row products in long (they fit:
+    y² ≤ 1e14), sums in decimal(38,0) because Σy² passes int64 around
+    600k rows (DuckDB's SUM(BIGINT) promotes to int128 natively) — and
+    only the final closed form touches floating point. One
+    map-side-combined shuffle; the moment trick is how any
+    order-sensitive statistic becomes cluster-deterministic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast("long")
+    y = cents(F.col("l_extendedprice"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x)).alias("sx"),
+        F.sum(d(y)).alias("sy"),
+        F.sum(d(x * x)).alias("sxx"),
+        F.sum(d(y * y)).alias("syy"),
+        F.sum(d(x * y)).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias("corr_qp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -55,6 +55,9 @@ NEW_QUERIES = [
     "q21_waiting_supplier",
     "q22_idle_balances",
     "dedup_clusters",
+    "sample_per_source",
+    "vocab_token_freq",
+    "corr_qty_price",
 ]
 
 
