@@ -202,3 +202,43 @@ def test_tumbling_window_count_matches_python_model(spark, rows):
     for k, s in rows:
         model[(k, s // 300)] = model.get((k, s // 300), 0) + 1
     assert got == model
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**{**SETTINGS, "max_examples": 3})
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation == classic union-find, for arbitrary small
+    graphs (cycles, chains, self-merging components, duplicate edges).
+    Domain is kept tiny: every propagation round is a real Spark job and
+    rounds scale with graph diameter (≤7 here)."""
+    from kafka_streams_demo_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    # canonicalize: representative = min member of each component
+    comp: dict[int, list[int]] = {}
+    for n, r in expected.items():
+        comp.setdefault(find(r), []).append(n)
+    expected = {n: min(members) for r, members in comp.items() for n in members}
+    assert got == expected
