@@ -2741,6 +2741,37 @@ def corr_qty_price(spark, sf_dir):
     )
 
 
+_WINNOW_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+idx AS (SELECT doc_id, tk, unnest(range(1, len(tk)-4+2)) AS i FROM toks),
+kg AS (SELECT doc_id, i,
+       substr(md5(array_to_string(tk[i:i+3], '_')), 1, 16) AS h FROM idx),
+win AS (SELECT doc_id, i,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f,
+        count(*) OVER (PARTITION BY doc_id) AS nk FROM kg)
+SELECT DISTINCT doc_id, f AS fingerprint FROM win WHERE i <= nk - 4 + 1
+"""
+
+
+@register("winnow_fingerprints", _WINNOW_ORACLE)
+def winnow_fingerprints_q(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints, k=4-token grams,
+    w=4 window: any two docs sharing a 7-token run share a fingerprint.
+    Engine side is pure row-local HOF array math (no shuffle at all —
+    fingerprinting is a map stage; the downstream join on fingerprint is
+    where the shuffle lives). The oracle recomputes the same minima via
+    window functions over exploded k-gram rows — structurally different
+    formulation, same fixpoint, so the gate checks the HOF windowing
+    logic itself."""
+    from kafka_streams_demo_spark.functions.text import tokenize, winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("tk"))
+    fp = toked.select("doc_id", winnow_fingerprints(F.col("tk")).alias("fps"))
+    return fp.select("doc_id", F.explode("fps").alias("fingerprint"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -125,3 +125,27 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
         idx, lambda i: F.concat_ws("_", *[F.element_at(tokens, i + j) for j in range(n)])
     )
     return F.when(F.size(tokens) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(tokens: Column, k: int = 4, w: int = 4) -> Column:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    hash every token k-gram, slide a w-wide window over the hash
+    sequence, keep each window's minimum; the distinct minima are the
+    document's fingerprints. Guarantees any shared run of k+w-1 tokens
+    between two docs shares ≥1 fingerprint, while storing ~2/(w+1) of
+    the k-gram hashes — the sub-linear sketch for copy/plagiarism
+    detection at corpus scale. Hashes are md5-prefix strings (min =
+    lexicographic) so the result is engine-portable; all array math is
+    higher-order functions — JVM-side, no UDF. Empty array for docs
+    shorter than k+w-1 tokens."""
+    kg = F.transform(
+        word_shingles(tokens, k),
+        lambda s: F.substring(F.md5(s.cast("binary")), 1, 16),
+    )
+    minima = F.transform(
+        F.sequence(F.lit(1), F.size(kg) - (w - 1)),
+        lambda j: F.array_min(F.slice(kg, j, w)),
+    )
+    return F.when(F.size(kg) >= w, F.array_distinct(minima)).otherwise(
+        F.array().cast("array<string>")
+    )

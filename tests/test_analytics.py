@@ -58,6 +58,7 @@ NEW_QUERIES = [
     "sample_per_source",
     "vocab_token_freq",
     "corr_qty_price",
+    "winnow_fingerprints",
 ]
 
 

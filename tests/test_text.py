@@ -65,3 +65,21 @@ def test_word_shingles(spark):
     got = _one(spark, "a b c d", word_shingles(tokenize(F.col("text")), 3))
     assert got == ["a_b_c", "b_c_d"]
     assert _one(spark, "a b", word_shingles(tokenize(F.col("text")), 3)) == []
+
+
+def test_winnow_fingerprints_guarantee_and_bounds(spark):
+    """Winnowing invariants: two docs sharing a k+w-1 = 7-token run share
+    ≥1 fingerprint; fingerprints ⊆ k-gram hashes; docs under k+w-1
+    tokens yield none; disjoint docs share none."""
+    from kafka_streams_demo_spark.functions.text import winnow_fingerprints
+
+    shared = "one two three four five six seven"
+    fp = lambda text: set(  # noqa: E731
+        _one(spark, text, winnow_fingerprints(tokenize(F.col("text"))))
+    )
+    a = fp(f"prefix words here {shared} tail a")
+    b = fp(f"other start {shared} different ending words")
+    assert a & b, "7-token shared run must share a fingerprint"
+    assert fp("short doc only") == set()
+    c = fp("totally disjoint vocabulary nothing matches at all here now")
+    assert not (a & c)
