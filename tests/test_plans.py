@@ -166,3 +166,39 @@ def test_analytics_family_no_nested_loops_bounded_exchanges(spark):
         a = _audit(spark, name)
         assert a.nested_loop_joins == 0, f"{name} nested loop:\n{a.plan}"
         assert a.exchanges <= 2, f"{name} has {a.exchanges} exchanges:\n{a.plan}"
+
+
+def test_new_tpch_shapes_plan_discipline(spark):
+    """The adapted TPC-H shapes: no CartesianProduct, bounded Exchanges
+    (q2/q21 pay for the bridge distinct / per-order stats; the rest stay
+    within the broadcast-star budget)."""
+    budget = {
+        "q2_min_cost_supplier": 3, "q9_product_profit": 2,
+        "q12_priority_by_class": 2, "q16_supplier_cnt": 3,
+        "q20_excess_shippers": 2, "q21_waiting_supplier": 3,
+        "q22_idle_balances": 3, "corr_qty_price": 1,
+        "sample_per_source": 1, "vocab_token_freq": 2,
+    }
+    for name, max_ex in budget.items():
+        a = _audit(spark, name)
+        assert a.nested_loop_joins == 0, f"{name} nested loop:\n{a.plan}"
+        assert a.exchanges <= max_ex, f"{name} has {a.exchanges} exchanges:\n{a.plan}"
+
+
+def test_q11_reuses_lineitem_exchange_at_runtime(spark):
+    """q11 consumes the per-part view twice (group rows + global total).
+    AQE must reuse the one shuffle instead of scanning lineitem twice —
+    pinned here because the static plan misleadingly shows two scans."""
+    from kafka_streams_demo_spark import catalog
+
+    df = catalog.queries()["q11_important_parts"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_sample_per_source_pushes_group_limit(spark):
+    """The k-per-group rank filter must compile to WindowGroupLimit (a
+    bounded per-partition heap), not a full per-group sort+filter."""
+    a = _audit(spark, "sample_per_source")
+    assert "WindowGroupLimit" in a.plan, a.plan
