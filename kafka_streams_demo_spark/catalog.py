@@ -2772,6 +2772,91 @@ def winnow_fingerprints_q(spark, sf_dir):
     return fp.select("doc_id", F.explode("fps").alias("fingerprint"))
 
 
+@register(
+    "user_journey_paths",
+    "WITH r AS (SELECT user_id, event_type, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+    "SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path, "
+    "max(rn) AS n_steps FROM r WHERE rn <= 5 GROUP BY 1",
+)
+def user_journey_paths(spark, sf_dir):
+    """Ordered aggregation: each user's chronological first-5 event-type
+    path as one '>'-joined string. collect_list is order-nondeterministic
+    in a distributed engine, so order is rebuilt deterministically:
+    collect (rn, type) structs, array_sort (sorts by rn — the struct's
+    first field), then project the types. The rank filter compiles to
+    WindowGroupLimit, and the window shuffle on user_id is reused by the
+    groupBy (same key — one Exchange total)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    return first5.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path"),
+        F.max("rn").alias("n_steps"),
+    )
+
+
+@register(
+    "daily_rollup_gapfill",
+    "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, "
+    "SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS day_c, count(*) AS n_events "
+    "FROM events GROUP BY 1, 2), "
+    "b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), "
+    "cal AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b), "
+    "j AS (SELECT c.user_id, c.day, d.day_c, COALESCE(d.n_events, 0) AS n_events, "
+    "CASE WHEN d.day_c IS NULL THEN 1 ELSE 0 END AS is_gap "
+    "FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day) "
+    "SELECT user_id, epoch_us(day) AS day_us, n_events, is_gap, "
+    "last_value(day_c IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_c FROM j",
+)
+def daily_rollup_gapfill(spark, sf_dir):
+    """Time-series rollup with gap fill (the hypertable/downsample shape):
+    per-user daily sums on a dense calendar — missing days synthesized by
+    sequence()+explode between each user's first and last active day,
+    then carry-forward via last(ignorenulls) over the day window. The
+    daily agg, calendar join, and fill window all key on user_id(, day),
+    so the whole pipeline rides ONE logical partitioning; the calendar
+    explode generates O(users × days) rows — bounded, never event-scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(cents(F.col("value"))).alias("day_c"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.unix_micros("day").alias("day_us"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("day_c").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.last("day_c", ignorenulls=True).over(w).alias("filled_c"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -59,6 +59,8 @@ NEW_QUERIES = [
     "vocab_token_freq",
     "corr_qty_price",
     "winnow_fingerprints",
+    "user_journey_paths",
+    "daily_rollup_gapfill",
 ]
 
 
