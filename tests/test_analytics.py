@@ -61,6 +61,7 @@ NEW_QUERIES = [
     "winnow_fingerprints",
     "user_journey_paths",
     "daily_rollup_gapfill",
+    "ann_topk_int8",
 ]
 
 

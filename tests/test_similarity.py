@@ -149,3 +149,27 @@ def test_arrow_topk_matches_sequential_baseline(spark):
     assert len(overlap) >= 0.9 * len(e), (len(overlap), len(e))
     for kpair in overlap:
         assert abs(a[kpair] - e[kpair]) < 1e-5
+
+
+def test_topk_quantized_tracks_float_baseline(spark):
+    """int8 scoring is an approximation of float cosine: recall@10 vs the
+    exact baseline must be ≥0.8 on the driver corpus, and every reported
+    qcos must be a valid cosine (|qcos| ≤ 1 + rounding)."""
+    from kafka_streams_demo_spark.functions.similarity import topk_bruteforce, topk_quantized
+
+    emb = load_table(spark, "embeddings", SF)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = topk_bruteforce(emb, queries_df, k=10).collect()
+    quant = topk_quantized(emb, k=10, n_queries=5).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["q_id"], set()).add(r["n_id"])
+    qt = {}
+    for r in quant:
+        qt.setdefault(r["q_id"], set()).add(r["n_id"])
+        assert abs(r["qcos"]) <= 1.000001, r
+    assert ex.keys() == qt.keys()
+    recalls = [len(ex[q] & qt[q]) / 10 for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
