@@ -372,3 +372,50 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(sink2).count() == 3
     assert len(glob.glob(f"{ckpt}/offsets/*")) >= 2, "two committed batches"
+
+
+def test_streaming_stream_table_join_golden_clicks(spark, tmp_path):
+    """§2f streaming mode for stream-table joins — the golden
+    clicks-per-region pipeline (StreamToTableJoinTestData.scala:55-59)
+    driven through REAL streaming on both sides: the regions changelog is
+    materialized per-batch (alice's asia→europe update must win), then
+    the clicks stream joins the snapshot per micro-batch. Totals must
+    equal the golden {americas:101, europe:109, asia:124}."""
+    import pyspark.sql.functions as F2
+
+    from kafka_streams_demo_spark.sources import fixtures
+    from kafka_streams_demo_spark.streaming.lifecycle import materialize_ktable
+
+    rdir, cdir = tmp_path / "regions", tmp_path / "clicks"
+    fixtures.user_regions(spark).write.parquet(str(rdir / "data"))
+    fixtures.user_clicks(spark).write.parquet(str(cdir / "data"))
+
+    regions_schema = fixtures.user_regions(spark).schema
+    snap = materialize_ktable(
+        spark.readStream.schema(regions_schema).parquet(str(rdir / "data")),
+        str(rdir / "snap"),
+        checkpoint=str(rdir / "ckpt"),
+    )
+
+    clicks_schema = fixtures.user_clicks(spark).schema
+    totals: dict[str, int] = {}
+
+    def enrich_and_sum(batch, batch_id):
+        joined = (
+            batch.join(F2.broadcast(snap.select("key", F2.col("value").alias("region"))), "key")
+            .groupBy("region")
+            .agg(F2.sum("value").alias("clicks"))
+        )
+        for r in joined.collect():
+            totals[r["region"]] = totals.get(r["region"], 0) + r["clicks"]
+
+    q = (
+        spark.readStream.schema(clicks_schema)
+        .parquet(str(cdir / "data"))
+        .writeStream.foreachBatch(enrich_and_sum)
+        .option("checkpointLocation", str(cdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert totals == {"americas": 101, "europe": 109, "asia": 124}
