@@ -2888,6 +2888,60 @@ def ann_topk_int8_q(spark, sf_dir):
     return topk_quantized(load_table(spark, "embeddings", sf_dir), k=10, n_queries=5)
 
 
+_PROFILE_ORACLE = """
+WITH d AS (SELECT lang, source, n_chars,
+  len(string_split(text, ' ')) AS n_tok,
+  len(list_filter(string_split(lower(text), ' '),
+      t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))
+    AS n_stop
+  FROM documents)
+SELECT lang, source, count(*) AS n_docs,
+  SUM(n_chars) AS chars_total,
+  ROUND(SUM(n_chars) / CAST(count(*) AS DOUBLE), 4) AS mean_chars,
+  SUM(CAST(n_tok AS BIGINT)) AS tokens_total,
+  ROUND(SUM(CAST(n_stop AS BIGINT)) / CAST(SUM(CAST(n_tok AS BIGINT)) AS DOUBLE), 6)
+    AS stop_ratio,
+  SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short
+FROM d GROUP BY 1, 2
+"""
+
+
+@register("corpus_profile", _PROFILE_ORACLE)
+def corpus_profile(spark, sf_dir):
+    """Corpus profiling report per (lang, source) — the monitoring query a
+    training-data pipeline runs after every ingest: doc/char/token
+    volumes, corpus-level stopword ratio, short-doc counts. Every ratio
+    is a ratio of exact integer sums (one final division) — per-doc
+    double ratios averaged would be partition-order-dependent. Row-local
+    token math, then one map-side-combined shuffle on the tiny
+    (lang, source) domain."""
+    from kafka_streams_demo_spark.functions.text import EN_STOPWORDS, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(F.col("text"))
+    low = tokenize(F.lower(F.col("text")))
+    stops = F.size(F.filter(low, lambda t: t.isin(EN_STOPWORDS)))
+    d = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tok"),
+        stops.alias("n_stop"),
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)).cast("double"), 4).alias("mean_chars"),
+        F.sum(F.col("n_tok").cast("long")).alias("tokens_total"),
+        F.round(
+            F.sum(F.col("n_stop").cast("long"))
+            / F.sum(F.col("n_tok").cast("long")).cast("double"),
+            6,
+        ).alias("stop_ratio"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias("n_short"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -62,6 +62,7 @@ NEW_QUERIES = [
     "user_journey_paths",
     "daily_rollup_gapfill",
     "ann_topk_int8",
+    "corpus_profile",
 ]
 
 
