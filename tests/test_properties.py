@@ -242,3 +242,41 @@ def test_connected_components_matches_union_find(spark, edges):
         comp.setdefault(find(r), []).append(n)
     expected = {n: min(members) for r, members in comp.items() for n in members}
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcdefg")), min_size=0, max_size=20).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_winnow_fingerprints_match_python_model(spark, docs):
+    """HOF winnowing == a straightforward Python reimplementation (k-gram
+    md5-prefix hashes, w-window minima, distinct), for random docs
+    including empties and below-threshold lengths."""
+    import hashlib
+
+    from kafka_streams_demo_spark.functions.text import tokenize, winnow_fingerprints
+
+    K = W = 4
+
+    def model(text):
+        toks = text.split(" ")
+        kgrams = [
+            hashlib.md5("_".join(toks[i : i + K]).encode()).hexdigest()[:16]
+            for i in range(len(toks) - K + 1)
+        ]
+        if len(kgrams) < W:
+            return set()
+        return {min(kgrams[j : j + W]) for j in range(len(kgrams) - W + 1)}
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    got = df.select(
+        "doc_id", winnow_fingerprints(tokenize(F.col("text")), K, W).alias("fps")
+    ).collect()
+    for r in got:
+        assert set(r["fps"]) == model(docs[r["doc_id"]]), docs[r["doc_id"]]
