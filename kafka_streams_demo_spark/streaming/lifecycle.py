@@ -151,3 +151,41 @@ def materialize_ktable(
         (d for d in _os.listdir(snapshot_dir) if d.startswith("v")), key=lambda d: int(d[1:])
     )
     return spark.read.parquet(_os.path.join(snapshot_dir, versions[-1]))
+
+
+def idempotent_parquet_sink(base_dir: str) -> Callable[[DataFrame, int], None]:
+    """Exactly-once SINK half (the source half is the checkpoint, see
+    tests/test_streaming.py::test_checkpoint_resume_processes_only_new_data):
+    a foreachBatch writer that lands each micro-batch under
+    ``base_dir/batch_id=N`` and SKIPS batch ids already marked committed —
+    so a retried batch (failure after write, before checkpoint commit)
+    overwrites its own directory instead of duplicating rows. This is the
+    portable transactional-sink pattern (Kafka Streams' EOS transactions →
+    per-batch-id idempotent writes + atomic _COMMITTED marker); readers
+    take only marked directories.
+    """
+    import os
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        dest = os.path.join(base_dir, f"batch_id={batch_id}")
+        marker = os.path.join(dest, "_COMMITTED")
+        if os.path.exists(marker):
+            return
+        batch.write.mode("overwrite").parquet(dest)
+        with open(marker, "w") as fh:
+            fh.write("")
+
+    return write
+
+
+def read_committed(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Read only the batches the idempotent sink marked committed."""
+    import os
+
+    dirs = [
+        os.path.join(base_dir, d)
+        for d in sorted(os.listdir(base_dir))
+        if d.startswith("batch_id=")
+        and os.path.exists(os.path.join(base_dir, d, "_COMMITTED"))
+    ]
+    return spark.read.parquet(*dirs)

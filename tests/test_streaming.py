@@ -419,3 +419,34 @@ def test_streaming_stream_table_join_golden_clicks(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert totals == {"americas": 101, "europe": 109, "asia": 124}
+
+
+def test_idempotent_sink_survives_batch_retry(spark, tmp_path):
+    """Exactly-once sink: re-delivering an already-committed batch id must
+    be a no-op (retry after failure-before-checkpoint-commit), a fresh
+    batch id lands once, and read_committed sees exactly one copy of
+    every row."""
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+        run_foreach_batch,
+    )
+
+    in_dir, sink = str(tmp_path / "in"), str(tmp_path / "sink")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "key string, value long")
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    write = idempotent_parquet_sink(sink)
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    run_foreach_batch(stream, write, output_mode="append",
+                      checkpoint=str(tmp_path / "ckpt"))
+    assert read_committed(spark, sink).count() == 2
+
+    # simulate the failure-retry: same batch id re-delivered
+    write(df, 0)
+    assert read_committed(spark, sink).count() == 2, "retry must not duplicate"
+
+    # a genuinely new batch id lands
+    write(spark.createDataFrame([("c", 3)], "key string, value long"), 1)
+    got = sorted((r["key"], r["value"]) for r in read_committed(spark, sink).collect())
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
