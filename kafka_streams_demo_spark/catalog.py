@@ -2942,6 +2942,71 @@ def corpus_profile(spark, sf_dir):
     )
 
 
+@register(
+    "pii_redact",
+    "SELECT doc_id, "
+    "regexp_replace(regexp_replace(text, "
+    "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), "
+    "'[0-9]{7,}', '<NUM>', 'g') AS redacted, "
+    "CAST(len(regexp_extract_all(text, "
+    "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}|[0-9]{7,}')) AS BIGINT) AS n_redactions "
+    "FROM documents",
+)
+def pii_redact(spark, sf_dir):
+    """PII redaction (the action pii_scan is the precursor to): emails and
+    7+-digit runs replaced with typed placeholder tokens, plus the
+    redaction count for audit. Same RE2 ∩ Java-regex dialect-safe
+    patterns; emails are replaced before digit runs so a digit-bearing
+    address redacts as ONE <EMAIL>, not an email wrapped around <NUM> —
+    order is part of the contract and the oracle enforces it. Pure
+    row-local regexp_replace, a map stage at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    num = r"[0-9]{7,}"
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), num, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(f"{email}|{num}")).cast("long").alias(
+            "n_redactions"
+        ),
+    )
+
+
+@register(
+    "pipeline_keeplist",
+    "WITH canon AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)), "
+    "scored AS (SELECT d.doc_id, d.lang, "
+    "substr(md5(d.text), 1, 1) AS split_h "
+    "FROM documents d JOIN canon ON d.doc_id = canon.keep_id "
+    "WHERE d.n_chars >= 100 AND len(string_split(d.text, ' ')) >= 20) "
+    "SELECT doc_id, lang, "
+    "CASE WHEN split_h < 'c' THEN 'train' ELSE 'val' END AS split "
+    "FROM scored",
+)
+def pipeline_keeplist(spark, sf_dir):
+    """The LLM data pipeline END-TO-END as one declarative plan: exact
+    dedup (keep min doc per content hash) → quality gate (length and
+    token floors) → deterministic content-hash train/val split. One
+    shuffle (the dedup groupBy); the quality filter pushes to the scan;
+    the split is row-local. This is the composition story: each stage is
+    its own catalog op, and chaining them stays a single Catalyst plan —
+    no materialization between stages."""
+    docs = load_table(spark, "documents", sf_dir)
+    canon = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("keep_id"))
+    kept = docs.join(
+        canon, docs["doc_id"] == canon["keep_id"], "left_semi"
+    ).filter((F.col("n_chars") >= 100) & (F.size(F.split(F.col("text"), " ")) >= 20))
+    h = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.when(h < "c", "train").otherwise("val").alias("split"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

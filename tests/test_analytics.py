@@ -63,6 +63,8 @@ NEW_QUERIES = [
     "daily_rollup_gapfill",
     "ann_topk_int8",
     "corpus_profile",
+    "pii_redact",
+    "pipeline_keeplist",
 ]
 
 
