@@ -3007,6 +3007,69 @@ def pipeline_keeplist(spark, sf_dir):
     )
 
 
+@register(
+    "hopping_window_sum_cents",
+    "SELECT event_type AS key, "
+    "CAST((FLOOR(epoch(ts)/1800) - s.i) * 1800 * 1000000 AS BIGINT) AS window_start_us, "
+    "SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS value "
+    "FROM events CROSS JOIN (VALUES (0), (1)) AS s(i) GROUP BY 1, 2",
+)
+def hopping_window_sum_cents(spark, sf_dir):
+    """Hopping-window reduce (sum) — completes the count/sum pair for every
+    window kind. Spark's window(slide) expands each event into 2 window
+    rows before one shuffle on (key, window); the oracle mirrors the
+    expansion with a 2-row cross join."""
+    ev = load_table(spark, "events", sf_dir)
+    s = _events_stream(spark, sf_dir).map_values(lambda v: cents(v))
+    out = (
+        s.group_by(lambda k, v: F.col("event_type"))
+        .windowed_by(TimeWindows.of("1 hour").advance("30 minutes"))
+        .reduce(lambda v: F.sum(v))
+    )
+    del ev
+    return out.select(
+        "key", F.unix_micros("window_start").alias("window_start_us"), "value"
+    )
+
+
+@register(
+    "session_window_sum_cents",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, CAST(ROUND(value*100, 0) AS BIGINT) AS v_c,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, 1)
+    ), sessions AS (
+      SELECT user_id, ts, v_c,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id AS key, epoch_us(min(ts)) AS session_start_us,
+           SUM(v_c) AS value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def session_window_sum_cents(spark, sf_dir):
+    """Session-window reduce (sum of cents per 30-min-gap session) — the
+    aggregate dual of session_window_count; session_window() merges
+    windows in the same shuffle the count uses."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(ev, key="user_id", value="value", timestamp="ts").map_values(
+        lambda v: cents(v)
+    )
+    out = (
+        s.group_by_key()
+        .windowed_by(SessionWindows.with_gap("30 minutes"))
+        .reduce(lambda v: F.sum(v))
+    )
+    return out.select(
+        "key", F.unix_micros("window_start").alias("session_start_us"), "value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
