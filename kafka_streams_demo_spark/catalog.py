@@ -3020,13 +3020,12 @@ def hopping_window_sum_cents(spark, sf_dir):
     rows before one shuffle on (key, window); the oracle mirrors the
     expansion with a 2-row cross join."""
     ev = load_table(spark, "events", sf_dir)
-    s = _events_stream(spark, sf_dir).map_values(lambda v: cents(v))
+    s = KStream.from_df(ev, key="event_type", value=cents(F.col("value")), timestamp="ts")
     out = (
-        s.group_by(lambda k, v: F.col("event_type"))
+        s.group_by_key()
         .windowed_by(TimeWindows.of("1 hour").advance("30 minutes"))
         .reduce(lambda v: F.sum(v))
     )
-    del ev
     return out.select(
         "key", F.unix_micros("window_start").alias("window_start_us"), "value"
     )

@@ -68,9 +68,6 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no ns
-        # timestamp — read as long ns and convert (registry.load_table).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Write timestamps as INT64 micros, not the legacy INT96: INT96
         # columns carry NO min/max statistics, which silently disables
         # row-group skipping for every time-range predicate over data we

@@ -65,12 +65,12 @@ SCHEMAS: dict[str, T.StructType] = {
     .add("l_returnflag", T.StringType())
     .add("l_linestatus", T.StringType())
     .add("l_shipdate", T.TimestampType()),
-    # ts is physically TIMESTAMP(NANOS) → read as long (nanosAsLong) and
-    # converted to micros TimestampType in load_table (truncation matches
-    # DuckDB's ns→us cast).
+    # ts is physically INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false); with
+    # the session timezone pinned to UTC (session.py) Spark reads the same
+    # wall-clock instants DuckDB does.
     "events": T.StructType()
     .add("event_id", T.LongType())
-    .add("ts", T.LongType())
+    .add("ts", T.TimestampType())
     .add("user_id", T.LongType())
     .add("event_type", T.StringType())
     .add("value", T.DoubleType())
@@ -94,12 +94,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """Read one driver parquet table with its declared schema."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ns→us truncation via integer division (double division would lose
-        # precision above 2^53 ns); matches DuckDB's ns→us cast exactly.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 class Tables:
@@ -124,14 +119,11 @@ def read_stream_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_D
     per-table file is selected via pathGlobFilter over the sf dir."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    df = (
+    return (
         spark.readStream.schema(SCHEMAS[name])
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
 
 
 def read_csv(
