@@ -247,18 +247,56 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    l, r = banded.alias("l"), banded.alias("r")
+    # Candidate pairs via bucket grouping, NOT a self-join: a self-join
+    # reads the banded table twice, and each side re-runs the whole
+    # tokenize→shingle→minhash pipeline over the corpus (the dominant
+    # cost, and cache-matching across the two sides is not guaranteed).
+    # One groupBy(band, bucket) + in-bucket pair expansion computes the
+    # signature pipeline exactly once; the shuffle carries (band, bucket,
+    # doc_id) rows — same key distribution as the join's exchange. A hot
+    # bucket concentrates its pair expansion in one task, but the self-join
+    # hashed that bucket to a single partition too; LSH buckets at
+    # near-dup thresholds are tiny by construction.
+    buckets = (
+        banded.filter(F.col("bucket").isNotNull())
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+        .filter(F.size("_ids") > 1)
+        # materialize the sorted array behind its own projection: HOF
+        # lambdas re-evaluate inline expressions per element, so sorting
+        # inside the transform would cost O(s² log s) per bucket
+        .select(F.array_sort("_ids").alias("ids"))
+    )
     candidates = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice("ids", i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(x.alias("i"), y.alias("j")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("l.doc_id").alias("i"), F.col("r.doc_id").alias("j"))
+        .select("p.i", "p.j")
+        .distinct()
+        .persist()  # tiny pair list; read 3× below (ids ×2 + the verify join)
+    )
+    # Verify ONLY candidate docs: semi-join the raw corpus down to the ids
+    # that appear in some candidate pair BEFORE shingling, so the exact-
+    # Jaccard stage re-tokenizes a candidate-sized subset, not the corpus.
+    cand_ids = (
+        candidates.select(F.col("i").alias(id_col))
+        .union(candidates.select(F.col("j").alias(id_col)))
         .distinct()
     )
-    di, dj = ds.alias("di"), ds.alias("dj")
+    cand_ds = doc_shingle_sets(
+        docs.join(F.broadcast(cand_ids), id_col, "left_semi"), n, text_col, id_col
+    )
+    di, dj = cand_ds.alias("di"), cand_ds.alias("dj")
     return (
         # candidates ≪ corpus: broadcast them so the shingle-set table is
         # never shuffled for verification (two map-side joins at any scale)
@@ -362,7 +400,10 @@ def simhash_pairs(
     hashed = toks.select(
         "doc_id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th")
     )
-    sigs = simhash_sig(hashed, impl=signature_impl)
+    # Persist: the segment self-join reads sigs from both sides; without
+    # the cache each side re-runs tokenize→hash→signature over the corpus.
+    # One long per doc — negligible storage at any scale.
+    sigs = simhash_sig(hashed, impl=signature_impl).persist()
     segs = sigs.select(
         "doc_id", "sig",
         F.explode(
