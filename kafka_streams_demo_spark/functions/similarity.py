@@ -295,7 +295,10 @@ def ivf_topk(
     corpus is written partitioned by cell once, and each query touches
     nprobe/|cells| of the data. Candidate volume scales with nprobe, not
     corpus size."""
-    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    # Persist the centroid table: both assignment passes (corpus + probes)
+    # broadcast it, and without the cache each pass re-runs the posexplode
+    # aggregation over the full corpus. |cells| rows — trivially cached.
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col).persist()
     corpus = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col).select(
         F.col("vid").alias("n_id"), F.col("vec").alias("n_vec"), "cell"
     ).select("*", norm(F.col("n_vec")).alias("n_nrm"))
