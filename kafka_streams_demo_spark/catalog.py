@@ -3069,6 +3069,77 @@ def session_window_sum_cents(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data assembly: chunking / sequence packing / mixture sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_chunk_overlap",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "s AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-8, 1), 24)) AS st FROM t) "
+    "SELECT doc_id, CAST((st-1)//24 AS BIGINT) AS chunk_id, CAST(st AS BIGINT) AS start_tok, "
+    "CAST(least(32, len(w)-st+1) AS BIGINT) AS n_tokens, "
+    "md5(array_to_string(w[st:st+31], ' ')) AS chunk_md5 FROM s",
+)
+def doc_chunk_overlap(spark, sf_dir):
+    """Context-window prep: 32-token chunks advancing 24 (8-token overlap).
+    Tokenize → sequence(starts) → explode → slice: a narrow map stage —
+    chunking never shuffles at any corpus size."""
+    from kafka_streams_demo_spark.functions.packing import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, "documents", sf_dir), chunk_size=32, overlap=8
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source AS grp, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    r AS (
+      SELECT grp, doc_id, n_tokens, rn, n_tokens AS fill, 0 AS bin FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.grp, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN r.fill + d.n_tokens <= 256 THEN r.fill + d.n_tokens ELSE d.n_tokens END,
+             CASE WHEN r.fill + d.n_tokens <= 256 THEN r.bin ELSE r.bin + 1 END
+      FROM d JOIN r ON d.grp = r.grp AND d.rn = r.rn + 1)
+    SELECT grp, doc_id, n_tokens, CAST(bin AS BIGINT) AS bin_id FROM r
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Greedy first-fit-in-order sequence packing into 256-token bins per
+    source — the applyInPandas sequential-scan family (one shuffle on the
+    group key, groups pack in parallel). The oracle keeps the recursive-CTE
+    form, so the gate checks the per-group fold itself."""
+    from kafka_streams_demo_spark.functions.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, "documents", sf_dir), capacity=256)
+
+
+@register(
+    "mixture_sample",
+    "SELECT doc_id, source FROM documents WHERE substring(md5(text), 1, 2) < "
+    "CASE WHEN source = 'src0' THEN 'zz' WHEN source = 'src1' THEN '80' "
+    "WHEN source = 'src2' THEN '40' ELSE '20' END",
+)
+def mixture_sample_q(spark, sf_dir):
+    """Deterministic corpus-mixture sampling: per-source keep rates decided
+    by a content-hash threshold (src0 1.0, src1 0.5, src2 0.25, rest
+    0.125) — reproducible across engines and partitionings, unlike
+    rand()/sampleBy. A narrow filter: the mixture definition IS the scan
+    predicate."""
+    from kafka_streams_demo_spark.functions.packing import mixture_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mixture_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_weight=0.125
+    ).select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,145 @@
+"""Training-data assembly: chunking, sequence packing, mixture sampling.
+
+The reference has no counterpart for these (its data plane is keyed
+records, SURVEY §1); they are the north-star LLM-pipeline extensions that
+turn a filtered corpus into model-ready sequences:
+
+- ``chunk_documents``: split each document into fixed-size token windows
+  with overlap (context-window prep). Pure column expressions — tokenize,
+  ``sequence`` for chunk starts, ``explode``, ``slice`` — so chunking
+  100 TB is a narrow map stage, no shuffle, no Python.
+- ``pack_sequences``: greedy first-fit-in-order packing of documents into
+  fixed-capacity token bins (one bin = one training sequence). Inherently
+  sequential per group → ``applyInPandas`` over the group key, Arrow-
+  batched; the shuffle is one exchange on the group key and each group
+  packs independently.
+- ``mixture_sample``: deterministic per-source rate sampling (corpus
+  mixture weights) via a content-hash threshold — reproducible across
+  engines and partitionings, unlike ``rand()``/``sampleBy``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_tokens, chunk_md5) — whitespace-token
+    windows of ``chunk_size`` tokens advancing by ``chunk_size - overlap``.
+
+    The last window is truncated at the document end; every token belongs
+    to at least one window; documents shorter than one window yield exactly
+    one chunk. The token array is materialized behind its own projection
+    (HOF lambdas re-evaluate inline expressions per element).
+    """
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_toks")
+    ).select("doc_id", "_toks", F.size("_toks").alias("_n"))
+    started = toks.select(
+        "doc_id",
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.col("_n") - F.lit(overlap), F.lit(1)),
+                F.lit(stride),
+            )
+        ).alias("st"),
+    )
+    return started.select(
+        "doc_id",
+        ((F.col("st") - 1) / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.col("st").cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_size), F.col("_n") - F.col("st") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(
+            F.array_join(F.slice("_toks", F.col("st"), F.lit(chunk_size)), " ").cast(
+                "binary"
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing: within each group,
+    documents (in ``id_col`` order) accumulate into bins of ``capacity``
+    whitespace tokens; a document that would overflow the open bin starts
+    the next one; oversized documents (> capacity) occupy a bin alone.
+
+    Output: (group, doc_id, n_tokens, bin_id). The sequential scan is per
+    group inside ``applyInPandas`` — one shuffle on the group key, Arrow
+    batches, all groups pack in parallel. Deterministic: rows are sorted by
+    id inside each group, so the packing is a pure function of the data.
+    """
+    import pandas as pd
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+    cap = capacity
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], 0, -1
+        for nt in pdf["n_tokens"]:
+            if b >= 0 and fill + nt <= cap:
+                fill += nt
+            else:
+                b += 1
+                fill = nt
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf
+
+    return toks.groupBy("grp").applyInPandas(
+        pack, "grp string, doc_id long, n_tokens long, bin_id long"
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic mixture sampling: keep each row with probability
+    ``weights[source]`` decided by a content-hash threshold — the first two
+    hex digits of md5(text) compared against ``round(weight · 256)``. The
+    same row is kept or dropped on every engine and every partitioning
+    (unlike ``rand()``), so a mixture is a reproducible dataset definition,
+    not a lottery. Weight granularity is 1/256.
+    """
+    def thresh(w: float) -> str:
+        t = max(0, min(256, round(w * 256)))
+        # 256/256 = keep-all: "zz" sorts above every 2-digit hex string
+        # (a 3-char "100" would compare lexicographically BELOW "ff")
+        return "zz" if t == 256 else format(t, "02x")
+
+    expr = F.lit(thresh(default_weight))
+    for src, w in weights.items():
+        expr = F.when(F.col(group_col) == src, F.lit(thresh(w))).otherwise(expr)
+    return docs.filter(
+        F.substring(F.md5(F.col(text_col).cast("binary")), 1, 2) < expr
+    )

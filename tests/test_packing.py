@@ -1,0 +1,153 @@
+"""Training-data assembly: chunking, sequence packing, mixture sampling.
+
+No reference counterpart (north-star extension family); the contracts are
+pinned here plus the duckdb oracles in catalog.py (doc_chunk_overlap /
+pack_sequences / mixture_sample).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.functions.packing import (
+    chunk_documents,
+    mixture_sample,
+    pack_sequences,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    docs = _docs(spark, [(1, "s", "a b c")])
+    out = chunk_documents(docs, chunk_size=4, overlap=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["chunk_id"], r["start_tok"], r["n_tokens"]) == (0, 1, 3)
+
+
+def test_chunk_exact_boundary_no_empty_tail(spark):
+    # n == chunk_size must yield exactly one chunk, not a 1-token tail
+    docs = _docs(spark, [(1, "s", "a b c d")])
+    out = chunk_documents(docs, chunk_size=4, overlap=1).collect()
+    assert len(out) == 1
+
+
+def test_chunk_overlap_and_truncated_tail(spark):
+    # 6 tokens, size 4, overlap 2 (stride 2): starts 1, 3 — second chunk
+    # covers through the end; every token is in at least one chunk
+    docs = _docs(spark, [(1, "s", "a b c d e f")])
+    out = {r["start_tok"]: r for r in chunk_documents(docs, 4, 2).collect()}
+    assert sorted(out) == [1, 3]
+    assert out[1]["n_tokens"] == 4 and out[3]["n_tokens"] == 4
+    assert out[3]["chunk_id"] == 1
+
+
+def test_chunk_covers_every_token(spark):
+    docs = _docs(spark, [(i, "s", " ".join(f"t{j}" for j in range(n)))
+                         for i, n in enumerate([1, 5, 7, 8, 9, 31, 32, 33, 99])])
+    rows = chunk_documents(docs, chunk_size=8, overlap=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate([1, 5, 7, 8, 9, 31, 32, 33, 99]):
+        covered = set()
+        for r in by_doc[i]:
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+        assert covered == set(range(1, n + 1)), f"doc {i} (n={n})"
+
+
+def test_chunk_rejects_degenerate_stride():
+    with pytest.raises(ValueError):
+        chunk_documents(None, chunk_size=4, overlap=4)
+
+
+def _greedy_model(sizes, cap):
+    bins, fill, b = [], 0, -1
+    for nt in sizes:
+        if b >= 0 and fill + nt <= cap:
+            fill += nt
+        else:
+            b += 1
+            fill = nt
+        bins.append(b)
+    return bins
+
+
+def test_pack_matches_greedy_model(spark):
+    sizes = [10, 10, 10, 25, 5, 40, 3, 3, 3, 3]
+    docs = _docs(
+        spark,
+        [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(sizes)],
+    )
+    out = pack_sequences(docs, capacity=30).collect()
+    got = {r["doc_id"]: (r["bin_id"], r["n_tokens"]) for r in out}
+    model = _greedy_model(sizes, 30)
+    for i, n in enumerate(sizes):
+        assert got[i] == (model[i], n)
+
+
+def test_pack_oversized_doc_gets_own_bin(spark):
+    docs = _docs(spark, [(1, "s", " ".join(["w"] * 100)), (2, "s", "a b")])
+    out = {r["doc_id"]: r["bin_id"] for r in pack_sequences(docs, capacity=10).collect()}
+    assert out[1] != out[2]
+
+
+def test_pack_groups_are_independent(spark):
+    docs = _docs(
+        spark,
+        [(1, "a", " ".join(["w"] * 8)), (2, "a", " ".join(["w"] * 8)),
+         (3, "b", " ".join(["w"] * 8))],
+    )
+    out = {r["doc_id"]: (r["grp"], r["bin_id"]) for r in
+           pack_sequences(docs, capacity=10).collect()}
+    # each group restarts at bin 0
+    assert out[1] == ("a", 0) and out[2] == ("a", 1) and out[3] == ("b", 0)
+
+
+def test_pack_no_bin_overflows_unless_single_doc(spark):
+    sizes = [7, 9, 4, 12, 2, 2, 2, 30, 1]
+    docs = _docs(spark, [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(sizes)])
+    rows = pack_sequences(docs, capacity=12).collect()
+    fills = {}
+    counts = {}
+    for r in rows:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+        counts[r["bin_id"]] = counts.get(r["bin_id"], 0) + 1
+    for b, fill in fills.items():
+        assert fill <= 12 or counts[b] == 1
+
+
+def test_mixture_sample_deterministic_and_monotone(spark):
+    docs = _docs(
+        spark,
+        [(i, "s", f"document number {i} with some words") for i in range(400)],
+    )
+    full = mixture_sample(docs, {}, default_weight=1.0)
+    half = mixture_sample(docs, {}, default_weight=0.5)
+    quarter = mixture_sample(docs, {}, default_weight=0.25)
+    n_full, n_half, n_quarter = full.count(), half.count(), quarter.count()
+    assert n_full == 400
+    # content-hash threshold: expected rate ±10pp at n=400
+    assert abs(n_half / 400 - 0.5) < 0.1
+    assert abs(n_quarter / 400 - 0.25) < 0.1
+    # monotone: a kept row at weight w stays kept at any w' > w
+    half_ids = {r["doc_id"] for r in half.select("doc_id").collect()}
+    quarter_ids = {r["doc_id"] for r in quarter.select("doc_id").collect()}
+    assert quarter_ids <= half_ids
+    # deterministic across evaluations
+    again = {r["doc_id"] for r in
+             mixture_sample(docs, {}, default_weight=0.5).select("doc_id").collect()}
+    assert again == half_ids
+
+
+def test_mixture_per_source_weights(spark):
+    docs = _docs(
+        spark,
+        [(i, f"src{i % 2}", f"text body {i} alpha beta") for i in range(300)],
+    )
+    out = mixture_sample(docs, {"src0": 1.0, "src1": 0.0})
+    srcs = {r["source"] for r in out.select("source").collect()}
+    assert srcs == {"src0"}
+    assert out.count() == 150
