@@ -68,7 +68,7 @@ def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (i < j). Join on shared
     shingles → common counts → Jaccard from per-doc set sizes. The shuffle
@@ -81,7 +81,10 @@ def ngram_jaccard_pairs(
     10¹² -row join block. Dropped shingles still count in the set sizes, so
     reported Jaccard becomes a lower bound — pairs held together ONLY by
     ubiquitous boilerplate fall below threshold, which is the desired
-    behavior for near-dup detection at scale. Default None = exact."""
+    behavior for near-dup detection at scale. The default is a finite
+    1000 (the scale-safe mode is opt-OUT); pass ``None`` for exact
+    all-pairs Jaccard when the corpus is known small (the oracle-gated
+    catalog entry does, so the SQL oracle stays an exact match)."""
     sh = shingle_rows(docs, n, text_col, id_col)
     if max_doc_freq is not None:
         hot = (
@@ -221,13 +224,24 @@ def minhash_lsh_pairs(
     num_hashes: int = NUM_HASHES, bands: int = BANDS,
     text_col: str = "text", id_col: str = "doc_id",
     signature_impl: str = "arrow",
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
     shingle → 64×minhash (minhash_sig_array: shuffle-free, Arrow-vectorized
     by default) → band-hash → bucket self-join (candidates) → verify true
     Jaccard via per-doc shingle sets. Only candidate pairs pay the
-    verification cost; precision is exact, recall 1-(1-J^r)^b."""
+    verification cost; precision is exact, recall 1-(1-J^r)^b.
+
+    ``max_bucket_size``: buckets larger than this are dropped from pairing.
+    An LSH bucket at near-dup thresholds is tiny by construction UNLESS the
+    corpus carries a massive exact-duplicate cluster (identical docs share
+    identical signatures in every band) — a 100k-copy cluster would emit
+    ~5·10⁹ candidate pairs from one bucket. Run exact dedup first
+    (exact_dedup_groups); the cap is the backstop that keeps a pathological
+    bucket from dominating the job. Capped-out buckets mean those pair
+    candidates are not reported (they are exact-dup work, not near-dup
+    work)."""
     rows = num_hashes // bands
     ds = doc_shingle_sets(docs, n, text_col, id_col)
     sig = minhash_sig_array(ds, num_hashes, impl=signature_impl)
@@ -261,27 +275,23 @@ def minhash_lsh_pairs(
         banded.filter(F.col("bucket").isNotNull())
         .groupBy("band", "bucket")
         .agg(F.collect_list("doc_id").alias("_ids"))
-        .filter(F.size("_ids") > 1)
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= F.lit(max_bucket_size)))
         # materialize the sorted array behind its own projection: HOF
         # lambdas re-evaluate inline expressions per element, so sorting
-        # inside the transform would cost O(s² log s) per bucket
+        # inside the generator chain would cost O(s² log s) per bucket
         .select(F.array_sort("_ids").alias("ids"))
     )
+    # In-bucket pair expansion via two chained generators: posexplode picks
+    # each i, then explode of slice(ids, pos+2, ...) streams every later j.
+    # Peak per-row intermediate is O(s) (one slice), never the O(s²)
+    # all-pairs array a flatten-then-explode would materialize in a single
+    # value (2 GB array limit / executor OOM on a heavy duplicate cluster).
     candidates = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda x, i: F.transform(
-                            F.slice("ids", i + F.lit(2), F.size("ids")),
-                            lambda y: F.struct(x.alias("i"), y.alias("j")),
-                        ),
-                    )
-                )
-            ).alias("p")
+        buckets.select("ids", F.posexplode("ids").alias("_pi", "i"))
+        .select(
+            "i",
+            F.explode(F.slice("ids", F.col("_pi") + F.lit(2), F.size("ids"))).alias("j"),
         )
-        .select("p.i", "p.j")
         .distinct()
         .persist()  # tiny pair list; read 3× below (ids ×2 + the verify join)
     )

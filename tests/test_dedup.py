@@ -201,3 +201,37 @@ def test_dedup_clusters_canonical_election(spark):
     rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
             for r in dedup_clusters(docs, pairs).collect()}
     assert rows == {1: (1, 1), 2: (1, 0), 3: (1, 0), 7: (7, 1)}
+
+
+def test_ngram_jaccard_default_cap_guards_hot_shingle(spark):
+    """The scale-safe default (max_doc_freq=1000) must drop a shingle shared
+    by >1000 docs from the pairing join: a boilerplate phrase stamped on
+    1050 otherwise-unrelated docs produces ZERO pairs under the default
+    (the would-be ~550k boilerplate-only pairs never enter the join),
+    while a genuinely identical pair with private shingles still matches."""
+    boiler = "standard footer text appended to every crawled page"
+    rows = [(i, f"unique{i} w{i}a w{i}b w{i}c {boiler}") for i in range(1050)]
+    rows += [(2001, "private alpha beta gamma delta epsilon"),
+             (2002, "private alpha beta gamma delta epsilon")]
+    docs = _docs(spark, rows)
+    got = {(r["i"], r["j"]) for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert got == {(2001, 2002)}
+
+
+def test_minhash_bucket_cap_drops_giant_dup_cluster(spark):
+    """max_bucket_size backstop: a 30-copy exact-dup cluster (identical
+    signatures → one 30-doc bucket per band) is dropped at cap=10 while a
+    separate near-dup pair still pairs; at the default cap the cluster's
+    full 435-pair expansion comes back."""
+    dup = "identical duplicated document body repeated verbatim each time"
+    rows = [(i, dup) for i in range(30)]
+    rows += [(101, "near duplicate text one two three four five six seven"),
+             (102, "near duplicate text one two three four five six eight")]
+    docs = _docs(spark, rows)
+    capped = {(r["i"], r["j"]) for r in
+              minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10).collect()}
+    assert capped == {(101, 102)}
+    full = {(r["i"], r["j"]) for r in
+            minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert {(i, j) for i in range(30) for j in range(i + 1, 30)} <= full
+    assert (101, 102) in full
