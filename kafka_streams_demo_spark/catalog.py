@@ -1806,10 +1806,20 @@ def repetition_ratio(spark, sf_dir):
 def contamination_check(spark, sf_dir):
     """Train/eval decontamination: per eval doc (odd ids), the share of its
     3-gram shingles that also occur anywhere in the train split (even ids).
-    Shingling is row-local; the train side collapses to its DISTINCT
-    shingle set before the join (one dedup shuffle, then shingle-keyed
-    join) — at 100 TB the train set is also the natural bloom-filter feed.
-    Docs under 3 tokens have no shingles and drop out, same as the oracle."""
+
+    Scale shape: a Bloom filter built over the EVAL shingles (the small
+    side — eval benchmarks are MBs where the train corpus is TBs)
+    prefilters the train side MAP-SIDE before its distinct+join, so the
+    train shuffle carries ~|eval shingles|·(1+fpp) rows instead of the full
+    train shingle stream (functions/bloom.py — distributed bitmap build,
+    one bounded collect sized by config, probe is pure codegen column
+    math). Bloom false positives survive the prefilter and are dropped
+    exactly by the verification join; false negatives are impossible, so
+    the result is exact — the SQL oracle is unchanged. n_sh comes from a
+    separate aggregate over the eval side (no join needed for the
+    denominator). Docs under 3 tokens have no shingles and drop out, same
+    as the oracle."""
+    from kafka_streams_demo_spark.functions.bloom import bloom_build, bloom_might_contain
     from kafka_streams_demo_spark.functions.dedup import doc_shingle_sets
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1817,15 +1827,30 @@ def contamination_check(spark, sf_dir):
         "doc_id", F.explode("shset").alias("s")
     )
     ev = sh.filter(F.col("doc_id") % 2 == 1)
-    tr = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
-    tr_marked = tr.withColumn("_hit", F.lit(1))
-    return (
-        ev.join(tr_marked, "s", "left")
+    bitmap = bloom_build(ev.select("s"), "s")
+    tr = (
+        sh.filter(F.col("doc_id") % 2 == 0)
+        .select("s")
+        .filter(bloom_might_contain(bitmap, F.col("s")))
+        .distinct()
+    )
+    totals = ev.groupBy(F.col("doc_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    shared = (
+        ev.join(tr, "s")
         .groupBy(F.col("doc_id").alias("key"))
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.count("_hit").alias("n_shared"),
-            F.round(F.count("_hit") / F.count(F.lit(1)).cast("double"), 6).alias("ratio"),
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        totals.join(shared, "key", "left")
+        .select(
+            "key",
+            "n_sh",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_sh").cast("double"), 6
+            ).alias("ratio"),
         )
     )
 
