@@ -40,10 +40,26 @@ def topk_bruteforce(
     emb: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+    max_queries: int | None = 1024,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self-matches by id
     excluded). Queries are broadcast — the corpus never shuffles; ranking
-    happens on round(cos, 6) with id tie-break for determinism."""
+    happens on round(cos, 6) with id tie-break for determinism.
+
+    This is the |Q|-bounded EXACT baseline: cost is |Q|·|corpus| score
+    evaluations, linear in the corpus but multiplied by every query.
+    ``max_queries`` refuses a query set larger than the bound (one count
+    over the small side) so the all-pairs path cannot be pointed at a
+    large query set by accident — use ivf_topk / lsh_topk for that.
+    Pass None to bypass when you know what you're doing."""
+    if max_queries is not None:
+        nq = queries.count()
+        if nq > max_queries:
+            raise ValueError(
+                f"topk_bruteforce scores |Q|x|corpus| pairs: {nq} queries "
+                f"exceeds max_queries={max_queries}; use ivf_topk/lsh_topk "
+                "for large query sets or pass max_queries=None explicitly"
+            )
     # norms projected per side BEFORE the pair join: cosine inside the join
     # would recompute each vector's self-dot once per PAIR (≈3× the work)
     corpus = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")).select(
@@ -346,8 +362,19 @@ def topk_quantized(
     carries a full SQL oracle while the float Arrow path is rows-only.
     At scale the quantized corpus scans 4× less I/O and the integer
     multiply-accumulate vectorizes better; rerank survivors with float
-    vectors when exactness vs the float metric matters."""
+    vectors when exactness vs the float metric matters.
+
+    Like topk_bruteforce this is a |Q|-bounded baseline (n_queries ·
+    |corpus| scored pairs); n_queries is capped to keep the broadcast
+    nested loop honest — IVF/LSH are the large-|Q| paths."""
     from pyspark.sql import Window
+
+    if n_queries > 1024:
+        raise ValueError(
+            f"topk_quantized scores n_queries x |corpus| pairs: "
+            f"n_queries={n_queries} exceeds 1024; use ivf_topk/lsh_topk "
+            "for large query sets"
+        )
 
     qv = emb.select(
         F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("qv")

@@ -1,0 +1,267 @@
+"""Avro value serde: from_avro / to_avro projection helpers.
+
+Parity target: the reference declares Avro serde deps (pom.xml:46-60) and
+an empty DataTypesSerializationExample.scala:3-5 — Kafka Streams users
+pair topics with Avro serdes. Spark's native answer is the spark-avro
+module (`pyspark.sql.avro.functions.from_avro/to_avro`, JVM-side); this
+container does not ship that jar, so these helpers dispatch:
+
+- ``impl="jvm"``: the real spark-avro expressions (use on any cluster
+  with the package loaded — it is part of the Spark distribution).
+- ``impl="python"``: a from-scratch implementation of the Avro BINARY
+  ENCODING (https://avro.apache.org/docs/++current++/specification/ —
+  zigzag varint ints/longs, little-endian IEEE float/double,
+  length-prefixed bytes/strings, records as field concatenation,
+  union-index-prefixed nullable fields) over Arrow-batched mapInPandas.
+  Supported schema subset: records of primitives plus ["null", T]
+  unions — the shapes the reference's Kafka examples use.
+- ``impl="auto"`` (default): probe once per session for the JVM module,
+  fall back to python.
+
+The python codec is byte-compatible with Avro binary encoding for the
+supported subset (golden-bytes tests pin spec examples: zigzag(1)=0x02,
+zigzag(-2)=0x03, strings length-prefixed).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+_SPARK_TYPE = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "bytes": "binary", "string": "string",
+}
+
+
+def parse_record_schema(schema_json: str) -> list[tuple[str, str, int | None]]:
+    """Validate + flatten an Avro record schema into (field,
+    primitive_type, null_branch_index) triples — null_branch_index is the
+    union position of "null" (0 for ["null","T"], 1 for ["T","null"]),
+    or None for non-nullable fields; the binary encoding prefixes union
+    values with their branch index, so position matters for
+    byte-compatibility. Rejects anything outside the supported subset
+    loudly."""
+    sch = json.loads(schema_json)
+    if not isinstance(sch, dict) or sch.get("type") != "record" or "fields" not in sch:
+        raise ValueError("only top-level Avro record schemas are supported")
+    out = []
+    for f in sch["fields"]:
+        name, t = f["name"], f["type"]
+        null_idx = None
+        if isinstance(t, list):
+            if len(t) != 2 or "null" not in t:
+                raise ValueError(f"field {name}: only 2-branch null unions supported")
+            null_idx = t.index("null")
+            t = t[1 - null_idx]
+        if not isinstance(t, str) or t not in PRIMITIVES - {"null"}:
+            raise ValueError(f"field {name}: unsupported Avro type {t!r}")
+        out.append((name, t, null_idx))
+    return out
+
+
+# --- Avro binary primitives (spec: zigzag varint, little-endian IEEE) ----
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    buf = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return bytes(buf)
+
+
+def _zigzag_decode(data: bytes, pos: int) -> tuple[int, int]:
+    z, shift = 0, 0
+    while True:
+        b = data[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _encode_value(t: str, v: Any) -> bytes:
+    if t in ("int", "long"):
+        return _zigzag_encode(int(v))
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    if t == "float":
+        return struct.pack("<f", float(v))
+    if t == "double":
+        return struct.pack("<d", float(v))
+    if t == "string":
+        b = str(v).encode("utf-8")
+        return _zigzag_encode(len(b)) + b
+    if t == "bytes":
+        b = bytes(v)
+        return _zigzag_encode(len(b)) + b
+    raise ValueError(f"unsupported type {t}")
+
+
+def _decode_value(t: str, data: bytes, pos: int) -> tuple[Any, int]:
+    if t in ("int", "long"):
+        return _zigzag_decode(data, pos)
+    if t == "boolean":
+        return data[pos] == 1, pos + 1
+    if t == "float":
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
+    if t == "double":
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if t == "string":
+        n, pos = _zigzag_decode(data, pos)
+        return data[pos:pos + n].decode("utf-8"), pos + n
+    if t == "bytes":
+        n, pos = _zigzag_decode(data, pos)
+        return bytes(data[pos:pos + n]), pos + n
+    raise ValueError(f"unsupported type {t}")
+
+
+def encode_record(fields: list[tuple[str, str, int | None]], row: dict) -> bytes:
+    """One Avro-binary record: concatenated fields; nullable fields carry
+    their union branch index first (spec: a union value is the zigzag
+    branch index followed by the branch's encoding; null's own encoding
+    is empty)."""
+    out = bytearray()
+    for name, t, null_idx in fields:
+        v = row.get(name)
+        if null_idx is not None:
+            if v is None:
+                out += _zigzag_encode(null_idx)
+                continue
+            out += _zigzag_encode(1 - null_idx)
+        elif v is None:
+            raise ValueError(f"null in non-nullable field {name}")
+        out += _encode_value(t, v)
+    return bytes(out)
+
+
+def decode_record(fields: list[tuple[str, str, int | None]], data: bytes) -> dict:
+    pos, row = 0, {}
+    for name, t, null_idx in fields:
+        if null_idx is not None:
+            branch, pos = _zigzag_decode(data, pos)
+            if branch == null_idx:
+                row[name] = None
+                continue
+        row[name], pos = _decode_value(t, data, pos)
+    return row
+
+
+# --- DataFrame projections ----------------------------------------------
+
+def _jvm_avro_available(spark: SparkSession) -> bool:
+    """Probe once per session whether the spark-avro module is loaded."""
+    key = "_kafka_streams_demo_spark_avro_probe"
+    cached = spark.conf.get(f"spark.{key}", None)
+    if cached is not None:
+        return cached == "true"
+    try:
+        from pyspark.sql.avro.functions import to_avro as jvm_to_avro
+
+        spark.range(1).select(
+            jvm_to_avro(F.struct(F.lit(1).alias("x")))
+        ).collect()
+        ok = True
+    except Exception:
+        ok = False
+    spark.conf.set(f"spark.{key}", "true" if ok else "false")
+    return ok
+
+
+def to_avro_df(
+    df: DataFrame, schema_json: str, out_col: str = "value", impl: str = "auto"
+) -> DataFrame:
+    """Project df's schema fields into one Avro-binary column (other
+    columns pass through). Arrow-batched mapInPandas — one Python stage,
+    never per-row overhead outside the batch loop."""
+    fields = parse_record_schema(schema_json)
+    spark = df.sparkSession
+    if impl == "auto":
+        impl = "jvm" if _jvm_avro_available(spark) else "python"
+    if impl == "jvm":
+        from pyspark.sql.avro.functions import to_avro as jvm_to_avro
+
+        names = [f[0] for f in fields]
+        return df.withColumn(
+            out_col, jvm_to_avro(F.struct(*[F.col(n) for n in names]), schema_json)
+        )
+
+    passthrough = [c for c in df.columns if c not in {f[0] for f in fields}]
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in zip(passthrough, _spark_types(df, passthrough))]
+        + [f"{out_col} binary"]
+    )
+    field_spec = list(fields)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            vals = [
+                encode_record(field_spec, {n: _py(pdf[n].iloc[i]) for n, _, _ in field_spec})
+                for i in range(len(pdf))
+            ]
+            out = pdf[passthrough].copy() if passthrough else pd.DataFrame(index=pdf.index)
+            out[out_col] = vals
+            yield out
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def from_avro_df(
+    df: DataFrame, schema_json: str, bin_col: str = "value", impl: str = "auto"
+) -> DataFrame:
+    """Decode an Avro-binary column back into its record fields (other
+    columns pass through; the binary column is consumed)."""
+    fields = parse_record_schema(schema_json)
+    spark = df.sparkSession
+    if impl == "auto":
+        impl = "jvm" if _jvm_avro_available(spark) else "python"
+    if impl == "jvm":
+        from pyspark.sql.avro.functions import from_avro as jvm_from_avro
+
+        tmp = df.withColumn("_rec", jvm_from_avro(F.col(bin_col), schema_json))
+        keep = [c for c in df.columns if c != bin_col]
+        return tmp.select(*keep, "_rec.*")
+
+    passthrough = [c for c in df.columns if c != bin_col]
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in zip(passthrough, _spark_types(df, passthrough))]
+        + [f"{n} {_SPARK_TYPE[t]}" for n, t, _ in fields]
+    )
+    field_spec = list(fields)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            recs = [decode_record(field_spec, bytes(b)) for b in pdf[bin_col].values]
+            out = pdf[passthrough].copy() if passthrough else pd.DataFrame(index=pdf.index)
+            for n, _, _ in field_spec:
+                out[n] = [r[n] for r in recs]
+            yield out
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def _spark_types(df: DataFrame, cols: list[str]) -> list[str]:
+    m = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return [m[c] for c in cols]
+
+
+def _py(v):
+    """numpy scalar → python scalar (pandas hands numpy types to the codec)."""
+    return v.item() if hasattr(v, "item") else v

@@ -1,0 +1,124 @@
+"""Avro serde helpers: spec golden bytes, Spark round-trip, gating."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.sources.avro import (
+    decode_record,
+    encode_record,
+    from_avro_df,
+    parse_record_schema,
+    to_avro_df,
+)
+
+SCHEMA = json.dumps({
+    "type": "record", "name": "Event", "fields": [
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "note", "type": ["null", "string"]},
+    ],
+})
+
+
+def test_golden_bytes_match_avro_spec():
+    """Spec pins (avro.apache.org specification, Binary Encoding):
+    zigzag(1)=0x02, zigzag(-2)=0x03, zigzag(64)=0x80 0x01; strings are
+    length-prefixed utf-8; ["null","T"] null = branch 0 = byte 0x00."""
+    f_long = parse_record_schema(json.dumps(
+        {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    ))
+    assert encode_record(f_long, {"x": 1}) == b"\x02"
+    assert encode_record(f_long, {"x": -2}) == b"\x03"
+    assert encode_record(f_long, {"x": 64}) == b"\x80\x01"
+    f_str = parse_record_schema(json.dumps(
+        {"type": "record", "name": "r", "fields": [{"name": "s", "type": "string"}]}
+    ))
+    assert encode_record(f_str, {"s": "foo"}) == b"\x06foo"
+    f_null = parse_record_schema(json.dumps(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "n", "type": ["null", "long"]}]}
+    ))
+    assert encode_record(f_null, {"n": None}) == b"\x00"
+    assert encode_record(f_null, {"n": 3}) == b"\x02\x06"  # branch 1, zigzag(3)
+
+
+def test_union_branch_index_respects_declaration_order():
+    """["T","null"] puts null at branch 1 — encoding must differ from
+    ["null","T"] (branch indexes are positional in the spec)."""
+    rev = parse_record_schema(json.dumps(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "n", "type": ["long", "null"]}]}
+    ))
+    assert encode_record(rev, {"n": None}) == b"\x02"   # zigzag(1)
+    assert encode_record(rev, {"n": 3}) == b"\x00\x06"  # branch 0, zigzag(3)
+    assert decode_record(rev, b"\x02") == {"n": None}
+    assert decode_record(rev, b"\x00\x06") == {"n": 3}
+
+
+def test_codec_roundtrip_all_primitives():
+    schema = json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "y", "type": "bytes"},
+        ],
+    })
+    fields = parse_record_schema(schema)
+    row = {"b": True, "i": -123, "l": 2**40, "f": 0.5, "d": -2.25,
+           "s": "héllo", "y": b"\x00\xff"}
+    assert decode_record(fields, encode_record(fields, row)) == row
+
+
+def test_unsupported_schemas_rejected():
+    with pytest.raises(ValueError, match="record"):
+        parse_record_schema('"long"')
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_record_schema(json.dumps(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "a", "type": {"type": "array", "items": "long"}}]}
+        ))
+    with pytest.raises(ValueError, match="union"):
+        parse_record_schema(json.dumps(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "u", "type": ["long", "string"]}]}
+        ))
+
+
+def test_spark_roundtrip_with_passthrough_key(spark):
+    """to_avro → from_avro through real Spark stages: the key column
+    passes through both projections; record fields round-trip exactly
+    (the kafka sink shape: (key, value-binary))."""
+    df = spark.createDataFrame(
+        [(1, 100, "click", 1.5, "hi"), (2, 200, "view", -0.25, None)],
+        "key int, user_id long, event_type string, value double, note string",
+    )
+    enc = to_avro_df(df, SCHEMA, out_col="value_bin")
+    assert set(enc.columns) == {"key", "value_bin"}
+    dec = from_avro_df(enc, SCHEMA, bin_col="value_bin")
+    got = {r["key"]: (r["user_id"], r["event_type"], r["value"], r["note"])
+           for r in dec.collect()}
+    assert got == {1: (100, "click", 1.5, "hi"), 2: (200, "view", -0.25, None)}
+
+
+def test_spark_roundtrip_via_kstream_value(spark):
+    """Serde round-trip on the events fixture columns — 100 rows through
+    the Arrow batch path."""
+    ev = spark.range(100).selectExpr(
+        "id AS user_id",
+        "concat('t', cast(id % 3 AS string)) AS event_type",
+        "cast(id AS double) / 8 AS value",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('n', id) END AS note",
+    )
+    back = from_avro_df(to_avro_df(ev, SCHEMA), SCHEMA)
+    assert back.count() == 100
+    assert back.filter(F.col("note").isNull()).count() == 20
+    orig = sorted(map(tuple, ev.collect()))
+    rt = sorted(map(tuple, back.select("user_id", "event_type", "value", "note").collect()))
+    assert rt == orig

@@ -173,3 +173,23 @@ def test_topk_quantized_tracks_float_baseline(spark):
     assert ex.keys() == qt.keys()
     recalls = [len(ex[q] & qt[q]) / 10 for q in ex]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_bruteforce_refuses_large_query_set(spark):
+    """The |Q|x|corpus| baselines must refuse a large query set instead of
+    silently running a planet-sized broadcast nested loop."""
+    import pytest
+
+    from kafka_streams_demo_spark.functions.similarity import topk_quantized
+
+    emb = spark.range(2000).selectExpr(
+        "id AS vec_id", "array(cast(id AS float), 1.0f) AS embedding"
+    )
+    q = spark.range(2000).selectExpr("id AS q_id", "array(cast(id AS float), 1.0f) AS q_vec")
+    with pytest.raises(ValueError, match="max_queries"):
+        topk_bruteforce(emb, q, k=3)
+    with pytest.raises(ValueError, match="n_queries"):
+        topk_quantized(emb, k=3, n_queries=2000)
+    # explicit opt-out still works
+    small = q.limit(2)
+    assert topk_bruteforce(emb, small, k=1, max_queries=None).count() == 2

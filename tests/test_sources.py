@@ -143,3 +143,42 @@ def test_rate_stream_canonical_shape(spark, tmp_path):
         assert keys <= {"0", "1", "2", "3"}
     finally:
         q.stop()
+
+
+def test_catalog_table_lifecycle(spark):
+    """create → exists → read → drop (ConfigHelper topic-lifecycle parity
+    on the session catalog)."""
+    import pytest
+
+    from kafka_streams_demo_spark.sources.admin import (
+        create_table,
+        drop_table,
+        list_tables,
+    )
+
+    drop_table(spark, "t_admin_lifecycle")
+    create_table(spark, "t_admin_lifecycle", schema="k string, v long")
+    assert "t_admin_lifecycle" in list_tables(spark)
+    assert spark.table("t_admin_lifecycle").count() == 0
+    df = spark.range(5).selectExpr("concat('k', id) AS k", "id AS v")
+    create_table(spark, "t_admin_lifecycle", df=df, mode="overwrite")
+    assert spark.table("t_admin_lifecycle").count() == 5
+    assert drop_table(spark, "t_admin_lifecycle") is True
+    assert drop_table(spark, "t_admin_lifecycle") is False
+    with pytest.raises(ValueError, match="exactly one"):
+        create_table(spark, "t_bad")
+
+
+def test_topic_admin_gated_without_kafka_lib(spark):
+    """The live AdminClient path must fail actionably when no Kafka client
+    library is installed (this container), not with a bare ImportError."""
+    import pytest
+
+    from kafka_streams_demo_spark.sources.admin import create_topics, topic_configs
+
+    assert topic_configs(3, 2, cleanup_policy="compact") == {
+        "num_partitions": 3, "replication_factor": 2,
+        "topic_configs": {"cleanup_policy": "compact"},
+    }
+    with pytest.raises(ImportError, match="create_table/drop_table"):
+        create_topics(["t1"])
