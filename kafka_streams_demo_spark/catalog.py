@@ -1299,6 +1299,23 @@ def multimodal_features_q(spark, sf_dir):
     )
 
 
+@register("multimodal_wav_features")  # no oracle: real binary decode, not SQL-expressible
+def multimodal_wav_features_q(spark, sf_dir):
+    """REAL audio decode path: per-doc synthetic 16-bit PCM WAV (sine,
+    parameters derived from doc_id) generated distributed, then RIFF
+    parse + PCM stats through Arrow batches — no fake flag, no codec
+    library (functions/codecs.py). Correctness gate: tests/
+    test_multimodal.py checks decoded stats against closed-form values
+    (rms of a 0.5-amplitude sine = 0.5/√2)."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_wav,
+        wav_feature_extract,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return wav_feature_extract(attach_synthetic_wav(docs))
+
+
 # ---------------------------------------------------------------------------
 # Temporal & analytic extensions: as-of join, window functions, rollup,
 # additional TPC-H shapes (q6/q10)

@@ -5,11 +5,17 @@ struct (modality, byte_len, checksum). Decode / feature-extraction runs as
 Arrow-batched pandas iterators over ``mapInPandas`` — the only sanctioned
 Python boundary, sized by batch not by row.
 
-The decode step is STUBBED: the real implementation needs image/audio
-codecs not present in this container. ``decode_features`` raises
-``NotImplementedError`` unless ``fake=True``, which computes a
-deterministic per-payload byte-histogram feature vector — the Spark-side
-plumbing (schema, batching, partitioning) is real and tested either way.
+Decode status, by format family:
+
+- REAL: WAV-PCM audio and PPM-P6 images decode for real via the pure-
+  Python codecs in functions/codecs.py (``wav_feature_extract`` /
+  ``ppm_resize_images`` below + synthetic fixture generators) — no
+  external codec library involved.
+- STUBBED: compressed formats (JPEG/MP3/H.264 …) need codec libraries
+  this container does not ship. ``decode_features``/``resize_images``/
+  ``frame_sample`` raise ``NotImplementedError`` unless ``fake=True``,
+  which computes deterministic stand-ins — the Spark-side plumbing
+  (schema, batching, partitioning) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -158,4 +164,143 @@ def frame_sample(multimodal: DataFrame, every_n_bytes: int = 1024, fake: bool = 
 
     return multimodal.mapInPandas(
         batches, schema="doc_id long, frame_no int, frame_bytes int"
+    )
+
+
+# --- REAL decode paths (WAV-PCM / PPM-P6, functions/codecs.py) ----------
+
+def attach_synthetic_wav(docs: DataFrame, id_col: str = "doc_id",
+                         rate: int = 8000) -> DataFrame:
+    """(doc_id, payload, meta) with a REAL mono 16-bit PCM WAV per doc:
+    a sine whose frequency/length derive deterministically from doc_id.
+    Generation runs distributed in mapInPandas — the driver never holds
+    payloads."""
+    from kafka_streams_demo_spark.functions.codecs import wav_encode
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                freq = 100.0 + (int(doc_id) % 50) * 20.0
+                n = 800 + (int(doc_id) % 5) * 80
+                t = np.arange(n) / rate
+                payloads.append(wav_encode(0.5 * np.sin(2 * np.pi * freq * t), rate))
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "modality": ["audio"] * len(pdf),
+                "byte_len": [len(p) for p in payloads],
+                "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return ids.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, modality string, byte_len long, checksum string",
+    )
+
+
+def wav_feature_extract(multimodal: DataFrame) -> DataFrame:
+    """REAL audio decode: RIFF/WAVE parse + PCM stats per payload
+    (sample_rate, duration, rms, peak) over Arrow batches. No fake flag —
+    this path genuinely decodes (functions/codecs.py:wav_decode)."""
+    from kafka_streams_demo_spark.functions.codecs import wav_decode
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            feats = [wav_decode(p) for p in pdf["payload"]]
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sample_rate": [f["sample_rate"] for f in feats],
+                "channels": [f["channels"] for f in feats],
+                "n_samples": [f["n_samples"] for f in feats],
+                "duration_s": [round(f["duration_s"], 6) for f in feats],
+                "rms": [round(f["rms"], 6) for f in feats],
+                "peak": [round(f["peak"], 6) for f in feats],
+            })
+
+    return multimodal.mapInPandas(
+        batches,
+        schema="doc_id long, sample_rate int, channels int, n_samples long, "
+               "duration_s double, rms double, peak double",
+    )
+
+
+def attach_synthetic_ppm(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload, …) with a REAL P6 PPM image per doc: a gradient
+    pattern whose dimensions derive deterministically from doc_id."""
+    from kafka_streams_demo_spark.functions.codecs import ppm_encode
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + (int(doc_id) % 8) * 4
+                h = 8 + (int(doc_id) % 5) * 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [(xx * 255 // max(w - 1, 1)),
+                     (yy * 255 // max(h - 1, 1)),
+                     np.full((h, w), int(doc_id) % 256)],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(ppm_encode(px))
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "modality": ["image"] * len(pdf),
+                "byte_len": [len(p) for p in payloads],
+                "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return ids.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, modality string, byte_len long, checksum string",
+    )
+
+
+def ppm_resize_images(multimodal: DataFrame, target_w: int = 32,
+                      target_h: int = 32) -> DataFrame:
+    """REAL image resize: P6 decode → nearest-neighbor scale → P6
+    re-encode (functions/codecs.py). Output carries the resized payload,
+    so downstream stages consume actual pixels, not metadata."""
+    from kafka_streams_demo_spark.functions.codecs import ppm_decode, ppm_resize
+
+    tw, th = target_w, target_h
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "orig_w": [], "orig_h": [],
+                    "new_w": [], "new_h": [], "resized": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = ppm_decode(payload)
+                h, w, _ = px.shape
+                rows["doc_id"].append(doc_id)
+                rows["orig_w"].append(w)
+                rows["orig_h"].append(h)
+                rows["new_w"].append(tw)
+                rows["new_h"].append(th)
+                rows["resized"].append(ppm_resize(payload, tw, th))
+            yield _pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(
+        batches,
+        schema="doc_id long, orig_w int, orig_h int, new_w int, new_h int, resized binary",
     )

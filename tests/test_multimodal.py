@@ -85,3 +85,83 @@ def test_resize_without_fake_raises(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_wav_codec_roundtrip_closed_form():
+    """Real WAV: encode a known sine, decode, check stats against closed
+    form (rms of A·sin = A/√2; peak ≈ A; duration = n/rate)."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import wav_decode, wav_encode
+
+    rate, n, amp = 8000, 8000, 0.5
+    t = np.arange(n) / rate
+    payload = wav_encode(amp * np.sin(2 * np.pi * 440 * t), rate)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    got = wav_decode(payload)
+    assert got["sample_rate"] == rate and got["channels"] == 1
+    assert got["n_samples"] == n and got["duration_s"] == 1.0
+    assert abs(got["rms"] - amp / 2 ** 0.5) < 1e-3
+    assert abs(got["peak"] - amp) < 1e-3
+
+
+def test_ppm_codec_roundtrip_comments_and_resize():
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        ppm_decode,
+        ppm_encode,
+        ppm_resize,
+    )
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    enc = ppm_encode(px)
+    assert enc.startswith(b"P6\n4 4\n255\n")
+    assert (ppm_decode(enc) == px).all()
+    # spec allows comment lines in the header
+    with_comment = b"P6\n# a comment\n4 4\n255\n" + px.tobytes()
+    assert (ppm_decode(with_comment) == px).all()
+    # nearest-neighbor 4x4 → 2x2 picks rows/cols 0 and 2
+    small = ppm_decode(ppm_resize(enc, 2, 2))
+    assert (small == px[[0, 2]][:, [0, 2]]).all()
+
+
+def test_wav_pipeline_distributed(spark):
+    """Synthetic WAVs generated and decoded across Spark workers: every
+    decoded row must match the closed-form stats of its generator."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_wav,
+        wav_feature_extract,
+    )
+
+    docs = spark.range(40).selectExpr("id AS doc_id")
+    out = wav_feature_extract(attach_synthetic_wav(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        expect_n = 800 + (r["doc_id"] % 5) * 80
+        assert r["n_samples"] == expect_n
+        assert r["sample_rate"] == 8000
+        assert abs(r["rms"] - 0.5 / 2 ** 0.5) < 0.01
+        assert 0.45 < r["peak"] <= 0.51
+
+
+def test_ppm_resize_pipeline_distributed(spark):
+    """Synthetic PPMs resized across Spark workers: resized payloads are
+    valid P6 at the target dims with the expected gradient corners."""
+    from kafka_streams_demo_spark.functions.codecs import ppm_decode
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_ppm,
+        ppm_resize_images,
+    )
+
+    docs = spark.range(20).selectExpr("id AS doc_id")
+    out = ppm_resize_images(attach_synthetic_ppm(docs), 16, 16).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["orig_w"] == 8 + (r["doc_id"] % 8) * 4
+        assert r["orig_h"] == 8 + (r["doc_id"] % 5) * 4
+        px = ppm_decode(bytes(r["resized"]))
+        assert px.shape == (16, 16, 3)
+        assert px[0, 0, 0] == 0            # gradient starts at 0
+        assert int(px[0, -1, 0]) > 180     # red ramps along x
+        assert (px[..., 2] == r["doc_id"] % 256).all()
