@@ -1851,23 +1851,18 @@ def contamination_check(spark, sf_dir):
         .filter(bloom_might_contain(bitmap, F.col("s")))
         .distinct()
     )
-    totals = ev.groupBy(F.col("doc_id").alias("key")).agg(
-        F.count(F.lit(1)).alias("n_sh")
-    )
-    shared = (
-        ev.join(tr, "s")
-        .groupBy(F.col("doc_id").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    # Single left join + one aggregation (2 exchanges total; the join side
+    # is bloom-shrunk to ~|eval shingles| so it broadcasts): train rows
+    # the bloom removed could never have matched an eval shingle, so the
+    # left-join hit counts are exactly those of the unfiltered join.
+    tr_marked = tr.withColumn("_hit", F.lit(1))
     return (
-        totals.join(shared, "key", "left")
-        .select(
-            "key",
-            "n_sh",
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            F.round(
-                F.coalesce("n_shared", F.lit(0)) / F.col("n_sh").cast("double"), 6
-            ).alias("ratio"),
+        ev.join(tr_marked, "s", "left")
+        .groupBy(F.col("doc_id").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("_hit").alias("n_shared"),
+            F.round(F.count("_hit") / F.count(F.lit(1)).cast("double"), 6).alias("ratio"),
         )
     )
 

@@ -16,6 +16,17 @@ DataFrame (doc_id, text):
 
 All signature math is native column expressions (xxhash64 / bit ops /
 higher-order functions) — no Python in the per-row path.
+
+Caching contract: ``minhash_lsh_pairs`` and ``simhash_pairs`` persist one
+small intermediate each (the candidate pair list / the 1-long-per-doc
+signature table) because it is read by multiple downstream branches of
+the SAME returned plan. The cache lives until the session drops it: a
+long-lived application that calls these repeatedly should bound cache
+growth by calling ``spark.catalog.clearCache()`` at pipeline boundaries
+(bench.py does, between passes) — Spark evicts LRU under memory pressure
+either way, so the cost of not doing so is recompute, not OOM.
+``connected_components`` manages its per-iteration caches itself
+(unpersist as each round's labels are superseded).
 """
 
 from __future__ import annotations

@@ -310,7 +310,12 @@ def ivf_topk(
     At 100 TB: assignment is a broadcast-join map pass (no shuffle), the
     corpus is written partitioned by cell once, and each query touches
     nprobe/|cells| of the data. Candidate volume scales with nprobe, not
-    corpus size."""
+    corpus size.
+
+    Caching contract: the |cells|-row centroid table is persisted because
+    both assignment passes read it; long-lived callers should
+    ``spark.catalog.clearCache()`` at pipeline boundaries to release it
+    (see functions/dedup.py module docstring for the same pattern)."""
     # Persist the centroid table: both assignment passes (corpus + probes)
     # broadcast it, and without the cache each pass re-runs the posexplode
     # aggregation over the full corpus. |cells| rows — trivially cached.
