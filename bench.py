@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "contamination_check",
+    "contamination_check_bloom",
     "token_counts",
     "sessionize_gap",
     "ann_topk_bruteforce",

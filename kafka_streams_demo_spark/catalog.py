@@ -1823,20 +1823,12 @@ def repetition_ratio(spark, sf_dir):
 def contamination_check(spark, sf_dir):
     """Train/eval decontamination: per eval doc (odd ids), the share of its
     3-gram shingles that also occur anywhere in the train split (even ids).
-
-    Scale shape: a Bloom filter built over the EVAL shingles (the small
-    side — eval benchmarks are MBs where the train corpus is TBs)
-    prefilters the train side MAP-SIDE before its distinct+join, so the
-    train shuffle carries ~|eval shingles|·(1+fpp) rows instead of the full
-    train shingle stream (functions/bloom.py — distributed bitmap build,
-    one bounded collect sized by config, probe is pure codegen column
-    math). Bloom false positives survive the prefilter and are dropped
-    exactly by the verification join; false negatives are impossible, so
-    the result is exact — the SQL oracle is unchanged. n_sh comes from a
-    separate aggregate over the eval side (no join needed for the
-    denominator). Docs under 3 tokens have no shingles and drop out, same
-    as the oracle."""
-    from kafka_streams_demo_spark.functions.bloom import bloom_build, bloom_might_contain
+    Shingling is row-local; the train side collapses to its DISTINCT
+    shingle set before the join (one dedup shuffle, then shingle-keyed
+    join). This entry's 50/50 split makes both sides the same size, so no
+    prefilter can shrink anything — see contamination_check_bloom for the
+    realistic small-eval shape where the Bloom prefilter pays. Docs under
+    3 tokens have no shingles and drop out, same as the oracle."""
     from kafka_streams_demo_spark.functions.dedup import doc_shingle_sets
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1844,17 +1836,59 @@ def contamination_check(spark, sf_dir):
         "doc_id", F.explode("shset").alias("s")
     )
     ev = sh.filter(F.col("doc_id") % 2 == 1)
+    tr = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
+    tr_marked = tr.withColumn("_hit", F.lit(1))
+    return (
+        ev.join(tr_marked, "s", "left")
+        .groupBy(F.col("doc_id").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("_hit").alias("n_shared"),
+            F.round(F.count("_hit") / F.count(F.lit(1)).cast("double"), 6).alias("ratio"),
+        )
+    )
+
+
+@register(
+    "contamination_check_bloom",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS s "
+    "FROM t, LATERAL UNNEST(generate_series(1, len(w)-2)) AS g(i)), "
+    "ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 = 1), "
+    "tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 <> 1) "
+    "SELECT ev.doc_id AS key, count(*) AS n_sh, "
+    "count(*) FILTER (WHERE tr.s IS NOT NULL) AS n_shared, "
+    "ROUND(count(*) FILTER (WHERE tr.s IS NOT NULL) / CAST(count(*) AS DOUBLE), 6) AS ratio "
+    "FROM ev LEFT JOIN tr ON ev.s = tr.s GROUP BY 1",
+)
+def contamination_check_bloom(spark, sf_dir):
+    """Decontamination at the realistic asymmetry: 5% eval vs 95% train.
+
+    A Bloom filter built over the EVAL shingles (the small side — eval
+    benchmarks are MBs where the train corpus is TBs) prefilters the
+    train shingle stream MAP-SIDE before its distinct+join, so the train
+    shuffle carries only bloom-surviving rows (38% at sf0.1 on this
+    corpus; far less when eval ≪ train vocabulary). functions/bloom.py:
+    distributed bitmap build with one bounded collect; probe is a binary-
+    literal byte-slice fully inside codegen. False positives are dropped
+    exactly by the verification join, false negatives are impossible —
+    the SQL oracle is the plain exact join. Same 2-exchange plan as
+    contamination_check (tests/test_plans.py)."""
+    from kafka_streams_demo_spark.functions.bloom import bloom_build, bloom_might_contain
+    from kafka_streams_demo_spark.functions.dedup import doc_shingle_sets
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = doc_shingle_sets(docs, n=3).select(
+        "doc_id", F.explode("shset").alias("s")
+    )
+    ev = sh.filter(F.col("doc_id") % 20 == 1)
     bitmap = bloom_build(ev.select("s"), "s")
     tr = (
-        sh.filter(F.col("doc_id") % 2 == 0)
+        sh.filter(F.col("doc_id") % 20 != 1)
         .select("s")
         .filter(bloom_might_contain(bitmap, F.col("s")))
         .distinct()
     )
-    # Single left join + one aggregation (2 exchanges total; the join side
-    # is bloom-shrunk to ~|eval shingles| so it broadcasts): train rows
-    # the bloom removed could never have matched an eval shingle, so the
-    # left-join hit counts are exactly those of the unfiltered join.
     tr_marked = tr.withColumn("_hit", F.lit(1))
     return (
         ev.join(tr_marked, "s", "left")

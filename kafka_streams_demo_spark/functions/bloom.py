@@ -84,14 +84,20 @@ def bloom_might_contain(
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> Column:
     """Membership test column: true if every one of the k bits is set.
-    Pure column math against the literal bitmap — evaluates map-side
-    inside whole-stage codegen."""
+    Pure column math against the bitmap — evaluates map-side inside
+    whole-stage codegen.
+
+    The bitmap travels as ONE BinaryType literal and each test slices a
+    single byte (substring on binary is an O(1) offset slice, decoded
+    with hex/conv). An array<long> literal would be a CreateArray of
+    num_bits/64 element expressions, which codegen re-materializes PER
+    ROW — measured 10 s for 130k probes at 2²⁰ bits vs ~0.3 s for the
+    byte-slice form."""
     num_bits = len(bitmap) * 64
-    bm = F.lit(bitmap)
-    tests = [
-        F.element_at(bm, (pos / 64).cast("int") + 1)
-        .bitwiseAND(_one_shifted_by(pos % 64))
-        != 0
-        for pos in _bit_positions(col, num_bits, num_hashes)
-    ]
+    raw = b"".join(w.to_bytes(8, "little", signed=True) for w in bitmap)
+    bm = F.lit(bytearray(raw))
+    tests = []
+    for pos in _bit_positions(col, num_bits, num_hashes):
+        byte = F.conv(F.hex(F.substring(bm, (pos / 8).cast("int") + 1, 1)), 16, 10).cast("int")
+        tests.append(byte.bitwiseAND(_one_shifted_by(pos % 8).cast("int")) != 0)
     return reduce(lambda a, b: a & b, tests)

@@ -160,8 +160,8 @@ def test_analytics_family_no_nested_loops_bounded_exchanges(spark):
         "q4_late_ship_priority", "q14_promo_revenue", "q18_large_orders",
         "q19_disjunctive_revenue", "q17_small_quantity_revenue",
         "pivot_priority_by_nation", "rollup_revenue", "cube_status_priority",
-        "contamination_check", "sessionize_gap", "asof_join_purchase",
-        "top3_orders_per_cust", "running_sum_per_user",
+        "contamination_check", "contamination_check_bloom", "sessionize_gap",
+        "asof_join_purchase", "top3_orders_per_cust", "running_sum_per_user",
     ]:
         a = _audit(spark, name)
         assert a.nested_loop_joins == 0, f"{name} nested loop:\n{a.plan}"
