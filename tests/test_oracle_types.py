@@ -1,0 +1,68 @@
+"""Spark↔DuckDB output-type parity for every oracle-gated query.
+
+CORRECTNESS_r02 lesson: DuckDB promotes SUM(BIGINT) to HUGEINT and
+row_number() to BIGINT, so a value-identical result can still hash-fail a
+type-aware comparator. tools/check_oracle_types.py found 36 affected
+queries; catalog.ORACLE_CASTS pins them. This test keeps the audit green
+as queries are added."""
+
+import duckdb
+import pytest
+
+from kafka_streams_demo_spark import catalog
+
+SF = "/root/testdata/sf0.001"
+
+SPARK_TO_DUCK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "binary": {"BLOB"},
+}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm_duck(dtyp: str, styp: str) -> bool:
+    ok = SPARK_TO_DUCK.get(styp)
+    if ok is not None:
+        return dtyp.upper() in ok
+    d = dtyp.strip()
+    while d.endswith("[]"):
+        d = f"array<{d[:-2]}>"
+    return d.lower().replace("varchar", "string") == styp
+
+
+def test_every_oracle_matches_spark_output_types(spark, duck):
+    qs, oracles = catalog.queries(), catalog.oracle_sql()
+    problems = []
+    for name, fn in qs.items():
+        if name not in oracles:
+            continue
+        s_schema = {f.name: f.dataType.simpleString()
+                    for f in fn(spark, SF).schema.fields}
+        d_schema = {r[0]: r[1] for r in
+                    duck.execute(f"DESCRIBE ({oracles[name]})").fetchall()}
+        for col, styp in s_schema.items():
+            dtyp = d_schema.get(col)
+            if dtyp is None:
+                problems.append(f"{name}.{col}: missing in oracle")
+            elif not _norm_duck(dtyp, styp):
+                problems.append(f"{name}.{col}: spark={styp} duckdb={dtyp}")
+        problems += [f"{name}.{c}: oracle-only column"
+                     for c in d_schema if c not in s_schema]
+    assert not problems, "\n".join(problems)
