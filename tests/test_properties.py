@@ -280,3 +280,91 @@ def test_winnow_fingerprints_match_python_model(spark, docs):
     ).collect()
     for r in got:
         assert set(r["fps"]) == model(docs[r["doc_id"]]), docs[r["doc_id"]]
+
+
+# --- Avro binary codec properties (pure Python — no Spark job per example,
+# so these can afford many examples) ------------------------------------
+
+_avro_fields = st.lists(
+    st.tuples(
+        st.sampled_from(["boolean", "int", "long", "float", "double", "string", "bytes"]),
+        st.booleans(),  # nullable?
+        st.booleans(),  # null branch first? (["null",T] vs [T,"null"])
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _avro_value(t, rnd):
+    import struct as _struct
+
+    if t == "boolean":
+        return rnd.choice([True, False])
+    if t == "int":
+        return rnd.randrange(-(2**31), 2**31)
+    if t == "long":
+        return rnd.randrange(-(2**63), 2**63)
+    if t in ("float", "double"):
+        v = rnd.uniform(-1e6, 1e6)
+        # floats must survive the 32-bit round-trip for equality checks
+        return _struct.unpack("<f", _struct.pack("<f", v))[0] if t == "float" else v
+    if t == "string":
+        return "".join(rnd.choice("abcdé ☃") for _ in range(rnd.randrange(0, 8)))
+    return bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 8)))
+
+
+@given(fields=_avro_fields, seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=200, deadline=None)
+def test_avro_codec_roundtrips_any_record(fields, seed):
+    """encode→decode is the identity for every supported schema shape,
+    value domain, union order, and null placement."""
+    import json
+    import random
+
+    from kafka_streams_demo_spark.sources.avro import (
+        decode_record,
+        encode_record,
+        parse_record_schema,
+    )
+
+    rnd = random.Random(seed)
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": f"f{i}",
+             "type": (["null", t] if null_first else [t, "null"]) if nullable else t}
+            for i, (t, nullable, null_first) in enumerate(fields)
+        ],
+    }
+    spec = parse_record_schema(json.dumps(schema))
+    row = {
+        f"f{i}": (None if nullable and rnd.random() < 0.3 else _avro_value(t, rnd))
+        for i, (t, nullable, _) in enumerate(fields)
+    }
+    assert decode_record(spec, encode_record(spec, row)) == row
+
+
+@given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**32 - 1),
+       nw=st.integers(1, 40), nh_=st.integers(1, 40))
+@settings(max_examples=100, deadline=None)
+def test_ppm_codec_roundtrip_and_resize_dims(w, h, seed, nw, nh_):
+    """PPM encode→decode is the identity for any dims/pixels; resize always
+    yields exactly the target dims with pixels drawn from the source."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        ppm_decode,
+        ppm_encode,
+        ppm_resize,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    enc = ppm_encode(px)
+    assert (ppm_decode(enc) == px).all()
+    out = ppm_decode(ppm_resize(enc, nw, nh_))
+    assert out.shape == (nh_, nw, 3)
+    # every output pixel exists somewhere in the source (nearest-neighbor)
+    src = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in src for p in out.reshape(-1, 3))
