@@ -94,6 +94,28 @@ def main() -> None:
     results["processor_running_count_stream"] = {"rows": n_events, "sec": round(dt, 2),
                                                  "rows_per_sec": round(n_events / dt)}
 
+    # Avro serde round-trip in-stream (the Kafka value-serde shape:
+    # project → to_avro binary → from_avro → aggregate), python codec path
+    from kafka_streams_demo_spark.sources.avro import from_avro_df, to_avro_df
+
+    schema_json = (
+        '{"type": "record", "name": "Event", "fields": ['
+        '{"name": "user_id", "type": "long"},'
+        '{"name": "event_type", "type": "string"},'
+        '{"name": "value", "type": "double"}]}'
+    )
+    ev4 = read_stream_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    rt = from_avro_df(
+        to_avro_df(ev4, schema_json, impl="python"), schema_json, impl="python"
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    t0 = time.monotonic()
+    run_noop(rt)
+    dt = time.monotonic() - t0
+    results["avro_roundtrip_stream"] = {"rows": n_events, "sec": round(dt, 2),
+                                        "rows_per_sec": round(n_events / dt)}
+
     print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
                       "results": results}))
     spark.stop()
