@@ -2967,6 +2967,59 @@ def ann_topk_int8_q(spark, sf_dir):
     return topk_quantized(load_table(spark, "embeddings", sf_dir), k=10, n_queries=5)
 
 
+_IVF_INT8_ORACLE = """
+WITH cent AS (
+  SELECT label AS cell, g.i AS pos, AVG(CAST(embedding[g.i] AS DOUBLE)) AS m
+  FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+ce AS (
+  SELECT e.vec_id, c.cell,
+         SUM(CAST(e.embedding[c.pos] AS DOUBLE) * c.m) AS dp,
+         SUM(CAST(e.embedding[c.pos] AS DOUBLE) * CAST(e.embedding[c.pos] AS DOUBLE)) AS qq,
+         SUM(c.m * c.m) AS nn
+  FROM embeddings e, cent c GROUP BY 1, 2),
+asg AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, cell) AS crn
+  FROM ce),
+corpus AS (SELECT vec_id AS n_id, cell FROM asg WHERE crn = 1),
+probes AS (SELECT vec_id AS q_id, cell FROM asg WHERE crn <= 2 AND vec_id < 5),
+cand AS (SELECT q_id, n_id FROM probes p JOIN corpus c USING (cell) WHERE n_id <> q_id),
+qz AS (SELECT vec_id, list_transform(embedding, x ->
+       CAST(ROUND(CAST(x AS DOUBLE) /
+            list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127, 0)
+            AS BIGINT)) AS qv FROM embeddings),
+el AS (SELECT q_id, n_id, a.qv[g.i] AS a, b.qv[g.i] AS b
+       FROM cand
+       JOIN qz a ON a.vec_id = q_id
+       JOIN qz b ON b.vec_id = n_id, generate_series(1, 64) g(i)),
+s AS (SELECT q_id, n_id, SUM(a*b) AS dp, SUM(a*a) AS aa, SUM(b*b) AS bb
+      FROM el GROUP BY 1, 2),
+r AS (SELECT q_id, n_id, ROUND(dp/(SQRT(aa)*SQRT(bb)), 6) AS qcos,
+      row_number() OVER (PARTITION BY q_id
+        ORDER BY ROUND(dp/(SQRT(aa)*SQRT(bb)), 6) DESC, n_id) AS rank FROM s)
+SELECT q_id, n_id, qcos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+@register("ann_ivf_int8_topk", _IVF_INT8_ORACLE)
+def ann_ivf_int8_topk_q(spark, sf_dir):
+    """The production ANN composition: IVF coarse probe (float centroid
+    assignment, nprobe=2) + int8 scoring inside the probed cells — the
+    quantized scan that touches the most data reads 4× less vector I/O,
+    and the integer scoring keeps the composed pipeline fully SQL-oracle-
+    checkable (float in-cell scoring is only rows-only-checkable). SCALE.md
+    names this the production shape; rerank the k survivors with float
+    vectors when the float metric is authoritative."""
+    from kafka_streams_demo_spark.functions.similarity import ivf_topk_quantized
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk_quantized(emb, queries_df, k=10, nprobe=2)
+
+
 _PROFILE_ORACLE = """
 WITH d AS (SELECT lang, source, n_chars,
   len(string_split(text, ' ')) AS n_tok,

@@ -346,6 +346,57 @@ def ivf_topk(
     )
 
 
+def ivf_topk_quantized(
+    emb: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = 2,
+    cell_col: str = "label", id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """The production ANN shape: IVF coarse quantizer + int8 scoring.
+
+    Cell assignment runs on the float vectors against broadcast centroids
+    (identical to ivf_topk — candidate volume is nprobe/|cells| of the
+    corpus); scoring inside the probed cells runs on max-abs int8 codes
+    with exact integer dot products (identical to topk_quantized — 4× less
+    vector I/O on the scan that touches the most data). Determinism of the
+    integer math is what keeps the FULL SQL oracle for the composition.
+    Rerank the returned top-k with float vectors when exactness vs the
+    float metric matters — that final pass reads only k·|Q| vectors."""
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col).persist()
+    int_dot = lambda a, b: F.aggregate(  # noqa: E731 — exact integer MAC
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    corpus = (
+        ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col)
+        .select(F.col("vid").alias("n_id"), "cell", quantize_vec(F.col("vec")).alias("qb"))
+        .select("*", int_dot(F.col("qb"), F.col("qb")).alias("bb"))
+    )
+    probes = (
+        ivf_assign(queries, cents, n=nprobe, id_col=q_id_col, vec_col=q_vec_col)
+        .select(F.col("vid").alias("q_id"), "cell", quantize_vec(F.col("vec")).alias("qa"))
+        .select("*", int_dot(F.col("qa"), F.col("qa")).alias("aa"))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id",
+            F.round(
+                int_dot(F.col("qa"), F.col("qb"))
+                / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))),
+                6,
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qcos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "qcos", "rank")
+    )
+
+
 def quantize_vec(vec: Column) -> Column:
     """Max-abs int8 quantization of one embedding (same contract as the
     embedding_quantize_int8 catalog op): q_i = round(x_i / maxabs · 127)."""

@@ -193,3 +193,39 @@ def test_bruteforce_refuses_large_query_set(spark):
     # explicit opt-out still works
     small = q.limit(2)
     assert topk_bruteforce(emb, small, k=1, max_queries=None).count() == 2
+
+
+def test_ivf_int8_hybrid_structure(spark):
+    """The IVF+int8 composition: complete 1..k ranks per query with
+    non-increasing quantized cosine, and every neighbor really shares a
+    probed cell with its query (candidates never leave the IVF probe)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk_quantized,
+    )
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk_quantized(emb, queries, k=10, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r["qcos"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+    cents = ivf_centroids(emb, cell_col="label")
+    corpus_cell = {r["vid"]: r["cell"] for r in ivf_assign(emb, cents, n=1).collect()}
+    probe_cells = {}
+    for r in ivf_assign(queries, cents, n=2, id_col="q_id", vec_col="q_vec").collect():
+        probe_cells.setdefault(r["vid"], set()).add(r["cell"])
+    for r in out:
+        assert corpus_cell[r["n_id"]] in probe_cells[r["q_id"]]
