@@ -2967,6 +2967,36 @@ def ann_topk_int8_q(spark, sf_dir):
     return topk_quantized(load_table(spark, "embeddings", sf_dir), k=10, n_queries=5)
 
 
+@register(
+    "avro_roundtrip",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def avro_roundtrip_q(spark, sf_dir):
+    """Avro value-serde round-trip (sources/avro.py, python binary codec):
+    project the event fields through to_avro → from_avro and get exactly
+    the input back — the oracle is the identity projection, so the driver
+    hash-verifies the whole encode/decode path (zigzag varints, IEEE
+    doubles, length-prefixed strings) on 10k real rows. Kafka Streams
+    pairs topics with Avro serdes (pom.xml:46-60); this is that surface on
+    the engine's record model."""
+    from kafka_streams_demo_spark.sources.avro import from_avro_df, to_avro_df
+
+    schema_json = (
+        '{"type": "record", "name": "Event", "fields": ['
+        '{"name": "user_id", "type": "long"},'
+        '{"name": "event_type", "type": "string"},'
+        '{"name": "value", "type": "double"}]}'
+    )
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    rt = from_avro_df(
+        to_avro_df(ev, schema_json, out_col="_avro", impl="python"),
+        schema_json, bin_col="_avro", impl="python",
+    )
+    return rt.select("event_id", "user_id", "event_type", "value")
+
+
 _IVF_INT8_ORACLE = """
 WITH cent AS (
   SELECT label AS cell, g.i AS pos, AVG(CAST(embedding[g.i] AS DOUBLE)) AS m
