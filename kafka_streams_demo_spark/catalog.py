@@ -3370,8 +3370,10 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # winnowing, PII, packing). Demoted from the window (still registered,
 # still locally oracle-checked + pytest-covered): branch_s/branch_default
 # (siblings of branch_c), hopping_window_count (sibling of tumbling/
-# session), count_distinct_types (sibling of distinct_pairs), and the
-# three probabilistic no-oracle rows approx_distinct_users /
+# session), count_distinct_types (sibling of distinct_pairs),
+# set_ops_intersect_except (sibling of set_ops_all_multiset; its slot
+# driver-verifies the §2a serde surface via avro_roundtrip instead), and
+# the three probabilistic no-oracle rows approx_distinct_users /
 # minhash_lsh_pairs / simhash_pairs (rows-only driver checks; their real
 # gates are the property/parity pytest suites).
 DRIVER_PRIORITY: list[str] = [
@@ -3386,7 +3388,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_table_left_join", "table_table_left_join", "merge_streams",
     "distinct_pairs", "top_k_spenders", "windowed_key_render",
     "tumbling_window_sum_cents", "event_time_extract", "ktable_reduce_sum",
-    "peek_passthrough", "set_ops_intersect_except", "q1_pricing_summary",
+    "peek_passthrough", "avro_roundtrip", "q1_pricing_summary",
     "q3_shipping_priority", "q5_regional_revenue", "orders_per_nation",
     "dedup_exact", "ngram_jaccard_pairs", "token_counts", "lang_id",
     "q17_small_quantity_revenue", "ann_ivf_topk", "ann_topk_int8",
