@@ -71,26 +71,7 @@ def _make_codecs():
         import numpy as np
 
         data = bytes(payload)
-        if not data.startswith(b"P6"):
-            raise ValueError("not a P6 PPM payload")
-        # header: magic, width, height, maxval as whitespace-separated
-        # tokens, '#' comments running to end-of-line, then ONE whitespace
-        # byte before the raster
-        pos, tokens = 2, []
-        while len(tokens) < 3:
-            while data[pos:pos + 1].isspace():
-                pos += 1
-            if data[pos:pos + 1] == b"#":
-                pos = data.index(b"\n", pos) + 1
-                continue
-            start = pos
-            while not data[pos:pos + 1].isspace():
-                pos += 1
-            tokens.append(int(data[start:pos]))
-        pos += 1  # the single whitespace after maxval
-        w, h, maxval = tokens
-        if maxval != 255:
-            raise ValueError(f"only maxval=255 supported, got {maxval}")
+        w, h, pos = _ppm_header(data, 0)
         raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
         return raster.reshape(h, w, 3).copy()
 
@@ -104,7 +85,51 @@ def _make_codecs():
         cols = (np.arange(new_w) * w // new_w).clip(0, w - 1)
         return ppm_encode(px[rows][:, cols])
 
-    return wav_encode, wav_decode, ppm_encode, ppm_decode, ppm_resize
+    def _ppm_header(data: bytes, base: int):
+        """Parse one P6 header starting at ``base`` → (w, h, raster_start).
+
+        Header per the netpbm spec: magic, then width/height/maxval as
+        whitespace-separated tokens with '#' comments running to end of
+        line, then ONE whitespace byte before the raster. maxval must be
+        255 (1 byte/channel — larger maxvals switch to 2-byte samples and
+        would shift every offset)."""
+        if data[base:base + 2] != b"P6":
+            raise ValueError(f"no P6 frame at offset {base}")
+        pos, tokens = base + 2, []
+        while len(tokens) < 3:
+            while data[pos:pos + 1].isspace():
+                pos += 1
+            if data[pos:pos + 1] == b"#":
+                pos = data.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while not data[pos:pos + 1].isspace():
+                pos += 1
+            tokens.append(int(data[start:pos]))
+        w, h, maxval = tokens
+        if maxval != 255:
+            raise ValueError(f"only maxval=255 supported, got {maxval}")
+        return w, h, pos + 1
+
+    def ppm_video_frames(payload: bytes):
+        """Frame index of a concatenated-P6 'video' (the uncompressed
+        multi-frame container): [(frame_no, offset, length, w, h), ...]."""
+        data = bytes(payload)
+        out, base, fno = [], 0, 0
+        while base < len(data):
+            w, h, raster = _ppm_header(data, base)
+            end = raster + w * h * 3
+            out.append((fno, base, end - base, w, h))
+            base, fno = end, fno + 1
+        return out
+
+    def ppm_video_encode(frames) -> bytes:
+        """Concatenate (h, w, 3) uint8 arrays into the multi-frame payload."""
+        return b"".join(ppm_encode(f) for f in frames)
+
+    return (wav_encode, wav_decode, ppm_encode, ppm_decode, ppm_resize,
+            ppm_video_encode, ppm_video_frames)
 
 
-wav_encode, wav_decode, ppm_encode, ppm_decode, ppm_resize = _make_codecs()
+(wav_encode, wav_decode, ppm_encode, ppm_decode, ppm_resize,
+ ppm_video_encode, ppm_video_frames) = _make_codecs()

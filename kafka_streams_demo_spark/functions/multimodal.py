@@ -274,6 +274,77 @@ def attach_synthetic_ppm(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_synthetic_ppm_video(docs: DataFrame, id_col: str = "doc_id",
+                               w: int = 16, h: int = 12) -> DataFrame:
+    """(doc_id, payload, …) with a REAL multi-frame payload per doc:
+    3–10 concatenated P6 frames (count and per-frame shading derive
+    deterministically from doc_id) — the uncompressed video stand-in."""
+    from kafka_streams_demo_spark.functions.codecs import ppm_video_encode
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads, n_frames = [], []
+            for doc_id in pdf["doc_id"]:
+                k = 3 + int(doc_id) % 8
+                frames = [
+                    np.full((h, w, 3), (int(doc_id) + 17 * f) % 256, dtype=np.uint8)
+                    for f in range(k)
+                ]
+                payloads.append(ppm_video_encode(frames))
+                n_frames.append(k)
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "modality": ["video"] * len(pdf),
+                "n_frames": n_frames,
+                "byte_len": [len(p) for p in payloads],
+                "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return ids.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, modality string, n_frames int, "
+               "byte_len long, checksum string",
+    )
+
+
+def ppm_frame_sample(multimodal: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: walk the concatenated-P6 container's frame
+    index (header parse per frame — functions/codecs.py:ppm_video_frames)
+    and emit every ``every_n``-th frame as its own standalone P6 payload.
+    One input row fans out to ceil(n_frames/every_n) rows, each carrying
+    decoded dims + the frame bytes."""
+    from kafka_streams_demo_spark.functions.codecs import ppm_video_frames
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "frame_no": [], "w": [], "h": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for fno, off, length, fw, fh in ppm_video_frames(data):
+                    if fno % every_n:
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(fno)
+                    rows["w"].append(fw)
+                    rows["h"].append(fh)
+                    rows["frame"].append(data[off:off + length])
+            yield _pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(
+        batches, schema="doc_id long, frame_no int, w int, h int, frame binary"
+    )
+
+
 def ppm_resize_images(multimodal: DataFrame, target_w: int = 32,
                       target_h: int = 32) -> DataFrame:
     """REAL image resize: P6 decode → nearest-neighbor scale → P6

@@ -165,3 +165,50 @@ def test_ppm_resize_pipeline_distributed(spark):
         assert px[0, 0, 0] == 0            # gradient starts at 0
         assert int(px[0, -1, 0]) > 180     # red ramps along x
         assert (px[..., 2] == r["doc_id"] % 256).all()
+
+
+def test_ppm_video_frame_index():
+    """The concatenated-P6 container indexes every frame with correct
+    offsets, and each indexed slice decodes standalone."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        ppm_decode,
+        ppm_video_encode,
+        ppm_video_frames,
+    )
+
+    frames = [np.full((4, 6, 3), v, dtype=np.uint8) for v in (10, 20, 30)]
+    vid = ppm_video_encode(frames)
+    idx = ppm_video_frames(vid)
+    assert [(f[0], f[3], f[4]) for f in idx] == [(0, 6, 4), (1, 6, 4), (2, 6, 4)]
+    assert idx[-1][1] + idx[-1][2] == len(vid)  # index spans the payload
+    for fno, off, length, _, _ in idx:
+        assert (ppm_decode(vid[off:off + length]) == frames[fno]).all()
+
+
+def test_ppm_video_frame_sample_distributed(spark):
+    """Real frame sampling across Spark workers: every-2nd-frame rows with
+    standalone-decodable payloads whose shading matches the generator."""
+    from kafka_streams_demo_spark.functions.codecs import ppm_decode
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_ppm_video,
+        ppm_frame_sample,
+    )
+
+    docs = spark.range(20).selectExpr("id AS doc_id")
+    vids = attach_synthetic_ppm_video(docs)
+    n_frames = {r["doc_id"]: r["n_frames"] for r in
+                vids.select("doc_id", "n_frames").collect()}
+    out = ppm_frame_sample(vids, every_n=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in got.items():
+        k = n_frames[doc_id]
+        assert sorted(r["frame_no"] for r in rows) == list(range(0, k, 2))
+        for r in rows:
+            px = ppm_decode(bytes(r["frame"]))
+            assert px.shape == (12, 16, 3)
+            assert (px == (doc_id + 17 * r["frame_no"]) % 256).all()
+    assert set(got) == set(range(20))
