@@ -1299,6 +1299,59 @@ def multimodal_features_q(spark, sf_dir):
     )
 
 
+@register(
+    "wav_decode_meta",
+    "SELECT doc_id AS key, CAST(8000 AS INTEGER) AS sample_rate, "
+    "CAST(1 AS INTEGER) AS channels, "
+    "CAST(800 + (doc_id % 5) * 80 AS BIGINT) AS n_samples, "
+    "ROUND((800 + (doc_id % 5) * 80) / 8000.0, 6) AS duration_s "
+    "FROM documents",
+)
+def wav_decode_meta_q(spark, sf_dir):
+    """HASH-VERIFIED real decode: the WAV payloads are generated
+    distributed from a closed-form recipe (freq/length from doc_id), so
+    the RIFF fields the decoder reads back — sample rate, channels, frame
+    count, duration — are SQL-derivable and the driver can verify that
+    encode→parse is lossless on every row. The PCM stats (rms/peak) are
+    not SQL-expressible; they are closed-form-checked in
+    tests/test_multimodal.py and surfaced by multimodal_wav_features."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_wav,
+        wav_feature_extract,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = wav_feature_extract(attach_synthetic_wav(docs))
+    return out.select(
+        F.col("doc_id").alias("key"), "sample_rate", "channels",
+        "n_samples", "duration_s",
+    )
+
+
+@register(
+    "ppm_frames_meta",
+    "SELECT doc_id AS key, CAST(g.f AS INTEGER) AS frame_no, "
+    "CAST(16 AS INTEGER) AS w, CAST(12 AS INTEGER) AS h "
+    "FROM documents, "
+    "LATERAL UNNEST(generate_series(0, CAST(2 + doc_id % 8 AS BIGINT), 2)) g(f)",
+)
+def ppm_frames_meta_q(spark, sf_dir):
+    """HASH-VERIFIED real frame sampling: the concatenated-P6 payloads
+    carry 3 + doc_id%8 frames of 16×12; sampling every 2nd frame must
+    index exactly frames {0, 2, …} with the decoded dims — the oracle
+    derives the same set in SQL, so the driver checks the container
+    parser's offsets/headers row by row (the frame bytes themselves are
+    pixel-checked in tests/test_multimodal.py)."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_ppm_video,
+        ppm_frame_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = ppm_frame_sample(attach_synthetic_ppm_video(docs), every_n=2)
+    return out.select(F.col("doc_id").alias("key"), "frame_no", "w", "h")
+
+
 @register("multimodal_wav_features")  # no oracle: real binary decode, not SQL-expressible
 def multimodal_wav_features_q(spark, sf_dir):
     """REAL audio decode path: per-doc synthetic 16-bit PCM WAV (sine,
@@ -3372,7 +3425,9 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # (siblings of branch_c), hopping_window_count (sibling of tumbling/
 # session), count_distinct_types (sibling of distinct_pairs),
 # set_ops_intersect_except (sibling of set_ops_all_multiset; its slot
-# driver-verifies the §2a serde surface via avro_roundtrip instead), and
+# driver-verifies the §2a serde surface via avro_roundtrip instead),
+# distinct_pairs (extension op, sibling count_distinct_types; its slot
+# driver-verifies the real multimodal decode via wav_decode_meta), and
 # the three probabilistic no-oracle rows approx_distinct_users /
 # minhash_lsh_pairs / simhash_pairs (rows-only driver checks; their real
 # gates are the property/parity pytest suites).
@@ -3386,7 +3441,7 @@ DRIVER_PRIORITY: list[str] = [
     "table_table_join_inner", "table_table_join_outer",
     "stream_stream_left_join_window", "stream_stream_outer_join_window",
     "stream_table_left_join", "table_table_left_join", "merge_streams",
-    "distinct_pairs", "top_k_spenders", "windowed_key_render",
+    "wav_decode_meta", "top_k_spenders", "windowed_key_render",
     "tumbling_window_sum_cents", "event_time_extract", "ktable_reduce_sum",
     "peek_passthrough", "avro_roundtrip", "q1_pricing_summary",
     "q3_shipping_priority", "q5_regional_revenue", "orders_per_nation",
