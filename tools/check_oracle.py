@@ -6,11 +6,17 @@ row count, column names/order-insensitive schema, and an
 order-insensitive value hash over columns sorted by name.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --json OUT.json [sf_dir] [query ...]
+
+With --json, per-query results are also written in the driver's
+CORRECTNESS_r{N}.json row shape, so the repo can commit a full-catalog
+correctness artifact (the driver's own gate samples the first 50).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 
 import duckdb
@@ -35,8 +41,14 @@ def canonical(rows: list[tuple], colnames: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
 
     sys.path.insert(0, "/root/repo")
     from kafka_streams_demo_spark import catalog
@@ -60,9 +72,15 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark: {e}"}
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows={len(s_rows)} (no oracle — rows-only check)")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(s_rows),
+                            "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             cur = con.execute(oracles[name])
@@ -71,16 +89,23 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(s_rows),
+                            "oracle_rows": None, "err": f"duckdb: {e}"}
             continue
 
+        schema_ok = sorted(s_cols) == sorted(d_cols)
+        rows_ok = len(s_rows) == len(d_rows)
+        hash_ok = False
         problems = []
-        if sorted(s_cols) != sorted(d_cols):
+        if not schema_ok:
             problems.append(f"schema: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
+        if not rows_ok:
             problems.append(f"rowcount: spark={len(s_rows)} duckdb={len(d_rows)}")
         if not problems:
             h1, h2 = canonical(s_rows, s_cols), canonical(d_rows, d_cols)
-            if h1 != h2:
+            hash_ok = h1 == h2
+            if not hash_ok:
                 problems.append(f"valuehash: spark={h1} duckdb={h2}")
                 # show a sample diff
                 s_set = {tuple(str(x) for x in r) for r in s_rows}
@@ -91,6 +116,9 @@ def main() -> int:
                     problems.append(f"  spark-only sample: {only_s}")
                 if only_d:
                     problems.append(f"  duckdb-only sample: {only_d}")
+        report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                        "hash_match": hash_ok, "spark_rows": len(s_rows),
+                        "oracle_rows": len(d_rows), "err": None}
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
@@ -98,6 +126,10 @@ def main() -> int:
             print(f"PASS {name}: rows={len(s_rows)}")
 
     spark.stop()
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"\n{len(failed)} failed" if failed else "\nall passed")
     return 1 if failed else 0
 
