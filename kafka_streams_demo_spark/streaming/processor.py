@@ -132,3 +132,42 @@ def punctuated_count_processor(
         output_mode="update",
         timeout="EventTimeTimeout",
     )
+
+
+def wallclock_punctuated_processor(
+    stream: DataFrame,
+    group_cols: list[str] = ("key",),
+    punctuate_interval_ms: int = 1000,
+) -> DataFrame:
+    """WALL_CLOCK_TIME punctuator (the other PunctuationType the Kafka
+    Streams API offers; the reference only exercises STREAM_TIME —
+    WordCountProcessorExample.scala:31). Per-key
+    ``GroupStateTimeout.ProcessingTimeTimeout`` timers fire on processing
+    time regardless of watermark progress: each key re-forwards its
+    running count ``punctuate_interval_ms`` of wall time after its last
+    activity. No watermark required — wall-clock punctuation is
+    independent of event time, same as the reference API."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        n = state.get[0] if state.exists else 0
+        if state.hasTimedOut:
+            state.setTimeoutDuration(punctuate_interval_ms)
+            yield _pd.DataFrame({"key": [key[0]], "value": [n]})
+            return
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(punctuate_interval_ms)
+        yield _pd.DataFrame({"key": [key[0]], "value": [n]})
+
+    return process_with_state(
+        stream,
+        list(group_cols),
+        fn,
+        output_schema="key string, value long",
+        state_schema="n long",
+        output_mode="update",
+        timeout="ProcessingTimeTimeout",
+    )

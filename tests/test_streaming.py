@@ -450,3 +450,38 @@ def test_idempotent_sink_survives_batch_retry(spark, tmp_path):
     write(spark.createDataFrame([("c", 3)], "key string, value long"), 1)
     got = sorted((r["key"], r["value"]) for r in read_committed(spark, sink).collect())
     assert got == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_wallclock_punctuated_processor(spark, tmp_path):
+    """WALL_CLOCK_TIME punctuator analogue: a key with NO new input
+    re-forwards its count on processing-time timeout in a later
+    micro-batch — no watermark involved (wall-clock punctuation is
+    independent of event time, as in the Kafka Streams API)."""
+    import time as _time
+
+    from kafka_streams_demo_spark.streaming.processor import (
+        wallclock_punctuated_processor,
+    )
+
+    path = str(tmp_path / "wcp_src")
+    batch1 = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "z")], "key string, value string"
+    )
+    batch1.coalesce(1).write.parquet(path)
+    _time.sleep(1.2)  # file-source orders batches by modification time
+    spark.createDataFrame([("b", "w")], "key string, value string").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    src = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    # 1 ms interval: the second micro-batch always starts later than that,
+    # so 'a' (absent from batch 2) must re-forward via its timer
+    out_df = wallclock_punctuated_processor(src, punctuate_interval_ms=1)
+    rows = run_available_now(out_df, output_mode="update").collect()
+    emissions = [(r["key"], r["value"]) for r in rows]
+    assert emissions.count(("a", 2)) >= 2, emissions
+    assert ("b", 2) in emissions, emissions
