@@ -112,6 +112,30 @@ class WindowedKGroupedStream:
         return self._agg(aggregator(F.col(VALUE)))
 
 
+class Suppressed:
+    """``suppress(Suppressed.untilWindowCloses(...))`` parity — the Kafka
+    Streams operator that holds a windowed aggregate's updates and emits
+    ONLY the final result per window. Spark's native expression of the
+    same contract is APPEND output mode on a watermarked windowed
+    aggregation: each window emits exactly once, when the watermark
+    passes its end. This wrapper carries that requirement with the plan
+    so the lifecycle helper can't accidentally run the query in update
+    mode (which would re-emit per micro-batch — the unsuppressed
+    behavior). Use ``suppress(windowed_agg_df)``; requires
+    ``withWatermark`` upstream, same as the reference requires a grace
+    period for final results."""
+
+    output_mode = "append"
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+
+def suppress(windowed_agg: DataFrame) -> Suppressed:
+    """Emit-final-only marker for a windowed aggregate (see Suppressed)."""
+    return Suppressed(windowed_agg)
+
+
 def windowed_key_string(df: DataFrame) -> DataFrame:
     """Render the reference's windowed-key format ``key@[start : end]``
     (DSLStatefulTransformation.scala:117-123) over a windowed-agg result."""

@@ -38,7 +38,14 @@ def run_available_now(
 ) -> DataFrame:
     """Run a streaming DataFrame to a memory sink with
     ``trigger(availableNow)`` and return the result table — the synchronous
-    pipe-records-through-the-DAG test path."""
+    pipe-records-through-the-DAG test path.
+
+    Accepts a ``Suppressed`` wrapper (operators/grouped.py): the wrapped
+    plan runs in the append mode it mandates (emit-final-only windows),
+    overriding ``output_mode``."""
+    if hasattr(out, "output_mode") and hasattr(out, "df"):
+        output_mode = out.output_mode
+        out = out.df
     spark = out.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")

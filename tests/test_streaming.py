@@ -485,3 +485,53 @@ def test_wallclock_punctuated_processor(spark, tmp_path):
     emissions = [(r["key"], r["value"]) for r in rows]
     assert emissions.count(("a", 2)) >= 2, emissions
     assert ("b", 2) in emissions, emissions
+
+
+def test_suppress_emits_final_window_results_only(spark, tmp_path):
+    """suppress(untilWindowCloses) parity: the suppressed windowed count
+    emits each closed window EXACTLY ONCE with its final value, while the
+    unsuppressed (update-mode) run re-emits intermediate counts."""
+    import time as _time
+
+    from kafka_streams_demo_spark.operators.grouped import suppress
+
+    path = str(tmp_path / "sup_src")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "key string, ts_s string"
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"))
+    # window [00:00, 00:05): two batches touch it; a far-future batch-2 row
+    # closes it
+    mk([("a", "2026-01-01 00:00:01"), ("a", "2026-01-01 00:00:02")]).coalesce(
+        1
+    ).write.parquet(path)
+    _time.sleep(1.2)
+    mk([("a", "2026-01-01 00:00:03"), ("a", "2026-01-01 01:00:00")]).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    def windowed(src):
+        return (
+            src.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "5 minutes"), "key")
+            .count()
+            .select("key", F.col("window.start").alias("ws"), "count")
+        )
+
+    src1 = spark.readStream.schema("key string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    final_rows = run_available_now(suppress(windowed(src1))).collect()
+    finals = [(r["key"], str(r["ws"]), r["count"]) for r in final_rows]
+    # exactly one emission for the closed first window, with the FINAL count 3
+    assert finals.count(("a", "2026-01-01 00:00:00", 3)) == 1, finals
+    assert all(c == 3 for k, w, c in finals if w == "2026-01-01 00:00:00"), finals
+
+    src2 = spark.readStream.schema("key string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    update_rows = run_available_now(windowed(src2), output_mode="update").collect()
+    updates = [(r["key"], str(r["ws"]), r["count"]) for r in update_rows]
+    # unsuppressed: the first window appears more than once (intermediate 2,
+    # then 3)
+    w1 = [c for k, w, c in updates if w == "2026-01-01 00:00:00"]
+    assert len(w1) >= 2 and 3 in w1, updates
