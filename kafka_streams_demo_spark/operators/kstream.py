@@ -178,6 +178,19 @@ class KStream:
 
         return KGroupedStream(self.df)
 
+    def repartition(self, num_partitions: int | None = None) -> "KStream":
+        """Kafka Streams ``repartition()`` — force a key-hash
+        redistribution now (the API-surface sibling of the DSL's implicit
+        repartition marking after re-keying ops; not exercised by the
+        reference). Use it to pre-position a re-keyed stream ONCE before
+        several stateful ops so EnsureRequirements reuses the exchange
+        instead of shuffling per-op, or to change parallelism at a
+        pipeline boundary. At scale prefer letting Catalyst/AQE place
+        exchanges unless you are deliberately amortizing one."""
+        if num_partitions is not None:
+            return KStream(self.df.repartition(num_partitions, F.col(KEY)))
+        return KStream(self.df.repartition(F.col(KEY)))
+
     # -- KTable conversion (§1) -------------------------------------------
     def to_table(self) -> "KTable":
         """KStream → KTable: latest value per key (changelog materialization).

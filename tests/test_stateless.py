@@ -132,3 +132,28 @@ def test_observe_metric_tap(spark):
     s = KStream(fixtures.kv_string_stream(spark))
     out = s.observe("tap", F.count(F.lit(1)).alias("n"))
     assert out.to_df().count() == 3
+
+
+def test_repartition_prepositions_key_hash(spark):
+    """repartition(): values survive unchanged, partition count is honored,
+    and rows with equal keys land in the same partition (co-location — the
+    contract stateful ops rely on)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream
+
+    df = spark.range(200).selectExpr(
+        "concat('k', id % 7) AS key", "id AS value"
+    )
+    s = KStream(df).repartition(8)
+    out = s.to_df()
+    assert out.rdd.getNumPartitions() == 8
+    assert sorted(r["value"] for r in out.collect()) == list(range(200))
+    parts = (
+        out.select("key", F.spark_partition_id().alias("pid"))
+        .distinct()
+        .groupBy("key")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in parts), parts
