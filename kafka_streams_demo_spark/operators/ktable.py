@@ -23,12 +23,28 @@ KEY, VALUE, TS, OFFSET = "key", "value", "timestamp", "offset"
 
 
 class KTable:
-    """Latest-per-key view over a changelog; wraps a DataFrame (key, value, ...)."""
+    """Latest-per-key view over a changelog; wraps a DataFrame (key, value, ...).
 
-    def __init__(self, df: DataFrame):
+    ``global_=True`` marks a GlobalKTable (builder.globalTable in the
+    Kafka Streams API; the reference declares only partitioned tables):
+    every stream-table join against it pins a BROADCAST of the table
+    side, so the stream needs no co-partitioning and never shuffles for
+    the join — exactly the GlobalKTable contract (the table is fully
+    replicated to every instance). Partitioned KTables leave the
+    strategy to Catalyst/AQE (broadcast when dimension-sized, shuffle
+    join when it grows)."""
+
+    def __init__(self, df: DataFrame, global_: bool = False):
         if KEY not in df.columns or VALUE not in df.columns:
             raise ValueError(f"KTable requires '{KEY}'/'{VALUE}' columns, got {df.columns}")
         self.df = df
+        self.global_ = global_
+
+    @classmethod
+    def global_table(cls, df: DataFrame) -> "KTable":
+        """builder.globalTable(topic): a fully-replicated (broadcast)
+        changelog view — joins against it require no co-partitioning."""
+        return cls(df, global_=True)
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -95,7 +111,7 @@ class KTable:
         from kafka_streams_demo_spark.operators.kstream import KStream
 
         s = stream.df.alias("s")
-        t = self.df.alias("t")
+        t = (F.broadcast(self.df) if self.global_ else self.df).alias("t")
         joined = s.join(t, F.col("s." + KEY) == F.col("t." + KEY), how)
         sel = [
             F.col("s." + KEY).alias(KEY),

@@ -108,3 +108,25 @@ def test_ktable_tombstone_delete(spark):
     )
     view = {r["key"]: r["value"] for r in KTable.from_stream(KStream(df)).to_df().collect()}
     assert view == {"b": "z"}  # a deleted; b deleted then re-inserted
+
+
+def test_global_ktable_join_broadcasts_and_never_shuffles_stream(spark):
+    """GlobalKTable contract: the stream-table join against a global table
+    pins a broadcast of the table side — zero Exchanges, so the stream
+    needs no co-partitioning (builder.globalTable semantics)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream, KTable
+    from kafka_streams_demo_spark.plans.explain import audit
+
+    stream = KStream(
+        spark.range(1000).selectExpr("concat('k', id % 50) AS key", "id AS value")
+    )
+    dim = spark.range(50).selectExpr("concat('k', id) AS key", "concat('d', id) AS value")
+    gt = KTable.global_table(dim)
+    out = stream.join(gt, lambda sv, tv: F.concat(tv, F.lit(":"), sv.cast("string")))
+    a = audit(out.to_df())
+    assert a.broadcast_joins >= 1, a.plan
+    assert a.exchanges == 0, a.plan
+    rows = {r["key"]: r["value"] for r in out.to_df().collect() if r["key"] == "k7"}
+    assert rows["k7"].startswith("d7:"), rows
