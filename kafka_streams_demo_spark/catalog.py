@@ -3021,6 +3021,43 @@ def ann_topk_int8_q(spark, sf_dir):
 
 
 @register(
+    "cogroup_user_metrics",
+    "SELECT user_id AS key, "
+    "'clicks=' || CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS VARCHAR) "
+    "|| '|cents=' || CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' "
+    "THEN CAST(ROUND(value*100, 0) AS BIGINT) END), 0) AS VARCHAR) AS value "
+    "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1",
+)
+def cogroup_user_metrics(spark, sf_dir):
+    """cogroup (Kafka Streams 2.5+ DSL): two same-keyed streams — click
+    events and purchase spend — fold into ONE per-user KTable in a single
+    hash aggregation over the tagged union (one shuffle, map-side combine;
+    operators/grouped.py:cogroup), not N aggregations + an N-way join.
+    The merged value renders both parts so the oracle checks each
+    stream's adder."""
+    from kafka_streams_demo_spark.operators.grouped import cogroup
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = KStream.from_df(
+        ev.filter(F.col("event_type") == "click"), key="user_id", value="event_type"
+    ).group_by_key()
+    spend = KStream.from_df(
+        ev.filter(F.col("event_type") == "purchase").withColumn(
+            "cents", cents(F.col("value"))
+        ),
+        key="user_id", value="cents",
+    ).group_by_key()
+    merged = cogroup(
+        [(clicks, lambda v: F.count(v)), (spend, lambda v: F.sum(v))],
+        merge=lambda p: F.concat(
+            F.lit("clicks="), F.coalesce(p[0], F.lit(0)).cast("string"),
+            F.lit("|cents="), F.coalesce(p[1], F.lit(0)).cast("string"),
+        ),
+    )
+    return merged.to_df().select("key", "value")
+
+
+@register(
     "avro_roundtrip",
     "SELECT event_id, user_id, event_type, value FROM events",
 )

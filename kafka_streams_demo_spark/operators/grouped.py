@@ -112,6 +112,56 @@ class WindowedKGroupedStream:
         return self._agg(aggregator(F.col(VALUE)))
 
 
+def cogroup(
+    groups: list[tuple["KGroupedStream", Callable[[Column], Column]]],
+    merge: Callable[[list[Column]], Column] | None = None,
+) -> "KTable":
+    """``KGroupedStream.cogroup(...).aggregate(...)`` parity — the Kafka
+    Streams 2.5+ operator that folds SEVERAL same-keyed streams into one
+    KTable, each stream contributing through its own adder (API surface
+    the reference predates). For the algebraic adders this engine's
+    aggregate() supports, the shared accumulator decomposes per stream:
+    tag each input, union, and compute every stream's aggregate in ONE
+    hash aggregation — a single shuffle over the union, with map-side
+    combine, instead of N aggregations + an N-way join. ``merge``
+    combines the per-stream aggregates into the final value (default:
+    sum of null-coalesced parts, matching a shared numeric accumulator
+    with commutative adders)."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from kafka_streams_demo_spark.operators.ktable import KTable
+
+    # One value column PER stream (null off-stream) rather than a shared
+    # column: each stream keeps its own value type through the union
+    # (Kafka Streams cogroup allows per-stream value types too).
+    n = len(groups)
+    tagged = [
+        g.df.select(
+            KEY,
+            *[
+                (F.col(VALUE) if j == i else F.lit(None)).alias(f"_v{j}")
+                for j in range(n)
+            ],
+        )
+        for i, (g, _) in enumerate(groups)
+    ]
+    u = _reduce(_DF.unionByName, tagged)
+    parts = [
+        agg(F.col(f"_v{i}")).alias(f"_a{i}") for i, (_, agg) in enumerate(groups)
+    ]
+    agged = u.groupBy(KEY).agg(*parts)
+    part_cols = [F.col(f"_a{i}") for i in range(len(groups))]
+    if merge is None:
+        merged = _reduce(
+            lambda a, b: a + b, [F.coalesce(c, F.lit(0)) for c in part_cols]
+        )
+    else:
+        merged = merge(part_cols)
+    return KTable(agged.select(KEY, merged.alias(VALUE)))
+
+
 class Suppressed:
     """``suppress(Suppressed.untilWindowCloses(...))`` parity — the Kafka
     Streams operator that holds a windowed aggregate's updates and emits

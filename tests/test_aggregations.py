@@ -120,3 +120,52 @@ def test_ktable_tombstone_delete_semantics(spark):
     raw = KTable.from_stream(KStream(df), drop_tombstones=False)
     got_raw = {r["key"]: r["value"] for r in raw.to_df().select("key", "value").collect()}
     assert got_raw == {"a": None, "b": "v3", "c": "v9"}
+
+
+def test_cogroup_three_streams_mixed_types(spark):
+    """cogroup folds N same-keyed streams (with distinct value types) in
+    one aggregation: counts, sums, and maxes combine per key; keys present
+    in only some streams still appear with null-coalesced parts."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream
+    from kafka_streams_demo_spark.operators.grouped import cogroup
+
+    s1 = KStream(spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "z")], "key string, value string"
+    )).group_by_key()
+    s2 = KStream(spark.createDataFrame(
+        [("a", 10), ("c", 5)], "key string, value long"
+    )).group_by_key()
+    s3 = KStream(spark.createDataFrame(
+        [("b", 2.5), ("c", 7.5), ("c", 1.0)], "key string, value double"
+    )).group_by_key()
+    out = cogroup(
+        [(s1, lambda v: F.count(v)), (s2, lambda v: F.sum(v)),
+         (s3, lambda v: F.max(v))],
+        merge=lambda p: F.concat_ws(
+            ",",
+            F.coalesce(p[0], F.lit(0)).cast("string"),
+            F.coalesce(p[1], F.lit(0)).cast("string"),
+            F.coalesce(p[2], F.lit(0.0)).cast("string"),
+        ),
+    )
+    got = {r["key"]: r["value"] for r in out.to_df().collect()}
+    assert got == {"a": "2,10,0.0", "b": "1,0,2.5", "c": "0,5,7.5"}
+
+
+def test_cogroup_default_merge_sums_numeric_parts(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream
+    from kafka_streams_demo_spark.operators.grouped import cogroup
+
+    s1 = KStream(spark.createDataFrame(
+        [("a", 1), ("a", 2)], "key string, value long"
+    )).group_by_key()
+    s2 = KStream(spark.createDataFrame(
+        [("a", 10), ("b", 20)], "key string, value long"
+    )).group_by_key()
+    out = cogroup([(s1, lambda v: F.sum(v)), (s2, lambda v: F.sum(v))])
+    got = {r["key"]: r["value"] for r in out.to_df().collect()}
+    assert got == {"a": 13, "b": 20}
