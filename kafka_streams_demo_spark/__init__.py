@@ -19,6 +19,7 @@ from kafka_streams_demo_spark.session import get_spark
 from kafka_streams_demo_spark.operators.kstream import KStream
 from kafka_streams_demo_spark.operators.ktable import KTable
 from kafka_streams_demo_spark.operators.asof import asof_join
+from kafka_streams_demo_spark.operators.grouped import cogroup, suppress
 
-__all__ = ["get_spark", "KStream", "KTable", "asof_join"]
+__all__ = ["get_spark", "KStream", "KTable", "asof_join", "cogroup", "suppress"]
 __version__ = "0.1.0"
