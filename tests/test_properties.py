@@ -368,3 +368,33 @@ def test_ppm_codec_roundtrip_and_resize_dims(w, h, seed, nw, nh_):
     # every output pixel exists somewhere in the source (nearest-neighbor)
     src = {tuple(p) for p in px.reshape(-1, 3)}
     assert all(tuple(p) in src for p in out.reshape(-1, 3))
+
+
+@given(
+    rows1=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=15),
+    rows2=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=15),
+)
+@settings(**SETTINGS)
+def test_cogroup_matches_python_model(spark, rows1, rows2):
+    """cogroup(count, sum) == the obvious per-key python fold, for any pair
+    of same-keyed streams including empty ones and keys on one side only."""
+    from kafka_streams_demo_spark.operators.grouped import cogroup
+
+    if not rows1 and not rows2:
+        return
+    dfs = []
+    for rows in (rows1, rows2):
+        dfs.append(
+            spark.createDataFrame(rows, "key string, value long")
+            if rows else
+            spark.createDataFrame([], "key string, value long")
+        )
+    g1, g2 = KStream(dfs[0]).group_by_key(), KStream(dfs[1]).group_by_key()
+    out = cogroup([(g1, lambda v: F.count(v)), (g2, lambda v: F.sum(v))])
+    got = {r["key"]: r["value"] for r in out.to_df().collect()}
+    model: dict[str, int] = {}
+    for k, _ in rows1:
+        model[k] = model.get(k, 0) + 1          # count part
+    for k, v in rows2:
+        model[k] = model.get(k, 0) + v          # sum part (coalesced 0)
+    assert got == model
