@@ -257,6 +257,148 @@ def from_avro_df(
     return df.mapInPandas(batches, out_schema)
 
 
+# --- Avro Object Container Files (the .avro FILE format) ----------------
+#
+# Spec (same public document as the binary encoding): magic "Obj\x01",
+# file-metadata map (avro.schema + optional avro.codec), 16-byte sync
+# marker, then data blocks of (record-count, byte-size, records, sync).
+# Codecs supported here: null and deflate (raw RFC-1951 — stdlib zlib).
+
+_OCF_MAGIC = b"Obj\x01"
+
+
+def _encode_map(meta: dict[str, bytes]) -> bytes:
+    out = bytearray()
+    if meta:
+        out += _zigzag_encode(len(meta))
+        for k, v in meta.items():
+            kb = k.encode()
+            out += _zigzag_encode(len(kb)) + kb
+            out += _zigzag_encode(len(v)) + v
+    out += _zigzag_encode(0)
+    return bytes(out)
+
+
+def _decode_map(data: bytes, pos: int) -> tuple[dict[str, bytes], int]:
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _zigzag_decode(data, pos)
+        if n == 0:
+            return meta, pos
+        if n < 0:  # negative count is followed by the block's byte size
+            n = -n
+            _, pos = _zigzag_decode(data, pos)
+        for _ in range(n):
+            kl, pos = _zigzag_decode(data, pos)
+            k = data[pos:pos + kl].decode()
+            pos += kl
+            vl, pos = _zigzag_decode(data, pos)
+            meta[k] = data[pos:pos + vl]
+            pos += vl
+
+
+def ocf_encode(schema_json: str, rows: list[dict], codec: str = "null",
+               sync: bytes = b"\x00" * 16, block_records: int = 1000) -> bytes:
+    """Serialize rows as one Avro Object Container File payload."""
+    import zlib
+
+    fields = parse_record_schema(schema_json)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    out = bytearray(_OCF_MAGIC + _encode_map(meta) + sync)
+    for i in range(0, len(rows), block_records):
+        chunk = rows[i:i + block_records]
+        body = b"".join(encode_record(fields, r) for r in chunk)
+        if codec == "deflate":
+            body = zlib.compress(body)[2:-4]  # strip zlib header/adler: raw DEFLATE
+        elif codec != "null":
+            raise ValueError(f"unsupported OCF codec {codec!r}")
+        out += _zigzag_encode(len(chunk)) + _zigzag_encode(len(body)) + body + sync
+    return bytes(out)
+
+
+def ocf_decode(payload: bytes) -> tuple[str, list[dict]]:
+    """Parse one OCF payload → (embedded schema JSON, records)."""
+    import zlib
+
+    data = bytes(payload)
+    if data[:4] != _OCF_MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta, pos = _decode_map(data, 4)
+    schema_json = meta["avro.schema"].decode()
+    codec = meta.get("avro.codec", b"null").decode()
+    fields = parse_record_schema(schema_json)
+    sync = data[pos:pos + 16]
+    pos += 16
+    rows: list[dict] = []
+    while pos < len(data):
+        n, pos = _zigzag_decode(data, pos)
+        size, pos = _zigzag_decode(data, pos)
+        body = data[pos:pos + size]
+        pos += size
+        if data[pos:pos + 16] != sync:
+            raise ValueError(f"sync marker mismatch at offset {pos}")
+        pos += 16
+        if codec == "deflate":
+            body = zlib.decompress(body, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported OCF codec {codec!r}")
+        bpos = 0
+        for _ in range(n):
+            rec_start = bpos
+            row = {}
+            bpos = _decode_into(fields, body, bpos, row)
+            assert bpos > rec_start
+            rows.append(row)
+    return schema_json, rows
+
+
+def _decode_into(fields, data: bytes, pos: int, row: dict) -> int:
+    for name, t, null_idx in fields:
+        if null_idx is not None:
+            branch, pos = _zigzag_decode(data, pos)
+            if branch == null_idx:
+                row[name] = None
+                continue
+        row[name], pos = _decode_value(t, data, pos)
+    return pos
+
+
+def read_avro_ocf(spark: SparkSession, path: str, schema_json: str) -> DataFrame:
+    """Read a directory/glob of .avro container files into a DataFrame.
+
+    Spark-side shape: ``binaryFile`` scan (one row per file — the
+    many-files layout standard at scale; a single monolithic OCF will not
+    split) → Arrow-batched mapInPandas decode. The embedded writer schema
+    must match ``schema_json`` (this reader implements the supported
+    subset, not schema resolution) — mismatches raise rather than
+    mis-decode."""
+    fields = parse_record_schema(schema_json)
+    out_schema = ", ".join(f"{n} {_SPARK_TYPE[t]}" for n, t, _ in fields)
+    want = schema_json
+
+    def batches(it):
+        import json as _json
+
+        import pandas as _pd
+
+        for pdf in it:
+            rows: list[dict] = []
+            for payload in pdf["content"]:
+                got_schema, recs = ocf_decode(bytes(payload))
+                if _json.loads(got_schema) != _json.loads(want):
+                    raise ValueError(
+                        f"OCF writer schema {got_schema!r} != reader schema"
+                    )
+                rows.extend(recs)
+            yield _pd.DataFrame(
+                {n: [r[n] for r in rows] for n, _, _ in fields}
+                if rows else {n: [] for n, _, _ in fields}
+            )
+
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
+    return raw.select("content").mapInPandas(batches, out_schema)
+
+
 def _spark_types(df: DataFrame, cols: list[str]) -> list[str]:
     m = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     return [m[c] for c in cols]

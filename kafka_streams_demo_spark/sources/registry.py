@@ -167,6 +167,45 @@ def read_csv(
     return parsed.select("_r.*")
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    permissive: bool = True,
+) -> DataFrame:
+    """JSON-lines scan source with the same dead-letter contract as
+    read_csv: PERMISSIVE ``from_json`` over a text scan keeps the raw line
+    in ``_corrupt_record`` for rows that fail to parse (the
+    LogAndContinueExceptionHandler analogue for JSON payloads — the
+    reference's props column is JSON, SURVEY §2i), while FAILFAST is the
+    fail-on-first-error mode. Expression-level parsing avoids the native
+    reader's QUERY_ONLY_CORRUPT_RECORD_COLUMN pruning hazard; one scan,
+    JVM-side parse."""
+    if not permissive:
+        return (
+            spark.read.option("mode", "FAILFAST").schema(schema).json(path)
+        )
+    full = T.StructType(list(schema.fields)).add("_corrupt_record", T.StringType())
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("_r"),
+        F.col("value").alias("_raw"),
+    )
+    # from_json yields a NULL struct (not a populated _corrupt_record) for
+    # undecodable lines — normalize both shapes to the read_csv contract
+    out = parsed.select(
+        *[F.col(f"_r.{f.name}").alias(f.name) for f in schema.fields],
+        F.when(F.col("_r").isNull(), F.col("_raw"))
+        .otherwise(F.col("_r._corrupt_record"))
+        .alias("_corrupt_record"),
+    )
+    return out
+
+
 def dead_letter_split(df: DataFrame, corrupt_col: str = "_corrupt_record") -> tuple[DataFrame, DataFrame]:
     """(good, dead) split of a permissively-parsed frame: good rows with the
     corrupt column dropped; dead rows as the raw corrupt payload, ready for

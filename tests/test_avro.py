@@ -122,3 +122,54 @@ def test_spark_roundtrip_via_kstream_value(spark):
     orig = sorted(map(tuple, ev.collect()))
     rt = sorted(map(tuple, back.select("user_id", "event_type", "value", "note").collect()))
     assert rt == orig
+
+
+def test_ocf_roundtrip_null_and_deflate_codecs():
+    from kafka_streams_demo_spark.sources.avro import ocf_decode, ocf_encode
+
+    rows = [{"user_id": i, "event_type": f"t{i % 3}", "value": i / 8,
+             "note": None if i % 5 == 0 else f"n{i}"} for i in range(2500)]
+    for codec in ("null", "deflate"):
+        payload = ocf_encode(SCHEMA, rows, codec=codec, block_records=1000)
+        assert payload[:4] == b"Obj\x01"
+        got_schema, got = ocf_decode(payload)
+        assert json.loads(got_schema) == json.loads(SCHEMA)
+        assert got == rows
+    # deflate should actually compress this repetitive payload
+    assert len(ocf_encode(SCHEMA, rows, codec="deflate")) < \
+        0.8 * len(ocf_encode(SCHEMA, rows, codec="null"))
+
+
+def test_read_avro_ocf_directory(spark, tmp_path):
+    """A directory of .avro container files reads into a DataFrame through
+    the binaryFile + mapInPandas path; per-file decode parallelizes."""
+    from kafka_streams_demo_spark.sources.avro import ocf_encode, read_avro_ocf
+
+    rows = [{"user_id": i, "event_type": f"t{i % 3}", "value": float(i),
+             "note": None} for i in range(300)]
+    for part in range(3):
+        chunk = rows[part * 100:(part + 1) * 100]
+        (tmp_path / f"part-{part}.avro").write_bytes(
+            ocf_encode(SCHEMA, chunk, codec="deflate")
+        )
+    (tmp_path / "ignored.txt").write_text("not avro")
+    df = read_avro_ocf(spark, str(tmp_path), SCHEMA)
+    got = sorted(r["user_id"] for r in df.collect())
+    assert got == list(range(300))
+    assert df.filter(F.col("event_type") == "t0").count() == 100
+
+
+def test_read_avro_ocf_schema_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    from kafka_streams_demo_spark.sources.avro import ocf_encode, read_avro_ocf
+
+    other = json.dumps({
+        "type": "record", "name": "Other",
+        "fields": [{"name": "user_id", "type": "long"}],
+    })
+    (tmp_path / "a.avro").write_bytes(
+        ocf_encode(other, [{"user_id": 1}])
+    )
+    with pytest.raises(Exception, match="writer schema"):
+        read_avro_ocf(spark, str(tmp_path), SCHEMA).collect()

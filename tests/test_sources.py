@@ -182,3 +182,34 @@ def test_topic_admin_gated_without_kafka_lib(spark):
     }
     with pytest.raises(ImportError, match="create_table/drop_table"):
         create_topics(["t1"])
+
+
+def test_read_jsonl_dead_letter_routing(spark, tmp_path):
+    """JSON-lines source: good rows parse to the schema; malformed lines
+    and lines failing the schema surface through the same dead_letter_split
+    contract as CSV (LogAndContinue parity for JSON)."""
+    from pyspark.sql import types as T
+
+    from kafka_streams_demo_spark.sources.registry import (
+        dead_letter_split,
+        read_jsonl,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"k": "a", "v": 1}\n'
+        'not json at all\n'
+        '{"k": "b", "v": 2}\n'
+        '{"k": "c", "v": "NaNope"}\n'
+    )
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    df = read_jsonl(spark, str(p), schema)
+    good, dead = dead_letter_split(df)
+    assert {(r["k"], r["v"]) for r in good.collect()} == {("a", 1), ("b", 2)}
+    dead_raws = [r["raw"] for r in dead.collect()]
+    assert len(dead_raws) == 2
+    assert any("not json" in r for r in dead_raws)
+    assert any("NaNope" in r for r in dead_raws)
