@@ -372,6 +372,28 @@ def read_avro_ocf(spark: SparkSession, path: str, schema_json: str) -> DataFrame
     must match ``schema_json`` (this reader implements the supported
     subset, not schema resolution) — mismatches raise rather than
     mis-decode."""
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
+    return _ocf_decode_files(raw, schema_json)
+
+
+def read_avro_ocf_stream(spark: SparkSession, path: str, schema_json: str) -> DataFrame:
+    """Streaming ingestion of a growing directory of .avro container
+    files: the binaryFile source tracks arrivals, each new file decodes
+    once in its micro-batch (file-granularity exactly-once via the
+    source's processed-files log + checkpoint). Same decode stage as the
+    batch reader."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(path)
+    )
+    return _ocf_decode_files(raw, schema_json)
+
+
+def _ocf_decode_files(raw: DataFrame, schema_json: str) -> DataFrame:
+    """(… content binary) → decoded record rows; shared by the batch and
+    streaming OCF readers."""
     fields = parse_record_schema(schema_json)
     out_schema = ", ".join(f"{n} {_SPARK_TYPE[t]}" for n, t, _ in fields)
     want = schema_json
@@ -395,7 +417,6 @@ def read_avro_ocf(spark: SparkSession, path: str, schema_json: str) -> DataFrame
                 if rows else {n: [] for n, _, _ in fields}
             )
 
-    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
     return raw.select("content").mapInPandas(batches, out_schema)
 
 

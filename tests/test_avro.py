@@ -173,3 +173,21 @@ def test_read_avro_ocf_schema_mismatch_raises(spark, tmp_path):
     )
     with pytest.raises(Exception, match="writer schema"):
         read_avro_ocf(spark, str(tmp_path), SCHEMA).collect()
+
+
+def test_read_avro_ocf_stream(spark, tmp_path):
+    """Streaming OCF ingestion: files written across two 'arrivals' all
+    land exactly once through availableNow."""
+    from kafka_streams_demo_spark.sources.avro import (
+        ocf_encode,
+        read_avro_ocf_stream,
+    )
+    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+
+    rows = [{"user_id": i, "event_type": f"t{i % 3}", "value": float(i),
+             "note": None} for i in range(100)]
+    (tmp_path / "a.avro").write_bytes(ocf_encode(SCHEMA, rows[:60]))
+    (tmp_path / "b.avro").write_bytes(ocf_encode(SCHEMA, rows[60:], codec="deflate"))
+    out = read_avro_ocf_stream(spark, str(tmp_path), SCHEMA)
+    got = run_available_now(out, output_mode="append").collect()
+    assert sorted(r["user_id"] for r in got) == list(range(100))
