@@ -210,8 +210,18 @@ def to_avro_df(
         import pandas as pd
 
         for pdf in it:
+            # Schema-aware column conversion: Arrow→pandas renders a
+            # NULLABLE int/long/boolean column as float64 with NaN, so
+            # per-field we map NaN→None and coerce 3.0→3 for integer
+            # types. (For float/double fields NaN stays a VALUE — pandas
+            # cannot distinguish a null double from NaN; the integer/
+            # string/bytes types, where it matters, are unambiguous.)
+            cols = {
+                n: _column_values(pdf[n], t, null_idx is not None)
+                for n, t, null_idx in field_spec
+            }
             vals = [
-                encode_record(field_spec, {n: _py(pdf[n].iloc[i]) for n, _, _ in field_spec})
+                encode_record(field_spec, {n: cols[n][i] for n, _, _ in field_spec})
                 for i in range(len(pdf))
             ]
             out = pdf[passthrough].copy() if passthrough else pd.DataFrame(index=pdf.index)
@@ -428,3 +438,29 @@ def _spark_types(df: DataFrame, cols: list[str]) -> list[str]:
 def _py(v):
     """numpy scalar → python scalar (pandas hands numpy types to the codec)."""
     return v.item() if hasattr(v, "item") else v
+
+
+def _column_values(series, avro_type: str, nullable: bool) -> list:
+    """pandas column → python values matching the Avro field type.
+
+    Handles the Arrow→pandas null dance: a nullable int/long/boolean
+    column arrives as float64/object with NaN for nulls — NaN becomes
+    None and surviving floats are coerced back to int/bool. Float fields
+    keep NaN as a value (IEEE NaN is encodable; only if the field is
+    nullable AND the value is NaN do we prefer null, documenting the
+    pandas ambiguity)."""
+    import pandas as pd
+
+    out = []
+    for v in series:
+        if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+            out.append(None if nullable or avro_type not in ("float", "double")
+                       else float("nan"))
+            continue
+        v = _py(v)
+        if avro_type in ("int", "long") and isinstance(v, float):
+            v = int(v)
+        elif avro_type == "boolean" and not isinstance(v, bool):
+            v = bool(v)
+        out.append(v)
+    return out

@@ -191,3 +191,47 @@ def test_read_avro_ocf_stream(spark, tmp_path):
     out = read_avro_ocf_stream(spark, str(tmp_path), SCHEMA)
     got = run_available_now(out, output_mode="append").collect()
     assert sorted(r["user_id"] for r in got) == list(range(100))
+
+
+def test_nullable_long_roundtrip_through_pandas_nan():
+    """Arrow→pandas renders nullable int64 as float64+NaN; the encoder
+    must map NaN back to Avro null and 3.0 back to long 3 (a raw
+    pass-through would encode garbage)."""
+    schema = json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "opt", "type": ["null", "long"]},
+        ],
+    })
+
+    import pandas as pd
+
+    from kafka_streams_demo_spark.sources.avro import (
+        _column_values,
+        decode_record,
+        encode_record,
+        parse_record_schema,
+    )
+
+    fields = parse_record_schema(schema)
+    s = pd.Series([1.0, float("nan"), 3.0])  # what Arrow hands over
+    assert _column_values(s, "long", True) == [1, None, 3]
+    row = {"k": 7, "opt": None}
+    assert decode_record(fields, encode_record(fields, row)) == row
+
+
+def test_spark_roundtrip_nullable_long_column(spark):
+    schema = json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "opt", "type": ["null", "long"]},
+        ],
+    })
+    from kafka_streams_demo_spark.sources.avro import from_avro_df, to_avro_df
+
+    df = spark.range(50).selectExpr(
+        "id AS k", "CASE WHEN id % 3 = 0 THEN NULL ELSE id * 10 END AS opt"
+    )
+    back = from_avro_df(to_avro_df(df, schema, impl="python"), schema, impl="python")
+    got = {r["k"]: r["opt"] for r in back.collect()}
+    assert got == {i: (None if i % 3 == 0 else i * 10) for i in range(50)}
