@@ -67,97 +67,110 @@ def parse_record_schema(schema_json: str) -> list[tuple[str, str, int | None]]:
 
 
 # --- Avro binary primitives (spec: zigzag varint, little-endian IEEE) ----
+#
+# Defined inside a factory and exported as closures: cloudpickle pickles
+# nested functions BY VALUE, so mapInPandas stages referencing them run on
+# workers that do NOT have this package on PYTHONPATH (the correctness
+# driver builds its own SparkSession without get_spark's path setup —
+# same pattern as functions/codecs.py).
 
-def _zigzag_encode(n: int) -> bytes:
-    z = (n << 1) ^ (n >> 63)
-    buf = bytearray()
-    while True:
-        b = z & 0x7F
-        z >>= 7
-        if z:
-            buf.append(b | 0x80)
-        else:
-            buf.append(b)
-            return bytes(buf)
+def _make_binary_codec():
+    def _zigzag_encode(n: int) -> bytes:
+        z = (n << 1) ^ (n >> 63)
+        buf = bytearray()
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                buf.append(b | 0x80)
+            else:
+                buf.append(b)
+                return bytes(buf)
+
+    def _zigzag_decode(data: bytes, pos: int) -> tuple[int, int]:
+        z, shift = 0, 0
+        while True:
+            b = data[pos]
+            pos += 1
+            z |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (z >> 1) ^ -(z & 1), pos
+
+    def _encode_value(t: str, v) -> bytes:
+        import struct as _struct
+
+        if t in ("int", "long"):
+            return _zigzag_encode(int(v))
+        if t == "boolean":
+            return b"\x01" if v else b"\x00"
+        if t == "float":
+            return _struct.pack("<f", float(v))
+        if t == "double":
+            return _struct.pack("<d", float(v))
+        if t == "string":
+            b = str(v).encode("utf-8")
+            return _zigzag_encode(len(b)) + b
+        if t == "bytes":
+            b = bytes(v)
+            return _zigzag_encode(len(b)) + b
+        raise ValueError(f"unsupported type {t}")
+
+    def _decode_value(t: str, data: bytes, pos: int):
+        import struct as _struct
+
+        if t in ("int", "long"):
+            return _zigzag_decode(data, pos)
+        if t == "boolean":
+            return data[pos] == 1, pos + 1
+        if t == "float":
+            return _struct.unpack_from("<f", data, pos)[0], pos + 4
+        if t == "double":
+            return _struct.unpack_from("<d", data, pos)[0], pos + 8
+        if t == "string":
+            n, pos = _zigzag_decode(data, pos)
+            return data[pos:pos + n].decode("utf-8"), pos + n
+        if t == "bytes":
+            n, pos = _zigzag_decode(data, pos)
+            return bytes(data[pos:pos + n]), pos + n
+        raise ValueError(f"unsupported type {t}")
+
+    def encode_record(fields, row: dict) -> bytes:
+        """One Avro-binary record: concatenated fields; nullable fields
+        carry their union branch index first (spec: a union value is the
+        zigzag branch index followed by the branch's encoding; null's own
+        encoding is empty)."""
+        out = bytearray()
+        for name, t, null_idx in fields:
+            v = row.get(name)
+            if null_idx is not None:
+                if v is None:
+                    out += _zigzag_encode(null_idx)
+                    continue
+                out += _zigzag_encode(1 - null_idx)
+            elif v is None:
+                raise ValueError(f"null in non-nullable field {name}")
+            out += _encode_value(t, v)
+        return bytes(out)
+
+    def decode_record(fields, data: bytes) -> dict:
+        pos, row = 0, {}
+        for name, t, null_idx in fields:
+            if null_idx is not None:
+                branch, pos = _zigzag_decode(data, pos)
+                if branch == null_idx:
+                    row[name] = None
+                    continue
+            row[name], pos = _decode_value(t, data, pos)
+        return row
+
+    return (_zigzag_encode, _zigzag_decode, _encode_value, _decode_value,
+            encode_record, decode_record)
 
 
-def _zigzag_decode(data: bytes, pos: int) -> tuple[int, int]:
-    z, shift = 0, 0
-    while True:
-        b = data[pos]
-        pos += 1
-        z |= (b & 0x7F) << shift
-        if not b & 0x80:
-            break
-        shift += 7
-    return (z >> 1) ^ -(z & 1), pos
-
-
-def _encode_value(t: str, v: Any) -> bytes:
-    if t in ("int", "long"):
-        return _zigzag_encode(int(v))
-    if t == "boolean":
-        return b"\x01" if v else b"\x00"
-    if t == "float":
-        return struct.pack("<f", float(v))
-    if t == "double":
-        return struct.pack("<d", float(v))
-    if t == "string":
-        b = str(v).encode("utf-8")
-        return _zigzag_encode(len(b)) + b
-    if t == "bytes":
-        b = bytes(v)
-        return _zigzag_encode(len(b)) + b
-    raise ValueError(f"unsupported type {t}")
-
-
-def _decode_value(t: str, data: bytes, pos: int) -> tuple[Any, int]:
-    if t in ("int", "long"):
-        return _zigzag_decode(data, pos)
-    if t == "boolean":
-        return data[pos] == 1, pos + 1
-    if t == "float":
-        return struct.unpack_from("<f", data, pos)[0], pos + 4
-    if t == "double":
-        return struct.unpack_from("<d", data, pos)[0], pos + 8
-    if t == "string":
-        n, pos = _zigzag_decode(data, pos)
-        return data[pos:pos + n].decode("utf-8"), pos + n
-    if t == "bytes":
-        n, pos = _zigzag_decode(data, pos)
-        return bytes(data[pos:pos + n]), pos + n
-    raise ValueError(f"unsupported type {t}")
-
-
-def encode_record(fields: list[tuple[str, str, int | None]], row: dict) -> bytes:
-    """One Avro-binary record: concatenated fields; nullable fields carry
-    their union branch index first (spec: a union value is the zigzag
-    branch index followed by the branch's encoding; null's own encoding
-    is empty)."""
-    out = bytearray()
-    for name, t, null_idx in fields:
-        v = row.get(name)
-        if null_idx is not None:
-            if v is None:
-                out += _zigzag_encode(null_idx)
-                continue
-            out += _zigzag_encode(1 - null_idx)
-        elif v is None:
-            raise ValueError(f"null in non-nullable field {name}")
-        out += _encode_value(t, v)
-    return bytes(out)
-
-
-def decode_record(fields: list[tuple[str, str, int | None]], data: bytes) -> dict:
-    pos, row = 0, {}
-    for name, t, null_idx in fields:
-        if null_idx is not None:
-            branch, pos = _zigzag_decode(data, pos)
-            if branch == null_idx:
-                row[name] = None
-                continue
-        row[name], pos = _decode_value(t, data, pos)
-    return row
+(_zigzag_encode, _zigzag_decode, _encode_value, _decode_value,
+ encode_record, decode_record) = _make_binary_codec()
 
 
 # --- DataFrame projections ----------------------------------------------
@@ -289,22 +302,80 @@ def _encode_map(meta: dict[str, bytes]) -> bytes:
     return bytes(out)
 
 
-def _decode_map(data: bytes, pos: int) -> tuple[dict[str, bytes], int]:
-    meta: dict[str, bytes] = {}
-    while True:
-        n, pos = _zigzag_decode(data, pos)
-        if n == 0:
-            return meta, pos
-        if n < 0:  # negative count is followed by the block's byte size
-            n = -n
-            _, pos = _zigzag_decode(data, pos)
-        for _ in range(n):
-            kl, pos = _zigzag_decode(data, pos)
-            k = data[pos:pos + kl].decode()
-            pos += kl
-            vl, pos = _zigzag_decode(data, pos)
-            meta[k] = data[pos:pos + vl]
-            pos += vl
+def _make_ocf_codec():
+    """OCF block/metadata parsing as by-value closures (worker-safe, same
+    rationale as _make_binary_codec; the nested functions capture the
+    binary-codec closures transitively)."""
+
+    def _decode_map(data: bytes, pos: int):
+        meta: dict[str, bytes] = {}
+        while True:
+            n, pos = _zigzag_decode(data, pos)
+            if n == 0:
+                return meta, pos
+            if n < 0:  # negative count is followed by the block's byte size
+                n = -n
+                _, pos = _zigzag_decode(data, pos)
+            for _ in range(n):
+                kl, pos = _zigzag_decode(data, pos)
+                k = data[pos:pos + kl].decode()
+                pos += kl
+                vl, pos = _zigzag_decode(data, pos)
+                meta[k] = data[pos:pos + vl]
+                pos += vl
+
+    def ocf_decode_records(payload: bytes, fields,
+                           expect_json: str | None = None) -> tuple[str, list[dict]]:
+        """Parse one OCF payload with CALLER-supplied reader fields →
+        (embedded schema JSON, records). ``expect_json``: refuse (with a
+        clear error, BEFORE decoding any record) when the embedded writer
+        schema differs — this reader implements the supported subset, not
+        schema resolution."""
+        import json as _json
+        import zlib
+
+        data = bytes(payload)
+        if data[:4] != b"Obj\x01":
+            raise ValueError("not an Avro object container file (bad magic)")
+        meta, pos = _decode_map(data, 4)
+        schema_json = meta["avro.schema"].decode()
+        if expect_json is not None and _json.loads(schema_json) != _json.loads(expect_json):
+            raise ValueError(
+                f"OCF writer schema {schema_json!r} != reader schema"
+            )
+        codec = meta.get("avro.codec", b"null").decode()
+        sync = data[pos:pos + 16]
+        pos += 16
+        rows: list[dict] = []
+        while pos < len(data):
+            n, pos = _zigzag_decode(data, pos)
+            size, pos = _zigzag_decode(data, pos)
+            body = data[pos:pos + size]
+            pos += size
+            if data[pos:pos + 16] != sync:
+                raise ValueError(f"sync marker mismatch at offset {pos}")
+            pos += 16
+            if codec == "deflate":
+                body = zlib.decompress(body, -15)
+            elif codec != "null":
+                raise ValueError(f"unsupported OCF codec {codec!r}")
+            bpos = 0
+            for _ in range(n):
+                row: dict = {}
+                for name, t, null_idx in fields:
+                    if null_idx is not None:
+                        branch, bpos = _zigzag_decode(body, bpos)
+                        if branch == null_idx:
+                            row[name] = None
+                            continue
+                    row[name], bpos = _decode_value(t, body, bpos)
+                rows.append(row)
+        return schema_json, rows
+
+    return _decode_map, ocf_decode_records
+
+
+_decode_map, _ocf_decode_records = _make_ocf_codec()
 
 
 def ocf_encode(schema_json: str, rows: list[dict], codec: str = "null",
@@ -327,50 +398,15 @@ def ocf_encode(schema_json: str, rows: list[dict], codec: str = "null",
 
 
 def ocf_decode(payload: bytes) -> tuple[str, list[dict]]:
-    """Parse one OCF payload → (embedded schema JSON, records)."""
-    import zlib
-
+    """Parse one OCF payload → (embedded schema JSON, records). Driver-
+    side convenience: trusts the embedded writer schema (subset-validated
+    by parse_record_schema)."""
     data = bytes(payload)
     if data[:4] != _OCF_MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
-    meta, pos = _decode_map(data, 4)
-    schema_json = meta["avro.schema"].decode()
-    codec = meta.get("avro.codec", b"null").decode()
-    fields = parse_record_schema(schema_json)
-    sync = data[pos:pos + 16]
-    pos += 16
-    rows: list[dict] = []
-    while pos < len(data):
-        n, pos = _zigzag_decode(data, pos)
-        size, pos = _zigzag_decode(data, pos)
-        body = data[pos:pos + size]
-        pos += size
-        if data[pos:pos + 16] != sync:
-            raise ValueError(f"sync marker mismatch at offset {pos}")
-        pos += 16
-        if codec == "deflate":
-            body = zlib.decompress(body, -15)
-        elif codec != "null":
-            raise ValueError(f"unsupported OCF codec {codec!r}")
-        bpos = 0
-        for _ in range(n):
-            rec_start = bpos
-            row = {}
-            bpos = _decode_into(fields, body, bpos, row)
-            assert bpos > rec_start
-            rows.append(row)
-    return schema_json, rows
-
-
-def _decode_into(fields, data: bytes, pos: int, row: dict) -> int:
-    for name, t, null_idx in fields:
-        if null_idx is not None:
-            branch, pos = _zigzag_decode(data, pos)
-            if branch == null_idx:
-                row[name] = None
-                continue
-        row[name], pos = _decode_value(t, data, pos)
-    return pos
+    meta, _ = _decode_map(data, 4)
+    fields = parse_record_schema(meta["avro.schema"].decode())
+    return _ocf_decode_records(data, fields)
 
 
 def read_avro_ocf(spark: SparkSession, path: str, schema_json: str) -> DataFrame:
@@ -403,28 +439,27 @@ def read_avro_ocf_stream(spark: SparkSession, path: str, schema_json: str) -> Da
 
 def _ocf_decode_files(raw: DataFrame, schema_json: str) -> DataFrame:
     """(… content binary) → decoded record rows; shared by the batch and
-    streaming OCF readers."""
+    streaming OCF readers. The closure captures only by-value codec
+    closures + plain data (worker-safe without the package on
+    PYTHONPATH); the embedded writer schema is verified against the
+    reader's by JSON equality — no schema resolution."""
     fields = parse_record_schema(schema_json)
     out_schema = ", ".join(f"{n} {_SPARK_TYPE[t]}" for n, t, _ in fields)
     want = schema_json
+    decode_records = _ocf_decode_records
+    field_spec = list(fields)
 
     def batches(it):
-        import json as _json
-
         import pandas as _pd
 
         for pdf in it:
             rows: list[dict] = []
             for payload in pdf["content"]:
-                got_schema, recs = ocf_decode(bytes(payload))
-                if _json.loads(got_schema) != _json.loads(want):
-                    raise ValueError(
-                        f"OCF writer schema {got_schema!r} != reader schema"
-                    )
+                _, recs = decode_records(bytes(payload), field_spec, expect_json=want)
                 rows.extend(recs)
             yield _pd.DataFrame(
-                {n: [r[n] for r in rows] for n, _, _ in fields}
-                if rows else {n: [] for n, _, _ in fields}
+                {n: [r[n] for r in rows] for n, _, _ in field_spec}
+                if rows else {n: [] for n, _, _ in field_spec}
             )
 
     return raw.select("content").mapInPandas(batches, out_schema)
@@ -435,32 +470,40 @@ def _spark_types(df: DataFrame, cols: list[str]) -> list[str]:
     return [m[c] for c in cols]
 
 
-def _py(v):
-    """numpy scalar → python scalar (pandas hands numpy types to the codec)."""
-    return v.item() if hasattr(v, "item") else v
+def _make_pandas_bridge():
+    """Column-conversion helpers as by-value closures (they run inside the
+    mapInPandas stages — same worker-safety rationale as the codecs)."""
+
+    def _py(v):
+        """numpy scalar → python scalar."""
+        return v.item() if hasattr(v, "item") else v
+
+    def _column_values(series, avro_type: str, nullable: bool) -> list:
+        """pandas column → python values matching the Avro field type.
+
+        Handles the Arrow→pandas null dance: a nullable int/long/boolean
+        column arrives as float64/object with NaN for nulls — NaN becomes
+        None and surviving floats are coerced back to int/bool. Float
+        fields keep NaN as a value (IEEE NaN is encodable; only if the
+        field is nullable AND the value is NaN do we prefer null,
+        documenting the pandas ambiguity)."""
+        import pandas as pd
+
+        out = []
+        for v in series:
+            if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+                out.append(None if nullable or avro_type not in ("float", "double")
+                           else float("nan"))
+                continue
+            v = _py(v)
+            if avro_type in ("int", "long") and isinstance(v, float):
+                v = int(v)
+            elif avro_type == "boolean" and not isinstance(v, bool):
+                v = bool(v)
+            out.append(v)
+        return out
+
+    return _py, _column_values
 
 
-def _column_values(series, avro_type: str, nullable: bool) -> list:
-    """pandas column → python values matching the Avro field type.
-
-    Handles the Arrow→pandas null dance: a nullable int/long/boolean
-    column arrives as float64/object with NaN for nulls — NaN becomes
-    None and surviving floats are coerced back to int/bool. Float fields
-    keep NaN as a value (IEEE NaN is encodable; only if the field is
-    nullable AND the value is NaN do we prefer null, documenting the
-    pandas ambiguity)."""
-    import pandas as pd
-
-    out = []
-    for v in series:
-        if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
-            out.append(None if nullable or avro_type not in ("float", "double")
-                       else float("nan"))
-            continue
-        v = _py(v)
-        if avro_type in ("int", "long") and isinstance(v, float):
-            v = int(v)
-        elif avro_type == "boolean" and not isinstance(v, bool):
-            v = bool(v)
-        out.append(v)
-    return out
+_py, _column_values = _make_pandas_bridge()
