@@ -9,10 +9,12 @@ turn a filtered corpus into model-ready sequences:
   ``sequence`` for chunk starts, ``explode``, ``slice`` — so chunking
   100 TB is a narrow map stage, no shuffle, no Python.
 - ``pack_sequences``: greedy first-fit-in-order packing of documents into
-  fixed-capacity token bins (one bin = one training sequence). Inherently
-  sequential per group → ``applyInPandas`` over the group key, Arrow-
-  batched; the shuffle is one exchange on the group key and each group
-  packs independently.
+  fixed-capacity token bins (one bin = one training sequence). The greedy
+  scan is sequential, but only *within a shard*: each group is range-
+  sharded on doc_id (target ``tokens_per_shard`` tokens per shard), shards
+  pack in parallel as independent ``applyInPandas`` tasks, and bin ids are
+  offset per shard so they never collide — one giant source can no longer
+  serialize into a single task.
 - ``mixture_sample``: deterministic per-source rate sampling (corpus
   mixture weights) via a content-hash threshold — reproducible across
   engines and partitionings, unlike ``rand()``/``sampleBy``.
@@ -72,34 +74,83 @@ def chunk_documents(
     )
 
 
+_BINS_PER_SHARD = 1 << 32  # bin-id stride between shards (collision-free)
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 256,
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_per_shard: int | None = 1_000_000,
 ) -> DataFrame:
     """Greedy first-fit-in-order sequence packing: within each group,
     documents (in ``id_col`` order) accumulate into bins of ``capacity``
     whitespace tokens; a document that would overflow the open bin starts
     the next one; oversized documents (> capacity) occupy a bin alone.
 
-    Output: (group, doc_id, n_tokens, bin_id). The sequential scan is per
-    group inside ``applyInPandas`` — one shuffle on the group key, Arrow
-    batches, all groups pack in parallel. Deterministic: rows are sorted by
-    id inside each group, so the packing is a pure function of the data.
-    """
-    import pandas as pd
+    Output: (group, doc_id, n_tokens, bin_id).
 
+    Scale design: the greedy scan is inherently sequential, so a group is
+    first split into doc_id-range *shards* of ~``tokens_per_shard`` tokens
+    (one tiny per-group aggregate for (total, min_id, max_id), broadcast
+    back, shard = pure column math). Each (group, shard) packs as its own
+    ``applyInPandas`` task — a billion-document source becomes thousands of
+    parallel tasks instead of one Arrow-buffered pandas frame. Bin ids are
+    ``shard * 2^32 + local_bin``: unique and deterministic across shards,
+    contiguous only within a shard (apply ``dense_rank`` over distinct bin
+    ids downstream if contiguity matters). Packing differs from the
+    unsharded scan only at shard boundaries (an open bin closes there); a
+    group whose total fits one shard — including everything at test scale
+    with the 1M default — packs identically to the unsharded algorithm.
+    ``tokens_per_shard=None`` disables sharding. Range-sharding assumes
+    doc_ids are roughly uniform over their span; skewed density affects
+    balance, never correctness.
+    """
     toks = docs.select(
         F.col(group_col).alias("grp"),
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
 
+    if tokens_per_shard is not None:
+        stats = (
+            toks.groupBy("grp")
+            .agg(
+                F.sum("n_tokens").alias("_tot"),
+                F.min("doc_id").alias("_lo"),
+                F.max("doc_id").alias("_hi"),
+            )
+            .withColumn(
+                "_nsh",
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("_tot") / F.lit(tokens_per_shard))
+                ).cast("long"),
+            )
+            .withColumn(
+                "_span",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil((F.col("_hi") - F.col("_lo") + F.lit(1)) / F.col("_nsh")),
+                ).cast("long"),
+            )
+        )
+        toks = (
+            toks.join(F.broadcast(stats.select("grp", "_lo", "_span")), "grp")
+            .withColumn(
+                "shard",
+                F.floor((F.col("doc_id") - F.col("_lo")) / F.col("_span")).cast("long"),
+            )
+            .drop("_lo", "_span")
+        )
+    else:
+        toks = toks.withColumn("shard", F.lit(0).cast("long"))
+
     cap = capacity
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def pack(keys, pdf):
+        shard = keys[1]
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins, fill, b = [], 0, -1
         for nt in pdf["n_tokens"]:
@@ -108,11 +159,12 @@ def pack_sequences(
             else:
                 b += 1
                 fill = nt
-            bins.append(b)
-        pdf["bin_id"] = bins
-        return pdf
+            bins.append(shard * _BINS_PER_SHARD + b)
+        out = pdf[["grp", "doc_id", "n_tokens"]].copy()
+        out["bin_id"] = bins
+        return out
 
-    return toks.groupBy("grp").applyInPandas(
+    return toks.groupBy("grp", "shard").applyInPandas(
         pack, "grp string, doc_id long, n_tokens long, bin_id long"
     )
 

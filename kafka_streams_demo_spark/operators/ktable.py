@@ -85,11 +85,16 @@ class KTable:
         return KStream(self.df)
 
     # -- view transforms ---------------------------------------------------
+    # Derived views keep ``global_``: filtering or re-mapping a fully-
+    # replicated table yields a fully-replicated table, so its pinned-
+    # broadcast join contract survives the transformation. (``group_by``
+    # intentionally drops it — a re-keyed aggregation result is a new
+    # partitioned view, not a replica of the source table.)
     def filter(self, p: Callable[[Column, Column], Column]) -> "KTable":
-        return KTable(self.df.filter(p(F.col(KEY), F.col(VALUE))))
+        return KTable(self.df.filter(p(F.col(KEY), F.col(VALUE))), global_=self.global_)
 
     def map_values(self, f: Callable[[Column], Column]) -> "KTable":
-        return KTable(self.df.withColumn(VALUE, f(F.col(VALUE))))
+        return KTable(self.df.withColumn(VALUE, f(F.col(VALUE))), global_=self.global_)
 
     def group_by(self, f: Callable[[Column, Column], Column]):
         """KTable.groupBy: regroup the changelog view

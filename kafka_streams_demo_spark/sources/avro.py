@@ -270,8 +270,16 @@ def from_avro_df(
     def batches(it):
         import pandas as pd
 
+        # A NULL payload (Kafka tombstone shape) decodes to an all-None
+        # record, matching JVM from_avro's null struct → null fields when
+        # the struct is flattened with `_rec.*` — the two impls must not
+        # diverge under impl="auto".
+        none_rec = {n: None for n, _, _ in field_spec}
         for pdf in it:
-            recs = [decode_record(field_spec, bytes(b)) for b in pdf[bin_col].values]
+            recs = [
+                none_rec if b is None else decode_record(field_spec, bytes(b))
+                for b in pdf[bin_col].values
+            ]
             out = pdf[passthrough].copy() if passthrough else pd.DataFrame(index=pdf.index)
             for n, _, _ in field_spec:
                 out[n] = [r[n] for r in recs]
@@ -497,6 +505,16 @@ def _make_pandas_bridge():
                 continue
             v = _py(v)
             if avro_type in ("int", "long") and isinstance(v, float):
+                # The float64 came from the Arrow→pandas null dance; at or
+                # above 2**53 that representation already lost bits, so
+                # int(v) would silently corrupt the long — refuse instead.
+                if not v.is_integer() or abs(v) >= 2**53:
+                    raise ValueError(
+                        f"cannot losslessly encode {v!r} as Avro {avro_type}: "
+                        "nullable integer column materialized as float64, "
+                        "which cannot represent this value exactly; use "
+                        "impl='jvm' or keep the column non-nullable"
+                    )
                 v = int(v)
             elif avro_type == "boolean" and not isinstance(v, bool):
                 v = bool(v)

@@ -130,3 +130,27 @@ def test_global_ktable_join_broadcasts_and_never_shuffles_stream(spark):
     assert a.exchanges == 0, a.plan
     rows = {r["key"]: r["value"] for r in out.to_df().collect() if r["key"] == "k7"}
     assert rows["k7"].startswith("d7:"), rows
+
+
+def test_global_ktable_survives_filter_and_map_values(spark):
+    """Derived views of a GlobalKTable keep the pinned-broadcast contract
+    (ADVICE r3: filter/map_values silently dropped global_)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream, KTable
+    from kafka_streams_demo_spark.plans.explain import audit
+
+    stream = KStream(
+        spark.range(1000).selectExpr("concat('k', id % 50) AS key", "id AS value")
+    )
+    dim = spark.range(50).selectExpr("concat('k', id) AS key", "concat('d', id) AS value")
+    derived = (
+        KTable.global_table(dim)
+        .filter(lambda k, v: k != F.lit("k9"))
+        .map_values(lambda v: F.upper(v))
+    )
+    assert derived.global_
+    out = stream.join(derived, lambda sv, tv: tv)
+    a = audit(out.to_df())
+    assert a.broadcast_joins >= 1, a.plan
+    assert a.exchanges == 0, a.plan

@@ -119,6 +119,61 @@ def test_pack_no_bin_overflows_unless_single_doc(spark):
         assert fill <= 12 or counts[b] == 1
 
 
+def test_pack_sharding_splits_large_group_into_parallel_tasks(spark):
+    # A "large" source (tiny tokens_per_shard stands in for the 1M default)
+    # must fan out into >1 (grp, shard) applyInPandas task instead of one
+    # sequential task per group — the 100 TB soft spot.
+    sizes = [5] * 40  # 200 tokens in one group
+    docs = _docs(spark, [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(sizes)])
+    packed = pack_sequences(docs, capacity=10, tokens_per_shard=50)
+    rows = packed.collect()
+    shards = {r["bin_id"] >> 32 for r in rows}
+    assert len(shards) > 1, "large group did not sub-shard"
+    # invariants survive sharding: every doc exactly once, no overflow,
+    # bins never span shards, local bins contiguous from 0 within a shard
+    assert sorted(r["doc_id"] for r in rows) == list(range(40))
+    fills, counts, by_shard = {}, {}, {}
+    for r in rows:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+        counts[r["bin_id"]] = counts.get(r["bin_id"], 0) + 1
+        by_shard.setdefault(r["bin_id"] >> 32, set()).add(r["bin_id"] & 0xFFFFFFFF)
+    for b, fill in fills.items():
+        assert fill <= 10 or counts[b] == 1
+    for shard, locals_ in by_shard.items():
+        assert locals_ == set(range(len(locals_))), f"shard {shard} bins not contiguous"
+
+
+def test_pack_single_shard_identical_to_unsharded(spark):
+    # When a group fits one shard (the test-scale case for the 1M default),
+    # sharded output must equal the unsharded greedy pack bit-for-bit.
+    sizes = [10, 10, 10, 25, 5, 40, 3, 3, 3, 3]
+    docs = _docs(spark, [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(sizes)])
+    sharded = {r["doc_id"]: r["bin_id"] for r in
+               pack_sequences(docs, capacity=30, tokens_per_shard=1_000_000).collect()}
+    unsharded = {r["doc_id"]: r["bin_id"] for r in
+                 pack_sequences(docs, capacity=30, tokens_per_shard=None).collect()}
+    assert sharded == unsharded
+    model = _greedy_model(sizes, 30)
+    assert sharded == {i: model[i] for i in range(len(sizes))}
+
+
+def test_pack_shard_boundary_only_local_damage(spark):
+    # Sharding may close a bin at each shard boundary but must never mix
+    # docs across shards; within each shard the pack equals the greedy
+    # model run on that shard's docs alone.
+    sizes = [7, 9, 4, 12, 2, 2, 2, 30, 1, 6, 6, 6]
+    docs = _docs(spark, [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(sizes)])
+    rows = pack_sequences(docs, capacity=12, tokens_per_shard=30).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["bin_id"] >> 32, []).append(r)
+    assert len(by_shard) > 1
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r["doc_id"])
+        model = _greedy_model([r["n_tokens"] for r in rs], 12)
+        assert [r["bin_id"] & 0xFFFFFFFF for r in rs] == model
+
+
 def test_mixture_sample_deterministic_and_monotone(spark):
     docs = _docs(
         spark,
