@@ -458,16 +458,42 @@ def simhash_pairs(
     )
 
 
+def _cap_blocks(
+    emb: DataFrame, block_col: str, max_block_size: int | None
+) -> DataFrame:
+    """Drop rows whose blocking key holds more than ``max_block_size``
+    vectors. The within-block pair join is O(|block|²), so one skewed key
+    (10⁶ vectors under a single label) re-creates the all-pairs blow-up the
+    LSH family caps with ``max_bucket_size`` — this is the same backstop.
+    Oversized blocks are excluded from pairing (the result is a documented
+    lower bound); route them through ``ivf_assign`` cells as a finer
+    blocking key instead of raising the cap. One extra aggregate + semi-
+    join on the block key — the same exchange the pair join needs anyway.
+    """
+    if max_block_size is None:
+        return emb
+    allowed = (
+        emb.groupBy(F.col(block_col))
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") <= max_block_size)
+        .select(block_col)
+    )
+    return emb.join(allowed, [block_col], "left_semi")
+
+
 def embedding_knn_blocked(
     emb: DataFrame, block_col: str = "label", k: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_block_size: int | None = 10_000,
 ) -> DataFrame:
     """Top-k nearest neighbor per vector within a blocking key (embedding
     near-dup linkage). Blocking bounds the pair count; cosine is native
-    column math (zip_with + aggregate in doubles)."""
+    column math (zip_with + aggregate in doubles). Blocks larger than
+    ``max_block_size`` are dropped from pairing (see ``_cap_blocks``)."""
     from kafka_streams_demo_spark.functions.similarity import dot, norm
     from pyspark.sql.window import Window
 
+    emb = _cap_blocks(emb, block_col, max_block_size)
     a = emb.select(
         F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
     ).select("*", norm(F.col("va")).alias("na"))
@@ -490,6 +516,7 @@ def embedding_knn_blocked(
 def embedding_cosine_pairs(
     emb: DataFrame, threshold: float = 0.35, block_col: str = "label",
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_block_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (i < j) within a blocking key whose
     cosine (rounded to 6 dp) clears ``threshold``.
@@ -497,9 +524,11 @@ def embedding_cosine_pairs(
     Blocking bounds the candidate count — at 100 TB the pair join is
     per-block, never corpus×corpus; blocks shuffle on the blocking key only.
     Pair with ``ivf_assign`` cells as the blocking key when no natural one
-    exists."""
+    exists. Blocks larger than ``max_block_size`` are dropped from pairing
+    (see ``_cap_blocks``)."""
     from kafka_streams_demo_spark.functions.similarity import dot, norm
 
+    emb = _cap_blocks(emb, block_col, max_block_size)
     a = emb.select(
         F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
     ).select("*", norm(F.col("va")).alias("na"))
