@@ -19,6 +19,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The exact schema spark-sql-kafka-0-10 emits from load() — pinned here so
+# the serde projections (and their tests) are checked against the real
+# connector contract even though this container has no broker/jar. If the
+# connector ever changes this shape, the golden contract test drifts loudly
+# instead of the casts failing silently in production.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
 CANONICAL_CAST = {
     "string": "CAST({c} AS STRING) AS {c}",
     "long": "CAST(CAST({c} AS STRING) AS LONG) AS {c}",
@@ -70,6 +80,19 @@ def kafka_stream(
     return reader.load().selectExpr(*select_serde(key_type, value_type))
 
 
+def kafka_sink_options(
+    topic: str,
+    brokers: str = "localhost:9092",
+    checkpoint: str | None = None,
+) -> dict[str, str]:
+    """The option set stream.to implies, as a pure dict so the contract is
+    testable without a broker (the writer path below just applies it)."""
+    opts = {"kafka.bootstrap.servers": brokers, "topic": topic}
+    if checkpoint:
+        opts["checkpointLocation"] = checkpoint
+    return opts
+
+
 def kafka_sink(
     df: DataFrame,
     topic: str,
@@ -78,12 +101,9 @@ def kafka_sink(
 ):
     """stream.to(topic): key/value serialized back to strings, returns the
     unstarted DataStreamWriter so callers control trigger/output mode."""
-    writer = (
-        df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-    )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
+    writer = df.selectExpr(
+        "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value"
+    ).writeStream.format("kafka")
+    for k, v in kafka_sink_options(topic, brokers, checkpoint).items():
+        writer = writer.option(k, v)
     return writer

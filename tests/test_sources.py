@@ -213,3 +213,45 @@ def test_read_jsonl_dead_letter_routing(spark, tmp_path):
     assert len(dead_raws) == 2
     assert any("not json" in r for r in dead_raws)
     assert any("NaNope" in r for r in dead_raws)
+
+
+def test_kafka_contract_golden_schema_and_casts(spark):
+    """Drift-pin for the broker-less path (VERDICT r3 task #4): the serde
+    projections must run verbatim over the EXACT DataFrame schema
+    spark-sql-kafka-0-10 emits, yielding the canonical record shape with
+    correctly decoded values. If either the pinned connector schema or a
+    cast expression drifts, this fails loudly without needing a broker."""
+    import datetime as dt
+
+    from kafka_streams_demo_spark.sources.kafka import (
+        KAFKA_SOURCE_SCHEMA,
+        kafka_sink_options,
+        select_serde,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (b"alice", b"42", "clicks", 0, 7, t0, 0),
+        (None, b"9", "clicks", 1, 8, t0, 0),  # null key is legal in Kafka
+    ]
+    df = spark.createDataFrame(rows, KAFKA_SOURCE_SCHEMA)
+
+    out = df.selectExpr(*select_serde("string", "long"))
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("key", "string"), ("value", "bigint"),
+        ("timestamp", "timestamp"), ("offset", "bigint"),
+    ]
+    got = {r["offset"]: (r["key"], r["value"]) for r in out.collect()}
+    assert got == {7: ("alice", 42), 8: (None, 9)}
+
+    # binary serde passes bytes through untouched
+    raw = df.selectExpr(*select_serde("binary", "binary")).collect()
+    assert {bytes(r["value"]) for r in raw} == {b"42", b"9"}
+
+    # sink option dict is pure and golden
+    assert kafka_sink_options("out-topic", "b1:9092", "/tmp/ckpt") == {
+        "kafka.bootstrap.servers": "b1:9092",
+        "topic": "out-topic",
+        "checkpointLocation": "/tmp/ckpt",
+    }
+    assert "checkpointLocation" not in kafka_sink_options("t")
