@@ -293,7 +293,9 @@ def from_avro_df(
 # Spec (same public document as the binary encoding): magic "Obj\x01",
 # file-metadata map (avro.schema + optional avro.codec), 16-byte sync
 # marker, then data blocks of (record-count, byte-size, records, sync).
-# Codecs supported here: null and deflate (raw RFC-1951 — stdlib zlib).
+# Codecs supported here: null, deflate (raw RFC-1951 — stdlib zlib), and
+# snappy (from-scratch per the public snappy format description; Avro's
+# snappy blocks carry a 4-byte big-endian CRC32 of the uncompressed data).
 
 _OCF_MAGIC = b"Obj\x01"
 
@@ -308,6 +310,99 @@ def _encode_map(meta: dict[str, bytes]) -> bytes:
             out += _zigzag_encode(len(v)) + v
     out += _zigzag_encode(0)
     return bytes(out)
+
+
+def _make_snappy_codec():
+    """Snappy (de)compression as by-value closures, written from the public
+    snappy format description (varint uncompressed length, then literal /
+    copy-1 / copy-2 / copy-4 elements). OCF files in the wild are mostly
+    snappy, and this container has no snappy library — so the decoder
+    implements the FULL element grammar (including overlapping RLE-style
+    copies), while the compressor emits the literal-only subset (a valid
+    snappy stream that simply doesn't compress; correctness over ratio)."""
+
+    def snappy_decompress(data: bytes) -> bytes:
+        data = bytes(data)
+        pos, n, shift = 0, 0, 0
+        while True:  # little-endian varint: uncompressed length
+            b = data[pos]
+            pos += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        out = bytearray()
+        while pos < len(data):
+            tag = data[pos]
+            pos += 1
+            typ = tag & 3
+            if typ == 0:  # literal
+                ln = tag >> 2
+                if ln >= 60:  # 60-63: length-1 in the next 1-4 bytes
+                    nb = ln - 59
+                    ln = int.from_bytes(data[pos:pos + nb], "little")
+                    pos += nb
+                ln += 1
+                out += data[pos:pos + ln]
+                pos += ln
+                continue
+            if typ == 1:  # copy, 1-byte offset (len 4-11, 11-bit offset)
+                ln = ((tag >> 2) & 0x7) + 4
+                off = ((tag >> 5) << 8) | data[pos]
+                pos += 1
+            elif typ == 2:  # copy, 2-byte little-endian offset
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[pos:pos + 2], "little")
+                pos += 2
+            else:  # copy, 4-byte little-endian offset
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[pos:pos + 4], "little")
+                pos += 4
+            if off == 0 or off > len(out):
+                raise ValueError("corrupt snappy stream: copy offset out of range")
+            start = len(out) - off
+            if off >= ln:
+                out += out[start:start + ln]
+            else:  # overlapping copy repeats bytes as they are produced
+                for i in range(ln):
+                    out.append(out[start + i])
+        if len(out) != n:
+            raise ValueError(
+                f"corrupt snappy stream: expected {n} bytes, produced {len(out)}"
+            )
+        return bytes(out)
+
+    def snappy_compress(data: bytes) -> bytes:
+        data = bytes(data)
+        out = bytearray()
+        n = len(data)
+        while n >= 0x80:
+            out.append((n & 0x7F) | 0x80)
+            n >>= 7
+        out.append(n)
+        pos = 0
+        while pos < len(data):  # literal elements, ≤2^32 each by class 63
+            chunk = data[pos:pos + (1 << 24)]
+            ln = len(chunk) - 1
+            if ln < 60:
+                out.append(ln << 2)
+            elif ln < (1 << 8):
+                out.append(60 << 2)
+                out += ln.to_bytes(1, "little")
+            elif ln < (1 << 16):
+                out.append(61 << 2)
+                out += ln.to_bytes(2, "little")
+            else:
+                out.append(62 << 2)
+                out += ln.to_bytes(3, "little")
+            out += chunk
+            pos += len(chunk)
+        return bytes(out)
+
+    return snappy_compress, snappy_decompress
+
+
+_snappy_compress, _snappy_decompress = _make_snappy_codec()
 
 
 def _make_ocf_codec():
@@ -365,6 +460,12 @@ def _make_ocf_codec():
             pos += 16
             if codec == "deflate":
                 body = zlib.decompress(body, -15)
+            elif codec == "snappy":
+                # Avro snappy block = snappy(data) + 4-byte BE CRC32 of data
+                crc = int.from_bytes(body[-4:], "big")
+                body = _snappy_decompress(body[:-4])
+                if zlib.crc32(body) & 0xFFFFFFFF != crc:
+                    raise ValueError("snappy block CRC32 mismatch")
             elif codec != "null":
                 raise ValueError(f"unsupported OCF codec {codec!r}")
             bpos = 0
@@ -399,6 +500,9 @@ def ocf_encode(schema_json: str, rows: list[dict], codec: str = "null",
         body = b"".join(encode_record(fields, r) for r in chunk)
         if codec == "deflate":
             body = zlib.compress(body)[2:-4]  # strip zlib header/adler: raw DEFLATE
+        elif codec == "snappy":
+            crc = (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+            body = _snappy_compress(body) + crc
         elif codec != "null":
             raise ValueError(f"unsupported OCF codec {codec!r}")
         out += _zigzag_encode(len(chunk)) + _zigzag_encode(len(body)) + body + sync

@@ -268,3 +268,64 @@ def test_nullable_long_beyond_2_53_refused_not_corrupted():
         _column_values(s, "long", True)
     with pytest.raises(ValueError, match="losslessly"):
         _column_values(pd.Series([2.5]), "long", True)
+
+
+def test_snappy_decompress_golden_streams():
+    """Hand-built streams per the public snappy format description —
+    exercises all copy element types the literal-only compressor never
+    emits, so real-world snappy OCF blocks decode correctly."""
+    from kafka_streams_demo_spark.sources.avro import _snappy_decompress
+
+    # literal "abcd" + copy-1 (len 4, offset 4) → "abcdabcd"
+    assert _snappy_decompress(b"\x08\x0cabcd\x01\x04") == b"abcdabcd"
+    # literal "a" + overlapping copy-1 (len 9, offset 1) → RLE "a"*10
+    assert _snappy_decompress(b"\x0a\x00a\x15\x01") == b"a" * 10
+    # literal "xyz" + copy-2 (len 3, offset 3 little-endian) → "xyzxyz"
+    assert _snappy_decompress(b"\x06\x08xyz\x0a\x03\x00") == b"xyzxyz"
+    # corrupt: declared length not met
+    with pytest.raises(ValueError, match="snappy"):
+        _snappy_decompress(b"\x09\x0cabcd\x01\x04")
+    # corrupt: copy offset beyond produced output
+    with pytest.raises(ValueError, match="offset"):
+        _snappy_decompress(b"\x08\x00a\x15\x09")
+
+
+def test_snappy_compress_roundtrip_various_sizes():
+    from kafka_streams_demo_spark.sources.avro import (
+        _snappy_compress,
+        _snappy_decompress,
+    )
+
+    for payload in (b"", b"x", b"hello world" * 10, bytes(range(256)) * 300):
+        assert _snappy_decompress(_snappy_compress(payload)) == payload
+
+
+def test_ocf_snappy_codec_roundtrip_and_crc():
+    """Avro OCF snappy blocks = snappy(data) + 4-byte big-endian CRC32 of
+    the UNCOMPRESSED data (VERDICT r3 task #5 — snappy read tolerance)."""
+    from kafka_streams_demo_spark.sources.avro import ocf_decode, ocf_encode
+
+    rows = [{"user_id": i, "event_type": f"e{i % 3}", "value": i / 2.0,
+             "note": None if i % 2 else f"n{i}"} for i in range(100)]
+    payload = ocf_encode(SCHEMA, rows, codec="snappy", block_records=32)
+    schema_back, got = ocf_decode(payload)
+    assert json.loads(schema_back) == json.loads(SCHEMA)
+    assert got == rows
+    # flip one byte inside a data block: CRC (or the snappy grammar) must
+    # catch it rather than silently mis-decode
+    corrupt = bytearray(payload)
+    corrupt[-20] ^= 0xFF
+    with pytest.raises(ValueError):
+        ocf_decode(bytes(corrupt))
+
+
+def test_read_avro_ocf_snappy_via_spark(spark, tmp_path):
+    from kafka_streams_demo_spark.sources.avro import ocf_encode, read_avro_ocf
+
+    rows = [{"user_id": i, "event_type": "c", "value": float(i), "note": None}
+            for i in range(50)]
+    (tmp_path / "part-0.avro").write_bytes(ocf_encode(SCHEMA, rows[:25], codec="snappy"))
+    (tmp_path / "part-1.avro").write_bytes(ocf_encode(SCHEMA, rows[25:], codec="snappy"))
+    df = read_avro_ocf(spark, str(tmp_path), SCHEMA)
+    assert df.count() == 50
+    assert sorted(r["user_id"] for r in df.collect()) == list(range(50))
