@@ -295,7 +295,11 @@ class KStream:
 
     def print(self, n: int = 20, label: str | None = None) -> None:
         """stream.print(Printed.toSysOut/withLabel) — debug sink.
-        Reference: WordCountScalaExample.scala:170-171."""
+        Reference: WordCountScalaExample.scala:170-171.
+
+        Driver-side by design and bounded by ``n`` (``df.show``): an
+        interactive inspection tool, never a pipeline stage — use ``to()``
+        for real output."""
         df = self.df
         if label is not None:
             df = df.select(F.lit(label).alias("label"), *df.columns)

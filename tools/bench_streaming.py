@@ -2,7 +2,13 @@
 clicks-per-region pipeline shapes through Structured Streaming with
 trigger(availableNow) over the driver tables and report rows/s.
 
-Usage: python tools/bench_streaming.py [sf_dir]
+Each suite runs once per state-store provider: the HDFS-backed default
+(state lives on the executor heap + checkpoint files) and RocksDB
+(off-heap, spill-to-disk — the provider a 100 TB-state deployment needs,
+since hot state no longer has to fit in executor memory). Same queries,
+same results; only the state backend changes.
+
+Usage: python tools/bench_streaming.py [sf_dir] [--provider default|rocksdb|both]
 """
 
 from __future__ import annotations
@@ -21,6 +27,10 @@ from kafka_streams_demo_spark import KStream  # noqa: E402
 from kafka_streams_demo_spark.session import get_spark  # noqa: E402
 from kafka_streams_demo_spark.sources.registry import load_table, read_stream_table  # noqa: E402
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
 
 def run_noop(out, output_mode: str = "update") -> None:
     q = (
@@ -33,13 +43,7 @@ def run_noop(out, output_mode: str = "update") -> None:
     q.awaitTermination(600)
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    spark = get_spark(app_name="bench-streaming")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def run_suite(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     results: dict[str, dict[str, float]] = {}
 
     # word count over streaming events (flatMap -> groupBy -> count, update)
@@ -115,9 +119,39 @@ def main() -> None:
     dt = time.monotonic() - t0
     results["avro_roundtrip_stream"] = {"rows": n_events, "sec": round(dt, 2),
                                         "rows_per_sec": round(n_events / dt)}
+    return results
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    provider = "both"
+    if "--provider" in args:
+        i = args.index("--provider")
+        provider = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    providers = {"default": None, "rocksdb": ROCKSDB_PROVIDER}
+    if provider != "both":
+        providers = {provider: providers[provider]}
+
+    all_results: dict[str, dict] = {}
+    for pname, pclass in providers.items():
+        if pclass:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", pclass)
+        else:
+            try:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            except Exception:
+                pass
+        all_results[pname] = run_suite(spark, sf_dir)
 
     print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
-                      "results": results}))
+                      "providers": list(all_results), "results": all_results}))
     spark.stop()
 
 
