@@ -46,6 +46,7 @@ HEADLINE = [
     "contamination_check_bloom",
     "token_counts",
     "sessionize_gap",
+    "pack_sequences",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
 ]

@@ -322,6 +322,12 @@ def _make_snappy_codec():
     snappy stream that simply doesn't compress; correctness over ratio)."""
 
     def snappy_decompress(data: bytes) -> bytes:
+        try:
+            return _snappy_decompress_unchecked(data)
+        except IndexError as exc:  # any read past the end = truncated input
+            raise ValueError("corrupt snappy stream: truncated input") from exc
+
+    def _snappy_decompress_unchecked(data: bytes) -> bytes:
         data = bytes(data)
         pos, n, shift = 0, 0, 0
         while True:  # little-endian varint: uncompressed length

@@ -329,3 +329,35 @@ def test_read_avro_ocf_snappy_via_spark(spark, tmp_path):
     df = read_avro_ocf(spark, str(tmp_path), SCHEMA)
     assert df.count() == 50
     assert sorted(r["user_id"] for r in df.collect()) == list(range(50))
+
+
+def test_snappy_decoder_never_leaks_index_errors():
+    """Malformed/truncated streams (the wild-file case) must raise
+    ValueError, never IndexError — plus a hypothesis round-trip."""
+    import random
+
+    from kafka_streams_demo_spark.sources.avro import (
+        _snappy_compress,
+        _snappy_decompress,
+    )
+
+    rng = random.Random(7)
+    for _ in range(3000):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 48)))
+        try:
+            _snappy_decompress(blob)
+        except ValueError:
+            pass  # the only acceptable failure mode
+
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        return
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=4096))
+    def roundtrip(payload):
+        assert _snappy_decompress(_snappy_compress(payload)) == payload
+
+    roundtrip()
