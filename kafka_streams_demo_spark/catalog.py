@@ -3125,6 +3125,83 @@ def avro_wire_roundtrip_q(spark, sf_dir):
     return rt.select("event_id", "user_id", "event_type", "value")
 
 
+@register(
+    "dedup_stream_watermark",
+    "SELECT event_id, user_id, event_type FROM events",
+)
+def dedup_stream_watermark_q(spark, sf_dir):
+    """Streaming deduplication within the watermark: an at-least-once
+    source's duplicate deliveries collapse to exactly-one output row via
+    the state-store-backed ``dropDuplicatesWithinWatermark`` (the classic
+    Kafka-Streams event-dedup recipe — a transformer + WindowStore in the
+    Confluent examples — expressed as Spark's built-in operator; state is
+    evicted once the watermark passes, so it stays bounded at any scale).
+    The fixture stream is unioned with itself to synthesize the duplicate
+    delivery; the oracle is one row per event."""
+    from kafka_streams_demo_spark.sources.registry import read_stream_table
+    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+
+    a = read_stream_table(spark, "events", sf_dir)
+    b = read_stream_table(spark, "events", sf_dir)
+    dup = a.unionByName(b).select("event_id", "user_id", "event_type", "ts")
+    out = (
+        dup.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    return run_available_now(out, output_mode="append").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "median_value_per_type",
+    "SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS median_v, "
+    "ROUND(quantile_cont(value, 0.9), 6) AS p90_v "
+    "FROM events GROUP BY event_type",
+)
+def median_value_per_type_q(spark, sf_dir):
+    """EXACT grouped percentiles (linear interpolation — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``): the hash-verified
+    counterpart of the `approx_percentile_value` scale path. Exact
+    percentile sorts within each group, so at 100 TB the approx sketch is
+    the default and this is the audit tool for bounded groups."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("median_v"),
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90_v"),
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, text, UNNEST(generate_series(1, length(text))) AS i
+  FROM documents WHERE length(text) > 0),
+cc AS (
+  SELECT doc_id, substring(text, i, 1) AS c, COUNT(*)::DOUBLE AS k
+  FROM pos GROUP BY doc_id, substring(text, i, 1)),
+a AS (SELECT doc_id, SUM(k) AS n, SUM(k * LOG2(k)) AS s FROM cc GROUP BY doc_id)
+SELECT doc_id, ROUND(LOG2(n) - s / n, 6) AS entropy_bits FROM a
+"""
+
+
+@register("char_entropy", _ENTROPY_ORACLE)
+def char_entropy_q(spark, sf_dir):
+    """Character-distribution Shannon entropy per document (perplexity-
+    proxy quality signal, functions/text.py:char_entropy). Row-local
+    run-length accumulation over a pre-projected sorted char array — zero
+    shuffle, vs the oracle's explode→double-groupBy formulation; identical
+    numbers, hash-verified."""
+    from kafka_streams_demo_spark.functions.text import char_entropy
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    arr = docs.select(
+        "doc_id", F.array_sort(F.split(F.col("text"), "")).alias("_cs")
+    ).select("doc_id", "_cs", F.size("_cs").alias("_n"))
+    return arr.select(
+        "doc_id", char_entropy(F.col("_cs"), F.col("_n")).alias("entropy_bits")
+    )
+
+
 _IVF_INT8_ORACLE = """
 WITH cent AS (
   SELECT label AS cell, g.i AS pos, AVG(CAST(embedding[g.i] AS DOUBLE)) AS m

@@ -149,3 +149,37 @@ def winnow_fingerprints(tokens: Column, k: int = 4, w: int = 4) -> Column:
     return F.when(F.size(kg) >= w, F.array_distinct(minima)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def char_entropy(sorted_chars: Column, n: Column) -> Column:
+    """Shannon entropy (bits/char) of a document's character distribution —
+    a perplexity-proxy quality signal (binary junk / base64 blobs / key
+    dumps score far from natural text).
+
+    Row-local and shuffle-free: instead of explode→groupBy (which would
+    multiply the corpus by its character count through an exchange), the
+    caller pre-projects ``array_sort(split(text, ''))`` behind its own
+    select (the HOF rule) and this single ``F.aggregate`` pass run-length
+    encodes the sorted array, accumulating Σ c·log2(c); then
+    H = log2(n) − Σ c·log2(c)/n. At 100 TB this is a narrow map stage.
+    """
+    def mk(prev, run, s):
+        return F.struct(prev.alias("prev"), run.alias("run"), s.alias("s"))
+
+    def close_run(acc):
+        return acc["s"] + F.when(
+            acc["run"] > 0,
+            acc["run"].cast("double") * F.log2(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    total = F.aggregate(
+        sorted_chars,
+        mk(F.lit(""), F.lit(0).cast("long"), F.lit(0.0)),
+        lambda acc, ch: F.when(
+            ch == acc["prev"], mk(ch, acc["run"] + 1, acc["s"])
+        ).otherwise(mk(ch, F.lit(1).cast("long"), close_run(acc))),
+        close_run,
+    )
+    return F.when(
+        n > 0, F.round(F.log2(n.cast("double")) - total / n.cast("double"), 6)
+    ).otherwise(F.lit(0.0))

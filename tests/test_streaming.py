@@ -535,3 +535,26 @@ def test_suppress_emits_final_window_results_only(spark, tmp_path):
     # then 3)
     w1 = [c for k, w, c in updates if w == "2026-01-01 00:00:00"]
     assert len(w1) >= 2 and 3 in w1, updates
+
+
+def test_drop_duplicates_within_watermark_collapses_redelivery(spark, tmp_path):
+    """At-least-once redelivery (same event_id, same ts) must collapse to
+    one output row through the state-store-backed streaming dedup."""
+    import datetime as dt
+
+    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, f"u{i % 3}", t0 + dt.timedelta(seconds=i)) for i in range(30)]
+    src = tmp_path / "dup"
+    src.mkdir()
+    spark.createDataFrame(
+        rows + rows + rows[:10],  # every event twice, a third delivery for 10
+        "event_id long, user string, ts timestamp",
+    ).write.parquet(str(src / "batch0.parquet"))
+    stream = spark.readStream.schema("event_id long, user string, ts timestamp") \
+        .parquet(str(src / "batch0.parquet"))
+    out = stream.withWatermark("ts", "5 minutes") \
+        .dropDuplicatesWithinWatermark(["event_id"])
+    got = run_available_now(out, output_mode="append").collect()
+    assert sorted(r["event_id"] for r in got) == list(range(30))

@@ -83,3 +83,30 @@ def test_winnow_fingerprints_guarantee_and_bounds(spark):
     assert fp("short doc only") == set()
     c = fp("totally disjoint vocabulary nothing matches at all here now")
     assert not (a & c)
+
+
+def test_char_entropy_golden_values(spark):
+    """Known distributions: uniform 2 symbols → 1 bit, uniform 4 → 2 bits,
+    single symbol → 0, empty → 0 (guard)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa"), (4, "")],
+        "doc_id long, text string",
+    )
+    arr = docs.select(
+        "doc_id", F.array_sort(F.split(F.col("text"), "")).alias("_cs")
+    ).select(
+        "doc_id", "_cs",
+        # split("") yields [""] — count only real characters
+        F.size(F.filter("_cs", lambda c: c != F.lit(""))).alias("_n"),
+    )
+    got = {r["doc_id"]: r["e"] for r in arr.select(
+        "doc_id", char_entropy(F.filter("_cs", lambda c: c != F.lit("")), F.col("_n")).alias("e")
+    ).collect()}
+    assert got[1] == 1.0
+    assert got[2] == 2.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
