@@ -226,3 +226,14 @@ def test_pack_sequences_shards_groups_with_one_broadcast(spark):
     assert a.sort_merge_joins == 0 and a.shuffled_hash_joins == 0, a.plan
     assert a.nested_loop_joins == 0, a.plan
     assert a.python_evals == 1, a.plan             # exactly the pack stage
+
+
+def test_char_entropy_is_shuffle_free_jvm_math(spark):
+    """The entropy signal must stay a narrow map stage: no exchange, no
+    Python — the whole point of the run-length HOF formulation over the
+    explode→groupBy alternative."""
+    df = catalog.QUERIES["char_entropy"](spark, SF)
+    a = audit(df)
+    assert a.exchanges == 0, a.plan
+    assert a.python_evals == 0, a.plan
+    assert a.joins == 0, a.plan
