@@ -1129,10 +1129,56 @@ def ann_topk_bruteforce_q(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_lsh_topk")  # no SQL oracle: recall is probabilistic; see tests
+def _lsh_planes_sql() -> str:
+    """The LSH hyperplanes as SQL literals — generated from the SAME
+    seeded constants the Spark query uses (similarity.hyperplanes), so
+    the DuckDB oracle replays the exact bucketing. ±1 entries, so the
+    literals are exact in both engines."""
+    from kafka_streams_demo_spark.functions.similarity import hyperplanes
+
+    rows = []
+    for j, p in enumerate(hyperplanes(64, 8, seed=42)):
+        arr = ", ".join("1.0" if x > 0 else "-1.0" for x in p)
+        rows.append(f"({j}, [{arr}])")
+    return ", ".join(rows)
+
+
+_ANN_LSH_ORACLE = f"""
+WITH plane(j, pv) AS (VALUES {_lsh_planes_sql()}),
+dotp AS (
+  SELECT e.vec_id, p.j,
+         SUM(CAST(e.embedding[g.i] AS DOUBLE) * p.pv[g.i]) AS d
+  FROM embeddings e, plane p, generate_series(1, 64) AS g(i)
+  GROUP BY 1, 2),
+bkt AS (
+  SELECT vec_id, SUM(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+  FROM dotp GROUP BY 1),
+corpus AS (
+  SELECT e.vec_id AS n_id, e.embedding AS n_vec, b.bucket
+  FROM embeddings e JOIN bkt b USING (vec_id)),
+qs AS (SELECT n_id AS q_id, n_vec AS q_vec, bucket FROM corpus WHERE n_id < 5),
+el AS (
+  SELECT c.n_id, q.q_id,
+         CAST(c.n_vec[g.i] AS DOUBLE) AS nv, CAST(q.q_vec[g.i] AS DOUBLE) AS qv
+  FROM corpus c JOIN qs q USING (bucket), generate_series(1, 64) AS g(i)
+  WHERE c.n_id <> q.q_id),
+s AS (SELECT q_id, n_id, SUM(qv*nv) AS dp, SUM(qv*qv) AS qq, SUM(nv*nv) AS nn
+      FROM el GROUP BY 1, 2),
+r AS (SELECT q_id, n_id, ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) AS cos,
+      row_number() OVER (PARTITION BY q_id
+        ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, n_id) AS rank
+      FROM s)
+SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+@register("ann_lsh_topk", _ANN_LSH_ORACLE)
 def ann_lsh_topk_q(spark, sf_dir):
     """ANN scale path: hyperplane-LSH bucketed top-10 for the same 5 query
-    vectors; recall vs brute force asserted in tests/test_similarity.py."""
+    vectors. The hyperplanes are seeded ±1 constants, so the whole op is
+    DETERMINISTIC — round 4 upgraded it from rows-only to hash-verified by
+    replaying the plane matrix as literals inside the DuckDB oracle
+    (recall-vs-bruteforce stays asserted in tests/test_similarity.py)."""
     from kafka_streams_demo_spark.functions.similarity import lsh_bucketed_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
