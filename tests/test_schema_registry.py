@@ -138,3 +138,23 @@ def test_spark_wire_dead_letter_split_and_tombstones(spark):
     ok = {r["k"]: (r["user"], r["n"]) for r in decoded.collect()}
     assert ok == {1: ("a", 1), 4: (None, None)}  # tombstone -> null fields
     assert sorted(r["k"] for r in rejects.collect()) == [2, 3]
+
+
+def test_wire_serde_works_in_structured_streaming(spark, tmp_path):
+    """The wire serde must compose with readStream (its production home):
+    encode a batch to parquet, stream it, decode against the registry,
+    aggregate — all inside one availableNow run."""
+    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+
+    reg = InMemorySchemaRegistry()
+    src = spark.range(60).selectExpr("concat('u', id % 4) AS user", "id AS n")
+    wired = to_avro_wire_df(src, SCHEMA, "clicks-value", reg, impl="python")
+    p = tmp_path / "wire"
+    wired.select("value").write.parquet(str(p))
+
+    stream = spark.readStream.schema("value binary").parquet(str(p))
+    decoded = from_avro_wire_df(stream, "clicks-value", reg, impl="python")
+    agg = decoded.groupBy("user").agg(F.sum("n").alias("total"))
+    got = {r["user"]: r["total"] for r in
+           run_available_now(agg, output_mode="update").collect()}
+    assert got == {f"u{k}": sum(i for i in range(60) if i % 4 == k) for k in range(4)}
