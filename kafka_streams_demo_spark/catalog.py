@@ -3176,26 +3176,36 @@ def avro_wire_roundtrip_q(spark, sf_dir):
     "SELECT event_id, user_id, event_type FROM events",
 )
 def dedup_stream_watermark_q(spark, sf_dir):
-    """Streaming deduplication within the watermark: an at-least-once
-    source's duplicate deliveries collapse to exactly-one output row via
-    the state-store-backed ``dropDuplicatesWithinWatermark`` (the classic
-    Kafka-Streams event-dedup recipe — a transformer + WindowStore in the
-    Confluent examples — expressed as Spark's built-in operator; state is
-    evicted once the watermark passes, so it stays bounded at any scale).
-    The fixture stream is unioned with itself to synthesize the duplicate
-    delivery; the oracle is one row per event."""
+    """Streaming deduplication within the watermark
+    (``KStream.dedup_within_watermark`` → ``dropDuplicatesWithinWatermark``):
+    an at-least-once source's duplicate deliveries collapse to exactly-one
+    output row through state-store-backed dedup (the classic Kafka-Streams
+    event-dedup recipe — a transformer + WindowStore in the Confluent
+    examples — as Spark's built-in operator; state is evicted once the
+    watermark passes, so it stays bounded at any scale). The fixture
+    stream is unioned with itself to synthesize the duplicate delivery;
+    the oracle is one row per event."""
+    from kafka_streams_demo_spark.operators.kstream import KStream
     from kafka_streams_demo_spark.sources.registry import read_stream_table
     from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
 
     a = read_stream_table(spark, "events", sf_dir)
     b = read_stream_table(spark, "events", sf_dir)
     dup = a.unionByName(b).select("event_id", "user_id", "event_type", "ts")
-    out = (
-        dup.withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark(["event_id"])
+    s = (
+        KStream.from_df(
+            dup,
+            key="event_id",
+            value=F.struct("user_id", "event_type"),
+            timestamp="ts",
+        )
+        .with_watermark("10 minutes")
+        .dedup_within_watermark(["key"])
     )
-    return run_available_now(out, output_mode="append").select(
-        "event_id", "user_id", "event_type"
+    return run_available_now(s.to_df(), output_mode="append").select(
+        F.col("key").alias("event_id"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.event_type").alias("event_type"),
     )
 
 

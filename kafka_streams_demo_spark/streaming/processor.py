@@ -171,3 +171,55 @@ def wallclock_punctuated_processor(
         output_mode="update",
         timeout="ProcessingTimeTimeout",
     )
+
+
+def _make_tws_running_count():
+    """transformWithStateInPandas processor as a factory (worker-safe
+    by-value pickling — same rationale as the avro codec closures)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield _pd.DataFrame({"key": [key[0]], "value": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return RunningCount
+
+
+def running_count_processor_tws(
+    stream: DataFrame, group_cols: list[str] = ("key",)
+) -> DataFrame:
+    """The running-count processor on Spark 4's ``transformWithStateInPandas``
+    — the modern Processor-API backend (SPARK-40434 "arbitrary stateful
+    v2"): named state variables (value/list/map state), per-key timers,
+    TTL, and schema evolution, vs ``applyInPandasWithState``'s single
+    state tuple. Output parity with ``running_count_processor`` is pinned
+    by test; both express WordCountProcessorExample.scala:23-61.
+
+    Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) — transformWithState state
+    lives in RocksDB only, which is also the 100 TB-state deployment
+    choice (BASELINE.md provider comparison). EXECUTION additionally needs
+    the ``protobuf`` package (the TWS python worker protocol), which this
+    container does not ship — topology construction and the output schema
+    are pinned by test here; the run-parity test gates on protobuf.
+    """
+    proc = _make_tws_running_count()()
+    return stream.groupBy(*group_cols).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType="key string, value long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -558,3 +558,70 @@ def test_drop_duplicates_within_watermark_collapses_redelivery(spark, tmp_path):
         .dropDuplicatesWithinWatermark(["event_id"])
     got = run_available_now(out, output_mode="append").collect()
     assert sorted(r["event_id"] for r in got) == list(range(30))
+
+
+def test_transform_with_state_builds_correct_topology(spark, tmp_path):
+    """Spark 4 Processor-API backend (transformWithStateInPandas): the
+    wiring must construct lazily with the declared output schema even in
+    this container, where the TWS python worker protocol's protobuf
+    dependency is absent (running it needs protobuf + the RocksDB
+    provider — the parity test below gates on that)."""
+    import datetime as dt
+
+    from kafka_streams_demo_spark.streaming.processor import (
+        running_count_processor_tws,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(f"k{i % 5}", f"v{i}", t0 + dt.timedelta(seconds=i)) for i in range(20)]
+    src = tmp_path / "tws_build"
+    spark.createDataFrame(rows, "key string, value string, ts timestamp") \
+        .write.parquet(str(src))
+    stream = spark.readStream.schema("key string, value string, ts timestamp") \
+        .parquet(str(src))
+    out = running_count_processor_tws(stream)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("key", "string"), ("value", "bigint")]
+    assert out.isStreaming
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """Spark 4 Processor-API backend parity: the same running-count
+    topology through transformWithStateInPandas (RocksDB-backed, named
+    state variables) must produce exactly applyInPandasWithState's output.
+    Environment-gated: the TWS python worker speaks protobuf, which this
+    container does not ship."""
+    pytest.importorskip("google.protobuf")
+    import datetime as dt
+
+    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+    from kafka_streams_demo_spark.streaming.processor import (
+        running_count_processor,
+        running_count_processor_tws,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(f"k{i % 5}", f"v{i}", t0 + dt.timedelta(seconds=i)) for i in range(200)]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, "key string, value string, ts timestamp") \
+        .write.parquet(str(src))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def stream():
+            return spark.readStream.schema("key string, value string, ts timestamp") \
+                .parquet(str(src))
+
+        tws = {r["key"]: r["value"] for r in
+               run_available_now(running_count_processor_tws(stream())).collect()}
+        base = {r["key"]: r["value"] for r in
+                run_available_now(running_count_processor(stream())).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert tws == base == {f"k{i}": 40 for i in range(5)}
