@@ -423,6 +423,41 @@ def stream_stream_join_window(spark, sf_dir):
 
 
 @register(
+    "stream_stream_join_asymmetric",
+    "SELECT e1.user_id AS key, e1.event_id AS left_id, e2.event_id AS right_id "
+    "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
+    "AND e1.event_type = 'purchase' AND e2.event_type = 'error' "
+    "AND e2.ts BETWEEN e1.ts - INTERVAL 2 HOUR AND e1.ts",
+)
+def stream_stream_join_asymmetric_q(spark, sf_dir):
+    """Asymmetric join window (the Kafka Streams
+    ``JoinWindows.of(x).before(d)/.after(d)`` API surface —
+    ``with_before``/``with_after`` here): purchases pair only with errors
+    in the PRECEDING 2 hours (after = 0), the "what already went wrong
+    before this purchase" shape. Same single key-shuffle plan as the
+    symmetric join; only the time predicate narrows."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = KStream.from_df(
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id", value=F.col("event_id"), timestamp="ts",
+    )
+    errors = KStream.from_df(
+        ev.filter(F.col("event_type") == "error"),
+        key="user_id", value=F.col("event_id"), timestamp="ts",
+    )
+    joined = purchases.join(
+        errors,
+        lambda v1, v2: F.struct(v1.alias("left_id"), v2.alias("right_id")),
+        JoinWindows.of("2 hours").with_after("0 seconds"),
+    )
+    return joined.to_df().select(
+        "key",
+        F.col("value.left_id").alias("left_id"),
+        F.col("value.right_id").alias("right_id"),
+    )
+
+
+@register(
     "stream_table_join_segment",
     "SELECT c.c_mktsegment AS key, SUM(CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT)) AS value "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",

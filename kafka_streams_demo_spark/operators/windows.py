@@ -56,7 +56,14 @@ class SessionWindows:
 @dataclass(frozen=True)
 class JoinWindows:
     """Stream-stream join time bound: pair iff same key and
-    ``other.ts`` within ``[this.ts - before, this.ts + after]``."""
+    ``other.ts`` within ``[this.ts - before, this.ts + after]``.
+
+    Asymmetric bounds mirror the Kafka Streams API
+    (``JoinWindows.of(size).before(d)`` / ``.after(d)``): ``with_before``
+    and ``with_after`` return a copy overriding one side — e.g.
+    ``JoinWindows.of("1 minute").with_after(0)`` pairs only with earlier-
+    or-equal right-side records (the "enrich with what already happened"
+    shape)."""
 
     before: str
     after: str
@@ -65,3 +72,9 @@ class JoinWindows:
     def of(cls, size: str | float) -> "JoinWindows":
         iv = _as_interval(size)
         return cls(iv, iv)
+
+    def with_before(self, d: str | float) -> "JoinWindows":
+        return JoinWindows(_as_interval(d), self.after)
+
+    def with_after(self, d: str | float) -> "JoinWindows":
+        return JoinWindows(self.before, _as_interval(d))

@@ -154,3 +154,35 @@ def test_global_ktable_survives_filter_and_map_values(spark):
     a = audit(out.to_df())
     assert a.broadcast_joins >= 1, a.plan
     assert a.exchanges == 0, a.plan
+
+
+def test_asymmetric_join_windows_builders(spark):
+    """JoinWindows.with_before/with_after (the Kafka Streams
+    .before()/.after() surface): after=0 keeps only right records at or
+    before the left timestamp."""
+    import datetime as dt
+
+    from kafka_streams_demo_spark import KStream
+    from kafka_streams_demo_spark.operators.windows import JoinWindows
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def stream(rows):
+        return KStream(spark.createDataFrame(
+            [(k, v, t0 + dt.timedelta(seconds=s)) for k, v, s in rows],
+            "key string, value long, timestamp timestamp",
+        ))
+
+    left = stream([("a", 1, 10)])
+    right = stream([("a", 100, 5), ("a", 200, 10), ("a", 300, 15)])
+
+    w = JoinWindows.of("30 seconds").with_after("0 seconds")
+    assert (w.before, w.after) == ("30 seconds", "0 seconds")
+    got = sorted(r["value"] for r in
+                 left.join(right, lambda a, b: b, w).to_df().collect())
+    assert got == [100, 200]  # 15s-later record excluded by after=0
+
+    w2 = JoinWindows.of("30 seconds").with_before("0 seconds")
+    got2 = sorted(r["value"] for r in
+                  left.join(right, lambda a, b: b, w2).to_df().collect())
+    assert got2 == [200, 300]
