@@ -458,6 +458,44 @@ def stream_stream_join_asymmetric_q(spark, sf_dir):
 
 
 @register(
+    "ktable_fk_join",
+    "SELECT o_orderkey, c_name AS cust_name, "
+    "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_c "
+    "FROM orders JOIN customer ON o_custkey = c_custkey",
+)
+def ktable_fk_join_q(spark, sf_dir):
+    """KTable foreign-key join (KIP-213, operators/ktable.py:fk_join):
+    each order row joins the customer view on a key EXTRACTED FROM ITS
+    VALUE (o_custkey), keeping the order key — the many-to-one enrichment
+    Kafka Streams needs a subscription-topic round-trip for, expressed as
+    one equi-join over latest-state views (customer is dimension-sized →
+    Catalyst broadcasts)."""
+    from kafka_streams_demo_spark.operators.ktable import KTable
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    ot = KTable(orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.struct("o_custkey", "o_totalprice").alias("value"),
+    ))
+    ct = KTable(cust.select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("value")
+    ))
+    out = ot.fk_join(
+        ct,
+        lambda v: v["o_custkey"],
+        lambda lv, rv: F.struct(
+            rv.alias("cust_name"), cents(lv["o_totalprice"]).alias("total_c")
+        ),
+    )
+    return out.to_df().select(
+        F.col("key").alias("o_orderkey"),
+        F.col("value.cust_name").alias("cust_name"),
+        F.col("value.total_c").alias("total_c"),
+    )
+
+
+@register(
     "stream_table_join_segment",
     "SELECT c.c_mktsegment AS key, SUM(CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT)) AS value "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",

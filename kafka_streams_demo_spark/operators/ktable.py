@@ -149,3 +149,35 @@ class KTable:
     def outer_join(self, other: "KTable", combiner) -> "KTable":
         """TableToTableJoinExample.scala:118."""
         return self._table_join(other, combiner, "full_outer")
+
+    def fk_join(
+        self,
+        other: "KTable",
+        fk: Callable[[Column], Column],
+        combiner: Callable[[Column, Column], Column],
+        how: str = "inner",
+    ) -> "KTable":
+        """KTable-KTable FOREIGN-KEY join (the KIP-213 DSL surface, added
+        to Kafka Streams after the reference's 2.3 — included for API
+        completeness): each left row joins ``other`` on ``fk(left.value)``
+        = ``other.key``, keeping the LEFT key as the result key (many left
+        rows may share one right row).
+
+        Kafka Streams needs a subscription/response topic pair plus two
+        repartitions to maintain this incrementally; over latest-state
+        views it is one equi-join — Catalyst broadcasts ``other`` when
+        dimension-sized, else a single co-shuffle on the FK. ``how``:
+        "inner" or "left" (the two KIP-213 variants)."""
+        if how not in ("inner", "left"):
+            raise ValueError(f"fk_join supports inner/left, got {how!r}")
+        l = self.df.select(
+            F.col(KEY), F.col(VALUE), fk(F.col(VALUE)).alias("_fk")
+        ).alias("l")
+        r = (F.broadcast(other.df) if other.global_ else other.df).alias("r")
+        joined = l.join(r, F.col("l._fk") == F.col("r." + KEY), how)
+        return KTable(
+            joined.select(
+                F.col("l." + KEY).alias(KEY),
+                combiner(F.col("l." + VALUE), F.col("r." + VALUE)).alias(VALUE),
+            )
+        )

@@ -186,3 +186,29 @@ def test_asymmetric_join_windows_builders(spark):
     got2 = sorted(r["value"] for r in
                   left.join(right, lambda a, b: b, w2).to_df().collect())
     assert got2 == [200, 300]
+
+
+def test_ktable_fk_join_semantics(spark):
+    """KIP-213 FK join: left key preserved, many-to-one fan-in, left
+    variant keeps unmatched rows with null right value, inner drops them."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KTable
+
+    orders = KTable(spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99)], "key long, value long"  # value = FK
+    ))
+    dims = KTable(spark.createDataFrame(
+        [(10, "alice"), (20, "bob")], "key long, value string"
+    ))
+    inner = {r["key"]: r["value"] for r in orders.fk_join(
+        dims, lambda v: v, lambda lv, rv: rv
+    ).to_df().collect()}
+    assert inner == {1: "alice", 2: "alice"}  # FK 99 unmatched -> dropped
+    left = {r["key"]: r["value"] for r in orders.fk_join(
+        dims, lambda v: v, lambda lv, rv: rv, how="left"
+    ).to_df().collect()}
+    assert left == {1: "alice", 2: "alice", 3: None}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner/left"):
+        orders.fk_join(dims, lambda v: v, lambda lv, rv: rv, how="full")
