@@ -496,6 +496,29 @@ def ktable_fk_join_q(spark, sf_dir):
 
 
 @register(
+    "sliding_window_count",
+    "SELECT DISTINCT CAST(user_id AS VARCHAR) AS key, "
+    "ts - INTERVAL 2 HOUR AS window_start, ts AS window_end, "
+    "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW) AS value "
+    "FROM events",
+)
+def sliding_window_count_q(spark, sf_dir):
+    """Sliding windows (Kafka Streams 2.7 SlidingWindows, post-reference):
+    per-record trailing 2-hour count per user — record-anchored windows,
+    no hopping grid. Compiled to a RANGE frame over epoch millis (one key
+    shuffle, ordered per-partition scan, no self-join); the oracle is the
+    identical SQL range frame."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(
+        ev, key=F.col("user_id").cast("string"), value="event_type", timestamp="ts"
+    )
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows
+
+    return s.group_by_key().windowed_by(SlidingWindows.with_size("2 hours")).count()
+
+
+@register(
     "stream_table_join_segment",
     "SELECT c.c_mktsegment AS key, SUM(CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT)) AS value "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",

@@ -19,7 +19,12 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_demo_spark.operators.windows import SessionWindows, TimeWindows
+from kafka_streams_demo_spark.operators.windows import (
+    SessionWindows,
+    SlidingWindows,
+    TimeWindows,
+    interval_ms,
+)
 
 KEY, VALUE, TS = "key", "value", "timestamp"
 
@@ -66,7 +71,9 @@ class KGroupedStream:
         return self.df.groupBy(KEY).applyInPandas(func, schema=schema)
 
     # -- windowing (§2e) ---------------------------------------------------
-    def windowed_by(self, windows: TimeWindows | SessionWindows) -> "WindowedKGroupedStream":
+    def windowed_by(
+        self, windows: TimeWindows | SessionWindows | SlidingWindows
+    ) -> "WindowedKGroupedStream":
         return WindowedKGroupedStream(self.df, windows)
 
 
@@ -92,6 +99,8 @@ class WindowedKGroupedStream:
         return F.window(F.col(self.ts_col), w.size)
 
     def _agg(self, agg_col: Column) -> DataFrame:
+        if isinstance(self.windows, SlidingWindows):
+            return self._sliding_agg(agg_col)
         win = self._window_col().alias("_w")
         out = self.df.groupBy(win, F.col(KEY)).agg(agg_col.alias(VALUE))
         return out.select(
@@ -99,6 +108,34 @@ class WindowedKGroupedStream:
             F.col("_w.start").alias("window_start"),
             F.col("_w.end").alias("window_end"),
             VALUE,
+        )
+
+    def _sliding_agg(self, agg_col: Column) -> DataFrame:
+        """SlidingWindows: per-record trailing window [ts - size, ts],
+        compiled to a RANGE window frame over epoch-millis — one shuffle on
+        the key, per-partition ordered scan, no self-join. Batch-view
+        semantics (window functions need the full per-key history); for
+        streaming use hopping windows or a stateful processor. Identical
+        windows (records sharing a timestamp) dedupe, matching Kafka's
+        one-result-per-distinct-window contract."""
+        from pyspark.sql.window import Window as _W
+
+        size = interval_ms(self.windows.size)
+        frame = (
+            _W.partitionBy(KEY)
+            .orderBy(F.unix_millis(F.col(self.ts_col)))
+            .rangeBetween(-size, 0)
+        )
+        return (
+            self.df.select(
+                KEY,
+                (F.col(self.ts_col) - F.expr(f"INTERVAL {self.windows.size}")).alias(
+                    "window_start"
+                ),
+                F.col(self.ts_col).alias("window_end"),
+                agg_col.over(frame).alias(VALUE),
+            )
+            .distinct()
         )
 
     def count(self) -> DataFrame:

@@ -53,6 +53,37 @@ class SessionWindows:
         return cls(_as_interval(gap))
 
 
+_INTERVAL_MS = {
+    "second": 1_000, "seconds": 1_000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def interval_ms(spec: str) -> int:
+    """'2 hours' → 7200000. Single-unit SQL interval strings only."""
+    n, unit = spec.strip().split()
+    if unit not in _INTERVAL_MS:
+        raise ValueError(f"unsupported interval unit {unit!r} in {spec!r}")
+    return int(float(n) * _INTERVAL_MS[unit])
+
+
+@dataclass(frozen=True)
+class SlidingWindows:
+    """Sliding event-time windows (the Kafka Streams 2.7 ``SlidingWindows``
+    surface, post-reference): for each record, the trailing window
+    ``[ts - size, ts]`` aggregated per key. Unlike hopping windows there is
+    no fixed grid — windows are anchored at record timestamps, so results
+    track actual activity instead of grid alignment."""
+
+    size: str
+
+    @classmethod
+    def with_size(cls, size: str | float) -> "SlidingWindows":
+        return cls(_as_interval(size))
+
+
 @dataclass(frozen=True)
 class JoinWindows:
     """Stream-stream join time bound: pair iff same key and

@@ -78,3 +78,42 @@ def test_windowed_key_rendering(spark):
     one = out.filter(F.col("key").startswith("1@[")).first()
     assert one is not None
     assert " : " in one["key"] and one["key"].endswith("]")
+
+
+def test_sliding_windows_record_anchored_counts(spark):
+    """SlidingWindows: each record sees the trailing-window count per key;
+    identical timestamps dedupe to one result row; windows are anchored at
+    record times, not a grid."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows, interval_ms
+
+    assert interval_ms("2 hours") == 7_200_000
+    assert interval_ms("30 seconds") == 30_000
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unit"):
+        interval_ms("3 fortnights")
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [("a", 0), ("a", 30), ("a", 61), ("a", 61), ("b", 0)]
+    df = spark.createDataFrame(
+        [(k, "x", t0 + dt.timedelta(seconds=s)) for k, s in rows],
+        "key string, value string, timestamp timestamp",
+    )
+    out = (
+        KStream(df).group_by_key()
+        .windowed_by(SlidingWindows.with_size("60 seconds"))
+        .count()
+    )
+    got = {(r["key"], r["window_end"].second): r["value"] for r in out.collect()}
+    # a@0s sees 1; a@30s sees 2; a@61s sees 3 (both 61s dups + 30s; 0s
+    # fell out of the 60s window... 61-60=1 > 0 so 0s excluded); one row
+    # for the duplicated timestamp
+    assert got[("a", 0)] == 1
+    assert got[("a", 30)] == 2
+    assert got[("a", 1)] == 3
+    assert got[("b", 0)] == 1
+    assert len(got) == 4
