@@ -625,3 +625,57 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert tws == base == {f"k{i}": 40 for i in range(5)}
+
+
+def test_interactive_query_reads_aggregation_state(spark, tmp_path):
+    """ReadOnlyKeyValueStore.all()/get() parity: a streaming count's state
+    is queryable from its checkpoint — full scan matches the aggregation,
+    point lookup filters to one key."""
+    from kafka_streams_demo_spark.streaming.interactive import (
+        state_get,
+        state_metadata,
+        state_store,
+    )
+
+    src = tmp_path / "iq_src"
+    ck = str(tmp_path / "iq_ck")
+    spark.range(100).selectExpr("concat('k', id % 5) AS key", "id AS value") \
+        .write.parquet(str(src))
+    stream = spark.readStream.schema("key string, value long").parquet(str(src))
+    q = stream.groupBy("key").count().writeStream.format("noop") \
+        .outputMode("update").option("checkpointLocation", ck) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    allrows = {r["key"]: r["count"] for r in state_store(spark, ck).collect()}
+    assert allrows == {f"k{i}": 20 for i in range(5)}
+
+    point = state_get(spark, ck, {"key": "k3"}).collect()
+    assert len(point) == 1 and point[0]["count"] == 20
+
+    meta = state_metadata(spark, ck).collect()
+    assert any(r["stateStoreName"] == "default" for r in meta)
+
+
+def test_interactive_query_reads_processor_state(spark, tmp_path):
+    """The Processor API's state store (applyInPandasWithState GroupState)
+    is queryable the same way — the WordCountProcessor's per-key counts
+    read back from the checkpoint (WordCountProcessorExample.scala:54-59's
+    scan-all punctuator, as an offline query)."""
+    from kafka_streams_demo_spark.streaming.interactive import state_store
+    from kafka_streams_demo_spark.streaming.processor import running_count_processor
+
+    src = tmp_path / "iq_proc"
+    ck = str(tmp_path / "iq_proc_ck")
+    spark.range(90).selectExpr(
+        "concat('w', id % 3) AS key", "CAST(id AS STRING) AS value"
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("key string, value string").parquet(str(src))
+    q = running_count_processor(stream).writeStream.format("noop") \
+        .outputMode("update").option("checkpointLocation", ck) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # applyInPandasWithState nests the state tuple under value.groupState
+    got = {r["key"]: r["groupState"]["n"] for r in state_store(spark, ck).collect()}
+    assert got == {"w0": 30, "w1": 30, "w2": 30}
