@@ -125,6 +125,28 @@ class KStream:
             not_prior = (~cond) if not_prior is None else (not_prior & ~cond)
         return branches
 
+    def split(
+        self,
+        branches: dict[str, Callable[[Column, Column], Column]],
+        default: str | None = None,
+    ) -> dict[str, "KStream"]:
+        """The modern branching API (``split().branch(pred, Branched.as(name))
+        ...defaultBranch()``, KIP-418 — replaces the deprecated ``branch`` the
+        reference uses): named branches with the same first-match-wins
+        semantics, plus an optional default branch catching non-matches.
+        Dict order is predicate order (insertion-ordered)."""
+        streams = self.branch(*branches.values())
+        out = dict(zip(branches.keys(), streams))
+        if default is not None:
+            if default in out:
+                raise ValueError(f"default branch name {default!r} collides")
+            none_matched = None
+            for p in branches.values():
+                c = ~p(F.col(KEY), F.col(VALUE))
+                none_matched = c if none_matched is None else (none_matched & c)
+            out[default] = KStream(self.df.filter(none_matched))
+        return out
+
     def merge(self, other: "KStream") -> "KStream":
         """KStream#merge (DSL surface; unused in reference but part of the API)."""
         return KStream(self.df.unionByName(other.df, allowMissingColumns=True))

@@ -157,3 +157,30 @@ def test_repartition_prepositions_key_hash(spark):
         .collect()
     )
     assert all(r["count"] == 1 for r in parts), parts
+
+
+def test_split_named_branches_with_default(spark):
+    """KIP-418 split(): named branches, first-match-wins, default catches
+    the rest; branches partition the stream exactly."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream
+
+    df = spark.createDataFrame(
+        [("apple", 1), ("avocado", 2), ("banana", 3), ("cherry", 4)],
+        "key string, value long",
+    )
+    out = KStream(df).split(
+        {"a_words": lambda k, v: k.startswith("a"),
+         "small": lambda k, v: v <= 3},
+        default="rest",
+    )
+    assert list(out) == ["a_words", "small", "rest"]
+    got = {name: sorted(r["key"] for r in s.to_df().collect())
+           for name, s in out.items()}
+    # first-match-wins: banana matches only 'small'; cherry matches nothing
+    assert got == {"a_words": ["apple", "avocado"],
+                   "small": ["banana"], "rest": ["cherry"]}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collides"):
+        KStream(df).split({"x": lambda k, v: v > 0}, default="x")
