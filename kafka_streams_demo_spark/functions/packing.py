@@ -105,8 +105,10 @@ def pack_sequences(
     group whose total fits one shard — including everything at test scale
     with the 1M default — packs identically to the unsharded algorithm.
     ``tokens_per_shard=None`` disables sharding. Range-sharding assumes
-    doc_ids are roughly uniform over their span; skewed density affects
-    balance, never correctness.
+    NUMERIC doc_ids, roughly uniform over their span; skewed density
+    affects balance, never correctness. For non-numeric ids pass
+    ``tokens_per_shard=None`` (unsharded) or pre-derive a numeric id
+    (e.g. ``xxhash64``).
     """
     toks = docs.select(
         F.col(group_col).alias("grp"),

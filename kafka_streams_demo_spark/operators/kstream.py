@@ -140,10 +140,9 @@ class KStream:
         if default is not None:
             if default in out:
                 raise ValueError(f"default branch name {default!r} collides")
-            none_matched = None
+            none_matched = F.lit(True)
             for p in branches.values():
-                c = ~p(F.col(KEY), F.col(VALUE))
-                none_matched = c if none_matched is None else (none_matched & c)
+                none_matched = none_matched & ~p(F.col(KEY), F.col(VALUE))
             out[default] = KStream(self.df.filter(none_matched))
         return out
 
