@@ -519,6 +519,30 @@ def sliding_window_count_q(spark, sf_dir):
 
 
 @register(
+    "sliding_window_count_bucketed",
+    "SELECT DISTINCT CAST(user_id AS VARCHAR) AS key, "
+    "ts - INTERVAL 2 HOUR AS window_start, ts AS window_end, "
+    "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW) AS value "
+    "FROM events",
+)
+def sliding_window_count_bucketed_q(spark, sf_dir):
+    """The SCALE path for sliding windows: partition by (key, 1-day
+    time-bucket) with boundary-context replication instead of by key
+    alone — a hot key parallelizes across its time span. SAME oracle SQL
+    as `sliding_window_count`: the hash gate proves the bucketed plan
+    bit-identical to the global formulation."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(
+        ev, key=F.col("user_id").cast("string"), value="event_type", timestamp="ts"
+    )
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows
+
+    w = SlidingWindows.with_size("2 hours").bucketed_by("1 day")
+    return s.group_by_key().windowed_by(w).count()
+
+
+@register(
     "stream_table_join_segment",
     "SELECT c.c_mktsegment AS key, SUM(CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT)) AS value "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",

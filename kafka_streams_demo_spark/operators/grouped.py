@@ -112,29 +112,52 @@ class WindowedKGroupedStream:
 
     def _sliding_agg(self, agg_col: Column) -> DataFrame:
         """SlidingWindows: per-record trailing window [ts - size, ts],
-        compiled to a RANGE window frame over epoch-millis — one shuffle on
-        the key, per-partition ordered scan, no self-join. Batch-view
-        semantics (window functions need the full per-key history); for
-        streaming use hopping windows or a stateful processor. Identical
-        windows (records sharing a timestamp) dedupe, matching Kafka's
-        one-result-per-distinct-window contract."""
+        compiled to a RANGE window frame over epoch-millis — no self-join.
+        Unbucketed: one shuffle on the key, per-KEY ordered scan (fine for
+        bounded keys; a hot key serializes). Bucketed (``bucketed_by``):
+        partition by (key, time-bucket), replicating each bucket's last
+        ``size`` into the successor as non-emitting context rows — every
+        record still sees its full trailing window (it spans ≤1 boundary
+        since bucket ≥ size), results are bit-identical (same-oracle
+        catalog entries pin this), and a hot key parallelizes across its
+        time span. Batch-view semantics; for streaming use hopping windows
+        or a stateful processor. Identical windows (records sharing a
+        timestamp) dedupe, matching Kafka's one-result-per-distinct-window
+        contract."""
         from pyspark.sql.window import Window as _W
 
         size = interval_ms(self.windows.size)
+        ts_ms = F.unix_millis(F.col(self.ts_col))
+        out_cols = [
+            KEY,
+            (F.col(self.ts_col) - F.expr(f"INTERVAL {self.windows.size}")).alias(
+                "window_start"
+            ),
+            F.col(self.ts_col).alias("window_end"),
+        ]
+        if self.windows.bucket is None:
+            frame = _W.partitionBy(KEY).orderBy(ts_ms).rangeBetween(-size, 0)
+            return self.df.select(
+                *out_cols, agg_col.over(frame).alias(VALUE)
+            ).distinct()
+
+        bucket = interval_ms(self.windows.bucket)
+        own = self.df.withColumn("_bkt", F.floor(ts_ms / bucket)).withColumn(
+            "_ctx", F.lit(False)
+        )
+        tail = (
+            self.df.filter(ts_ms % bucket >= bucket - size)
+            .withColumn("_bkt", F.floor(ts_ms / bucket) + 1)
+            .withColumn("_ctx", F.lit(True))
+        )
+        u = own.unionByName(tail)
         frame = (
-            _W.partitionBy(KEY)
-            .orderBy(F.unix_millis(F.col(self.ts_col)))
-            .rangeBetween(-size, 0)
+            _W.partitionBy(KEY, "_bkt").orderBy(ts_ms).rangeBetween(-size, 0)
         )
         return (
-            self.df.select(
-                KEY,
-                (F.col(self.ts_col) - F.expr(f"INTERVAL {self.windows.size}")).alias(
-                    "window_start"
-                ),
-                F.col(self.ts_col).alias("window_end"),
-                agg_col.over(frame).alias(VALUE),
-            )
+            u.select(*out_cols, F.col("_ctx"), agg_col.over(frame).alias(VALUE))
+            .filter(~F.col("_ctx"))
+            .drop("_ctx")
             .distinct()
         )
 

@@ -75,13 +75,30 @@ class SlidingWindows:
     surface, post-reference): for each record, the trailing window
     ``[ts - size, ts]`` aggregated per key. Unlike hopping windows there is
     no fixed grid — windows are anchored at record timestamps, so results
-    track actual activity instead of grid alignment."""
+    track actual activity instead of grid alignment.
+
+    ``bucket``: the scale path. A plain RANGE frame partitions by key
+    alone, so one hot key (10⁹ events) becomes a single sort task;
+    ``bucketed_by`` re-partitions by (key, time-bucket) with the last
+    ``size`` of each bucket replicated into the next as context rows —
+    bit-identical results (each record's window spans at most one bucket
+    boundary), parallelism ∝ key-span/bucket. Requires bucket ≥ size."""
 
     size: str
+    bucket: str | None = None
 
     @classmethod
     def with_size(cls, size: str | float) -> "SlidingWindows":
         return cls(_as_interval(size))
+
+    def bucketed_by(self, bucket: str | float) -> "SlidingWindows":
+        b = _as_interval(bucket)
+        if interval_ms(b) < interval_ms(self.size):
+            raise ValueError(
+                f"bucket {b!r} must be >= window size {self.size!r} "
+                "(a window may span at most one bucket boundary)"
+            )
+        return SlidingWindows(self.size, b)
 
 
 @dataclass(frozen=True)

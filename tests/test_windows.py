@@ -117,3 +117,37 @@ def test_sliding_windows_record_anchored_counts(spark):
     assert got[("a", 1)] == 3
     assert got[("b", 0)] == 1
     assert len(got) == 4
+
+
+def test_sliding_windows_bucketed_identical_to_global(spark):
+    """Boundary-context replication must be bit-identical to the per-key
+    global frame — including records whose window crosses a bucket edge —
+    while partitioning by (key, bucket) for hot-key parallelism."""
+    import datetime as dt
+    import random
+
+    from kafka_streams_demo_spark import KStream
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1)
+    # cluster timestamps around bucket boundaries (60s buckets, 30s window)
+    secs = sorted(rng.choice([b * 60 + d for b in range(5) for d in
+                              (-2, -1, 0, 1, 2, 15, 29, 30, 31, 58, 59)])
+                  for _ in range(120))
+    df = spark.createDataFrame(
+        [(f"k{i % 2}", "x", t0 + dt.timedelta(seconds=max(0, s)))
+         for i, s in enumerate(secs)],
+        "key string, value string, timestamp timestamp",
+    )
+    base = SlidingWindows.with_size("30 seconds")
+    plain = {(r["key"], r["window_end"], r["value"]) for r in
+             KStream(df).group_by_key().windowed_by(base).count().collect()}
+    bucketed = {(r["key"], r["window_end"], r["value"]) for r in
+                KStream(df).group_by_key()
+                .windowed_by(base.bucketed_by("60 seconds")).count().collect()}
+    assert plain == bucketed
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bucket"):
+        base.bucketed_by("10 seconds")
