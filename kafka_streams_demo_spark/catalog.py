@@ -1635,6 +1635,34 @@ def running_sum_per_user(spark, sf_dir):
 
 
 @register(
+    "running_sum_per_user_bucketed",
+    "SELECT event_id, user_id, "
+    "SUM(CAST(ROUND(value*100, 0) AS BIGINT)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c "
+    "FROM events",
+)
+def running_sum_per_user_bucketed_q(spark, sf_dir):
+    """The SCALE path for cumulative sums (functions/skew.py:
+    bucketed_running_sum): two-phase prefix scan partitioned by
+    (user, hour-bucket) — a hot user parallelizes across its time span —
+    with per-bucket offsets restoring the exact global scan. SAME oracle
+    SQL as `running_sum_per_user`: the hash gate proves equivalence."""
+    from kafka_streams_demo_spark.functions.skew import bucketed_running_sum
+
+    ev = load_table(spark, "events", sf_dir)
+    out = bucketed_running_sum(
+        ev,
+        key_col="user_id",
+        val_col=cents(F.col("value")),
+        order_cols=["ts", "event_id"],
+        bucket_col=F.date_trunc("hour", F.col("ts")),
+        out_col="running_c",
+    )
+    return out.select("event_id", "user_id", "running_c")
+
+
+@register(
     "top3_orders_per_cust",
     "SELECT o_custkey, o_orderkey, "
     "CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS price_c, rn FROM ("
@@ -3728,6 +3756,7 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
     "q22_idle_balances": {"totacctbal_c": "BIGINT"},
     "orders_per_nation": {"total_c": "BIGINT"},
     "running_sum_per_user": {"running_c": "BIGINT"},
+    "running_sum_per_user_bucketed": {"running_c": "BIGINT"},
     "rollup_revenue": {"total_c": "BIGINT"},
     "cube_status_priority": {"total_c": "BIGINT"},
     "sessionize_gap": {"session_id": "BIGINT"},

@@ -87,3 +87,49 @@ def salted_join(
     )
     out_cols = [salted_l[c] for c in left.columns] + [replicated_r[c] for c in right.columns]
     return salted_l.join(replicated_r, cond, how).select(*out_cols)
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    key_col: str,
+    val_col,
+    order_cols: list[str],
+    bucket_col,
+    out_col: str = "running",
+) -> DataFrame:
+    """Hot-key-parallel cumulative sum: the classic two-phase prefix scan.
+
+    A plain running sum partitions the window by key, so one hot key
+    (10⁹ rows) is a single sort task. Phase 1 computes local cumulative
+    sums within (key, bucket) — parallelism ∝ key-span/bucket; phase 2
+    turns per-bucket totals into per-bucket starting offsets with a window
+    over BUCKETS (rows per key = #buckets, trivially small) and joins them
+    back on (key, bucket). ``local + offset`` equals the global scan
+    exactly for any bucketing that refines the order columns (e.g.
+    ``date_trunc`` of the event time when ordering by time). ``val_col``
+    and ``bucket_col`` may be Columns or names."""
+    from pyspark.sql.window import Window as _W
+
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
+    bkt = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    base = df.withColumn("_bkt", bkt).withColumn("_v", val)
+    w_local = (
+        _W.partitionBy(key_col, "_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    local = base.withColumn("_local", F.sum("_v").over(w_local))
+    totals = base.groupBy(key_col, "_bkt").agg(F.sum("_v").alias("_tot"))
+    w_off = (
+        _W.partitionBy(key_col)
+        .orderBy("_bkt")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select(key_col, "_bkt", "_off")
+    return (
+        local.join(offsets, [key_col, "_bkt"])
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_bkt", "_v", "_local", "_off")
+    )

@@ -202,3 +202,29 @@ def test_zorder_write_tightens_both_dims(spark, tmp_path):
     orig = sorted(r["event_id"] for r in ev.select("event_id").collect())
     back = sorted(r["event_id"] for r in spark.read.parquet(zord).select("event_id").collect())
     assert orig == back
+
+
+def test_bucketed_running_sum_equals_global_scan(spark):
+    """Two-phase prefix scan == plain per-key cumulative sum, including
+    hot keys spanning many buckets and ties on the order column."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.skew import bucketed_running_sum
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, "hot" if i % 4 else "cold", (i * 7) % 100,
+             t0 + dt.timedelta(minutes=i % 300)) for i in range(400)]
+    df = spark.createDataFrame(rows, "rid long, k string, v long, ts timestamp")
+
+    w = (Window.partitionBy("k").orderBy("ts", "rid")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    expected = {r["rid"]: r["run"] for r in
+                df.select("rid", F.sum("v").over(w).alias("run")).collect()}
+    got = {r["rid"]: r["running"] for r in bucketed_running_sum(
+        df, key_col="k", val_col="v", order_cols=["ts", "rid"],
+        bucket_col=F.date_trunc("hour", F.col("ts")),
+    ).collect()}
+    assert got == expected
