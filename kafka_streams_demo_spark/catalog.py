@@ -1990,6 +1990,38 @@ def sessionize_gap(spark, sf_dir):
 
 
 @register(
+    "sessionize_gap_bucketed",
+    "WITH g AS (SELECT user_id, ts, event_id,"
+    " CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    " IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id"
+    " ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess"
+    " FROM events),"
+    " s AS ("
+    " SELECT user_id, ts, SUM(new_sess) OVER"
+    " (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
+    " FROM g)"
+    " SELECT user_id, session_id, count(*) AS n_events,"
+    " epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us"
+    " FROM s GROUP BY 1, 2",
+)
+def sessionize_gap_bucketed_q(spark, sf_dir):
+    """The SCALE path for sessionization (functions/skew.py:
+    bucketed_sessionize): each (user, 6-hour bucket) sessionizes locally
+    in parallel; only boundary sessions can merge (bucket > gap), and
+    merge chains resolve through connected_components over session-level
+    rows. SAME oracle SQL as `sessionize_gap`: the hash gate proves the
+    parallel formulation exactly equal to the single-window chain."""
+    from kafka_streams_demo_spark.functions.skew import bucketed_sessionize
+
+    ev = load_table(spark, "events", sf_dir)
+    return bucketed_sessionize(
+        ev, key_col="user_id", ts_col="ts", order_cols=["ts", "event_id"],
+        gap_s=1800, bucket_s=6 * 3600,
+    )
+
+
+@register(
     "cube_status_priority",
     "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
     "SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS total_c "
@@ -3760,6 +3792,7 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
     "rollup_revenue": {"total_c": "BIGINT"},
     "cube_status_priority": {"total_c": "BIGINT"},
     "sessionize_gap": {"session_id": "BIGINT"},
+    "sessionize_gap_bucketed": {"session_id": "BIGINT"},
     "daily_rollup_gapfill": {"filled_c": "BIGINT"},
     "repetition_ratio": {"n_bg": "BIGINT"},
     "corpus_profile": {

@@ -578,15 +578,17 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["a"], "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-            )
-            .persist()
-        )
+        # localCheckpoint, not persist: persist keeps the FULL logical plan
+        # for re-planning, and each round references `labels` twice, so a
+        # long chain (label propagation over a path graph) grows the plan
+        # 2^rounds until the driver dies building it — truncating lineage
+        # per round keeps planning O(1) while storing the same blocks a
+        # cache would. (Found by the bucketed-sessionize chain test.)
+        new_labels = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        ).localCheckpoint(eager=True)
         n_changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels.unpersist()
         labels = new_labels.select("node", "label")

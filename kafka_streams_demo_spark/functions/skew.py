@@ -133,3 +133,88 @@ def bucketed_running_sum(
         .withColumn(out_col, F.col("_local") + F.col("_off"))
         .drop("_bkt", "_v", "_local", "_off")
     )
+
+
+def bucketed_sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_cols: list[str],
+    gap_s: int,
+    bucket_s: int,
+) -> DataFrame:
+    """Hot-key-parallel gap sessionization → per-session rollup
+    (key, session_id, n_events, start_us, end_us), exactly equal to the
+    single-window formulation.
+
+    A plain sessionize chains lag() per key — one hot key is one sort
+    task. Here each (key, time-bucket) sessionizes locally in parallel;
+    only a bucket's LAST session can merge with the next bucket's FIRST
+    (within a bucket, consecutive sessions are > gap apart by
+    construction, and ``bucket_s > gap_s`` means a merge can never skip
+    an empty bucket). Boundary merges may chain across many buckets (one
+    session spanning a week of days), so merge edges run through
+    ``connected_components`` over SESSION-level rows (≪ events; rounds =
+    longest chain). Renumbering by session start restores the exact
+    running-count session ids. Equivalence is pinned by registering this
+    plan against the same SQL oracle as the plain sessionize."""
+    if bucket_s <= gap_s:
+        raise ValueError(f"bucket_s ({bucket_s}) must exceed gap_s ({gap_s})")
+    from pyspark.sql.window import Window as _W
+
+    from kafka_streams_demo_spark.functions.dedup import connected_components
+
+    ts_long = F.col(ts_col).cast("long")
+    base = df.withColumn("_bkt", F.floor(ts_long / bucket_s))
+    w = _W.partitionBy(key_col, "_bkt").orderBy(*order_cols)
+    wrun = w.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    new_sess = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | (ts_long - F.lag(ts_col).over(w).cast("long") > gap_s),
+        1,
+    ).otherwise(0)
+    local = base.withColumn("_ls", F.sum(new_sess).over(wrun))
+    loc = (
+        local.groupBy(key_col, "_bkt", "_ls")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(ts_col).alias("_start"),
+            F.max(ts_col).alias("_end"),
+        )
+        .withColumn("_node", F.concat_ws("|", F.col(key_col), "_bkt", "_ls"))
+    )
+    n_sess = _W.partitionBy(key_col, "_bkt")
+    loc = loc.withColumn("_max_ls", F.max("_ls").over(n_sess)).persist()
+    last = loc.filter(F.col("_ls") == F.col("_max_ls")).select(
+        F.col(key_col).alias("_k"), F.col("_bkt").alias("_b"),
+        F.col("_end").alias("_e"), F.col("_node").alias("i"),
+    )
+    first = loc.filter(F.col("_ls") == 1).select(
+        F.col(key_col).alias("_k"), F.col("_bkt").alias("_b"),
+        F.col("_start").alias("_s"), F.col("_node").alias("j"),
+    )
+    edges = last.alias("a").join(
+        first.alias("b"),
+        (F.col("a._k") == F.col("b._k"))
+        & (F.col("a._b") + 1 == F.col("b._b"))
+        & (F.col("b._s").cast("long") - F.col("a._e").cast("long") <= gap_s),
+    ).select("i", "j")
+    labels = connected_components(edges)
+    merged = (
+        loc.join(labels, loc["_node"] == labels["node"], "left")
+        .withColumn("_grp", F.coalesce(F.col("cluster_id"), F.col("_node")))
+    )
+    sess = merged.groupBy(key_col, "_grp").agg(
+        F.sum("_n").alias("n_events"),
+        F.min("_start").alias("_sstart"),
+        F.max("_end").alias("_send"),
+    )
+    w_num = _W.partitionBy(key_col).orderBy("_sstart")
+    out = sess.select(
+        key_col,
+        F.row_number().over(w_num).cast("long").alias("session_id"),
+        "n_events",
+        F.unix_micros(F.col("_sstart")).alias("start_us"),
+        F.unix_micros(F.col("_send")).alias("end_us"),
+    )
+    return out

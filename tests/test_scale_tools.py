@@ -228,3 +228,50 @@ def test_bucketed_running_sum_equals_global_scan(spark):
         bucket_col=F.date_trunc("hour", F.col("ts")),
     ).collect()}
     assert got == expected
+
+
+def test_bucketed_sessionize_merges_chains_across_buckets(spark):
+    """A single session spanning ~15 buckets must stitch back into ONE
+    session through the connected-components chain merge; separated
+    sessions stay separate; output equals the plain lag-chain formulation."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.skew import bucketed_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # key "span": events every 50s for 1500s -> one session over ~15
+    # buckets of 100s (gap 80s < bucket 100s; 50s spacing keeps it alive)
+    rows += [(i, "span", t0 + dt.timedelta(seconds=50 * i)) for i in range(31)]
+    # key "multi": three sessions separated by 500s silences
+    for s in range(3):
+        rows += [(100 + s * 10 + j, "multi",
+                  t0 + dt.timedelta(seconds=s * 1000 + j * 30)) for j in range(4)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+
+    got = {(r["user_id"], r["session_id"]): (r["n_events"], r["start_us"], r["end_us"])
+           for r in bucketed_sessionize(
+               df, key_col="user_id", ts_col="ts",
+               order_cols=["ts", "event_id"], gap_s=80, bucket_s=100,
+           ).collect()}
+
+    # plain formulation as the model
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = df.withColumn("new_sess", F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 80), 1
+    ).otherwise(0))
+    s = g.withColumn("session_id", F.sum("new_sess").over(wrun))
+    expected = {(r["user_id"], r["session_id"]): (r["n_events"], r["start_us"], r["end_us"])
+                for r in s.groupBy("user_id", "session_id").agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.unix_micros(F.min("ts")).alias("start_us"),
+                    F.unix_micros(F.max("ts")).alias("end_us"),
+                ).collect()}
+    assert got == expected
+    assert got[("span", 1)][0] == 31      # the chain stitched into one session
+    assert len([k for k in got if k[0] == "multi"]) == 3
