@@ -1663,6 +1663,35 @@ def running_sum_per_user_bucketed_q(spark, sf_dir):
 
 
 @register(
+    "top3_orders_per_cust_salted",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS price_c, rn FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) WHERE rn <= 3",
+)
+def top3_orders_per_cust_salted_q(spark, sf_dir):
+    """The SCALE path for per-key top-N (functions/skew.py:
+    salted_topk_per_key): rank within (key, salt) first — a hot key
+    spreads over the salt buckets — then re-rank the ≤ k·buckets
+    survivors. SAME oracle SQL as `top3_orders_per_cust`: the hash gate
+    proves the two-phase plan exact."""
+    from kafka_streams_demo_spark.functions.skew import salted_topk_per_key
+
+    o = load_table(spark, "orders", sf_dir)
+    out = salted_topk_per_key(
+        o.select("o_custkey", "o_orderkey",
+                 cents(F.col("o_totalprice")).alias("price_c"),
+                 "o_totalprice"),
+        key_col="o_custkey",
+        order_cols=[F.desc("o_totalprice"), F.col("o_orderkey")],
+        k=3,
+        salt_cols=["o_orderkey"],
+    )
+    return out.select("o_custkey", "o_orderkey", "price_c", "rn")
+
+
+@register(
     "top3_orders_per_cust",
     "SELECT o_custkey, o_orderkey, "
     "CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS price_c, rn FROM ("
@@ -3799,6 +3828,7 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
         "chars_total": "BIGINT", "tokens_total": "BIGINT", "n_short": "BIGINT",
     },
     "top3_orders_per_cust": {"rn": "INTEGER"},
+    "top3_orders_per_cust_salted": {"rn": "INTEGER"},
     "sample_per_source": {"rn": "INTEGER"},
     "vocab_token_freq": {"rnk": "INTEGER"},
     "user_journey_paths": {"n_steps": "INTEGER"},

@@ -218,3 +218,46 @@ def bucketed_sessionize(
         F.unix_micros(F.col("_send")).alias("end_us"),
     )
     return out
+
+
+def salted_topk_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    k: int,
+    buckets: int = 16,
+    rank_col: str = "rn",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hot-key-parallel top-k per key: a rank window partitions by key, so
+    one hot key sorts in a single task. Two-phase instead: rank within
+    (key, salt) — a hot key spreads over ``buckets`` tasks — keep each
+    salt's local top-k (any global top-k row is top-k within its salt
+    bucket, so no survivor is lost), then re-rank the ≤ k·buckets
+    survivors per key. Exact for ranks ≤ k with a deterministic order
+    (include a tiebreaker column); salting is content-hash on
+    ``salt_cols`` (default: the plain-named order columns — pass
+    explicitly when order_cols are desc()/expression sort orders, which
+    cannot be hashed), so results are partitioning-independent."""
+    from pyspark.sql.window import Window as _W
+
+    if salt_cols is None:
+        salt_cols = [c for c in order_cols if isinstance(c, str)]
+    if not salt_cols:
+        raise ValueError(
+            "salt_cols required when order_cols contain no plain column names"
+        )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(buckets))
+    local_w = _W.partitionBy(key_col, "_salt").orderBy(*order_cols)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_lrn", F.row_number().over(local_w))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    final_w = _W.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(final_w))
+        .filter(F.col(rank_col) <= k)
+        .drop("_salt")
+    )

@@ -275,3 +275,25 @@ def test_bucketed_sessionize_merges_chains_across_buckets(spark):
     assert got == expected
     assert got[("span", 1)][0] == 31      # the chain stitched into one session
     assert len([k for k in got if k[0] == "multi"]) == 3
+
+
+def test_salted_topk_per_key_exact_with_hot_key(spark):
+    """Two-phase salted top-k == plain rank window, on a key holding 90%
+    of all rows (the shape where the plain window serializes)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.skew import salted_topk_per_key
+
+    rows = [(i, "hot" if i < 900 else f"cold{i % 7}", (i * 37) % 1000)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "rid long, k string, score long")
+    w = Window.partitionBy("k").orderBy(F.desc("score"), "rid")
+    expected = {(r["k"], r["rn"]): r["rid"] for r in
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3).collect()}
+    got = {(r["k"], r["rn"]): r["rid"] for r in salted_topk_per_key(
+        df, key_col="k", order_cols=[F.desc("score"), F.col("rid")],
+        k=3, salt_cols=["rid"],
+    ).collect()}
+    assert got == expected
