@@ -237,3 +237,18 @@ def test_char_entropy_is_shuffle_free_jvm_math(spark):
     assert a.exchanges == 0, a.plan
     assert a.python_evals == 0, a.plan
     assert a.joins == 0, a.plan
+
+
+def test_hot_key_parallel_formulations_partition_by_composite_keys(spark):
+    """The round-4 scale variants must actually partition by (key, bucket/
+    salt) — not key alone — or the hot-key parallelism claim is vacuous.
+    (Exactness is separately proven by their same-oracle hash gates.)"""
+    for name, token in [
+        ("sliding_window_count_bucketed", "_bkt"),
+        ("running_sum_per_user_bucketed", "_bkt"),
+        ("sessionize_gap_bucketed", "_bkt"),
+        ("top3_orders_per_cust_salted", "_salt"),
+    ]:
+        a = _audit(spark, name)
+        assert re.search(rf"hashpartitioning\([^)]*{token}", a.plan), \
+            f"{name} does not partition by {token}:\n{a.plan[:2000]}"
