@@ -3863,6 +3863,13 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # set_ops_intersect_except (sibling extension ops), and the probabilistic
 # no-oracle rows approx_distinct_users / minhash_lsh_pairs / simhash_pairs
 # (their real gates are the property/parity pytest suites).
+#
+# Round-5 rotation candidates (registered + locally hash-verified in r4,
+# awaiting a driver slot): avro_wire_roundtrip, ktable_fk_join,
+# sliding_window_count(_bucketed), sessionize_gap_bucketed,
+# running_sum_per_user_bucketed, top3_orders_per_cust_salted,
+# stream_stream_join_asymmetric, dedup_stream_watermark,
+# median_value_per_type, char_entropy, ann_lsh_topk (oracle upgraded r4).
 DRIVER_PRIORITY: list[str] = [
     "filter_events", "map_values_upper",
     "select_key_prefix", "branch_c", "word_count",
