@@ -3753,6 +3753,32 @@ def pack_sequences_q(spark, sf_dir):
 
 
 @register(
+    "temperature_mixture",
+    "WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS cnt FROM documents GROUP BY 1), "
+    "m AS (SELECT MIN(cnt) AS cmin FROM c), "
+    "r AS (SELECT lang, CAST(LEAST(256, ROUND(256 * POWER(cmin / cnt, 0.5))) AS INT) AS t FROM c, m) "
+    "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+    "WHERE substring(md5(d.text), 1, 2) < "
+    "CASE WHEN t >= 256 THEN 'zz' ELSE printf('%02x', t) END",
+)
+def temperature_mixture_q(spark, sf_dir):
+    """Temperature-based corpus mixing (functions/packing.py:
+    temperature_mixture, alpha=0.5): each LANGUAGE downsampled to
+    (c_min/c_i)^0.5 — the multilingual-LM recipe that flattens language
+    imbalance (the fixture's langs are skewed ~3:1, so this actually
+    drops rows, unlike the evenly-sized sources) — with the deterministic
+    content-hash keep rule, all math in the plan (tiny counts aggregate
+    broadcast back, no RNG, no collect). The oracle replays the identical
+    arithmetic in SQL."""
+    from kafka_streams_demo_spark.functions.packing import temperature_mixture
+
+    docs = load_table(spark, "documents", sf_dir)
+    return temperature_mixture(docs, alpha=0.5, group_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
     "mixture_sample",
     "SELECT doc_id, source FROM documents WHERE substring(md5(text), 1, 2) < "
     "CASE WHEN source = 'src0' THEN 'zz' WHEN source = 'src1' THEN '80' "

@@ -18,6 +18,9 @@ turn a filtered corpus into model-ready sequences:
 - ``mixture_sample``: deterministic per-source rate sampling (corpus
   mixture weights) via a content-hash threshold — reproducible across
   engines and partitionings, unlike ``rand()``/``sampleBy``.
+- ``temperature_mixture``: the multilingual-LM temperature recipe — each
+  group downsampled to ``(c_min/c_i)^(1-alpha)`` with the same
+  content-hash rule; rates derived in-plan from a tiny counts aggregate.
 """
 
 from __future__ import annotations
@@ -196,4 +199,42 @@ def mixture_sample(
         expr = F.when(F.col(group_col) == src, F.lit(thresh(w))).otherwise(expr)
     return docs.filter(
         F.substring(F.md5(F.col(text_col).cast("binary")), 1, 2) < expr
+    )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-LM sampling
+    recipe): downsample each source to ``rate = (c_min / c_i)^(1-alpha)``
+    — ``alpha=1`` keeps the natural distribution, ``alpha=0`` flattens
+    every source to the smallest one's count (in expectation), values
+    between interpolate. Downsampling-only (rates ≤ 1), so it composes
+    with the same deterministic content-hash keep rule as
+    ``mixture_sample``: reproducible across engines and partitionings.
+
+    All math stays in the plan: per-source counts (a tiny aggregate)
+    broadcast back, the global min folded in via a 1-row cross join —
+    no driver collect, no RNG. Rate granularity 1/256."""
+    counts = docs.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "_g",
+        F.least(
+            F.lit(256),
+            F.round(F.lit(256) * F.pow(F.col("_cmin") / F.col("_c"), 1.0 - alpha)),
+        ).cast("int").alias("_t"),
+    )
+    thresh = F.when(F.col("_t") >= 256, F.lit("zz")).otherwise(
+        F.format_string("%02x", F.col("_t"))
+    )
+    return (
+        docs.join(F.broadcast(rates), docs[group_col] == rates["_g"])
+        .filter(F.substring(F.md5(F.col(text_col).cast("binary")), 1, 2) < thresh)
+        .drop("_g", "_t")
     )

@@ -206,3 +206,25 @@ def test_mixture_per_source_weights(spark):
     srcs = {r["source"] for r in out.select("source").collect()}
     assert srcs == {"src0"}
     assert out.count() == 150
+
+
+def test_temperature_mixture_flattens_sources(spark):
+    """alpha=1 keeps the natural distribution; alpha=0 downsamples every
+    source to ~the smallest one's count; rates are monotone in alpha and
+    the kept set is deterministic (a subset relation, like mixture_sample)."""
+    from kafka_streams_demo_spark.functions.packing import temperature_mixture
+
+    docs = _docs(spark, [(i, "big" if i < 400 else "small",
+                          f"doc {i} text body {i * 13}") for i in range(500)])
+    natural = temperature_mixture(docs, alpha=1.0)
+    assert natural.count() == 500
+    flat = temperature_mixture(docs, alpha=0.0)
+    by_src = {r["source"]: r["n"] for r in
+              flat.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["small"] == 100
+    assert abs(by_src["big"] - 100) < 40  # 400 * 0.25 rate, hash noise
+    # monotone: rows kept at lower alpha stay kept at higher alpha
+    flat_ids = {r["doc_id"] for r in flat.select("doc_id").collect()}
+    mid_ids = {r["doc_id"] for r in
+               temperature_mixture(docs, alpha=0.5).select("doc_id").collect()}
+    assert flat_ids <= mid_ids
