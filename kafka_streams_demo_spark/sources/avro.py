@@ -40,6 +40,59 @@ _SPARK_TYPE = {
 }
 
 
+def _make_schema_parser():
+    """Schema parsing/resolution as by-value closures — OCF schema
+    resolution parses the EMBEDDED writer schema inside mapInPandas
+    workers, so these must pickle by value like the codec closures."""
+
+    _prims = {"boolean", "int", "long", "float", "double", "string", "bytes"}
+
+    def parse_fields(schema_json: str) -> list[tuple[str, str, int | None]]:
+        import json as _json
+
+        sch = _json.loads(schema_json)
+        if not isinstance(sch, dict) or sch.get("type") != "record" or "fields" not in sch:
+            raise ValueError("only top-level Avro record schemas are supported")
+        out = []
+        for f in sch["fields"]:
+            name, t = f["name"], f["type"]
+            null_idx = None
+            if isinstance(t, list):
+                if len(t) != 2 or "null" not in t:
+                    raise ValueError(f"field {name}: only 2-branch null unions supported")
+                null_idx = t.index("null")
+                t = t[1 - null_idx]
+            if not isinstance(t, str) or t not in _prims:
+                raise ValueError(f"field {name}: unsupported Avro type {t!r}")
+            out.append((name, t, null_idx))
+        return out
+
+    def check_resolution(writer_fields, reader_fields) -> None:
+        """Avro schema-resolution SUBSET (spec "Schema Resolution",
+        matched by field NAME): writer-only fields are decoded and
+        dropped; reader-only fields must be nullable (read as null — the
+        only default this engine supports); matched fields must agree on
+        the primitive type (no promotions). Raises on anything else."""
+        writer_by_name = {n: t for n, t, _ in writer_fields}
+        for n, t, ni in reader_fields:
+            if n not in writer_by_name:
+                if ni is None:
+                    raise ValueError(
+                        f"reader field {n!r} missing from writer schema and "
+                        "not nullable (no default to fill)"
+                    )
+            elif writer_by_name[n] != t:
+                raise ValueError(
+                    f"field {n!r}: writer type {writer_by_name[n]!r} != "
+                    f"reader type {t!r} (type promotions unsupported)"
+                )
+
+    return parse_fields, check_resolution
+
+
+_parse_fields, check_resolution = _make_schema_parser()
+
+
 def parse_record_schema(schema_json: str) -> list[tuple[str, str, int | None]]:
     """Validate + flatten an Avro record schema into (field,
     primitive_type, null_branch_index) triples — null_branch_index is the
@@ -48,22 +101,7 @@ def parse_record_schema(schema_json: str) -> list[tuple[str, str, int | None]]:
     values with their branch index, so position matters for
     byte-compatibility. Rejects anything outside the supported subset
     loudly."""
-    sch = json.loads(schema_json)
-    if not isinstance(sch, dict) or sch.get("type") != "record" or "fields" not in sch:
-        raise ValueError("only top-level Avro record schemas are supported")
-    out = []
-    for f in sch["fields"]:
-        name, t = f["name"], f["type"]
-        null_idx = None
-        if isinstance(t, list):
-            if len(t) != 2 or "null" not in t:
-                raise ValueError(f"field {name}: only 2-branch null unions supported")
-            null_idx = t.index("null")
-            t = t[1 - null_idx]
-        if not isinstance(t, str) or t not in PRIMITIVES - {"null"}:
-            raise ValueError(f"field {name}: unsupported Avro type {t!r}")
-        out.append((name, t, null_idx))
-    return out
+    return _parse_fields(schema_json)
 
 
 # --- Avro binary primitives (spec: zigzag varint, little-endian IEEE) ----
@@ -245,14 +283,37 @@ def to_avro_df(
 
 
 def from_avro_df(
-    df: DataFrame, schema_json: str, bin_col: str = "value", impl: str = "auto"
+    df: DataFrame,
+    schema_json: str,
+    bin_col: str = "value",
+    impl: str = "auto",
+    writer_schema_json: str | None = None,
 ) -> DataFrame:
     """Decode an Avro-binary column back into its record fields (other
-    columns pass through; the binary column is consumed)."""
+    columns pass through; the binary column is consumed).
+
+    ``writer_schema_json``: when the data was written under an OLDER (or
+    newer) compatible schema, pass it here and ``schema_json`` acts as
+    the READER schema — fields resolve by name per the Avro spec subset
+    (writer-only fields decoded and dropped, reader-only nullable fields
+    filled with null). Python impl only — the JVM from_avro expression
+    takes a single schema."""
     fields = parse_record_schema(schema_json)
+    writer_fields = None
+    if writer_schema_json is not None:
+        writer_fields = parse_record_schema(writer_schema_json)
+        check_resolution(writer_fields, fields)
+        if writer_fields == fields:
+            writer_fields = None  # identical schemas: plain decode
     spark = df.sparkSession
     if impl == "auto":
-        impl = "jvm" if _jvm_avro_available(spark) else "python"
+        impl = "python" if writer_fields is not None else (
+            "jvm" if _jvm_avro_available(spark) else "python"
+        )
+    if impl == "jvm" and writer_fields is not None:
+        raise ValueError(
+            "schema resolution (writer_schema_json) requires impl='python'"
+        )
     if impl == "jvm":
         from pyspark.sql.avro.functions import from_avro as jvm_from_avro
 
@@ -267,22 +328,26 @@ def from_avro_df(
     )
     field_spec = list(fields)
 
+    decode_spec = writer_fields if writer_fields is not None else field_spec
+
     def batches(it):
         import pandas as pd
 
         # A NULL payload (Kafka tombstone shape) decodes to an all-None
         # record, matching JVM from_avro's null struct → null fields when
         # the struct is flattened with `_rec.*` — the two impls must not
-        # diverge under impl="auto".
+        # diverge under impl="auto". Resolution: decode per the WRITER
+        # spec (byte positions follow the writer), project by reader
+        # field name (missing → None, extra → dropped).
         none_rec = {n: None for n, _, _ in field_spec}
         for pdf in it:
             recs = [
-                none_rec if b is None else decode_record(field_spec, bytes(b))
+                none_rec if b is None else decode_record(decode_spec, bytes(b))
                 for b in pdf[bin_col].values
             ]
             out = pdf[passthrough].copy() if passthrough else pd.DataFrame(index=pdf.index)
             for n, _, _ in field_spec:
-                out[n] = [r[n] for r in recs]
+                out[n] = [r.get(n) for r in recs]
             yield out
 
     return df.mapInPandas(batches, out_schema)
@@ -434,12 +499,15 @@ def _make_ocf_codec():
                 pos += vl
 
     def ocf_decode_records(payload: bytes, fields,
-                           expect_json: str | None = None) -> tuple[str, list[dict]]:
+                           expect_json: str | None = None,
+                           resolve: bool = False) -> tuple[str, list[dict]]:
         """Parse one OCF payload with CALLER-supplied reader fields →
-        (embedded schema JSON, records). ``expect_json``: refuse (with a
-        clear error, BEFORE decoding any record) when the embedded writer
-        schema differs — this reader implements the supported subset, not
-        schema resolution."""
+        (embedded schema JSON, records). ``expect_json``: when the
+        embedded writer schema differs, refuse with a clear error
+        (``resolve=False``, BEFORE decoding any record) or apply the
+        name-matched schema-resolution subset (``resolve=True``: decode
+        per the writer, drop writer-only fields, null-fill reader-only
+        nullable fields)."""
         import json as _json
         import zlib
 
@@ -448,10 +516,14 @@ def _make_ocf_codec():
             raise ValueError("not an Avro object container file (bad magic)")
         meta, pos = _decode_map(data, 4)
         schema_json = meta["avro.schema"].decode()
+        reader_fields = fields
         if expect_json is not None and _json.loads(schema_json) != _json.loads(expect_json):
-            raise ValueError(
-                f"OCF writer schema {schema_json!r} != reader schema"
-            )
+            if not resolve:
+                raise ValueError(
+                    f"OCF writer schema {schema_json!r} != reader schema"
+                )
+            fields = _parse_fields(schema_json)  # decode per the WRITER
+            check_resolution(fields, reader_fields)
         codec = meta.get("avro.codec", b"null").decode()
         sync = data[pos:pos + 16]
         pos += 16
@@ -485,6 +557,8 @@ def _make_ocf_codec():
                             continue
                     row[name], bpos = _decode_value(t, body, bpos)
                 rows.append(row)
+        if fields is not reader_fields:  # resolution: project to the reader
+            rows = [{n: r.get(n) for n, _, _ in reader_fields} for r in rows]
         return schema_json, rows
 
     return _decode_map, ocf_decode_records
@@ -527,17 +601,21 @@ def ocf_decode(payload: bytes) -> tuple[str, list[dict]]:
     return _ocf_decode_records(data, fields)
 
 
-def read_avro_ocf(spark: SparkSession, path: str, schema_json: str) -> DataFrame:
+def read_avro_ocf(
+    spark: SparkSession, path: str, schema_json: str, resolve: bool = False
+) -> DataFrame:
     """Read a directory/glob of .avro container files into a DataFrame.
 
     Spark-side shape: ``binaryFile`` scan (one row per file — the
     many-files layout standard at scale; a single monolithic OCF will not
     split) → Arrow-batched mapInPandas decode. The embedded writer schema
-    must match ``schema_json`` (this reader implements the supported
-    subset, not schema resolution) — mismatches raise rather than
-    mis-decode."""
+    must match ``schema_json`` — mismatches raise rather than mis-decode —
+    unless ``resolve=True``, which applies the name-matched
+    schema-resolution subset per FILE (a directory of mixed schema
+    versions reads under one reader schema: writer-only fields dropped,
+    reader-only nullable fields null-filled)."""
     raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
-    return _ocf_decode_files(raw, schema_json)
+    return _ocf_decode_files(raw, schema_json, resolve=resolve)
 
 
 def read_avro_ocf_stream(spark: SparkSession, path: str, schema_json: str) -> DataFrame:
@@ -555,7 +633,9 @@ def read_avro_ocf_stream(spark: SparkSession, path: str, schema_json: str) -> Da
     return _ocf_decode_files(raw, schema_json)
 
 
-def _ocf_decode_files(raw: DataFrame, schema_json: str) -> DataFrame:
+def _ocf_decode_files(
+    raw: DataFrame, schema_json: str, resolve: bool = False
+) -> DataFrame:
     """(… content binary) → decoded record rows; shared by the batch and
     streaming OCF readers. The closure captures only by-value codec
     closures + plain data (worker-safe without the package on
@@ -566,6 +646,7 @@ def _ocf_decode_files(raw: DataFrame, schema_json: str) -> DataFrame:
     want = schema_json
     decode_records = _ocf_decode_records
     field_spec = list(fields)
+    do_resolve = resolve
 
     def batches(it):
         import pandas as _pd
@@ -573,7 +654,9 @@ def _ocf_decode_files(raw: DataFrame, schema_json: str) -> DataFrame:
         for pdf in it:
             rows: list[dict] = []
             for payload in pdf["content"]:
-                _, recs = decode_records(bytes(payload), field_spec, expect_json=want)
+                _, recs = decode_records(
+                    bytes(payload), field_spec, expect_json=want, resolve=do_resolve
+                )
                 rows.extend(recs)
             yield _pd.DataFrame(
                 {n: [r[n] for r in rows] for n, _, _ in field_spec}

@@ -179,34 +179,91 @@ def from_avro_wire_df(
     bin_col: str = "value",
     impl: str = "auto",
     dead_letter: bool = False,
+    all_versions: bool = False,
 ):
     """Decode a wire-format column against ``subject``'s latest schema.
 
-    Conforming rows (header = magic + latest id, plus NULL payloads — the
-    Kafka tombstone shape, which decodes to all-null fields) strip the
-    header JVM-side and ride ``from_avro_df``. Rows carrying a FOREIGN
-    schema id or a malformed header are the engine's standard dead-letter
-    case: silently decoding them against the wrong schema would produce
-    garbage, so they are split out, not guessed at. With
-    ``dead_letter=True`` returns ``(decoded, rejects)``; otherwise just
-    the decoded frame. Single-lineage subjects only (TopicNameStrategy,
-    the reference's configuration surface); cross-version resolution is
-    out of scope, matching the Avro reader's no-schema-resolution rule.
+    Conforming rows (plus NULL payloads — the Kafka tombstone shape,
+    which decodes to all-null fields) strip the header JVM-side and ride
+    the Avro decoder. Rows carrying an unknown schema id or a malformed
+    header are the engine's standard dead-letter case: silently decoding
+    them against the wrong schema would produce garbage, so they are
+    split out, not guessed at. With ``dead_letter=True`` returns
+    ``(decoded, rejects)``; otherwise just the decoded frame.
+
+    ``all_versions=False``: only the LATEST version's id conforms.
+    ``all_versions=True``: the real registry evolution story — any id in
+    the subject's lineage conforms, each row decoding per ITS writer
+    schema and resolving to the latest reader by the name-matched subset
+    (writer-only fields dropped, reader-only nullable fields null-filled;
+    incompatible lineages raise up front). Python decode path (per-row
+    writer dispatch has no JVM expression equivalent).
     """
-    sid, schema_json = registry.latest(subject)
-    header = wire_header(sid)
+    sid, reader_json = registry.latest(subject)
     is_tombstone = F.col(bin_col).isNull()
-    conforms = is_tombstone | (
-        F.substring(F.col(bin_col), 1, _WIRE_HEADER_LEN) == F.lit(header)
+    if not all_versions:
+        header = wire_header(sid)
+        conforms = is_tombstone | (
+            F.substring(F.col(bin_col), 1, _WIRE_HEADER_LEN) == F.lit(header)
+        )
+        ok = df.filter(conforms).withColumn(
+            bin_col,
+            F.when(is_tombstone, F.lit(None).cast("binary")).otherwise(
+                F.substring(F.col(bin_col), _WIRE_HEADER_LEN + 1, _REST_OF_BYTES)
+            ),
+        )
+        decoded = from_avro_df(ok, reader_json, bin_col=bin_col, impl=impl)
+        if not dead_letter:
+            return decoded
+        return decoded, df.filter(~conforms)
+
+    from kafka_streams_demo_spark.sources.avro import (
+        _SPARK_TYPE,
+        check_resolution,
+        decode_record,
+        parse_record_schema,
     )
-    ok = df.filter(conforms).withColumn(
-        bin_col,
-        F.when(is_tombstone, F.lit(None).cast("binary")).otherwise(
-            F.substring(F.col(bin_col), _WIRE_HEADER_LEN + 1, _REST_OF_BYTES)
-        ),
+
+    reader_fields = parse_record_schema(reader_json)
+    writers = {}
+    for vid in registry.versions(subject):
+        wf = parse_record_schema(registry.get_by_id(vid))
+        check_resolution(wf, reader_fields)  # refuse incompatible lineages early
+        writers[vid] = wf
+    headers = [wire_header(v) for v in writers]
+    conforms = is_tombstone | F.substring(
+        F.col(bin_col), 1, _WIRE_HEADER_LEN
+    ).isin([F.lit(h) for h in headers])
+    ok = df.filter(conforms)
+    passthrough = [c for c in df.columns if c != bin_col]
+    type_by_col = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {type_by_col[c]}" for c in passthrough]
+        + [f"{n} {_SPARK_TYPE[t]}" for n, t, _ in reader_fields]
     )
-    decoded = from_avro_df(ok, schema_json, bin_col=bin_col, impl=impl)
+    writer_specs = dict(writers)
+    r_fields = list(reader_fields)
+
+    def batches(it):
+        import pandas as pd
+
+        none_rec = {n: None for n, _, _ in r_fields}
+        for pdf in it:
+            recs = []
+            for b in pdf[bin_col].values:
+                if b is None:
+                    recs.append(none_rec)
+                    continue
+                raw = bytes(b)
+                wid = int.from_bytes(raw[1:5], "big")
+                rec = decode_record(writer_specs[wid], raw[5:])
+                recs.append({n: rec.get(n) for n, _, _ in r_fields})
+            out = pdf[passthrough].copy() if passthrough else pd.DataFrame(index=pdf.index)
+            for n, _, _ in r_fields:
+                out[n] = [r.get(n) for r in recs]
+            yield out
+
+    decoded = ok.mapInPandas(batches, out_schema)
     if not dead_letter:
         return decoded
-    rejects = df.filter(~conforms)
-    return decoded, rejects
+    return decoded, df.filter(~conforms)

@@ -361,3 +361,79 @@ def test_snappy_decoder_never_leaks_index_errors():
         assert _snappy_decompress(_snappy_compress(payload)) == payload
 
     roundtrip()
+
+
+SCHEMA_V1 = json.dumps({
+    "type": "record", "name": "Ev", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "name", "type": "string"},
+    ],
+})
+SCHEMA_V2 = json.dumps({
+    "type": "record", "name": "Ev", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "tag", "type": ["null", "string"]},
+    ],
+})
+
+
+def test_schema_resolution_added_nullable_field(spark):
+    """v1 payloads read under the v2 reader: new nullable field nulls in;
+    v2 payloads read under the v1 reader: extra field decoded and dropped
+    (byte positions stay correct). The spec's name-matched subset."""
+    from kafka_streams_demo_spark.sources.avro import from_avro_df, to_avro_df
+
+    v1 = spark.range(10).selectExpr("id AS k", "concat('n', id) AS name")
+    enc1 = to_avro_df(v1, SCHEMA_V1, impl="python")
+    up = from_avro_df(enc1, SCHEMA_V2, impl="python", writer_schema_json=SCHEMA_V1)
+    rows = {r["k"]: (r["name"], r["tag"]) for r in up.collect()}
+    assert rows == {i: (f"n{i}", None) for i in range(10)}
+
+    v2 = spark.range(10).selectExpr(
+        "id AS k", "concat('n', id) AS name", "concat('t', id) AS tag"
+    )
+    enc2 = to_avro_df(v2, SCHEMA_V2, impl="python")
+    down = from_avro_df(enc2, SCHEMA_V1, impl="python", writer_schema_json=SCHEMA_V2)
+    assert {r["k"]: r["name"] for r in down.collect()} == {i: f"n{i}" for i in range(10)}
+    assert "tag" not in down.columns
+
+
+def test_schema_resolution_incompatible_raises():
+    from kafka_streams_demo_spark.sources.avro import check_resolution, parse_record_schema
+
+    w = parse_record_schema(SCHEMA_V1)
+    bad_extra = parse_record_schema(json.dumps({
+        "type": "record", "name": "Ev", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "required_new", "type": "string"},  # non-nullable, absent
+        ],
+    }))
+    with pytest.raises(ValueError, match="not nullable"):
+        check_resolution(w, bad_extra)
+    bad_type = parse_record_schema(json.dumps({
+        "type": "record", "name": "Ev", "fields": [
+            {"name": "k", "type": "string"},  # type flip
+        ],
+    }))
+    with pytest.raises(ValueError, match="writer type"):
+        check_resolution(w, bad_type)
+
+
+def test_read_avro_ocf_resolves_mixed_versions(spark, tmp_path):
+    """A directory holding files written under BOTH schema versions reads
+    under the v2 reader with resolve=True; without it, the old file
+    raises the strict-mismatch error."""
+    from kafka_streams_demo_spark.sources.avro import ocf_encode, read_avro_ocf
+
+    (tmp_path / "old.avro").write_bytes(ocf_encode(
+        SCHEMA_V1, [{"k": i, "name": f"o{i}"} for i in range(5)]))
+    (tmp_path / "new.avro").write_bytes(ocf_encode(
+        SCHEMA_V2, [{"k": 100 + i, "name": f"n{i}", "tag": f"t{i}"} for i in range(5)],
+        codec="snappy"))
+    df = read_avro_ocf(spark, str(tmp_path), SCHEMA_V2, resolve=True)
+    rows = {r["k"]: (r["name"], r["tag"]) for r in df.collect()}
+    assert rows[0] == ("o0", None) and rows[100] == ("n0", "t0")
+    assert len(rows) == 10
+    with pytest.raises(Exception, match="writer schema"):
+        read_avro_ocf(spark, str(tmp_path), SCHEMA_V2).collect()

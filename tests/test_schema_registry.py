@@ -158,3 +158,43 @@ def test_wire_serde_works_in_structured_streaming(spark, tmp_path):
     got = {r["user"]: r["total"] for r in
            run_available_now(agg, output_mode="update").collect()}
     assert got == {f"u{k}": sum(i for i in range(60) if i % 4 == k) for k in range(4)}
+
+
+def test_wire_decode_all_versions_mixed_payloads(spark):
+    """The registry evolution story: one topic carrying v1 AND v2 payloads
+    decodes under the latest reader — v1 rows null-fill the added field —
+    while unknown ids still dead-letter."""
+    from kafka_streams_demo_spark.sources.avro import encode_record, parse_record_schema
+
+    reg = InMemorySchemaRegistry()
+    id1 = reg.register("clicks-value", SCHEMA)
+    id2 = reg.register("clicks-value", SCHEMA_V2)
+    f1, f2 = parse_record_schema(SCHEMA), parse_record_schema(SCHEMA_V2)
+    rows = [
+        (1, wire_encode(id1, encode_record(f1, {"user": "a", "n": 1}))),
+        (2, wire_encode(id2, encode_record(f2, {"user": "b", "n": 2, "note": "x"}))),
+        (3, wire_encode(id2 + 99, b"\x02zz")),  # unknown id
+        (4, None),                              # tombstone
+    ]
+    df = spark.createDataFrame(rows, "rid long, value binary")
+    decoded, rejects = from_avro_wire_df(
+        df, "clicks-value", reg, all_versions=True, dead_letter=True
+    )
+    got = {r["rid"]: (r["user"], r["n"], r["note"]) for r in decoded.collect()}
+    assert got == {1: ("a", 1, None), 2: ("b", 2, "x"), 4: (None, None, None)}
+    assert [r["rid"] for r in rejects.collect()] == [3]
+
+
+def test_wire_all_versions_refuses_incompatible_lineage(spark):
+    import pytest as _pytest
+
+    reg = InMemorySchemaRegistry()
+    reg.register("t-value", SCHEMA)
+    reg.register("t-value", json.dumps({
+        "type": "record", "name": "Click", "fields": [
+            {"name": "user", "type": "long"},  # type flip vs v1
+        ],
+    }))
+    df = spark.createDataFrame([(1, None)], "rid long, value binary")
+    with _pytest.raises(ValueError, match="writer type|not nullable"):
+        from_avro_wire_df(df, "t-value", reg, all_versions=True)
