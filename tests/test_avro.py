@@ -437,3 +437,61 @@ def test_read_avro_ocf_resolves_mixed_versions(spark, tmp_path):
     assert len(rows) == 10
     with pytest.raises(Exception, match="writer schema"):
         read_avro_ocf(spark, str(tmp_path), SCHEMA_V2).collect()
+
+
+def test_schema_resolution_property_random_field_sets():
+    """Property: for random writer/reader field subsets, resolution decode
+    equals {reader fields: writer value if shared else None} whenever
+    check_resolution accepts — and acceptance matches the spec subset
+    rule (reader-only fields must be nullable, shared types equal)."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        return
+
+    from kafka_streams_demo_spark.sources.avro import (
+        check_resolution,
+        decode_record,
+        encode_record,
+        parse_record_schema,
+    )
+
+    types = ["long", "string", "double", "boolean"]
+    vals = {"long": 7, "string": "s", "double": 1.5, "boolean": True}
+
+    field_st = st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.sampled_from(types),
+                  st.booleans()),
+        min_size=1, max_size=6, unique_by=lambda f: f[0],
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(field_st, field_st)
+    def prop(writer, reader):
+        def mk(fields):
+            return json.dumps({"type": "record", "name": "r", "fields": [
+                {"name": n, "type": ["null", t] if nullable else t}
+                for n, t, nullable in fields
+            ]})
+        wf = parse_record_schema(mk(writer))
+        rf = parse_record_schema(mk(reader))
+        wtypes = {n: t for n, t, _ in writer}
+        should_accept = all(
+            (n in wtypes and wtypes[n] == t) or (n not in wtypes and nullable)
+            for n, t, nullable in reader
+        )
+        try:
+            check_resolution(wf, rf)
+            accepted = True
+        except ValueError:
+            accepted = False
+        assert accepted == should_accept
+        if accepted:
+            row = {n: vals[t] for n, t, _ in wf}
+            dec = decode_record(wf, encode_record(wf, row))
+            resolved = {n: dec.get(n) for n, _, _ in rf}
+            assert resolved == {n: (vals[t] if n in wtypes else None)
+                                for n, t, _ in rf}
+
+    prop()
