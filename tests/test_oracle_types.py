@@ -66,3 +66,19 @@ def test_every_oracle_matches_spark_output_types(spark, duck):
         problems += [f"{name}.{c}: oracle-only column"
                      for c in d_schema if c not in s_schema]
     assert not problems, "\n".join(problems)
+
+
+def test_driver_window_integrity():
+    """The external gate samples the first 50 queries: DRIVER_PRIORITY must
+    be exactly 50 unique registered names, every one with a SQL oracle
+    (rows-only entries do not belong in the curated window), so a rotation
+    typo can never silently shrink or weaken the gate."""
+    from kafka_streams_demo_spark import catalog
+
+    names = catalog.DRIVER_PRIORITY
+    assert len(names) == 50
+    assert len(set(names)) == 50
+    for n in names:
+        assert n in catalog.QUERIES, f"{n} not registered"
+        assert n in catalog.ORACLES, f"{n} has no oracle"
+    assert list(catalog.queries())[:50] == names
