@@ -358,9 +358,11 @@ def from_avro_df(
 # Spec (same public document as the binary encoding): magic "Obj\x01",
 # file-metadata map (avro.schema + optional avro.codec), 16-byte sync
 # marker, then data blocks of (record-count, byte-size, records, sync).
-# Codecs supported here: null, deflate (raw RFC-1951 — stdlib zlib), and
+# Codecs supported here: null, deflate (raw RFC-1951 — stdlib zlib),
 # snappy (from-scratch per the public snappy format description; Avro's
-# snappy blocks carry a 4-byte big-endian CRC32 of the uncompressed data).
+# snappy blocks carry a 4-byte big-endian CRC32 of the uncompressed
+# data), and bzip2/xz (stdlib bz2/lzma) — 5 of the spec's 6 codecs;
+# only zstandard (no stdlib impl) remains unsupported.
 
 _OCF_MAGIC = b"Obj\x01"
 
@@ -544,6 +546,12 @@ def _make_ocf_codec():
                 body = _snappy_decompress(body[:-4])
                 if zlib.crc32(body) & 0xFFFFFFFF != crc:
                     raise ValueError("snappy block CRC32 mismatch")
+            elif codec == "bzip2":
+                import bz2 as _bz2
+                body = _bz2.decompress(body)
+            elif codec == "xz":
+                import lzma as _lzma
+                body = _lzma.decompress(body, format=_lzma.FORMAT_XZ)
             elif codec != "null":
                 raise ValueError(f"unsupported OCF codec {codec!r}")
             bpos = 0
@@ -583,6 +591,12 @@ def ocf_encode(schema_json: str, rows: list[dict], codec: str = "null",
         elif codec == "snappy":
             crc = (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
             body = _snappy_compress(body) + crc
+        elif codec == "bzip2":
+            import bz2 as _bz2
+            body = _bz2.compress(body)
+        elif codec == "xz":
+            import lzma as _lzma
+            body = _lzma.compress(body, format=_lzma.FORMAT_XZ)
         elif codec != "null":
             raise ValueError(f"unsupported OCF codec {codec!r}")
         out += _zigzag_encode(len(chunk)) + _zigzag_encode(len(body)) + body + sync

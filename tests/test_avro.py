@@ -495,3 +495,23 @@ def test_schema_resolution_property_random_field_sets():
                                 for n, t, _ in rf}
 
     prop()
+
+
+def test_ocf_bzip2_and_xz_codecs_roundtrip(spark, tmp_path):
+    """5 of the spec's 6 codecs now round-trip (zstandard has no stdlib
+    implementation); bzip2/xz ride the stdlib and read through Spark."""
+    from kafka_streams_demo_spark.sources.avro import (
+        ocf_decode,
+        ocf_encode,
+        read_avro_ocf,
+    )
+
+    rows = [{"user_id": i, "event_type": f"e{i % 3}", "value": i / 4.0,
+             "note": None if i % 2 else f"n{i}"} for i in range(200)]
+    for codec in ("bzip2", "xz"):
+        payload = ocf_encode(SCHEMA, rows, codec=codec, block_records=64)
+        _, got = ocf_decode(payload)
+        assert got == rows
+        (tmp_path / f"{codec}.avro").write_bytes(payload)
+    df = read_avro_ocf(spark, str(tmp_path), SCHEMA)
+    assert df.count() == 400  # both files
