@@ -375,3 +375,69 @@ def ppm_resize_images(multimodal: DataFrame, target_w: int = 32,
         batches,
         schema="doc_id long, orig_w int, orig_h int, new_w int, new_h int, resized binary",
     )
+
+
+def attach_synthetic_gif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload, …) with a REAL LZW-compressed GIF per doc
+    (functions/codecs.py gif codec): dimensions and palette size derive
+    deterministically from doc_id, and the pixel pattern cycles through
+    the whole palette so the decoded color count is closed-form too —
+    the compressed-image sibling of ``attach_synthetic_ppm``."""
+    from kafka_streams_demo_spark.functions.codecs import gif_encode
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + (d % 5) * 4
+                h = 6 + (d % 3) * 2
+                n_colors = 2 + d % 3
+                palette = np.array(
+                    [[(i * 41) % 256, (i * 83) % 256, (i * 127) % 256]
+                     for i in range(n_colors)],
+                    dtype=np.uint8,
+                )
+                idx = (np.arange(h * w).reshape(h, w)) % n_colors
+                payloads.append(gif_encode(palette[idx]))
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "modality": ["image_gif"] * len(pdf),
+                "byte_len": [len(p) for p in payloads],
+                "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return ids.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, modality string, byte_len long, checksum string",
+    )
+
+
+def gif_meta_extract(multimodal: DataFrame) -> DataFrame:
+    """REAL compressed-image decode: parse the GIF container and LZW
+    stream per row (Arrow batches) → (doc_id, width, height, n_colors)."""
+    from kafka_streams_demo_spark.functions.codecs import gif_meta
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            metas = [gif_meta(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "n_colors": [m["n_colors"] for m in metas],
+            })
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, width int, height int, n_colors int"
+    )

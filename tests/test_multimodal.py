@@ -212,3 +212,83 @@ def test_ppm_video_frame_sample_distributed(spark):
             assert px.shape == (12, 16, 3)
             assert (px == (doc_id + 17 * r["frame_no"]) % 256).all()
     assert set(got) == set(range(20))
+
+
+def test_gif_lzw_golden_documented_stream():
+    """Golden LZW: the widely-documented 10x10 sample stream (min code
+    size 2) exercises dictionary growth AND the 3→4 bit width change;
+    and the canonical 1x1 pixel GIF decodes through the full container
+    path. Both are public reference byte sequences, not our encoder's
+    output — they pin the decoder against the spec, not against itself."""
+    import base64
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        _gif_lzw_decode,
+        gif_decode,
+    )
+
+    stream = bytes.fromhex(
+        "8C2D99872A1CDC33A00275EC95FAA8DE608C04914C01"
+    )
+    idx = _gif_lzw_decode(stream, 2)
+    assert len(idx) == 100
+    assert idx[:10] == [1, 1, 1, 1, 1, 2, 2, 2, 2, 2]
+    assert set(idx) <= {0, 1, 2}
+
+    one_px = base64.b64decode(
+        "R0lGODlhAQABAIAAAP///wAAACH5BAEAAAAALAAAAAABAAEAAAICRAEAOw=="
+    )
+    px = gif_decode(one_px)
+    assert px.shape == (1, 1, 3)
+    assert px[0, 0].tolist() == [255, 255, 255]
+
+
+def test_gif_roundtrip_and_palette():
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        gif_decode,
+        gif_encode,
+        gif_meta,
+    )
+
+    rng = np.random.RandomState(3)
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                        [10, 20, 30], [200, 200, 200]], dtype=np.uint8)
+    idx = rng.randint(0, 5, size=(13, 17))
+    img = palette[idx]
+    payload = gif_encode(img)
+    assert payload[:6] == b"GIF89a" and payload[-1:] == b"\x3b"
+    back = gif_decode(payload)
+    assert back.shape == (13, 17, 3)
+    assert (back == img).all()
+    meta = gif_meta(payload)
+    assert (meta["width"], meta["height"]) == (17, 13)
+    assert meta["n_colors"] == 5
+
+    with __import__("pytest").raises(ValueError, match="signature"):
+        gif_decode(b"NOTAGIF" + payload)
+
+
+def test_gif_interlaced_rows_restored():
+    """File stores rows in the 4-pass interlace order; the decoder must
+    restore natural order when the interlace flag is set."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import gif_decode, gif_encode
+
+    h, w = 11, 6
+    palette = np.array([[0, 0, 0], [255, 255, 255], [9, 9, 9]], dtype=np.uint8)
+    natural = palette[(np.arange(h * w).reshape(h, w)) % 3]
+    file_order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        file_order.extend(range(start, h, step))
+    stored = natural[file_order]
+    payload = bytearray(gif_encode(stored))
+    # patch the image-descriptor packed byte: header(13) + GCT + sep/geom(9)
+    table_n = 4  # 3 colors pad to 4
+    packed_at = 13 + 3 * table_n + 9
+    assert payload[packed_at] == 0x00
+    payload[packed_at] = 0x40
+    back = gif_decode(bytes(payload))
+    assert (back == natural).all()
