@@ -1522,6 +1522,29 @@ def gif_decode_meta_q(spark, sf_dir):
 
 
 @register(
+    "gif_frames_meta",
+    "SELECT doc_id AS key, CAST(g.f AS INTEGER) AS frame_no, "
+    "CAST(12 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h "
+    "FROM documents, "
+    "LATERAL UNNEST(generate_series(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) g(f)",
+)
+def gif_frames_meta_q(spark, sf_dir):
+    """HASH-VERIFIED frame sampling over the COMPRESSED video container
+    (round 4): each doc carries a multi-frame LZW GIF (3 + doc_id%4
+    full-canvas frames); sampling every 2nd frame must hit exactly
+    {0, 2, ...} with the decoded dimensions — proving container offsets,
+    per-frame LZW decode, and the sampler against a closed-form oracle."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_gif_video,
+        gif_frame_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = gif_frame_sample(attach_synthetic_gif_video(docs), every_n=2)
+    return out.select(F.col("doc_id").alias("key"), "frame_no", "w", "h")
+
+
+@register(
     "ppm_frames_meta",
     "SELECT doc_id AS key, CAST(g.f AS INTEGER) AS frame_no, "
     "CAST(16 AS INTEGER) AS w, CAST(12 AS INTEGER) AS h "

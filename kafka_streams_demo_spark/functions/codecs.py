@@ -268,9 +268,12 @@ def _make_gif_codec():
         out += b"\x00\x3b"  # block terminator + trailer
         return bytes(out)
 
-    def gif_decode(payload: bytes):
-        """GIF → (h, w, 3) uint8 array of the FIRST image (extensions
-        skipped, local color table and interlacing honored)."""
+    def gif_frames(payload: bytes):
+        """GIF → list of (h, w, 3) uint8 arrays, one per image block —
+        multi-image GIFs (animations) are the engine's COMPRESSED video
+        container. Frames must be full-canvas (left=top=0, frame size =
+        screen size — true for everything this engine writes); partial-
+        frame composition/disposal is out of scope and raises."""
         import numpy as np
 
         data = bytes(payload)
@@ -285,6 +288,7 @@ def _make_gif_codec():
             n = 1 << ((packed & 0x07) + 1)
             gct = data[pos:pos + 3 * n]
             pos += 3 * n
+        frames = []
         while pos < len(data):
             b = data[pos]
             pos += 1
@@ -298,8 +302,12 @@ def _make_gif_codec():
                 continue
             if b != 0x2C:
                 raise ValueError(f"unexpected GIF block 0x{b:02x}")
+            left = int.from_bytes(data[pos:pos + 2], "little")
+            top = int.from_bytes(data[pos + 2:pos + 4], "little")
             w = int.from_bytes(data[pos + 4:pos + 6], "little")
             h = int.from_bytes(data[pos + 6:pos + 8], "little")
+            if (left, top) != (0, 0) or (w, h) != (sw, sh):
+                raise ValueError("partial-canvas GIF frames unsupported")
             ipacked = data[pos + 8]
             pos += 9
             table = gct
@@ -330,8 +338,56 @@ def _make_gif_codec():
             if ipacked & 0x40:  # interlaced: restore row order
                 rows = [raster[r] for r in range(h)]
                 raster = np.stack(_deinterlace(rows))
-            return raster.copy()
-        raise ValueError("GIF contains no image data")
+            frames.append(raster.copy())
+        if not frames:
+            raise ValueError("GIF contains no image data")
+        return frames
+
+    def gif_decode(payload: bytes):
+        """GIF → (h, w, 3) uint8 array of the FIRST image."""
+        return gif_frames(payload)[0]
+
+    def gif_encode_animation(frames) -> bytes:
+        """Full-canvas frames → one multi-image GIF89a sharing a global
+        palette (union of all frames' colors, ≤ 256)."""
+        import numpy as np
+
+        fs = [np.asarray(f, dtype=np.uint8) for f in frames]
+        if not fs:
+            raise ValueError("no frames")
+        h, w, _ = fs[0].shape
+        if any(f.shape != (h, w, 3) for f in fs):
+            raise ValueError("all frames must share the canvas size")
+        allpx = np.concatenate([f.reshape(-1, 3) for f in fs])
+        palette = np.unique(allpx, axis=0)
+        n = len(palette)
+        if n > 256:
+            raise ValueError(f"GIF supports <=256 colors, got {n}")
+        size_bits = max(1, (max(n, 2) - 1).bit_length())
+        table_n = 1 << size_bits
+        lut = {tuple(c): i for i, c in enumerate(palette.tolist())}
+
+        out = bytearray(b"GIF89a")
+        out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+        out.append(0x80 | 0x70 | (size_bits - 1))
+        out += b"\x00\x00"
+        for i in range(table_n):
+            out += bytes(palette[i]) if i < n else b"\x00\x00\x00"
+        min_code = max(2, size_bits)
+        for f in fs:
+            out += b"\x2c" + b"\x00\x00\x00\x00"
+            out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+            out.append(0x00)
+            out.append(min_code)
+            indices = [lut[tuple(p)] for p in f.reshape(-1, 3).tolist()]
+            stream = _lzw_encode_literal(indices, min_code)
+            for i in range(0, len(stream), 255):
+                chunk = stream[i:i + 255]
+                out.append(len(chunk))
+                out += chunk
+            out += b"\x00"
+        out += b"\x3b"
+        return bytes(out)
 
     def gif_meta(payload: bytes) -> dict:
         """Decode + summarize: width, height, n_colors actually used."""
@@ -342,8 +398,9 @@ def _make_gif_codec():
         n_colors = int(len(np.unique(px.reshape(-1, 3), axis=0)))
         return {"width": int(w), "height": int(h), "n_colors": n_colors}
 
-    return gif_encode, gif_decode, gif_meta, _lzw_decode, _lzw_encode_literal
+    return (gif_encode, gif_decode, gif_meta, gif_frames,
+            gif_encode_animation, _lzw_decode, _lzw_encode_literal)
 
 
-(gif_encode, gif_decode, gif_meta,
+(gif_encode, gif_decode, gif_meta, gif_frames, gif_encode_animation,
  _gif_lzw_decode, _gif_lzw_encode_literal) = _make_gif_codec()

@@ -441,3 +441,71 @@ def gif_meta_extract(multimodal: DataFrame) -> DataFrame:
     return multimodal.select("doc_id", "payload").mapInPandas(
         batches, schema="doc_id long, width int, height int, n_colors int"
     )
+
+
+def attach_synthetic_gif_video(docs: DataFrame, id_col: str = "doc_id",
+                               w: int = 12, h: int = 8) -> DataFrame:
+    """(doc_id, payload, …) with a REAL multi-frame LZW-compressed GIF per
+    doc (3 + doc_id%4 full-canvas frames, rotating a small palette) — the
+    compressed sibling of ``attach_synthetic_ppm_video``."""
+    from kafka_streams_demo_spark.functions.codecs import gif_encode_animation
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_frames = 3 + d % 4
+                palette = np.array(
+                    [[0, 0, 0], [255, 255, 255], [(d * 37) % 256, 128, 64]],
+                    dtype=np.uint8,
+                )
+                frames = [
+                    palette[(np.arange(h * w).reshape(h, w) + k) % 3]
+                    for k in range(n_frames)
+                ]
+                payloads.append(gif_encode_animation(frames))
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "modality": ["video_gif"] * len(pdf),
+                "byte_len": [len(p) for p in payloads],
+                "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return ids.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, modality string, byte_len long, checksum string",
+    )
+
+
+def gif_frame_sample(multimodal: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling over the COMPRESSED video container: decode the GIF
+    (full LZW), keep every ``every_n``-th frame → (doc_id, frame_no, w, h)."""
+    from kafka_streams_demo_spark.functions.codecs import gif_frames
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "frame_no": [], "w": [], "h": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                frames = gif_frames(bytes(p))
+                for i in range(0, len(frames), every_n):
+                    fh, fw, _ = frames[i].shape
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["w"].append(fw)
+                    rows["h"].append(fh)
+            yield _pd.DataFrame(rows)
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, frame_no int, w int, h int"
+    )

@@ -292,3 +292,34 @@ def test_gif_interlaced_rows_restored():
     payload[packed_at] = 0x40
     back = gif_decode(bytes(payload))
     assert (back == natural).all()
+
+
+def test_gif_animation_multiframe_roundtrip_and_frame_sample(spark):
+    """Multi-frame GIF: N full-canvas frames round-trip pixel-exact, and
+    the Spark frame-sampler indexes every 2nd frame with real decode."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        gif_encode_animation,
+        gif_frames,
+    )
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_gif_video,
+        gif_frame_sample,
+    )
+
+    pal = np.array([[1, 2, 3], [250, 250, 250]], dtype=np.uint8)
+    frames = [pal[(np.arange(20).reshape(4, 5) + k) % 2] for k in range(5)]
+    back = gif_frames(gif_encode_animation(frames))
+    assert len(back) == 5
+    assert all((a == b).all() for a, b in zip(frames, back))
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = gif_frame_sample(attach_synthetic_gif_video(docs), every_n=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["frame_no"])
+        assert (r["w"], r["h"]) == (12, 8)
+    for d in range(8):
+        n = 3 + d % 4
+        assert sorted(got[d]) == list(range(0, n, 2))
