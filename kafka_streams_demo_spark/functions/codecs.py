@@ -389,6 +389,17 @@ def _make_gif_codec():
         out += b"\x3b"
         return bytes(out)
 
+    def gif_resize(payload: bytes, new_w: int, new_h: int) -> bytes:
+        """Nearest-neighbor resize of a (single-frame) GIF, re-encoded —
+        the compressed-image sibling of ``ppm_resize``."""
+        import numpy as np
+
+        px = gif_decode(payload)
+        h, w, _ = px.shape
+        rows = (np.arange(new_h) * h) // new_h
+        cols = (np.arange(new_w) * w) // new_w
+        return gif_encode(px[rows][:, cols])
+
     def gif_meta(payload: bytes) -> dict:
         """Decode + summarize: width, height, n_colors actually used."""
         import numpy as np
@@ -399,8 +410,9 @@ def _make_gif_codec():
         return {"width": int(w), "height": int(h), "n_colors": n_colors}
 
     return (gif_encode, gif_decode, gif_meta, gif_frames,
-            gif_encode_animation, _lzw_decode, _lzw_encode_literal)
+            gif_encode_animation, gif_resize, _lzw_decode,
+            _lzw_encode_literal)
 
 
 (gif_encode, gif_decode, gif_meta, gif_frames, gif_encode_animation,
- _gif_lzw_decode, _gif_lzw_encode_literal) = _make_gif_codec()
+ gif_resize, _gif_lzw_decode, _gif_lzw_encode_literal) = _make_gif_codec()

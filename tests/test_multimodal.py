@@ -323,3 +323,21 @@ def test_gif_animation_multiframe_roundtrip_and_frame_sample(spark):
     for d in range(8):
         n = 3 + d % 4
         assert sorted(got[d]) == list(range(0, n, 2))
+
+
+def test_gif_resize_nearest_neighbor():
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        gif_decode,
+        gif_encode,
+        gif_resize,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    img = pal[(np.arange(64).reshape(8, 8) // 8 + np.arange(64).reshape(8, 8) % 8) % 2]
+    small = gif_decode(gif_resize(gif_encode(img), 4, 4))
+    assert small.shape == (4, 4, 3)
+    # nearest-neighbor on a checkerboard: sampled points keep the pattern
+    expect = img[(np.arange(4) * 2)][:, (np.arange(4) * 2)]
+    assert (small == expect).all()
