@@ -1379,7 +1379,11 @@ def dedup_embedding_cosine_q(spark, sf_dir):
     from kafka_streams_demo_spark.functions.dedup import embedding_cosine_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return embedding_cosine_pairs(emb, threshold=0.35, block_col="label")
+    # cap off: the oracle computes exact all-pairs (same pattern as the
+    # ngram entry passing max_doc_freq=None); the default-on cap is the
+    # production scale guard, not part of this hash-gated definition
+    return embedding_cosine_pairs(emb, threshold=0.35, block_col="label",
+                                  max_block_size=None)
 
 
 _KNN_ORACLE = """
@@ -1403,7 +1407,7 @@ def embedding_knn_blocked_q(spark, sf_dir):
     from kafka_streams_demo_spark.functions.dedup import embedding_knn_blocked
 
     emb = load_table(spark, "embeddings", sf_dir)
-    out = embedding_knn_blocked(emb, block_col="label", k=1)
+    out = embedding_knn_blocked(emb, block_col="label", k=1, max_block_size=None)
     return out.withColumn("rn", F.col("rn").cast("long"))
 
 

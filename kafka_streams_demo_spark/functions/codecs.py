@@ -273,7 +273,15 @@ def _make_gif_codec():
         multi-image GIFs (animations) are the engine's COMPRESSED video
         container. Frames must be full-canvas (left=top=0, frame size =
         screen size — true for everything this engine writes); partial-
-        frame composition/disposal is out of scope and raises."""
+        frame composition/disposal is out of scope and raises. Truncated
+        or corrupt payloads raise ValueError (the codec-family contract),
+        never a raw IndexError."""
+        try:
+            return _gif_frames_unchecked(payload)
+        except IndexError as exc:
+            raise ValueError("corrupt GIF: truncated input") from exc
+
+    def _gif_frames_unchecked(payload: bytes):
         import numpy as np
 
         data = bytes(payload)

@@ -554,15 +554,19 @@ def connected_components(
     final stage of a dedup pipeline (pairs → clusters → keep one canonical
     doc per cluster).
 
-    Iterative min-label propagation over symmetrized edges: each round a
-    node takes the min of its label and its neighbors' labels; converges
-    in O(longest-path) rounds — near-dup clusters are shallow (dup rings
-    around a template), so 3-5 rounds in practice, bounded by
-    ``max_iter``. Each round is one self-contained shuffle on the node
-    key; labels are persisted per round and the previous round is
-    unpersisted, so lineage stays O(1) (no exploding plan at scale —
-    the same discipline as ``kmeans_train``). Driver-side work is one
-    scalar ``count()`` per round (the convergence check), never row data.
+    Min-label propagation WITH POINTER DOUBLING over symmetrized edges:
+    each round a node takes the min of its label, its neighbors' labels,
+    and its label's label (the doubling hop) — so a path of diameter D
+    converges in O(log D) rounds, not O(D). 25 rounds therefore cover
+    diameters beyond 2^20: effectively any real graph (near-dup rings are
+    shallow; even a week-long sessionize chain is a few dozen hops =
+    ~6 rounds). If ``max_iter`` is still exhausted with labels changing,
+    this RAISES rather than returning silently fragmented components
+    (review r4: the silent-ceiling failure mode). Each round is two
+    node-keyed shuffles; labels are localCheckpoint'ed per round (persist
+    alone keeps the full plan, which doubles per round — 2^rounds — until
+    the driver dies building it). Driver-side work is one scalar
+    ``count()`` per round, never row data.
     """
     fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -572,29 +576,41 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        # localCheckpoint, not persist: persist keeps the FULL logical plan
-        # for re-planning, and each round references `labels` twice, so a
-        # long chain (label propagation over a path graph) grows the plan
-        # 2^rounds until the driver dies building it — truncating lineage
-        # per round keeps planning O(1) while storing the same blocks a
-        # cache would. (Found by the bucketed-sessionize chain test.)
-        new_labels = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+        hop1 = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
             "node",
             F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        # pointer doubling: follow the new label to ITS current label
+        l2 = labels.select(
+            F.col("node").alias("_pn"), F.col("label").alias("_pl")
+        )
+        new_labels = hop1.join(l2, hop1["label"] == l2["_pn"], "left").select(
+            "node",
+            "old_label",
+            F.least(F.col("label"), F.coalesce("_pl", "label")).alias("label"),
         ).localCheckpoint(eager=True)
         n_changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels.unpersist()
         labels = new_labels.select("node", "label")
         if n_changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — with pointer doubling this means a component diameter "
+            f"beyond ~2^{max_iter}; raise max_iter rather than accepting "
+            "silently fragmented components"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -141,13 +141,18 @@ def pack_sequences(
                 ).cast("long"),
             )
         )
+        # null-safe join: a NULL group key is a legal group (groupBy keeps
+        # it) and must not silently drop its docs (review r4)
+        sd = stats.select(
+            F.col("grp").alias("_sg"), "_lo", "_span"
+        )
         toks = (
-            toks.join(F.broadcast(stats.select("grp", "_lo", "_span")), "grp")
+            toks.join(F.broadcast(sd), toks["grp"].eqNullSafe(sd["_sg"]))
             .withColumn(
                 "shard",
                 F.floor((F.col("doc_id") - F.col("_lo")) / F.col("_span")).cast("long"),
             )
-            .drop("_lo", "_span")
+            .drop("_sg", "_lo", "_span")
         )
     else:
         toks = toks.withColumn("shard", F.lit(0).cast("long"))
@@ -234,7 +239,7 @@ def temperature_mixture(
         F.format_string("%02x", F.col("_t"))
     )
     return (
-        docs.join(F.broadcast(rates), docs[group_col] == rates["_g"])
+        docs.join(F.broadcast(rates), docs[group_col].eqNullSafe(rates["_g"]))
         .filter(F.substring(F.md5(F.col(text_col).cast("binary")), 1, 2) < thresh)
         .drop("_g", "_t")
     )

@@ -184,7 +184,13 @@ def bucketed_sessionize(
         .withColumn("_node", F.concat_ws("|", F.col(key_col), "_bkt", "_ls"))
     )
     n_sess = _W.partitionBy(key_col, "_bkt")
-    loc = loc.withColumn("_max_ls", F.max("_ls").over(n_sess)).persist()
+    # localCheckpoint, not persist: read 3x below (last/first/merged) and
+    # a plain persist leaks cached blocks for the session lifetime (no
+    # unpersist point before the caller's action); checkpointed blocks are
+    # freed when the DataFrame is garbage collected
+    loc = loc.withColumn("_max_ls", F.max("_ls").over(n_sess)).localCheckpoint(
+        eager=False
+    )
     last = loc.filter(F.col("_ls") == F.col("_max_ls")).select(
         F.col(key_col).alias("_k"), F.col("_bkt").alias("_b"),
         F.col("_end").alias("_e"), F.col("_node").alias("i"),

@@ -142,7 +142,13 @@ class KStream:
                 raise ValueError(f"default branch name {default!r} collides")
             none_matched = F.lit(True)
             for p in branches.values():
-                none_matched = none_matched & ~p(F.col(KEY), F.col(VALUE))
+                # NULL predicate results count as "did not match": without
+                # the coalesce a row with a NULL predicate falls out of
+                # EVERY branch including the default (review r4); Kafka's
+                # defaultBranch() receives every unmatched record
+                none_matched = none_matched & ~F.coalesce(
+                    p(F.col(KEY), F.col(VALUE)), F.lit(False)
+                )
             out[default] = KStream(self.df.filter(none_matched))
         return out
 

@@ -73,7 +73,7 @@ def _make_schema_parser():
         dropped; reader-only fields must be nullable (read as null — the
         only default this engine supports); matched fields must agree on
         the primitive type (no promotions). Raises on anything else."""
-        writer_by_name = {n: t for n, t, _ in writer_fields}
+        writer_by_name = {n: (t, wni) for n, t, wni in writer_fields}
         for n, t, ni in reader_fields:
             if n not in writer_by_name:
                 if ni is None:
@@ -81,10 +81,21 @@ def _make_schema_parser():
                         f"reader field {n!r} missing from writer schema and "
                         "not nullable (no default to fill)"
                     )
-            elif writer_by_name[n] != t:
+                continue
+            wt, wni = writer_by_name[n]
+            if wt != t:
                 raise ValueError(
-                    f"field {n!r}: writer type {writer_by_name[n]!r} != "
+                    f"field {n!r}: writer type {wt!r} != "
                     f"reader type {t!r} (type promotions unsupported)"
+                )
+            if wni is not None and ni is None:
+                # a nullable writer can emit null; the reader declares the
+                # field non-nullable and has no null branch to read it into
+                # (spec resolution fails such reads at runtime — refuse up
+                # front instead of leaking nulls into a non-nullable column)
+                raise ValueError(
+                    f"field {n!r}: writer is nullable but reader is not — "
+                    "null values would have no branch to resolve into"
                 )
 
     return parse_fields, check_resolution
@@ -632,7 +643,9 @@ def read_avro_ocf(
     return _ocf_decode_files(raw, schema_json, resolve=resolve)
 
 
-def read_avro_ocf_stream(spark: SparkSession, path: str, schema_json: str) -> DataFrame:
+def read_avro_ocf_stream(
+    spark: SparkSession, path: str, schema_json: str, resolve: bool = False
+) -> DataFrame:
     """Streaming ingestion of a growing directory of .avro container
     files: the binaryFile source tracks arrivals, each new file decodes
     once in its micro-batch (file-granularity exactly-once via the
@@ -644,7 +657,7 @@ def read_avro_ocf_stream(spark: SparkSession, path: str, schema_json: str) -> Da
         .schema("path string, modificationTime timestamp, length long, content binary")
         .load(path)
     )
-    return _ocf_decode_files(raw, schema_json)
+    return _ocf_decode_files(raw, schema_json, resolve=resolve)
 
 
 def _ocf_decode_files(

@@ -476,9 +476,11 @@ def test_schema_resolution_property_random_field_sets():
             ]})
         wf = parse_record_schema(mk(writer))
         rf = parse_record_schema(mk(reader))
-        wtypes = {n: t for n, t, _ in writer}
+        wtypes = {n: (t, nullable) for n, t, nullable in writer}
         should_accept = all(
-            (n in wtypes and wtypes[n] == t) or (n not in wtypes and nullable)
+            (n in wtypes and wtypes[n][0] == t
+             and not (wtypes[n][1] and not nullable))  # writer-nullable needs a reader null branch
+            or (n not in wtypes and nullable)
             for n, t, nullable in reader
         )
         try:
@@ -515,3 +517,37 @@ def test_ocf_bzip2_and_xz_codecs_roundtrip(spark, tmp_path):
         (tmp_path / f"{codec}.avro").write_bytes(payload)
     df = read_avro_ocf(spark, str(tmp_path), SCHEMA)
     assert df.count() == 400  # both files
+
+
+def test_schema_resolution_refuses_nullable_writer_nonnullable_reader():
+    """Review r4: a nullable writer field can emit null, which a
+    non-nullable reader field has no branch for — must refuse up front."""
+    from kafka_streams_demo_spark.sources.avro import check_resolution, parse_record_schema
+
+    w = parse_record_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "x", "type": ["null", "long"]}]}))
+    r = parse_record_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "x", "type": "long"}]}))
+    with pytest.raises(ValueError, match="nullable"):
+        check_resolution(w, r)
+    check_resolution(r, w)  # the reverse direction is fine
+
+
+def test_read_avro_ocf_stream_resolves_mixed_versions(spark, tmp_path):
+    """The streaming OCF reader must accept evolving directories like the
+    batch reader (review r4: resolve wasn't threaded through)."""
+    from kafka_streams_demo_spark.sources.avro import ocf_encode, read_avro_ocf_stream
+    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+
+    src = tmp_path / "evolving"
+    src.mkdir()
+    (src / "old.avro").write_bytes(ocf_encode(
+        SCHEMA_V1, [{"k": i, "name": f"o{i}"} for i in range(5)]))
+    (src / "new.avro").write_bytes(ocf_encode(
+        SCHEMA_V2, [{"k": 10 + i, "name": f"n{i}", "tag": "t"} for i in range(5)]))
+    stream = read_avro_ocf_stream(spark, str(src), SCHEMA_V2, resolve=True)
+    out = run_available_now(stream, output_mode="append")
+    rows = {r["k"]: r["tag"] for r in out.collect()}
+    assert len(rows) == 10 and rows[0] is None and rows[10] == "t"

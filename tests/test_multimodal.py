@@ -341,3 +341,17 @@ def test_gif_resize_nearest_neighbor():
     # nearest-neighbor on a checkerboard: sampled points keep the pattern
     expect = img[(np.arange(4) * 2)][:, (np.arange(4) * 2)]
     assert (small == expect).all()
+
+
+def test_gif_truncated_raises_value_error_not_index_error():
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import gif_decode, gif_encode
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    payload = gif_encode(pal[(np.arange(64).reshape(8, 8)) % 2])
+    for cut in (10, 20, len(payload) // 2, len(payload) - 3):
+        try:
+            gif_decode(payload[:cut])
+        except ValueError:
+            pass  # the only acceptable failure mode

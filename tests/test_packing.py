@@ -228,3 +228,29 @@ def test_temperature_mixture_flattens_sources(spark):
     mid_ids = {r["doc_id"] for r in
                temperature_mixture(docs, alpha=0.5).select("doc_id").collect()}
     assert flat_ids <= mid_ids
+
+
+def test_pack_sequences_keeps_null_group_docs(spark):
+    """Review r4 (confirmed repro): sharding's inner equi-join dropped
+    NULL-group docs; the null-safe join must keep them, matching the
+    unsharded path."""
+    docs = spark.createDataFrame(
+        [(1, None, "a b c"), (2, None, "d e"), (3, "s", "f g h")],
+        "doc_id long, source string, text string",
+    )
+    sharded = pack_sequences(docs, capacity=10)  # default sharding ON
+    unsharded = pack_sequences(docs, capacity=10, tokens_per_shard=None)
+    assert sharded.count() == unsharded.count() == 3
+    got = {r["doc_id"]: r["grp"] for r in sharded.collect()}
+    assert got[1] is None and got[3] == "s"
+
+
+def test_temperature_mixture_keeps_null_group_docs(spark):
+    from kafka_streams_demo_spark.functions.packing import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, None if i < 50 else "s", f"text {i} body {i*3}") for i in range(100)],
+        "doc_id long, source string, text string",
+    )
+    out = temperature_mixture(docs, alpha=1.0)  # natural rates: keep all
+    assert out.count() == 100

@@ -297,3 +297,21 @@ def test_salted_topk_per_key_exact_with_hot_key(spark):
         k=3, salt_cols=["rid"],
     ).collect()}
     assert got == expected
+
+
+def test_bucketed_sessionize_long_chain_converges(spark):
+    """Review r4 (confirmed repro): a session chain spanning 35 buckets
+    fragmented at connected_components' 25-round ceiling; pointer doubling
+    must converge in O(log chain) rounds and return ONE session."""
+    import datetime as dt
+
+    from kafka_streams_demo_spark.functions.skew import bucketed_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, "u", t0 + dt.timedelta(seconds=10 * i)) for i in range(210)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    out = bucketed_sessionize(
+        df, key_col="user_id", ts_col="ts",
+        order_cols=["ts", "event_id"], gap_s=10, bucket_s=60,
+    ).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 210

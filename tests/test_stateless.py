@@ -184,3 +184,18 @@ def test_split_named_branches_with_default(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="collides"):
         KStream(df).split({"x": lambda k, v: v > 0}, default="x")
+
+
+def test_split_null_predicate_routes_to_default(spark):
+    """Review r4: a NULL predicate result (v > 10 with v = NULL) must land
+    in the default branch, not vanish from every branch."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream
+
+    df = spark.createDataFrame(
+        [("a", 20), ("b", 5), ("c", None)], "key string, value long"
+    )
+    out = KStream(df).split({"big": lambda k, v: v > 10}, default="rest")
+    assert {r["key"] for r in out["big"].to_df().collect()} == {"a"}
+    assert {r["key"] for r in out["rest"].to_df().collect()} == {"b", "c"}

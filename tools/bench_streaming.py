@@ -127,6 +127,8 @@ def main() -> None:
     provider = "both"
     if "--provider" in args:
         i = args.index("--provider")
+        if i + 1 >= len(args) or args[i + 1] not in ("default", "rocksdb", "both"):
+            raise SystemExit("usage: --provider default|rocksdb|both")
         provider = args[i + 1]
         del args[i:i + 2]
     sf_dir = args[0] if args else os.environ.get(
