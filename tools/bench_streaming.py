@@ -119,6 +119,27 @@ def run_suite(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     dt = time.monotonic() - t0
     results["avro_roundtrip_stream"] = {"rows": n_events, "sec": round(dt, 2),
                                         "rows_per_sec": round(n_events / dt)}
+
+    # schema-registry wire serde in-stream (header prepend/strip is JVM
+    # column math; the Avro payload rides the same python codec)
+    from kafka_streams_demo_spark.sources.schema_registry import (
+        InMemorySchemaRegistry,
+        from_avro_wire_df,
+        to_avro_wire_df,
+    )
+
+    reg = InMemorySchemaRegistry()
+    ev5 = read_stream_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    wired = to_avro_wire_df(ev5, schema_json, "events-value", reg, impl="python")
+    wrt = from_avro_wire_df(wired, "events-value", reg, impl="python") \
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    t0 = time.monotonic()
+    run_noop(wrt)
+    dt = time.monotonic() - t0
+    results["wire_roundtrip_stream"] = {"rows": n_events, "sec": round(dt, 2),
+                                        "rows_per_sec": round(n_events / dt)}
     return results
 
 
