@@ -633,3 +633,18 @@ def dedup_clusters(
         .otherwise(0)
         .alias("is_canonical"),
     )
+
+
+def oversized_blocks(
+    emb: DataFrame, block_col: str = "label", max_block_size: int = 10_000
+) -> DataFrame:
+    """Audit companion to the ``max_block_size`` cap: (block, n_vectors)
+    for every blocking key the capped pair functions would DROP. Run it
+    next to ``embedding_cosine_pairs``/``embedding_knn_blocked`` so capped
+    coverage is observable, not silent — a non-empty result is the signal
+    to re-block those keys through ``ivf_assign`` cells."""
+    return (
+        emb.groupBy(F.col(block_col).alias("block"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .filter(F.col("n_vectors") > max_block_size)
+    )

@@ -308,3 +308,20 @@ def test_ngram_jaccard_doc_freq_guard_shrinks_join_and_lower_bounds(spark):
     # and boilerplate-only pairs (filler docs i<j<20) are gone
     assert set(guarded) <= set(exact)
     assert not {(i, j) for (i, j) in guarded if i < 20 and j < 20}
+
+
+def test_oversized_blocks_audit_matches_cap(spark):
+    """The audit helper reports exactly the blocks the cap drops."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        embedding_cosine_pairs,
+        oversized_blocks,
+    )
+
+    rows = [(i, 0, [1.0, 0.0]) for i in range(6)] + [(100, 1, [0.0, 1.0]),
+                                                     (101, 1, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    audit_rows = {r["block"]: r["n_vectors"]
+                  for r in oversized_blocks(df, max_block_size=3).collect()}
+    assert audit_rows == {0: 6}
+    pairs = embedding_cosine_pairs(df, threshold=0.5, max_block_size=3)
+    assert {(r["i"], r["j"]) for r in pairs.collect()} == {(100, 101)}
