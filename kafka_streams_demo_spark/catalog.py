@@ -3992,3 +3992,14 @@ def oracle_sql() -> dict[str, str]:
             sql = f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) AS _typed"
         out[name] = sql
     return out
+
+
+def summary() -> dict:
+    """Coverage introspection for auditors: registered query count, oracle
+    coverage, the documented rows-only set, and the curated gate window."""
+    return {
+        "queries": len(QUERIES),
+        "with_oracle": len(ORACLES),
+        "rows_only": sorted(set(QUERIES) - set(ORACLES)),
+        "driver_window": list(DRIVER_PRIORITY),
+    }

@@ -82,3 +82,14 @@ def test_driver_window_integrity():
         assert n in catalog.QUERIES, f"{n} not registered"
         assert n in catalog.ORACLES, f"{n} has no oracle"
     assert list(catalog.queries())[:50] == names
+
+
+def test_catalog_summary_counts_consistent():
+    from kafka_streams_demo_spark import catalog
+
+    s = catalog.summary()
+    assert s["queries"] == len(catalog.QUERIES)
+    assert s["with_oracle"] + len(s["rows_only"]) == s["queries"]
+    assert len(s["driver_window"]) == 50
+    # every rows-only entry is documented as such (not in the gate window)
+    assert not set(s["rows_only"]) & set(s["driver_window"])
