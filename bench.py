@@ -96,15 +96,32 @@ def main() -> None:
     timings = {n: min(p[n] for p in passes) for n in names}
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full detail first (both raw passes — round-over-round honesty),
+    # then ONE compact summary line LAST: the driver's tail-capture
+    # truncates long lines from the head (VERDICT r4 #2 — BENCH_r04
+    # recorded "parsed": null), so the line it parses must be the short
+    # one and must come after everything else.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_full_detail",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "passes": passes,
+                "sf": sf_val,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "passes": passes,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "sf": sf_val,
             }
         )
     )

@@ -3807,10 +3807,42 @@ def pack_sequences_q(spark, sf_dir):
 
 
 @register(
+    "pack_sequences_strid",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source AS grp, printf('d%09d', doc_id) AS doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY printf('d%09d', doc_id)) AS rn
+      FROM documents),
+    r AS (
+      SELECT grp, doc_id, n_tokens, rn, n_tokens AS fill, 0 AS bin FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.grp, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN r.fill + d.n_tokens <= 256 THEN r.fill + d.n_tokens ELSE d.n_tokens END,
+             CASE WHEN r.fill + d.n_tokens <= 256 THEN r.bin ELSE r.bin + 1 END
+      FROM d JOIN r ON d.grp = r.grp AND d.rn = r.rn + 1)
+    SELECT grp, doc_id, n_tokens, CAST(bin AS BIGINT) AS bin_id FROM r
+    """,
+)
+def pack_sequences_strid_q(spark, sf_dir):
+    """pack_sequences over STRING doc ids (VERDICT r4 #5): non-numeric ids
+    auto-shard on xxhash64 instead of demanding tokens_per_shard=None.
+    Zero-padded ids keep string order == numeric order, so the recursive-
+    CTE oracle replays the same greedy fold; at this scale the group fits
+    one shard, making hash- and range-sharding provably identical."""
+    from kafka_streams_demo_spark.functions.packing import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "doc_id", F.format_string("d%09d", F.col("doc_id"))
+    )
+    return pack_sequences(docs, capacity=256)
+
+
+@register(
     "temperature_mixture",
     "WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS cnt FROM documents GROUP BY 1), "
     "m AS (SELECT MIN(cnt) AS cmin FROM c), "
-    "r AS (SELECT lang, CAST(LEAST(256, ROUND(256 * POWER(cmin / cnt, 0.5))) AS INT) AS t FROM c, m) "
+    "r AS (SELECT lang, CAST(GREATEST(1, LEAST(256, ROUND(256 * POWER(cmin / cnt, 0.5)))) AS INT) AS t FROM c, m) "
     "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
     "WHERE substring(md5(d.text), 1, 2) < "
     "CASE WHEN t >= 256 THEN 'zz' ELSE printf('%02x', t) END",
@@ -3944,31 +3976,49 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # no-oracle rows approx_distinct_users / minhash_lsh_pairs / simhash_pairs
 # (their real gates are the property/parity pytest suites).
 #
-# Round-5 rotation candidates (registered + locally hash-verified in r4,
-# awaiting a driver slot): avro_wire_roundtrip, ktable_fk_join,
-# sliding_window_count(_bucketed), sessionize_gap_bucketed,
-# running_sum_per_user_bucketed, top3_orders_per_cust_salted,
-# stream_stream_join_asymmetric, dedup_stream_watermark,
-# median_value_per_type, char_entropy, ann_lsh_topk (oracle upgraded r4).
+# Round-5 rotation (VERDICT r4 tasks #1 + #3): the 12 pre-declared r4
+# additions (avro_wire_roundtrip, ktable_fk_join, sliding_window_count +
+# _bucketed, sessionize_gap_bucketed, running_sum_per_user_bucketed,
+# top3_orders_per_cust_salted, stream_stream_join_asymmetric,
+# dedup_stream_watermark, median_value_per_type, char_entropy,
+# ann_lsh_topk) plus the 5 riskiest never-driver-checked TPC-H
+# decorrelations (q2_min_cost_supplier, q9_product_profit, q13_custdist,
+# q15_top_supplier, q20_excess_shippers) are promoted. The 17 demoted
+# rows were all driver-GREEN in r4 and each keeps a green family sibling
+# in the window: avro_roundtrip→avro_wire_roundtrip (wire = header +
+# same serde), sessionize_gap→sessionize_gap_bucketed (same oracle),
+# table_table_left_join + stream_stream_left_join_window → their inner
+# siblings + stream_stream_join_asymmetric, ktable_tombstone +
+# ktable_groupby_count → ktable_latest + ktable_reduce_sum, reduce_max →
+# aggregate_sum_cents (custom-agg family), merge_streams / top_k_spenders
+# (→ top3_orders_per_cust_salted) / windowed_key_render / peek_passthrough
+# / orders_per_nation (judge-suggested demotions), token_counts +
+# winnow_fingerprints → lang_id + pii_redact + char_entropy (text family),
+# ngram_jaccard_pairs → dedup_exact + dedup_clusters +
+# dedup_stream_watermark (dedup family), q3 + q5 → q1/q2/q6/q9/q13/q15/
+# q17/q20/q21 (TPC-H family, still bench-timed every round).
 DRIVER_PRIORITY: list[str] = [
     "filter_events", "map_values_upper",
     "select_key_prefix", "branch_c", "word_count",
-    "count_by_key", "aggregate_sum_cents", "reduce_max", "ktable_latest",
-    "ktable_groupby_count", "ktable_tombstone", "processor_running_count",
+    "count_by_key", "aggregate_sum_cents", "ktable_latest",
+    "processor_running_count",
     "json_extract_sum", "tumbling_window_count", "session_window_count",
-    "stream_stream_join_window", "stream_table_join_segment",
-    "table_table_join_inner",
-    "stream_stream_left_join_window",
-    "table_table_left_join", "merge_streams",
-    "wav_decode_meta", "top_k_spenders", "windowed_key_render",
-    "event_time_extract", "ktable_reduce_sum",
-    "peek_passthrough", "avro_roundtrip", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_regional_revenue", "orders_per_nation",
-    "dedup_exact", "ngram_jaccard_pairs", "token_counts", "lang_id",
-    "q17_small_quantity_revenue", "ann_ivf_topk",
-    "dedup_clusters", "winnow_fingerprints", "pii_redact", "pack_sequences",
-    "q6_forecast_revenue", "q21_waiting_supplier", "asof_join_purchase",
-    "cogroup_user_metrics", "contamination_check_bloom", "sessionize_gap",
+    "sliding_window_count", "sliding_window_count_bucketed",
+    "stream_stream_join_window", "stream_stream_join_asymmetric",
+    "stream_table_join_segment", "table_table_join_inner",
+    "ktable_fk_join",
+    "wav_decode_meta", "event_time_extract", "ktable_reduce_sum",
+    "avro_wire_roundtrip", "q1_pricing_summary",
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q9_product_profit",
+    "q13_custdist", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q20_excess_shippers", "q21_waiting_supplier",
+    "dedup_exact", "dedup_clusters", "dedup_stream_watermark",
+    "lang_id", "pii_redact", "char_entropy",
+    "ann_ivf_topk", "ann_lsh_topk",
+    "pack_sequences", "asof_join_purchase",
+    "cogroup_user_metrics", "contamination_check_bloom",
+    "sessionize_gap_bucketed", "running_sum_per_user_bucketed",
+    "top3_orders_per_cust_salted", "median_value_per_type",
     "mixture_sample", "doc_chunk_overlap",
 ]
 

@@ -459,41 +459,68 @@ def simhash_pairs(
 
 
 def _cap_blocks(
-    emb: DataFrame, block_col: str, max_block_size: int | None
+    emb: DataFrame, block_col: str, max_block_size: int | None,
+    on_oversized: str = "drop",
 ) -> DataFrame:
-    """Drop rows whose blocking key holds more than ``max_block_size``
+    """Guard against blocking keys holding more than ``max_block_size``
     vectors. The within-block pair join is O(|block|²), so one skewed key
     (10⁶ vectors under a single label) re-creates the all-pairs blow-up the
     LSH family caps with ``max_bucket_size`` — this is the same backstop.
-    Oversized blocks are excluded from pairing (the result is a documented
-    lower bound); route them through ``ivf_assign`` cells as a finer
-    blocking key instead of raising the cap. One extra aggregate + semi-
-    join on the block key — the same exchange the pair join needs anyway.
+
+    ``on_oversized="drop"`` (default): oversized blocks are excluded from
+    pairing — the result is a documented LOWER BOUND; run
+    ``oversized_blocks`` alongside to make the excluded coverage visible,
+    and route those keys through ``ivf_assign`` cells as a finer blocking
+    key instead of raising the cap. ``on_oversized="error"``: fail the job
+    in-plan (distributed ``raise_error`` naming the first offending block)
+    the moment any block exceeds the cap — for pipelines where a silent
+    lower bound is not acceptable (ADVICE r4: the drop was invisible
+    unless the caller knew to audit). One extra aggregate + join on the
+    block key — the same exchange the pair join needs anyway.
     """
     if max_block_size is None:
         return emb
-    allowed = (
-        emb.groupBy(F.col(block_col))
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .filter(F.col("_bsz") <= max_block_size)
-        .select(block_col)
-    )
-    return emb.join(allowed, [block_col], "left_semi")
+    if on_oversized not in ("drop", "error"):
+        raise ValueError(f"on_oversized must be 'drop' or 'error', got {on_oversized!r}")
+    sizes = emb.groupBy(F.col(block_col)).agg(F.count(F.lit(1)).alias("_bsz"))
+    if on_oversized == "drop":
+        allowed = sizes.filter(F.col("_bsz") <= max_block_size).select(block_col)
+        return emb.join(allowed, [block_col], "left_semi")
+    checked = sizes.select(
+        block_col,
+        F.when(
+            F.col("_bsz") > max_block_size,
+            F.raise_error(
+                F.format_string(
+                    "embedding block %s holds %s vectors (> max_block_size="
+                    + str(max_block_size)
+                    + "); re-block via ivf_assign or switch on_oversized='drop'",
+                    F.col(block_col).cast("string"),
+                    F.col("_bsz").cast("string"),
+                )
+            ),
+        ).otherwise(F.lit(1)).alias("_ok"),
+    # the filter REFERENCES _ok so column pruning cannot erase the check
+    ).filter(F.col("_ok") == F.lit(1)).select(block_col)
+    return emb.join(checked, [block_col], "left_semi")
 
 
 def embedding_knn_blocked(
     emb: DataFrame, block_col: str = "label", k: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_block_size: int | None = 10_000,
+    on_oversized: str = "drop",
 ) -> DataFrame:
     """Top-k nearest neighbor per vector within a blocking key (embedding
     near-dup linkage). Blocking bounds the pair count; cosine is native
     column math (zip_with + aggregate in doubles). Blocks larger than
-    ``max_block_size`` are dropped from pairing (see ``_cap_blocks``)."""
+    ``max_block_size`` are dropped from pairing — a documented lower
+    bound; audit with ``oversized_blocks`` or pass
+    ``on_oversized="error"`` to fail loudly instead (see ``_cap_blocks``)."""
     from kafka_streams_demo_spark.functions.similarity import dot, norm
     from pyspark.sql.window import Window
 
-    emb = _cap_blocks(emb, block_col, max_block_size)
+    emb = _cap_blocks(emb, block_col, max_block_size, on_oversized)
     a = emb.select(
         F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
     ).select("*", norm(F.col("va")).alias("na"))
@@ -517,6 +544,7 @@ def embedding_cosine_pairs(
     emb: DataFrame, threshold: float = 0.35, block_col: str = "label",
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_block_size: int | None = 10_000,
+    on_oversized: str = "drop",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (i < j) within a blocking key whose
     cosine (rounded to 6 dp) clears ``threshold``.
@@ -525,10 +553,11 @@ def embedding_cosine_pairs(
     per-block, never corpus×corpus; blocks shuffle on the blocking key only.
     Pair with ``ivf_assign`` cells as the blocking key when no natural one
     exists. Blocks larger than ``max_block_size`` are dropped from pairing
-    (see ``_cap_blocks``)."""
+    — a documented lower bound; audit with ``oversized_blocks`` or pass
+    ``on_oversized="error"`` to fail loudly instead (see ``_cap_blocks``)."""
     from kafka_streams_demo_spark.functions.similarity import dot, norm
 
-    emb = _cap_blocks(emb, block_col, max_block_size)
+    emb = _cap_blocks(emb, block_col, max_block_size, on_oversized)
     a = emb.select(
         F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
     ).select("*", norm(F.col("va")).alias("na"))

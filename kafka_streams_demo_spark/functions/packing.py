@@ -108,24 +108,40 @@ def pack_sequences(
     group whose total fits one shard — including everything at test scale
     with the 1M default — packs identically to the unsharded algorithm.
     ``tokens_per_shard=None`` disables sharding. Range-sharding assumes
-    NUMERIC doc_ids, roughly uniform over their span; skewed density
-    affects balance, never correctness. For non-numeric ids pass
-    ``tokens_per_shard=None`` (unsharded) or pre-derive a numeric id
-    (e.g. ``xxhash64``).
+    roughly uniform doc_ids over their span; skewed density affects
+    balance, never correctness. NON-NUMERIC ids shard automatically on
+    ``xxhash64(doc_id)`` (masked to 62 bits, so range math can't
+    overflow): shards then hold pseudo-random id subsets instead of
+    contiguous ranges — each shard still packs ITS docs in id order, and
+    a group whose total fits one shard (n_shards = 1) remains identical
+    to the unsharded scan under either key.
     """
+    from pyspark.sql.types import NumericType
+
     toks = docs.select(
         F.col(group_col).alias("grp"),
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
+    id_numeric = isinstance(toks.schema["doc_id"].dataType, NumericType)
 
     if tokens_per_shard is not None:
+        # shard key: integral. Long/long `/` in Spark is DOUBLE division —
+        # at 62-bit hash magnitudes the 53-bit mantissa misassigns shards
+        # (a max-hash doc lands in a phantom shard n_shards), so every
+        # range step below uses exact integer DIV arithmetic instead.
+        sk = (
+            F.col("doc_id").cast("long")
+            if id_numeric
+            else F.xxhash64(F.col("doc_id")).bitwiseAND(F.lit((1 << 62) - 1))
+        )
+        toks = toks.withColumn("_sk", sk)
         stats = (
             toks.groupBy("grp")
             .agg(
                 F.sum("n_tokens").alias("_tot"),
-                F.min("doc_id").alias("_lo"),
-                F.max("doc_id").alias("_hi"),
+                F.min("_sk").alias("_lo"),
+                F.max("_sk").alias("_hi"),
             )
             .withColumn(
                 "_nsh",
@@ -133,13 +149,9 @@ def pack_sequences(
                     F.lit(1), F.ceil(F.col("_tot") / F.lit(tokens_per_shard))
                 ).cast("long"),
             )
-            .withColumn(
-                "_span",
-                F.greatest(
-                    F.lit(1),
-                    F.ceil((F.col("_hi") - F.col("_lo") + F.lit(1)) / F.col("_nsh")),
-                ).cast("long"),
-            )
+            # span = (hi-lo) DIV nsh + 1: exact, ≥1, and guarantees
+            # (sk-lo) DIV span ≤ nsh-1 for every sk in [lo, hi]
+            .withColumn("_span", F.expr("(_hi - _lo) DIV _nsh + 1"))
         )
         # null-safe join: a NULL group key is a legal group (groupBy keeps
         # it) and must not silently drop its docs (review r4)
@@ -148,11 +160,8 @@ def pack_sequences(
         )
         toks = (
             toks.join(F.broadcast(sd), toks["grp"].eqNullSafe(sd["_sg"]))
-            .withColumn(
-                "shard",
-                F.floor((F.col("doc_id") - F.col("_lo")) / F.col("_span")).cast("long"),
-            )
-            .drop("_sg", "_lo", "_span")
+            .withColumn("shard", F.expr("(_sk - _lo) DIV _span"))
+            .drop("_sg", "_lo", "_span", "_sk")
         )
     else:
         toks = toks.withColumn("shard", F.lit(0).cast("long"))
@@ -174,8 +183,10 @@ def pack_sequences(
         out["bin_id"] = bins
         return out
 
+    grp_t = toks.schema["grp"].dataType.simpleString()
+    id_t = toks.schema["doc_id"].dataType.simpleString()
     return toks.groupBy("grp", "shard").applyInPandas(
-        pack, "grp string, doc_id long, n_tokens long, bin_id long"
+        pack, f"grp {grp_t}, doc_id {id_t}, n_tokens long, bin_id long"
     )
 
 
@@ -223,16 +234,25 @@ def temperature_mixture(
 
     All math stays in the plan: per-source counts (a tiny aggregate)
     broadcast back, the global min folded in via a 1-row cross join —
-    no driver collect, no RNG. Rate granularity 1/256."""
+    no driver collect, no RNG. Rate granularity 1/256, FLOORED AT 1/256:
+    a source so much larger than the smallest that its exact rate rounds
+    to 0/256 (> ~256^(1/(1-alpha)) × c_min) is kept at ~0.4% instead of
+    being dropped entirely — temperature mixing reweights sources, it
+    must never silently erase one (ADVICE r4)."""
     counts = docs.groupBy(F.col(group_col).alias("_g")).agg(
         F.count(F.lit(1)).alias("_c")
     )
     cmin = counts.agg(F.min("_c").alias("_cmin"))
     rates = counts.crossJoin(F.broadcast(cmin)).select(
         "_g",
-        F.least(
-            F.lit(256),
-            F.round(F.lit(256) * F.pow(F.col("_cmin") / F.col("_c"), 1.0 - alpha)),
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.lit(256),
+                F.round(
+                    F.lit(256) * F.pow(F.col("_cmin") / F.col("_c"), 1.0 - alpha)
+                ),
+            ),
         ).cast("int").alias("_t"),
     )
     thresh = F.when(F.col("_t") >= 256, F.lit("zz")).otherwise(

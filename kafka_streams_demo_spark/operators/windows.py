@@ -77,6 +77,15 @@ class SlidingWindows:
     no fixed grid — windows are anchored at record timestamps, so results
     track actual activity instead of grid alignment.
 
+    API-parity note (ADVICE r4): upstream Kafka Streams ADDITIONALLY emits
+    windows that OPEN when an earlier record falls out of range —
+    ``[prev_ts + 1, prev_ts + 1 + size]`` — so its full window set is
+    record-anchored + expiry-anchored. This class emits the record-anchored
+    (per-record trailing) windows only: one output row per input record,
+    the per-record rolling-aggregate reading. Topologies ported from Kafka
+    Streams that consume the expiry-opened rows (aggregate values BETWEEN
+    records) will see a smaller window set here.
+
     ``bucket``: the scale path. A plain RANGE frame partitions by key
     alone, so one hot key (10⁹ events) becomes a single sort task;
     ``bucketed_by`` re-partitions by (key, time-bucket) with the last

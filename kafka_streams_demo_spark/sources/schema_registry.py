@@ -35,6 +35,7 @@ KB), consulted once per query, never per row.
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 
 from pyspark.sql import DataFrame
@@ -121,9 +122,10 @@ class HttpSchemaRegistry:
     request paths/payloads against a fake; production uses the default
     urllib opener against ``base_url``."""
 
-    def __init__(self, base_url: str, opener=None) -> None:
+    def __init__(self, base_url: str, opener=None, timeout: float = 10.0) -> None:
         self.base_url = base_url.rstrip("/")
         self._open = opener or urllib.request.urlopen
+        self.timeout = timeout
 
     def _call(self, method: str, path: str, payload: dict | None = None) -> dict:
         req = urllib.request.Request(
@@ -132,8 +134,27 @@ class HttpSchemaRegistry:
             data=None if payload is None else json.dumps(payload).encode(),
             headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
         )
-        with self._open(req) as resp:
-            return json.loads(resp.read().decode())
+        # bounded wait: a hung registry must not block the driver forever
+        # (ADVICE r4); HTTP error bodies carry the registry's error_code +
+        # message — surface them instead of a bare status line
+        def _open_req():
+            try:
+                return self._open(req, timeout=self.timeout)
+            except TypeError:  # injected test openers may not take timeout=
+                return self._open(req)
+
+        try:
+            with _open_req() as resp:
+                return json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            body = ""
+            try:
+                body = e.read().decode(errors="replace")
+            except Exception:
+                pass
+            raise RuntimeError(
+                f"schema registry {method} {path} failed: HTTP {e.code} {body}".strip()
+            ) from e
 
     def register(self, subject: str, schema_json: str) -> int:
         out = self._call(

@@ -310,6 +310,30 @@ def test_ngram_jaccard_doc_freq_guard_shrinks_join_and_lower_bounds(spark):
     assert not {(i, j) for (i, j) in guarded if i < 20 and j < 20}
 
 
+def test_embedding_cap_error_mode_fails_loudly(spark):
+    """ADVICE r4: the silent-drop cap is invisible unless audited — the
+    on_oversized='error' opt-in must fail the job in-plan, naming the
+    offending block, while leaving compliant inputs untouched."""
+    import pytest
+
+    from kafka_streams_demo_spark.functions.dedup import embedding_cosine_pairs
+
+    rows = [(i, 0, [1.0, 0.0]) for i in range(6)] + [(100, 1, [0.0, 1.0]),
+                                                     (101, 1, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    with pytest.raises(Exception, match="max_block_size"):
+        embedding_cosine_pairs(
+            df, threshold=0.5, max_block_size=3, on_oversized="error"
+        ).collect()
+    # no oversized block → error mode is a pass-through
+    ok = embedding_cosine_pairs(
+        df, threshold=0.5, max_block_size=6, on_oversized="error"
+    )
+    assert {(r["i"], r["j"]) for r in ok.collect()} >= {(100, 101)}
+    with pytest.raises(ValueError, match="on_oversized"):
+        embedding_cosine_pairs(df, max_block_size=3, on_oversized="warn")
+
+
 def test_oversized_blocks_audit_matches_cap(spark):
     """The audit helper reports exactly the blocks the cap drops."""
     from kafka_streams_demo_spark.functions.dedup import (

@@ -174,6 +174,52 @@ def test_pack_shard_boundary_only_local_damage(spark):
         assert [r["bin_id"] & 0xFFFFFFFF for r in rs] == model
 
 
+def test_pack_string_ids_auto_hash_shard(spark):
+    """VERDICT r4 #5: non-numeric doc ids must shard automatically via
+    xxhash64 instead of requiring tokens_per_shard=None — no silent-misuse
+    trap. Shards hold pseudo-random id subsets; invariants (each doc once,
+    no overflow, bins never span shards, per-shard greedy-in-id-order)
+    must all survive."""
+    sizes = [5] * 40
+    docs = spark.createDataFrame(
+        [(f"doc{i:04d}", "s", " ".join(["w"] * n)) for i, n in enumerate(sizes)],
+        "doc_id string, source string, text string",
+    )
+    rows = pack_sequences(docs, capacity=10, tokens_per_shard=50).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(f"doc{i:04d}" for i in range(40))
+    by_shard = {}
+    fills, counts = {}, {}
+    for r in rows:
+        by_shard.setdefault(r["bin_id"] >> 32, []).append(r)
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+        counts[r["bin_id"]] = counts.get(r["bin_id"], 0) + 1
+    assert len(by_shard) > 1, "string-id group did not hash-shard"
+    for b, fill in fills.items():
+        assert fill <= 10 or counts[b] == 1
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r["doc_id"])
+        assert [r["bin_id"] & 0xFFFFFFFF for r in rs] == _greedy_model(
+            [r["n_tokens"] for r in rs], 10
+        )
+
+
+def test_pack_string_ids_single_shard_identical_to_unsharded(spark):
+    """A string-id group whose total fits one shard packs identically to
+    the unsharded scan (n_shards=1 → every hash lands in shard 0)."""
+    sizes = [10, 10, 10, 25, 5, 40, 3, 3, 3, 3]
+    docs = spark.createDataFrame(
+        [(f"doc{i:04d}", "s", " ".join(["w"] * n)) for i, n in enumerate(sizes)],
+        "doc_id string, source string, text string",
+    )
+    sharded = {r["doc_id"]: r["bin_id"] for r in
+               pack_sequences(docs, capacity=30).collect()}  # default 1M shard
+    unsharded = {r["doc_id"]: r["bin_id"] for r in
+                 pack_sequences(docs, capacity=30, tokens_per_shard=None).collect()}
+    assert sharded == unsharded
+    model = _greedy_model(sizes, 30)  # doc%04d sorts like the int it wraps
+    assert sharded == {f"doc{i:04d}": model[i] for i in range(len(sizes))}
+
+
 def test_mixture_sample_deterministic_and_monotone(spark):
     docs = _docs(
         spark,
@@ -243,6 +289,26 @@ def test_pack_sequences_keeps_null_group_docs(spark):
     assert sharded.count() == unsharded.count() == 3
     got = {r["doc_id"]: r["grp"] for r in sharded.collect()}
     assert got[1] is None and got[3] == "s"
+
+
+def test_temperature_mixture_floors_rate_never_drops_source(spark):
+    """ADVICE r4: a source so much larger than the smallest that its exact
+    keep-rate rounds to 0/256 must be floored to 1/256, not silently
+    erased — temperature mixing reweights sources, it never deletes one.
+    alpha=0 with counts 1 vs 3000: exact threshold round(256/3000)=0."""
+    from kafka_streams_demo_spark.functions.packing import temperature_mixture
+
+    docs = spark.range(3001).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id = 0 THEN 'tiny' ELSE 'huge' END AS source",
+        "concat('doc ', id, ' body ', id * 17) AS text",
+    )
+    kept = temperature_mixture(docs, alpha=0.0)
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src.get("huge", 0) >= 1  # pre-fix: 0 — the source vanished
+    assert by_src["huge"] <= 3000 * 4 // 256  # still heavily downsampled
+    assert by_src["tiny"] == 1
 
 
 def test_temperature_mixture_keeps_null_group_docs(spark):

@@ -103,6 +103,41 @@ def test_http_registry_pins_rest_contract():
     assert calls[2][:2] == ("GET", "http://sr:8081/subjects/clicks-value/versions/latest")
 
 
+def test_http_registry_timeout_and_error_body(capfd=None):
+    """ADVICE r4: requests carry a bounded timeout (a hung registry must
+    not block the driver forever) and HTTP error bodies (the registry's
+    error_code + message JSON) surface in the raised exception."""
+    import urllib.error
+
+    seen = {}
+
+    class FakeResp:
+        def __init__(self, body): self._b = json.dumps(body).encode()
+        def read(self): return self._b
+        def __enter__(self): return self
+        def __exit__(self, *a): return False
+
+    def opener(req, timeout=None):
+        seen["timeout"] = timeout
+        return FakeResp({"id": 1})
+
+    reg = HttpSchemaRegistry("http://sr:8081", opener=opener, timeout=3.5)
+    assert reg.register("t-value", SCHEMA) == 1
+    assert seen["timeout"] == 3.5
+
+    def failing_opener(req, timeout=None):
+        raise urllib.error.HTTPError(
+            req.full_url, 409, "Conflict", hdrs=None,
+            fp=__import__("io").BytesIO(
+                b'{"error_code": 409, "message": "incompatible schema"}'
+            ),
+        )
+
+    reg2 = HttpSchemaRegistry("http://sr:8081", opener=failing_opener)
+    with pytest.raises(RuntimeError, match="HTTP 409.*incompatible schema"):
+        reg2.register("t-value", SCHEMA)
+
+
 def test_spark_wire_roundtrip_and_header_is_jvm_side(spark):
     reg = InMemorySchemaRegistry()
     df = spark.range(200).selectExpr(

@@ -111,7 +111,8 @@ def test_merge(spark):
 
 def test_peek_and_foreach_side_effects(spark):
     """KStreamTest.scala:81-118: foreach/peek run the action per record;
-    peek passes the stream through unchanged."""
+    peek passes the stream through unchanged AND is lazy — no job runs
+    until the returned stream's own action (VERDICT r4 #3)."""
     s = KStream(fixtures.kv_string_stream(spark))
     acc = spark.sparkContext.accumulator(0)
 
@@ -119,8 +120,13 @@ def test_peek_and_foreach_side_effects(spark):
         acc.add(1)
 
     out = s.peek(bump)
+    # laziness pin: building the peeked stream triggered no job — the
+    # side effect has not run yet
+    assert acc.value == 0
     assert out.to_df().count() == 3
     assert acc.value == 3
+    # pass-through: records unchanged by the tap
+    assert _kv(out) == [("1", "value1"), ("2", "value2"), ("3", "value3")]
     acc2 = spark.sparkContext.accumulator(0)
     s.foreach(lambda row: acc2.add(1))
     assert acc2.value == 3
@@ -199,3 +205,23 @@ def test_split_null_predicate_routes_to_default(spark):
     out = KStream(df).split({"big": lambda k, v: v > 10}, default="rest")
     assert {r["key"] for r in out["big"].to_df().collect()} == {"a"}
     assert {r["key"] for r in out["rest"].to_df().collect()} == {"b", "c"}
+
+
+def test_branch_null_predicate_does_not_poison_later_branches(spark):
+    """ADVICE r4 repro: a row whose FIRST predicate evaluates to NULL but
+    whose SECOND predicate is TRUE must land in the second branch —
+    NULL uniformly means 'did not match', and branches + default exactly
+    partition the stream."""
+    df = spark.createDataFrame(
+        [("a", 20), ("b", None), ("c", 3)], "key string, value long"
+    )
+    out = KStream(df).split(
+        {"big": lambda k, v: v > 5, "nullv": lambda k, v: v.isNull()},
+        default="rest",
+    )
+    got = {name: sorted(r["key"] for r in s.to_df().collect())
+           for name, s in out.items()}
+    # pre-fix: ("b", NULL) vanished from every branch INCLUDING default
+    assert got == {"big": ["a"], "nullv": ["b"], "rest": ["c"]}
+    total = sum(len(v) for v in got.values())
+    assert total == df.count()  # exact partition, no loss, no duplication
