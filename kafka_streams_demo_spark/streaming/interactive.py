@@ -51,15 +51,53 @@ def state_store(
     return df.select("key.*", "value.*", "partition_id")
 
 
+def state_partition(
+    spark: SparkSession, key: dict[str, object], num_partitions: int
+) -> int:
+    """The state-store partition holding ``key``: streaming state is laid
+    out by ``HashPartitioning(grouping_keys, n)`` = ``pmod(murmur3_hash(
+    keys), n)``, which is exactly ``F.hash`` — pinned against the
+    ``partition_id`` column the state source reports
+    (tests/test_streaming.py). One 1-row JVM job (the hash must be
+    Spark's own, not Python's)."""
+    row = spark.createDataFrame([tuple(key.values())], list(key.keys())).select(
+        F.pmod(F.hash(*[F.col(c) for c in key.keys()]), F.lit(num_partitions))
+        .alias("p")
+    ).first()
+    return int(row["p"])
+
+
 def state_get(
     spark: SparkSession,
     checkpoint: str,
     key: dict[str, object],
+    prune_partition: bool = True,
     **kwargs,
 ) -> DataFrame:
-    """``store.get(key)``: point lookup as a filter over the state scan —
-    ``key`` maps key-column name → value (composite keys supported)."""
+    """``store.get(key)``: point lookup — ``key`` maps key-column name →
+    value (composite keys supported).
+
+    ``prune_partition`` additionally computes the ONE state partition the
+    key hashes to (``state_partition``, partition count read from the
+    checkpoint's metadata) and filters ``partition_id`` to it. Honesty
+    note: today's state source evaluates both filters AFTER the scan (no
+    SupportsPushDownFilters — the plan shows a codegen Filter directly
+    over the BatchScan, pinned in tests), so this bounds which partition
+    may EMIT rows, not which partitions are opened; the partition
+    computation is what lets a deployment route a true single-partition
+    read (and makes the lookup prune for free the day the source learns
+    pushdown). Order ``key`` columns exactly as the query's groupBy keys —
+    the composite hash is order-sensitive."""
     df = state_store(spark, checkpoint, **kwargs)
+    if prune_partition:
+        meta = state_metadata(spark, checkpoint)
+        op = kwargs.get("operator_id", 0)
+        n = int(
+            meta.filter(F.col("operatorId") == op).select("numPartitions").first()[0]
+        )
+        df = df.filter(
+            F.col("partition_id") == F.lit(state_partition(spark, key, n))
+        )
     for col, val in key.items():
         df = df.filter(F.col(col) == F.lit(val))
     return df

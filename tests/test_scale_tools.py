@@ -299,6 +299,156 @@ def test_salted_topk_per_key_exact_with_hot_key(spark):
     assert got == expected
 
 
+def _composite_spread(df, hot_filter, composite_cols, parts=8):
+    """(distinct composite groups, distinct physical partitions) the hot
+    key's rows occupy once hash-partitioned the way the variant's window
+    Exchange partitions (hashpartitioning on the composite key) — the
+    quantity that bounds the variant's parallelism on that key."""
+    hot = df.filter(hot_filter)
+    groups = hot.select(*composite_cols).distinct().count()
+    parts_hit = (
+        df.repartition(parts, *composite_cols)
+        .filter(hot_filter)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    return groups, parts_hit
+
+
+def test_bucketed_running_sum_spreads_adversarial_hot_key(spark):
+    """VERDICT r4 #6: 90% of rows on ONE key — the shape where the plain
+    window serializes. The composite (key, hour-bucket) partitioning must
+    spread that key across many groups AND many physical partitions, and
+    the result must still equal the global scan."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from kafka_streams_demo_spark.functions.skew import bucketed_running_sum
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, "hot" if i < 900 else f"cold{i % 11}", (i * 7) % 100,
+             t0 + dt.timedelta(minutes=i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "rid long, k string, v long, ts timestamp")
+
+    bkt = F.date_trunc("hour", F.col("ts"))
+    groups, parts_hit = _composite_spread(
+        df, F.col("k") == "hot", [F.col("k"), bkt.alias("_b")]
+    )
+    assert groups >= 10, f"hot key spans only {groups} buckets"
+    assert parts_hit >= 2, "hot key still lands in one physical partition"
+
+    w = (Window.partitionBy("k").orderBy("ts", "rid")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    expected = {r["rid"]: r["run"] for r in
+                df.select("rid", F.sum("v").over(w).alias("run")).collect()}
+    got = {r["rid"]: r["running"] for r in bucketed_running_sum(
+        df, key_col="k", val_col="v", order_cols=["ts", "rid"], bucket_col=bkt,
+    ).collect()}
+    assert got == expected
+
+
+def test_bucketed_sessionize_spreads_adversarial_hot_key(spark):
+    """90%-hot-key sessionize: the (key, time-bucket) composite must fan
+    the hot key across groups/partitions; sessions still match the plain
+    lag-chain formulation."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from kafka_streams_demo_spark.functions.skew import bucketed_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, "hot", t0 + dt.timedelta(seconds=200 * i)) for i in range(900)]
+    rows += [(10_000 + i, f"cold{i % 11}", t0 + dt.timedelta(seconds=37 * i))
+             for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+
+    groups, parts_hit = _composite_spread(
+        df, F.col("user_id") == "hot",
+        [F.col("user_id"), F.floor(F.col("ts").cast("long") / 600).alias("_b")],
+    )
+    assert groups >= 10 and parts_hit >= 2
+
+    got = {(r["user_id"], r["session_id"]): r["n_events"]
+           for r in bucketed_sessionize(
+               df, key_col="user_id", ts_col="ts",
+               order_cols=["ts", "event_id"], gap_s=100, bucket_s=600,
+           ).collect()}
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = df.withColumn("new_sess", F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 100), 1
+    ).otherwise(0)).withColumn("session_id", F.sum("new_sess").over(wrun))
+    expected = {(r["user_id"], r["session_id"]): r["n_events"]
+                for r in s.groupBy("user_id", "session_id")
+                .agg(F.count(F.lit(1)).alias("n_events")).collect()}
+    assert got == expected
+
+
+def test_salted_topk_spreads_adversarial_hot_key(spark):
+    """90%-hot-key top-k: the (key, salt) composite must fan the hot key
+    over most of the ``buckets`` salt values and >1 physical partition;
+    ranks stay exact (already pinned separately, re-checked here on the
+    adversarial shape)."""
+    from pyspark.sql import Window
+
+    from kafka_streams_demo_spark.functions.skew import salted_topk_per_key
+
+    rows = [(i, "hot" if i < 1800 else f"cold{i % 13}", (i * 37) % 997)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "rid long, k string, score long")
+
+    salt = F.pmod(F.xxhash64(F.col("rid")), F.lit(16)).alias("_salt")
+    groups, parts_hit = _composite_spread(df, F.col("k") == "hot", [F.col("k"), salt])
+    assert groups >= 12, f"salt spread only {groups}/16 buckets"
+    assert parts_hit >= 2
+
+    w = Window.partitionBy("k").orderBy(F.desc("score"), "rid")
+    expected = {(r["k"], r["rn"]): r["rid"] for r in
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 5).collect()}
+    got = {(r["k"], r["rn"]): r["rid"] for r in salted_topk_per_key(
+        df, key_col="k", order_cols=[F.desc("score"), F.col("rid")],
+        k=5, salt_cols=["rid"], buckets=16,
+    ).collect()}
+    assert got == expected
+
+
+def test_sliding_bucketed_spreads_adversarial_hot_key(spark):
+    """90%-hot-key sliding window: the (key, time-bucket) composite the
+    bucketed RANGE-frame variant partitions by must spread the hot key;
+    output stays bit-identical to the plain single-partition frame."""
+    import datetime as dt
+
+    from kafka_streams_demo_spark import KStream
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("hot" if i < 900 else f"cold{i % 11}", 1,
+             t0 + dt.timedelta(seconds=100 * i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, value long, timestamp timestamp")
+
+    # the variant buckets on floor(epoch_ms / bucket_ms): 10-minute buckets
+    bkt = F.floor((F.col("timestamp").cast("double") * 1000).cast("long") / 600_000)
+    groups, parts_hit = _composite_spread(
+        df, F.col("key") == "hot", [F.col("key"), bkt.alias("_b")]
+    )
+    assert groups >= 10 and parts_hit >= 2
+
+    def run(win):
+        return {
+            (r["key"], r["window_end"]): r["value"]
+            for r in KStream(df).group_by_key().windowed_by(win).count().collect()
+        }
+
+    plain = run(SlidingWindows.with_size("5 minutes"))
+    bucketed = run(SlidingWindows.with_size("5 minutes").bucketed_by("10 minutes"))
+    assert bucketed == plain and len(plain) > 0
+
+
 def test_bucketed_sessionize_long_chain_converges(spark):
     """Review r4 (confirmed repro): a session chain spanning 35 buckets
     fragmented at connected_components' 25-round ceiling; pointer doubling

@@ -223,7 +223,10 @@ def test_wire_decode_all_versions_mixed_payloads(spark):
 def test_wire_all_versions_refuses_incompatible_lineage(spark):
     import pytest as _pytest
 
-    reg = InMemorySchemaRegistry()
+    # a NONE-level registry legally accumulates an incompatible lineage
+    # (Confluent allows it when compatibility checking is off) — the
+    # DECODER must still refuse to resolve it
+    reg = InMemorySchemaRegistry(compatibility="NONE")
     reg.register("t-value", SCHEMA)
     reg.register("t-value", json.dumps({
         "type": "record", "name": "Click", "fields": [
@@ -233,3 +236,130 @@ def test_wire_all_versions_refuses_incompatible_lineage(spark):
     df = spark.createDataFrame([(1, None)], "rid long, value binary")
     with _pytest.raises(ValueError, match="writer type|not nullable"):
         from_avro_wire_df(df, "t-value", reg, all_versions=True)
+
+
+def _schema(*fields):
+    return json.dumps({
+        "type": "record", "name": "Click",
+        "fields": [
+            {"name": n, "type": t} for n, t in fields
+        ],
+    })
+
+
+def test_compatibility_pair_semantics():
+    """Public Confluent compatibility types over the Avro resolution rule:
+    BACKWARD = new reads old, FORWARD = old reads new, FULL = both."""
+    from kafka_streams_demo_spark.sources.schema_registry import (
+        check_compatibility,
+    )
+
+    v1 = _schema(("a", "string"))
+    add_nullable = _schema(("a", "string"), ("b", ["null", "string"]))
+    add_required = _schema(("a", "string"), ("b", "string"))
+    drop_required = _schema(("b", ["null", "string"]))
+    type_flip = _schema(("a", "long"))
+
+    # BACKWARD: new reader must read v1 writers
+    assert check_compatibility(add_nullable, [v1], "BACKWARD")
+    assert check_compatibility(drop_required, [v1], "BACKWARD")  # a dropped
+    assert not check_compatibility(add_required, [v1], "BACKWARD")
+    assert not check_compatibility(type_flip, [v1], "BACKWARD")
+    # FORWARD: v1 readers must read the new writer
+    assert check_compatibility(add_required, [v1], "FORWARD")  # b dropped
+    assert not check_compatibility(drop_required, [v1], "FORWARD")  # a gone
+    # FULL: both directions
+    assert check_compatibility(add_nullable, [v1], "FULL")
+    assert not check_compatibility(add_required, [v1], "FULL")
+    # NONE: anything goes
+    assert check_compatibility(type_flip, [v1], "NONE")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown compatibility"):
+        check_compatibility(v1, [v1], "SIDEWAYS")
+
+
+def test_compatibility_transitive_checks_whole_lineage():
+    """_TRANSITIVE levels check every prior version, not just latest: a
+    lineage built under NONE can hold a v2 incompatible with v1; a v3
+    readable against v2 but not v1 passes BACKWARD yet fails
+    BACKWARD_TRANSITIVE."""
+    from kafka_streams_demo_spark.sources.schema_registry import (
+        check_compatibility,
+    )
+
+    v1 = _schema(("a", "string"))
+    v2 = _schema(("a", "string"), ("b", "string"))       # b required
+    v3 = _schema(("a", "string"), ("b", "string"),
+                 ("c", ["null", "string"]))
+    assert check_compatibility(v3, [v1, v2], "BACKWARD")
+    assert not check_compatibility(v3, [v1, v2], "BACKWARD_TRANSITIVE")
+
+
+def test_in_memory_registry_enforces_compatibility_on_register():
+    """register() gates NEW versions on the subject's effective level
+    (default BACKWARD, per-subject override); test_compatibility never
+    mutates; failed registers leave the lineage untouched."""
+    reg = InMemorySchemaRegistry()  # Confluent default: BACKWARD
+    assert reg.get_compatibility() == "BACKWARD"
+    id1 = reg.register("clicks-value", SCHEMA)
+    assert reg.test_compatibility("clicks-value", SCHEMA_V2) is True
+    id2 = reg.register("clicks-value", SCHEMA_V2)  # adds nullable: ok
+
+    type_flip = _schema(("user", "long"), ("n", "long"))
+    assert reg.test_compatibility("clicks-value", type_flip) is False
+    with pytest.raises(ValueError, match="incompatible.*BACKWARD"):
+        reg.register("clicks-value", type_flip)
+    assert reg.versions("clicks-value") == [id1, id2]  # lineage untouched
+    # re-registering an EXISTING version is never gated
+    assert reg.register("clicks-value", SCHEMA) == id1
+
+    # per-subject override: NONE lets the flip through on that subject only
+    reg.set_compatibility("NONE", subject="wild-value")
+    reg.register("wild-value", SCHEMA)
+    reg.register("wild-value", type_flip)  # no raise
+    assert reg.get_compatibility("wild-value") == "NONE"
+    assert reg.get_compatibility("clicks-value") == "BACKWARD"
+    with pytest.raises(ValueError, match="unknown compatibility"):
+        reg.set_compatibility("SIDEWAYS")
+
+
+def test_http_registry_pins_compatibility_rest_contract():
+    """PUT/GET /config[/subject] + POST /compatibility/... — the requests
+    a real pipeline issues on schema evolution, pinned against a fake."""
+    calls = []
+
+    class FakeResp:
+        def __init__(self, body): self._b = json.dumps(body).encode()
+        def read(self): return self._b
+        def __enter__(self): return self
+        def __exit__(self, *a): return False
+
+    def opener(req, timeout=None):
+        calls.append((req.get_method(), req.full_url, req.data))
+        if "/compatibility/" in req.full_url:
+            return FakeResp({"is_compatible": True})
+        if req.get_method() == "PUT":
+            return FakeResp({"compatibility": "FULL"})
+        return FakeResp({"compatibilityLevel": "FULL"})
+
+    reg = HttpSchemaRegistry("http://sr:8081", opener=opener)
+    assert reg.set_compatibility("FULL") == "FULL"
+    assert reg.set_compatibility("FULL", subject="clicks-value") == "FULL"
+    assert reg.get_compatibility() == "FULL"
+    assert reg.get_compatibility("clicks-value") == "FULL"
+    assert reg.test_compatibility("clicks-value", SCHEMA) is True
+
+    assert calls[0][:2] == ("PUT", "http://sr:8081/config")
+    assert json.loads(calls[0][2].decode()) == {"compatibility": "FULL"}
+    assert calls[1][:2] == ("PUT", "http://sr:8081/config/clicks-value")
+    assert calls[2][:2] == ("GET", "http://sr:8081/config")
+    assert calls[3][:2] == (
+        "GET", "http://sr:8081/config/clicks-value?defaultToGlobal=true"
+    )
+    assert calls[4][:2] == (
+        "POST",
+        "http://sr:8081/compatibility/subjects/clicks-value/versions/latest",
+    )
+    assert json.loads(calls[4][2].decode()) == {"schema": SCHEMA}
+    with pytest.raises(ValueError, match="unknown compatibility"):
+        reg.set_compatibility("SIDEWAYS")
