@@ -542,6 +542,65 @@ def sliding_window_count_bucketed_q(spark, sf_dir):
     return s.group_by_key().windowed_by(w).count()
 
 
+_SLIDING_FULL_ORACLE = (
+    "WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(ts) AS tms "
+    "FROM events), "
+    "a AS (SELECT key, tms - 7200000 AS ws, tms AS we FROM e "
+    "UNION SELECT key, tms + 1 AS ws, tms + 1 + 7200000 AS we FROM e) "
+    "SELECT a.key, a.ws AS start_ms, a.we AS end_ms, COUNT(*) AS value "
+    "FROM a JOIN e ON e.key = a.key AND e.tms BETWEEN a.ws AND a.we "
+    "GROUP BY 1, 2, 3"
+)
+
+
+@register("sliding_window_full_count", _SLIDING_FULL_ORACLE)
+def sliding_window_full_count_q(spark, sf_dir):
+    """The FULL Kafka Streams 2.7 sliding-window set (ADVICE r4 closed):
+    per-record trailing 2-hour windows PLUS every non-empty expiry-opened
+    window [ts+1, ts+1+size] — two RANGE frames (trailing + leading) over
+    one key shuffle, no self-join. The oracle materializes the window-set
+    definition directly: both anchor families, joined back to the events
+    they contain (inner join = the non-empty rule), counted per distinct
+    window."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(
+        ev, key=F.col("user_id").cast("string"), value="event_type", timestamp="ts"
+    )
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows
+
+    w = SlidingWindows.with_size("2 hours").with_expiry_windows()
+    out = s.group_by_key().windowed_by(w).count()
+    return out.select(
+        "key",
+        F.unix_millis("window_start").alias("start_ms"),
+        F.unix_millis("window_end").alias("end_ms"),
+        "value",
+    )
+
+
+@register("sliding_window_full_count_bucketed", _SLIDING_FULL_ORACLE)
+def sliding_window_full_count_bucketed_q(spark, sf_dir):
+    """The scale path for the full sliding-window set: (key, 1-day bucket)
+    partitioning with BOTH context replications — each bucket's tail into
+    its successor (trailing frames) and head into its predecessor
+    (leading frames). SAME oracle as `sliding_window_full_count`: the
+    hash gate proves the bucketed plan bit-identical."""
+    ev = load_table(spark, "events", sf_dir)
+    s = KStream.from_df(
+        ev, key=F.col("user_id").cast("string"), value="event_type", timestamp="ts"
+    )
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows
+
+    w = SlidingWindows.with_size("2 hours").bucketed_by("1 day").with_expiry_windows()
+    out = s.group_by_key().windowed_by(w).count()
+    return out.select(
+        "key",
+        F.unix_millis("window_start").alias("start_ms"),
+        F.unix_millis("window_end").alias("end_ms"),
+        "value",
+    )
+
+
 @register(
     "stream_table_join_segment",
     "SELECT c.c_mktsegment AS key, SUM(CAST(ROUND(o.o_totalprice*100, 0) AS BIGINT)) AS value "
@@ -3997,6 +4056,14 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # ngram_jaccard_pairs → dedup_exact + dedup_clusters +
 # dedup_stream_watermark (dedup family), q3 + q5 → q1/q2/q6/q9/q13/q15/
 # q17/q20/q21 (TPC-H family, still bench-timed every round).
+#
+# Round-6 rotation candidates (registered + locally hash-verified in r5,
+# awaiting a driver slot): sliding_window_full_count(_bucketed) — the
+# full KIP-450 window set, new this round; pack_sequences_strid
+# (hash-sharded string ids, new); temperature_mixture (rate floor, new
+# oracle); gif_decode_meta (r4's codec tier, never driver-checked); the
+# remaining TPC-H shapes q4/q7/q8/q10/q11/q12/q14/q16/q18/q19/q22; and
+# the r5 demotions can rotate back in as slots free up.
 DRIVER_PRIORITY: list[str] = [
     "filter_events", "map_values_upper",
     "select_key_prefix", "branch_c", "word_count",

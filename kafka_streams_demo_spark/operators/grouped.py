@@ -113,16 +113,21 @@ class WindowedKGroupedStream:
     def _sliding_agg(self, agg_col: Column) -> DataFrame:
         """SlidingWindows: per-record trailing window [ts - size, ts],
         compiled to a RANGE window frame over epoch-millis — no self-join.
-        Unbucketed: one shuffle on the key, per-KEY ordered scan (fine for
-        bounded keys; a hot key serializes). Bucketed (``bucketed_by``):
-        partition by (key, time-bucket), replicating each bucket's last
-        ``size`` into the successor as non-emitting context rows — every
-        record still sees its full trailing window (it spans ≤1 boundary
-        since bucket ≥ size), results are bit-identical (same-oracle
-        catalog entries pin this), and a hot key parallelizes across its
-        time span. Batch-view semantics; for streaming use hopping windows
-        or a stateful processor. Identical windows (records sharing a
-        timestamp) dedupe, matching Kafka's one-result-per-distinct-window
+        With ``with_expiry_windows()``, ALSO emits every non-empty
+        expiry-opened window [ts + 1, ts + 1 + size] (a LEADING range
+        frame anchored at each record) — together the exact Kafka Streams
+        2.7 window set. Unbucketed: one shuffle on the key, per-KEY
+        ordered scan (fine for bounded keys; a hot key serializes).
+        Bucketed (``bucketed_by``): partition by (key, time-bucket),
+        replicating each bucket's last ``size`` into the successor (and
+        first ``size`` into the predecessor when expiry windows need
+        lookahead) as non-emitting context rows — every record still sees
+        its full window (it spans ≤1 boundary since bucket ≥ size),
+        results are bit-identical (same-oracle catalog entries pin this),
+        and a hot key parallelizes across its time span. Batch-view
+        semantics; for streaming use hopping windows or a stateful
+        processor. Identical windows (records sharing a timestamp)
+        dedupe, matching Kafka's one-result-per-distinct-window
         contract."""
         from pyspark.sql.window import Window as _W
 
@@ -135,11 +140,30 @@ class WindowedKGroupedStream:
             ),
             F.col(self.ts_col).alias("window_end"),
         ]
+        # expiry-opened window bounds: [ts + 1ms, ts + 1ms + size]
+        left_cols = [
+            KEY,
+            F.timestamp_millis(ts_ms + 1).alias("window_start"),
+            F.timestamp_millis(ts_ms + 1 + size).alias("window_end"),
+        ]
         if self.windows.bucket is None:
-            frame = _W.partitionBy(KEY).orderBy(ts_ms).rangeBetween(-size, 0)
-            return self.df.select(
-                *out_cols, agg_col.over(frame).alias(VALUE)
-            ).distinct()
+            w = _W.partitionBy(KEY).orderBy(ts_ms)
+            right = self.df.select(
+                *out_cols, agg_col.over(w.rangeBetween(-size, 0)).alias(VALUE)
+            )
+            if not self.windows.full:
+                return right.distinct()
+            frame_l = w.rangeBetween(1, size + 1)
+            left = (
+                self.df.select(
+                    *left_cols,
+                    agg_col.over(frame_l).alias(VALUE),
+                    F.count(F.lit(1)).over(frame_l).alias("_n"),
+                )
+                .filter(F.col("_n") > 0)  # only windows that hold a record
+                .drop("_n")
+            )
+            return right.unionByName(left).distinct()
 
         bucket = interval_ms(self.windows.bucket)
         own = self.df.withColumn("_bkt", F.floor(ts_ms / bucket)).withColumn(
@@ -151,15 +175,38 @@ class WindowedKGroupedStream:
             .withColumn("_ctx", F.lit(True))
         )
         u = own.unionByName(tail)
-        frame = (
-            _W.partitionBy(KEY, "_bkt").orderBy(ts_ms).rangeBetween(-size, 0)
-        )
-        return (
-            u.select(*out_cols, F.col("_ctx"), agg_col.over(frame).alias(VALUE))
+        if self.windows.full:
+            # lookahead context: each bucket's head rows (≤ size+1ms past
+            # the boundary) replicated into the PREVIOUS bucket, so a
+            # leading frame anchored late in a bucket sees its successors
+            head = (
+                self.df.filter(ts_ms % bucket <= size)
+                .withColumn("_bkt", F.floor(ts_ms / bucket) - 1)
+                .withColumn("_ctx", F.lit(True))
+            )
+            u = u.unionByName(head)
+        w = _W.partitionBy(KEY, "_bkt").orderBy(ts_ms)
+        right = (
+            u.select(
+                *out_cols, F.col("_ctx"),
+                agg_col.over(w.rangeBetween(-size, 0)).alias(VALUE),
+            )
             .filter(~F.col("_ctx"))
             .drop("_ctx")
-            .distinct()
         )
+        if not self.windows.full:
+            return right.distinct()
+        frame_l = w.rangeBetween(1, size + 1)
+        left = (
+            u.select(
+                *left_cols, F.col("_ctx"),
+                agg_col.over(frame_l).alias(VALUE),
+                F.count(F.lit(1)).over(frame_l).alias("_n"),
+            )
+            .filter(~F.col("_ctx") & (F.col("_n") > 0))
+            .drop("_ctx", "_n")
+        )
+        return right.unionByName(left).distinct()
 
     def count(self) -> DataFrame:
         """Tumbling/session count. Reference: DSLStatefulTransformation.scala:79-86."""

@@ -80,21 +80,24 @@ class SlidingWindows:
     API-parity note (ADVICE r4): upstream Kafka Streams ADDITIONALLY emits
     windows that OPEN when an earlier record falls out of range —
     ``[prev_ts + 1, prev_ts + 1 + size]`` — so its full window set is
-    record-anchored + expiry-anchored. This class emits the record-anchored
-    (per-record trailing) windows only: one output row per input record,
-    the per-record rolling-aggregate reading. Topologies ported from Kafka
-    Streams that consume the expiry-opened rows (aggregate values BETWEEN
-    records) will see a smaller window set here.
+    record-anchored + expiry-anchored. DEFAULT here: record-anchored
+    (per-record trailing) windows only — one output row per input record,
+    the rolling-aggregate reading. ``with_expiry_windows()`` opts into
+    the FULL upstream window set: every non-empty expiry-opened window is
+    emitted too, matching the Kafka Streams 2.7 semantics exactly
+    (pinned against a hand-computed model and a SQL oracle).
 
     ``bucket``: the scale path. A plain RANGE frame partitions by key
     alone, so one hot key (10⁹ events) becomes a single sort task;
-    ``bucketed_by`` re-partitions by (key, time-bucket) with the last
-    ``size`` of each bucket replicated into the next as context rows —
-    bit-identical results (each record's window spans at most one bucket
+    ``bucketed_by`` re-partitions by (key, time-bucket) with each
+    bucket's last ``size`` replicated into the successor (and, with
+    expiry windows, its first ``size`` into the predecessor) as context
+    rows — bit-identical results (each window spans at most one bucket
     boundary), parallelism ∝ key-span/bucket. Requires bucket ≥ size."""
 
     size: str
     bucket: str | None = None
+    full: bool = False
 
     @classmethod
     def with_size(cls, size: str | float) -> "SlidingWindows":
@@ -107,7 +110,13 @@ class SlidingWindows:
                 f"bucket {b!r} must be >= window size {self.size!r} "
                 "(a window may span at most one bucket boundary)"
             )
-        return SlidingWindows(self.size, b)
+        return SlidingWindows(self.size, b, self.full)
+
+    def with_expiry_windows(self) -> "SlidingWindows":
+        """Emit the FULL Kafka Streams 2.7 window set: record-anchored
+        trailing windows plus every non-empty expiry-opened window
+        ``[ts + 1, ts + 1 + size]``."""
+        return SlidingWindows(self.size, self.bucket, True)
 
 
 @dataclass(frozen=True)

@@ -151,3 +151,75 @@ def test_sliding_windows_bucketed_identical_to_global(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bucket"):
         base.bucketed_by("10 seconds")
+
+
+def test_sliding_windows_full_set_matches_kafka_model(spark):
+    """with_expiry_windows(): the KIP-450 window set. Records A@0s, B@5s,
+    size 10s → three windows: [A-10,A]={A}, [B-10,B]={A,B}, and the
+    expiry-opened [A+1ms, A+10s+1ms]={B}; B's expiry window is empty and
+    must NOT be emitted. C@30s is isolated: only its trailing window."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [("u", "A", t0), ("u", "B", t0 + dt.timedelta(seconds=5)),
+         ("u", "C", t0 + dt.timedelta(seconds=30))],
+        "key string, value string, timestamp timestamp",
+    )
+    w = SlidingWindows.with_size("10 seconds").with_expiry_windows()
+    out = KStream(df).group_by_key().windowed_by(w).count().select(
+        "key", F.unix_millis("window_start").alias("s"),
+        F.unix_millis("window_end").alias("e"), "value",
+    )
+    ms0 = int(t0.timestamp() * 1000)
+    got = {(r["s"] - ms0, r["e"] - ms0): r["value"] for r in out.collect()}
+    # B's expiry window (5.001s, 15.001s] and C's are EMPTY → not emitted
+    assert got == {
+        (-10_000, 0): 1,          # A's trailing window {A}
+        (-5_000, 5_000): 2,       # B's trailing window {A, B}
+        (1, 10_001): 1,           # A's expiry window {B}
+        (20_000, 30_000): 1,      # C's trailing window {C}
+    }
+
+
+def test_sliding_windows_full_bucketed_identical_to_global(spark):
+    """Full window set under (key, bucket) partitioning with head+tail
+    context replication == the global formulation, on boundary-clustered
+    timestamps."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows
+
+    rng = random.Random(23)
+    t0 = dt.datetime(2024, 1, 1)
+    secs = sorted(rng.choice([b * 60 + d for b in range(5) for d in
+                              (-2, -1, 0, 1, 2, 15, 29, 30, 31, 58, 59)])
+                  for _ in range(120))
+    df = spark.createDataFrame(
+        [(f"k{i % 2}", "x", t0 + dt.timedelta(seconds=max(0, s)))
+         for i, s in enumerate(secs)],
+        "key string, value string, timestamp timestamp",
+    )
+    base = SlidingWindows.with_size("30 seconds").with_expiry_windows()
+
+    def run(win):
+        return {(r["key"], r["s"], r["e"], r["value"]) for r in
+                KStream(df).group_by_key().windowed_by(win).count().select(
+                    "key", F.unix_millis("window_start").alias("s"),
+                    F.unix_millis("window_end").alias("e"), "value",
+                ).collect()}
+
+    plain, bucketed = run(base), run(base.bucketed_by("60 seconds"))
+    assert plain == bucketed
+    # the full set strictly extends the record-anchored set
+    record_only = run(SlidingWindows.with_size("30 seconds"))
+    assert record_only < plain
