@@ -1147,6 +1147,37 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup_groups(load_table(spark, "documents", sf_dir))
 
 
+@register(
+    "paragraph_dedup_rebuild",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, st AS pos, array_to_string(w[st:st+9], ' ') AS seg
+          FROM t, unnest(generate_series(1, greatest(len(w), 1), 10)) AS u(st)),
+    r AS (SELECT doc_id, pos, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+          FROM s)
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+             AS new_text
+    FROM r GROUP BY 1
+    """,
+)
+def paragraph_dedup_rebuild_q(spark, sf_dir):
+    """Corpus-wide paragraph dedup + document rebuild (the CCNet/Dolma
+    boilerplate-removal recipe; functions/dedup.py:paragraph_dedup):
+    10-word segments, only each segment's FIRST (doc, position)
+    occurrence survives, documents reassembled from survivors.
+    First-occurrence election is a min(struct) AGGREGATE (map-side
+    combine — a 10⁸-fold boilerplate segment never serializes into one
+    rank task); the oracle uses the equivalent rank formulation DuckDB
+    side."""
+    from kafka_streams_demo_spark.functions.dedup import paragraph_dedup
+
+    return paragraph_dedup(load_table(spark, "documents", sf_dir))
+
+
 _JACCARD_ORACLE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM toks),
@@ -4060,8 +4091,10 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # Round-6 rotation candidates (registered + locally hash-verified in r5,
 # awaiting a driver slot): sliding_window_full_count(_bucketed) — the
 # full KIP-450 window set, new this round; pack_sequences_strid
-# (hash-sharded string ids, new); temperature_mixture (rate floor, new
-# oracle); gif_decode_meta (r4's codec tier, never driver-checked); the
+# (hash-sharded string ids, new); paragraph_dedup_rebuild (CCNet-style
+# corpus paragraph dedup + rebuild, new); temperature_mixture (rate
+# floor, new oracle); gif_decode_meta (r4's codec tier, never
+# driver-checked); the
 # remaining TPC-H shapes q4/q7/q8/q10/q11/q12/q14/q16/q18/q19/q22; and
 # the r5 demotions can rotate back in as slots free up.
 DRIVER_PRIORITY: list[str] = [

@@ -495,7 +495,9 @@ def _cap_blocks(
                     "embedding block %s holds %s vectors (> max_block_size="
                     + str(max_block_size)
                     + "); re-block via ivf_assign or switch on_oversized='drop'",
-                    F.col(block_col).cast("string"),
+                    # coalesce: a NULL block key must still raise with a
+                    # readable message (format_string propagates NULL)
+                    F.coalesce(F.col(block_col).cast("string"), F.lit("NULL")),
                     F.col("_bsz").cast("string"),
                 )
             ),
@@ -661,6 +663,92 @@ def dedup_clusters(
         F.when(F.coalesce(F.col("cluster_id"), docs[id_col]) == docs[id_col], 1)
         .otherwise(0)
         .alias("is_canonical"),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str | None = None,
+    segment_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide paragraph dedup (the CCNet/Dolma recipe): drop every
+    repeat of a paragraph ACROSS the whole corpus — keeping only its
+    first occurrence in (doc, position) order — then rebuild each
+    document from its surviving paragraphs. Boilerplate (headers, cookie
+    banners, license blocks) disappears from every document but the one
+    that introduced it.
+
+    ``delimiter`` splits real paragraph-structured text (e.g. "\\n\\n");
+    with ``delimiter=None`` documents are segmented into fixed
+    ``segment_words``-word windows instead (the fixture corpus is
+    single-line). Output: (doc_id, n_kept, n_dropped, new_text) for
+    EVERY input document — a doc whose every paragraph was seen before
+    survives with new_text '' (the caller decides whether to drop it).
+
+    100 TB design: first-occurrence election is an AGGREGATE
+    (min_by-style ``min(struct(doc_id, pos))`` per segment), NOT a rank
+    window — map-side partial combine keeps a 10⁸-fold boilerplate
+    segment from serializing into one sort task. Two segment-keyed
+    exchanges (agg + semi-join) and one doc-keyed rebuild; reassembly is
+    an in-plan array_sort over (pos, text) structs, no Python anywhere.
+    """
+    if delimiter is not None:
+        import re as _re
+
+        # F.split takes a REGEX — escape so "." or "||" delimiters split
+        # literally; reassembly below uses the raw delimiter
+        segs_arr = F.split(F.col(text_col), _re.escape(delimiter))
+        parts = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(segs_arr).alias("pos", "seg"),
+        )
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("_w"),
+        ).select("doc_id", "_w", F.size("_w").alias("_n"))
+        parts = toks.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest("_n", F.lit(1)), F.lit(segment_words))
+            ).alias("st"),
+            "_w",
+        ).select(
+            "doc_id",
+            F.col("st").alias("pos"),
+            F.array_join(F.slice("_w", F.col("st"), segment_words), " ").alias("seg"),
+        )
+    firsts = parts.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_f")
+    ).select("seg", F.col("_f.doc_id").alias("_fd"), F.col("_f.pos").alias("_fp"))
+    kept = parts.join(
+        firsts,
+        (parts["seg"] == firsts["seg"])
+        & (parts["doc_id"] == firsts["_fd"])
+        & (parts["pos"] == firsts["_fp"]),
+        "left_semi",
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " " if delimiter is None else delimiter,
+        ).alias("new_text"),
+    )
+    totals = parts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        totals.join(per_doc, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("_tot") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
     )
 
 

@@ -334,6 +334,46 @@ def test_embedding_cap_error_mode_fails_loudly(spark):
         embedding_cosine_pairs(df, max_block_size=3, on_oversized="warn")
 
 
+def test_paragraph_dedup_removes_boilerplate_keeps_first(spark):
+    """CCNet/Dolma-style corpus paragraph dedup: a banner shared by three
+    docs survives only in the first (doc, position) occurrence; unique
+    paragraphs are untouched; a doc that is ALL boilerplate rebuilds to
+    ''; within-doc repeats drop too."""
+    from kafka_streams_demo_spark.functions.dedup import paragraph_dedup
+
+    banner = "accept all cookies"
+    docs = spark.createDataFrame(
+        [(1, f"{banner}\n\nalpha text one"),
+         (2, f"{banner}\n\nbeta text two\n\n{banner}"),
+         (3, banner)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_kept"], r["n_dropped"], r["new_text"])
+           for r in paragraph_dedup(docs, delimiter="\n\n").collect()}
+    assert got[1] == (2, 0, f"{banner}\n\nalpha text one")
+    assert got[2] == (1, 2, "beta text two")   # both banner copies dropped
+    assert got[3] == (0, 1, "")                # all-boilerplate doc empties
+    # conservation: kept + dropped == total paragraphs
+    assert sum(k + d for k, d, _ in got.values()) == 6
+
+
+def test_paragraph_dedup_word_windows_and_order(spark):
+    """delimiter=None: fixed word-window segments; reassembly restores
+    position order; first occurrence is elected by (doc_id, pos)."""
+    from kafka_streams_demo_spark.functions.dedup import paragraph_dedup
+
+    seg = "a b c d"  # one full window at segment_words=4
+    docs = spark.createDataFrame(
+        [(10, f"{seg} x y z w"),      # window 2 = "x y z w"
+         (20, f"p q r s {seg}")],     # window 2 duplicates doc 10's window 1
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_kept"], r["n_dropped"], r["new_text"])
+           for r in paragraph_dedup(docs, segment_words=4).collect()}
+    assert got[10] == (2, 0, "a b c d x y z w")  # order preserved
+    assert got[20] == (1, 1, "p q r s")
+
+
 def test_oversized_blocks_audit_matches_cap(spark):
     """The audit helper reports exactly the blocks the cap drops."""
     from kafka_streams_demo_spark.functions.dedup import (
