@@ -38,8 +38,10 @@ HEADLINE = [
     "stream_stream_join_window",
     "stream_table_join_segment",
     "table_table_join_outer",
+    "sliding_window_full_count_bucketed",
     # LLM-pipeline extension family (first-class: dedup / text / ANN)
     "dedup_exact",
+    "paragraph_dedup_rebuild",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "contamination_check",
