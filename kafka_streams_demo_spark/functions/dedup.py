@@ -723,32 +723,34 @@ def paragraph_dedup(
     firsts = parts.groupBy("seg").agg(
         F.min(F.struct("doc_id", "pos")).alias("_f")
     ).select("seg", F.col("_f.doc_id").alias("_fd"), F.col("_f.pos").alias("_fp"))
-    kept = parts.join(
-        firsts,
-        (parts["seg"] == firsts["seg"])
-        & (parts["doc_id"] == firsts["_fd"])
-        & (parts["pos"] == firsts["_fp"]),
-        "left_semi",
+    # every segment has a first occurrence, so the inner join keeps every
+    # parts row; a kept FLAG + one doc-keyed aggregate then computes
+    # totals, survivors, and the rebuilt text in a single pass (review
+    # r5: the earlier semi-join + separate totals aggregate shuffled the
+    # corpus-sized parts relation on doc_id twice)
+    flagged = parts.join(firsts, ["seg"]).withColumn(
+        "_kept",
+        (F.col("doc_id") == F.col("_fd")) & (F.col("pos") == F.col("_fp")),
     )
-    per_doc = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    sep = " " if delimiter is None else delimiter
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_tot"),
+        F.sum(F.when(F.col("_kept"), F.lit(1)).otherwise(F.lit(0))).alias("_k"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_kept"), F.struct("pos", "seg")))
+                ),
                 lambda s: s["seg"],
             ),
-            " " if delimiter is None else delimiter,
+            sep,
         ).alias("new_text"),
     )
-    totals = parts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_tot"))
-    return (
-        totals.join(per_doc, ["doc_id"], "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("_tot") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
-            F.coalesce("new_text", F.lit("")).alias("new_text"),
-        )
+    return agg.select(
+        "doc_id",
+        F.col("_k").cast("long").alias("n_kept"),
+        (F.col("_tot") - F.col("_k")).cast("long").alias("n_dropped"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
     )
 
 

@@ -170,16 +170,23 @@ class KStream:
         the executors when the RETURNED stream's own action executes — peek
         itself triggers no job (VERDICT r4 #3; pinned by
         tests/test_stateless.py). Implemented as an Arrow-batched
-        ``mapInPandas`` pass-through (rows arrive as namedtuples with
-        ``key``/``value``/... fields), so the side effect rides the plan;
-        a debug tap, not a hot-path stage — for metric-style peeks prefer
-        ``observe`` (zero-cost, stays fully JVM-side)."""
+        ``mapInPandas`` pass-through; rows reach the action as pyspark
+        ``Row`` objects (attribute and ``row["col"]`` access both work,
+        SQL NULL arrives as None — pandas' NaN coercion is undone before
+        the callback; nested structs arrive as dicts). A debug tap, not a
+        hot-path stage — for metric-style peeks prefer ``observe``
+        (zero-cost, stays fully JVM-side)."""
         schema = self.df.schema
 
         def _tap(batches):
+            from pyspark.sql import Row as _Row
+
             for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    action(row)
+                # object-cast + where undoes pandas' NULL→NaN (and the
+                # int→float widening it causes) so the action sees None
+                clean = pdf.astype(object).where(pdf.notna(), None)
+                for rec in clean.to_dict("records"):
+                    action(_Row(**rec))
                 yield pdf
 
         return KStream(self.df.mapInPandas(_tap, schema))

@@ -110,12 +110,24 @@ class SlidingWindows:
                 f"bucket {b!r} must be >= window size {self.size!r} "
                 "(a window may span at most one bucket boundary)"
             )
+        if self.full and interval_ms(b) <= interval_ms(self.size):
+            raise ValueError(
+                f"expiry windows need bucket {b!r} strictly greater than "
+                f"window size {self.size!r} (leading frames span size+1 ms)"
+            )
         return SlidingWindows(self.size, b, self.full)
 
     def with_expiry_windows(self) -> "SlidingWindows":
         """Emit the FULL Kafka Streams 2.7 window set: record-anchored
         trailing windows plus every non-empty expiry-opened window
         ``[ts + 1, ts + 1 + size]``."""
+        if self.bucket is not None and interval_ms(self.bucket) <= interval_ms(
+            self.size
+        ):
+            raise ValueError(
+                f"expiry windows need bucket {self.bucket!r} strictly greater "
+                f"than window size {self.size!r} (leading frames span size+1 ms)"
+            )
         return SlidingWindows(self.size, self.bucket, True)
 
 

@@ -172,6 +172,18 @@ class HttpSchemaRegistry:
         self.base_url = base_url.rstrip("/")
         self._open = opener or urllib.request.urlopen
         self.timeout = timeout
+        # probe the opener's signature ONCE: a catch-TypeError-and-retry
+        # would RE-SEND the request (duplicate POST) when the opener
+        # raises TypeError internally after transmitting (review r5)
+        import inspect
+
+        try:
+            params = inspect.signature(self._open).parameters
+            self._accepts_timeout = "timeout" in params or any(
+                p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
+            )
+        except (TypeError, ValueError):
+            self._accepts_timeout = True  # urllib.request.urlopen does
 
     def _call(self, method: str, path: str, payload: dict | None = None) -> dict:
         req = urllib.request.Request(
@@ -183,14 +195,13 @@ class HttpSchemaRegistry:
         # bounded wait: a hung registry must not block the driver forever
         # (ADVICE r4); HTTP error bodies carry the registry's error_code +
         # message — surface them instead of a bare status line
-        def _open_req():
-            try:
-                return self._open(req, timeout=self.timeout)
-            except TypeError:  # injected test openers may not take timeout=
-                return self._open(req)
-
         try:
-            with _open_req() as resp:
+            opened = (
+                self._open(req, timeout=self.timeout)
+                if self._accepts_timeout
+                else self._open(req)
+            )
+            with opened as resp:
                 return json.loads(resp.read().decode())
         except urllib.error.HTTPError as e:
             body = ""

@@ -52,17 +52,43 @@ def state_store(
 
 
 def state_partition(
-    spark: SparkSession, key: dict[str, object], num_partitions: int
+    spark: SparkSession,
+    key: dict[str, object],
+    num_partitions: int,
+    key_schema=None,
 ) -> int:
     """The state-store partition holding ``key``: streaming state is laid
     out by ``HashPartitioning(grouping_keys, n)`` = ``pmod(murmur3_hash(
     keys), n)``, which is exactly ``F.hash`` — pinned against the
     ``partition_id`` column the state source reports
     (tests/test_streaming.py). One 1-row JVM job (the hash must be
-    Spark's own, not Python's)."""
-    row = spark.createDataFrame([tuple(key.values())], list(key.keys())).select(
-        F.pmod(F.hash(*[F.col(c) for c in key.keys()]), F.lit(num_partitions))
-        .alias("p")
+    Spark's own, not Python's).
+
+    ``key_schema`` (the store's key StructType) is REQUIRED for a correct
+    hash whenever the store's key types differ from what Python literals
+    infer: Murmur3 hashes int32 and int64 encodings differently, so a
+    probe hashed as LongType against an IntegerType store key routes to
+    the wrong partition (review r5). When given, it also fixes the hash
+    ORDER to the store's field order, so the ``key`` dict's own ordering
+    stops mattering."""
+    probe = spark.createDataFrame([tuple(key.values())], list(key.keys()))
+    if key_schema is not None:
+        names = [f.name for f in key_schema.fields]
+        missing = [n for n in names if n not in key]
+        extra = [n for n in key if n not in names]
+        if missing or extra:
+            raise ValueError(
+                f"key columns {sorted(key)} do not match the store's key "
+                f"fields {names}"
+            )
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in key_schema.fields
+        ]
+    else:
+        cols = [F.col(c) for c in key.keys()]
+    row = probe.select(
+        F.pmod(F.hash(*cols), F.lit(num_partitions)).alias("p")
     ).first()
     return int(row["p"])
 
@@ -72,32 +98,41 @@ def state_get(
     checkpoint: str,
     key: dict[str, object],
     prune_partition: bool = True,
+    num_partitions: int | None = None,
     **kwargs,
 ) -> DataFrame:
     """``store.get(key)``: point lookup — ``key`` maps key-column name →
-    value (composite keys supported).
+    value (composite keys supported; any order — the hash follows the
+    store's own key-field order and types).
 
     ``prune_partition`` additionally computes the ONE state partition the
-    key hashes to (``state_partition``, partition count read from the
-    checkpoint's metadata) and filters ``partition_id`` to it. Honesty
-    note: today's state source evaluates both filters AFTER the scan (no
+    key hashes to (``state_partition`` over the store's actual key
+    schema, partition count from the checkpoint's metadata — pass
+    ``num_partitions`` to skip that metadata read in a hot lookup loop)
+    and filters ``partition_id`` to it. Costs one metadata read (unless
+    supplied) + a 1-row hash job per call. Honesty note: today's state
+    source evaluates both filters AFTER the scan (no
     SupportsPushDownFilters — the plan shows a codegen Filter directly
     over the BatchScan, pinned in tests), so this bounds which partition
     may EMIT rows, not which partitions are opened; the partition
     computation is what lets a deployment route a true single-partition
     read (and makes the lookup prune for free the day the source learns
-    pushdown). Order ``key`` columns exactly as the query's groupBy keys —
-    the composite hash is order-sensitive."""
-    df = state_store(spark, checkpoint, **kwargs)
+    pushdown)."""
+    kwargs.pop("flatten", None)  # lookups always flatten (filters need it)
+    raw = state_store(spark, checkpoint, flatten=False, **kwargs)
+    df = raw.select("key.*", "value.*", "partition_id")
     if prune_partition:
-        meta = state_metadata(spark, checkpoint)
-        op = kwargs.get("operator_id", 0)
-        n = int(
-            meta.filter(F.col("operatorId") == op).select("numPartitions").first()[0]
+        if num_partitions is None:
+            meta = state_metadata(spark, checkpoint)
+            op = kwargs.get("operator_id", 0)
+            num_partitions = int(
+                meta.filter(F.col("operatorId") == op)
+                .select("numPartitions").first()[0]
+            )
+        p = state_partition(
+            spark, key, num_partitions, key_schema=raw.schema["key"].dataType
         )
-        df = df.filter(
-            F.col("partition_id") == F.lit(state_partition(spark, key, n))
-        )
+        df = df.filter(F.col("partition_id") == F.lit(p))
     for col, val in key.items():
         df = df.filter(F.col(col) == F.lit(val))
     return df

@@ -103,7 +103,7 @@ def test_http_registry_pins_rest_contract():
     assert calls[2][:2] == ("GET", "http://sr:8081/subjects/clicks-value/versions/latest")
 
 
-def test_http_registry_timeout_and_error_body(capfd=None):
+def test_http_registry_timeout_and_error_body():
     """ADVICE r4: requests carry a bounded timeout (a hung registry must
     not block the driver forever) and HTTP error bodies (the registry's
     error_code + message JSON) surface in the raised exception."""

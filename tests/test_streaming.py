@@ -706,6 +706,37 @@ def test_interactive_point_lookup_partition_math_and_plan(spark, tmp_path):
     assert [tuple(r) for r in plain] == [tuple(r) for r in got]
 
 
+def test_interactive_point_lookup_int_key_types(spark, tmp_path):
+    """Review r5: the probe hash must use the STORE's key types, not what
+    Python literals infer — Murmur3 hashes int32 and int64 encodings
+    differently, so an IntegerType store key probed as a Python int
+    (inferred long) routed to the wrong partition and the default
+    partition prune silently emptied the lookup."""
+    from kafka_streams_demo_spark.streaming.interactive import state_get
+
+    src = tmp_path / "iq_int_src"
+    ck = str(tmp_path / "iq_int_ck")
+    spark.range(100).selectExpr("CAST(id % 23 AS INT) AS k", "id AS value") \
+        .write.parquet(str(src))
+    stream = spark.readStream.schema("k int, value long").parquet(str(src))
+    q = stream.groupBy("k").count().writeStream.format("noop") \
+        .outputMode("update").option("checkpointLocation", ck) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    for probe in range(23):
+        got = state_get(spark, ck, {"k": probe}).collect()
+        assert len(got) == 1, f"int-key lookup emptied for k={probe}"
+    # mismatched key-column names fail loudly, not silently empty
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key fields"):
+        state_get(spark, ck, {"wrong": 1}).collect()
+    # num_partitions passthrough skips the metadata read, same result
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    got = state_get(spark, ck, {"k": 7}, num_partitions=n).collect()
+    assert len(got) == 1
+
+
 def test_interactive_query_reads_processor_state(spark, tmp_path):
     """The Processor API's state store (applyInPandasWithState GroupState)
     is queryable the same way — the WordCountProcessor's per-key counts

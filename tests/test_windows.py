@@ -223,3 +223,48 @@ def test_sliding_windows_full_bucketed_identical_to_global(spark):
     # the full set strictly extends the record-anchored set
     record_only = run(SlidingWindows.with_size("30 seconds"))
     assert record_only < plain
+
+
+def test_sliding_full_rejects_bucket_equal_to_size(spark):
+    """Review r5: a leading frame spans size+1 ms, so at bucket == size an
+    anchor at a bucket's last ms reaches exactly into the bucket AFTER
+    next — one-deep head replication can't deliver it and the bucketed
+    window set would diverge (phantom undercounted window). Both builder
+    orders and the execution path must reject equality; bucket = size+1s
+    with the adversarial reach-two-buckets timestamp pattern must equal
+    the global formulation."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark import KStream
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows
+
+    with _pytest.raises(ValueError, match="strictly greater"):
+        SlidingWindows.with_size("10 seconds").with_expiry_windows() \
+            .bucketed_by("10 seconds")
+    with _pytest.raises(ValueError, match="strictly greater"):
+        SlidingWindows.with_size("10 seconds").bucketed_by("10 seconds") \
+            .with_expiry_windows()
+
+    # the reviewer's divergence shape: A at a bucket's last ms, matches in
+    # the two following buckets — legal again at bucket = size + 1s
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("u", "A", t0 + dt.timedelta(milliseconds=9999)),
+         ("u", "Y", t0 + dt.timedelta(milliseconds=15000)),
+         ("u", "X", t0 + dt.timedelta(milliseconds=20000)),
+         ("u", "Z", t0 + dt.timedelta(milliseconds=31000))],
+        "key string, value string, timestamp timestamp",
+    )
+    base = SlidingWindows.with_size("10 seconds").with_expiry_windows()
+
+    def run(win):
+        return {(r["key"], r["s"], r["e"], r["value"]) for r in
+                KStream(df).group_by_key().windowed_by(win).count().select(
+                    "key", F.unix_millis("window_start").alias("s"),
+                    F.unix_millis("window_end").alias("e"), "value",
+                ).collect()}
+
+    assert run(base) == run(base.bucketed_by("11 seconds"))
