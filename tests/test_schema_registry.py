@@ -295,6 +295,65 @@ def test_compatibility_transitive_checks_whole_lineage():
     assert not check_compatibility(v3, [v1, v2], "BACKWARD_TRANSITIVE")
 
 
+def test_compatibility_property_random_lineages():
+    """Property over random schema lineages (reusing the avro resolution
+    strategy): FULL == BACKWARD ∧ FORWARD; every level against the
+    independently-computed spec subset rule; _TRANSITIVE == conjunction
+    over all priors; NONE always accepts."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        return
+
+    from kafka_streams_demo_spark.sources.schema_registry import (
+        check_compatibility,
+    )
+
+    types = ["long", "string", "double", "boolean"]
+    field_st = st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.sampled_from(types),
+                  st.booleans()),
+        min_size=1, max_size=5, unique_by=lambda f: f[0],
+    )
+
+    def mk(fields):
+        return json.dumps({"type": "record", "name": "r", "fields": [
+            {"name": n, "type": ["null", t] if nullable else t}
+            for n, t, nullable in fields
+        ]})
+
+    def reads(writer, reader):
+        """The spec subset rule, computed independently of the impl."""
+        w = {n: (t, nullable) for n, t, nullable in writer}
+        return all(
+            (n in w and w[n][0] == t and not (w[n][1] and not nullable))
+            or (n not in w and nullable)
+            for n, t, nullable in reader
+        )
+
+    @settings(max_examples=120, deadline=None)
+    @given(field_st, field_st, field_st)
+    def prop(v1, v2, new):
+        priors = [mk(v1), mk(v2)]
+        nj = mk(new)
+        b = check_compatibility(nj, priors, "BACKWARD")
+        f = check_compatibility(nj, priors, "FORWARD")
+        assert b == reads(v2, new)           # latest-only, writer=old
+        assert f == reads(new, v2)           # latest-only, reader=old
+        assert check_compatibility(nj, priors, "FULL") == (b and f)
+        assert check_compatibility(nj, priors, "BACKWARD_TRANSITIVE") == (
+            reads(v1, new) and reads(v2, new)
+        )
+        assert check_compatibility(nj, priors, "FULL_TRANSITIVE") == all(
+            reads(old, new) and reads(new, old) for old in (v1, v2)
+        )
+        assert check_compatibility(nj, priors, "NONE")
+        assert check_compatibility(nj, [], "FULL")  # empty lineage accepts
+
+    prop()
+
+
 def test_in_memory_registry_enforces_compatibility_on_register():
     """register() gates NEW versions on the subject's effective level
     (default BACKWARD, per-subject override); test_compatibility never
