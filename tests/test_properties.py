@@ -398,3 +398,50 @@ def test_cogroup_matches_python_model(spark, rows1, rows2):
     for k, v in rows2:
         model[k] = model.get(k, 0) + v          # sum part (coalesced 0)
     assert got == model
+
+
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(0, 40)),  # (key, second offset)
+        min_size=1, max_size=20,
+    ),
+    bucketed=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_sliding_full_window_set_matches_bruteforce_model(spark, rows, bucketed):
+    """The full KIP-450 window set (round 5) == the O(n²) definitional
+    model: for anchors {ts} ∪ {ts+1ms}, every window [a, a+10s] (trailing,
+    re-anchored as [end-10s, end]) or [a, a+10s] that CONTAINS a record is
+    emitted exactly once with the in-window count — for any random record
+    set, plain and bucketed alike."""
+    import datetime as dt
+
+    from kafka_streams_demo_spark.operators.windows import SlidingWindows
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, "x", t0 + dt.timedelta(seconds=s)) for k, s in rows],
+        "key string, value string, timestamp timestamp",
+    )
+    win = SlidingWindows.with_size("10 seconds").with_expiry_windows()
+    if bucketed:
+        win = win.bucketed_by("15 seconds")
+    out = KStream(df).group_by_key().windowed_by(win).count().select(
+        "key", F.unix_millis("window_start").alias("s"),
+        F.unix_millis("window_end").alias("e"), "value",
+    )
+    got = {(r["key"], r["s"], r["e"]): r["value"] for r in out.collect()}
+
+    ms0 = int(t0.timestamp() * 1000)
+    size = 10_000
+    by_key: dict[str, list[int]] = {}
+    for k, s in rows:
+        by_key.setdefault(k, []).append(ms0 + s * 1000)
+    model: dict[tuple, int] = {}
+    for k, tss in by_key.items():
+        ends = {t for t in tss} | {t + 1 + size for t in tss}
+        for e in ends:
+            n = sum(1 for t in tss if e - size <= t <= e)
+            if n > 0:
+                model[(k, e - size, e)] = n
+    assert got == model
