@@ -51,6 +51,7 @@ HEADLINE = [
     "pack_sequences",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
+    "bm25_search",
 ]
 
 

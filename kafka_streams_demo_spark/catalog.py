@@ -2665,6 +2665,41 @@ def q7_nation_volume(spark, sf_dir):
 
 
 @register(
+    "bm25_search",
+    "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), "
+    "base AS (SELECT doc_id, len(w) AS dl, "
+    "  len(list_filter(w, x -> x = 'table')) AS tf0, "
+    "  len(list_filter(w, x -> x = 'scan')) AS tf1, "
+    "  len(list_filter(w, x -> x = 'fast')) AS tf2 FROM t), "
+    "s AS (SELECT avg(dl) AS avgdl, count(*) AS n, "
+    "  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, "
+    "  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, "
+    "  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM base) "
+    "SELECT doc_id, ROUND("
+    "  LN((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0*2.2/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))"
+    "+ LN((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1*2.2/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))"
+    "+ LN((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2*2.2/(tf2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))"
+    ", 6) AS score "
+    "FROM base, s WHERE tf0 + tf1 + tf2 > 0 "
+    "ORDER BY score DESC, doc_id LIMIT 10",
+)
+def bm25_search_q(spark, sf_dir):
+    """Lexical BM25 top-10 for the query 'table scan fast'
+    (functions/text.py:bm25_search) — the sparse complement to the ANN
+    family for hybrid retrieval. Corpus rows never shuffle: row-local
+    tf/dl array math (no explode), one global stats aggregate (its only
+    exchange gathers a single partial row per task) broadcast back,
+    TakeOrdered top-k. The oracle replays the identical
+    formula with the same term-order float association; scores round to
+    6 dp before ranking so the cut is engine-deterministic."""
+    from kafka_streams_demo_spark.functions.text import bm25_search
+
+    return bm25_search(
+        load_table(spark, "documents", sf_dir), "table scan fast", k=10
+    )
+
+
+@register(
     "tfidf_top_terms",
     "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
     "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
@@ -4092,9 +4127,9 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # awaiting a driver slot): sliding_window_full_count(_bucketed) — the
 # full KIP-450 window set, new this round; pack_sequences_strid
 # (hash-sharded string ids, new); paragraph_dedup_rebuild (CCNet-style
-# corpus paragraph dedup + rebuild, new); temperature_mixture (rate
-# floor, new oracle); gif_decode_meta (r4's codec tier, never
-# driver-checked); the
+# corpus paragraph dedup + rebuild, new); bm25_search (lexical
+# retrieval, new); temperature_mixture (rate floor, new oracle);
+# gif_decode_meta (r4's codec tier, never driver-checked); the
 # remaining TPC-H shapes q4/q7/q8/q10/q11/q12/q14/q16/q18/q19/q22; and
 # the r5 demotions can rotate back in as slots free up.
 DRIVER_PRIORITY: list[str] = [

@@ -183,3 +183,80 @@ def char_entropy(sorted_chars: Column, n: Column) -> Column:
     return F.when(
         n > 0, F.round(F.log2(n.cast("double")) - total / n.cast("double"), 6)
     ).otherwise(F.lit(0.0))
+
+
+def bm25_search(
+    docs,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Lexical BM25 retrieval (Robertson/Sparck Jones; the Lucene
+    ``+1``-smoothed idf variant): top-``k`` documents for a whitespace
+    query — the sparse complement to the ANN family for hybrid
+    retrieval over a training corpus.
+
+    score(D,Q) = Σ_t ln((N − df_t + ½)/(df_t + ½) + 1)
+                   · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+
+    100 TB design: corpus rows NEVER shuffle. Per-term tf and doc
+    length are row-local array math (no explode — the corpus never
+    multiplies through an exchange); N/avgdl/df_t are ONE global
+    aggregate whose only exchange gathers a single partial-agg row per
+    task (map-side combine), broadcast back; the final top-k is
+    TakeOrdered (no sort shuffle). Scores are
+    rounded to 6 dp BEFORE ranking and tie-broken by doc id, so the
+    result set is deterministic across engines and partitionings (term
+    contributions sum in fixed query order). Two corpus passes total.
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401 (signature doc)
+
+    terms = list(dict.fromkeys(query.lower().split()))
+    if not terms:
+        raise ValueError("query holds no terms")
+
+    def tf_of(term):
+        return F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+    ).select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        *[tf_of(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.avg("dl").alias("_avgdl"),
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def part(i):
+        tf = F.col(f"_tf{i}").cast("double")
+        df_t = F.col(f"_df{i}").cast("double")
+        idf = F.log(
+            (F.col("_n") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+        )
+        return idf * tf * F.lit(k1 + 1.0) / denom
+
+    score = part(0)
+    for i in range(1, len(terms)):
+        score = score + part(i)
+    any_hit = sum(F.col(f"_tf{i}") for i in range(len(terms))) > 0
+    return (
+        scored.filter(any_hit)
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

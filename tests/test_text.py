@@ -110,3 +110,55 @@ def test_char_entropy_golden_values(spark):
     assert got[2] == 2.0
     assert got[3] == 0.0
     assert got[4] == 0.0
+
+
+def test_bm25_search_matches_python_model_and_plan(spark):
+    """BM25 top-k == the textbook formula computed in Python on a tiny
+    corpus (docs with 0 query terms excluded; rounded-score ordering,
+    doc-id tiebreak); the plan's ONLY exchange is the 1-row-per-task
+    partial-agg gather for the global stats (partial_avg/partial_sum
+    visible) — tf/dl are row-local, stats broadcast back, top-k is
+    TakeOrdered; corpus rows never shuffle."""
+    import math
+
+    from kafka_streams_demo_spark.functions.text import bm25_search
+    from kafka_streams_demo_spark.plans.explain import audit
+
+    corpus = [
+        (1, "table scan fast table"),
+        (2, "slow row merge"),
+        (3, "fast fast fast scan"),
+        (4, "table"),
+        (5, "window agg join"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = bm25_search(df, "table scan fast", k=3)
+
+    # python model
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    terms = ["table", "scan", "fast"]
+    dfs = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    scores = {}
+    for d, w in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if any(t in w for t in terms):
+            scores[d] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = [(r["doc_id"], r["score"]) for r in out.collect()]
+    assert [(d, round(s, 4)) for d, s in got] == [(d, round(s, 4)) for d, s in want]
+
+    a = audit(bm25_search(df, "table scan fast"))
+    assert a.exchanges == 1, f"only the stats partial-agg gather may exchange:\n{a.plan}"
+    assert "partial_avg" in a.plan  # map-side combine before the gather
+    assert "TakeOrderedAndProject" in a.plan  # top-k without a sort shuffle
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no terms"):
+        bm25_search(df, "   ")
