@@ -2302,6 +2302,37 @@ def contamination_check(spark, sf_dir):
 
 
 @register(
+    "contamination_overlap_pairs",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS s "
+    "FROM t, LATERAL UNNEST(generate_series(1, len(w)-3)) AS g(i)), "
+    "ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 1), "
+    "tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 20 <> 1) "
+    "SELECT train_id, eval_id, count(*) AS n_shared "
+    "FROM tr JOIN ev USING (s) GROUP BY 1, 2 HAVING count(*) >= 2",
+)
+def contamination_overlap_pairs_q(spark, sf_dir):
+    """Pair-level decontamination (functions/dedup.py:
+    contamination_overlap_pairs): the actionable DROP-LIST — which train
+    docs share ≥2 distinct 4-gram shingles with which eval docs (5% eval
+    split, same as the bloom entry) — where contamination_check only
+    scores eval docs in aggregate. Shingle-keyed join with eval as the
+    small side; the threshold flags the planted near-dup pairs at this
+    corpus's parameters."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        contamination_overlap_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return contamination_overlap_pairs(
+        docs.filter(F.col("doc_id") % 20 != 1),
+        docs.filter(F.col("doc_id") % 20 == 1),
+        n=4,
+        min_shared=2,
+    )
+
+
+@register(
     "contamination_check_bloom",
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
     "sh AS (SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS s "
@@ -4128,7 +4159,8 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # full KIP-450 window set, new this round; pack_sequences_strid
 # (hash-sharded string ids, new); paragraph_dedup_rebuild (CCNet-style
 # corpus paragraph dedup + rebuild, new); bm25_search (lexical
-# retrieval, new); temperature_mixture (rate floor, new oracle);
+# retrieval, new); contamination_overlap_pairs (pair-level drop-list,
+# new); temperature_mixture (rate floor, new oracle);
 # gif_decode_meta (r4's codec tier, never driver-checked); the
 # remaining TPC-H shapes q4/q7/q8/q10/q11/q12/q14/q16/q18/q19/q22; and
 # the r5 demotions can rotate back in as slots free up.

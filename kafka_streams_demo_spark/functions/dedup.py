@@ -666,6 +666,48 @@ def dedup_clusters(
     )
 
 
+def contamination_overlap_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pair-level decontamination (the LM-paper recipe): which TRAIN
+    documents overlap which EVAL documents by at least ``min_shared``
+    distinct word ``n``-grams — the actionable drop-list, where
+    ``contamination_check`` only scores eval docs in aggregate. Output:
+    (train_id, eval_id, n_shared), one row per flagged pair.
+
+    Scale: shingling is row-local (zero shuffle); the join is keyed on
+    the shingle with eval as the SMALL side (benchmarks are MBs against
+    a TB-scale corpus). ``max_doc_freq`` drops shingles appearing in
+    more than that many TRAIN docs before pairing — the hot-boilerplate
+    guard bounding join fan-out, same contract as ``ngram_jaccard_pairs``
+    (flagged counts become a documented lower bound)."""
+    tsh = doc_shingle_sets(train, n=n, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias("train_id"), F.explode("shset").alias("s")
+    )
+    esh = doc_shingle_sets(eval_df, n=n, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias("eval_id"), F.explode("shset").alias("s")
+    )
+    if max_doc_freq is not None:
+        hot = (
+            tsh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("s")
+        )
+        tsh = tsh.join(hot, ["s"], "left_anti")
+    return (
+        tsh.join(esh, ["s"])
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

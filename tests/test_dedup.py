@@ -334,6 +334,44 @@ def test_embedding_cap_error_mode_fails_loudly(spark):
         embedding_cosine_pairs(df, max_block_size=3, on_oversized="warn")
 
 
+def test_contamination_overlap_pairs_flags_and_guards(spark):
+    """The pair-level drop-list: a train doc embedding an eval doc's
+    passage is flagged with the exact distinct-shingle overlap; unrelated
+    docs are not; min_shared thresholds; the hot-shingle guard drops
+    boilerplate-only pairs (documented lower bound)."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        contamination_overlap_pairs,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    boiler = "terms of service apply here"
+    train = spark.createDataFrame(
+        [(1, f"intro words {passage} outro words"),       # embeds the passage
+         (2, f"{boiler} unrelated body text entirely"),   # only boilerplate
+         (3, "completely different content here now")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"{passage} question follows"),
+         (101, f"{boiler} what is two plus two")],
+        "doc_id long, text string",
+    )
+    got = {(r["train_id"], r["eval_id"]): r["n_shared"]
+           for r in contamination_overlap_pairs(train, ev, n=4, min_shared=2).collect()}
+    # passage has 10 words → 7 4-gram shingles shared by (1, 100)
+    assert got[(1, 100)] == 7
+    assert (3, 100) not in got and (3, 101) not in got
+    # boilerplate: 5 words → 2 shared 4-grams for (2, 101)
+    assert got[(2, 101)] == 2
+    # threshold: min_shared=8 drops everything
+    assert contamination_overlap_pairs(train, ev, n=4, min_shared=8).count() == 0
+    # hot-shingle guard: cap at doc-freq 0 removes ALL train shingles →
+    # nothing can pair (degenerate but pins the anti-join plumbing)
+    assert contamination_overlap_pairs(
+        train, ev, n=4, min_shared=1, max_doc_freq=0
+    ).count() == 0
+
+
 def test_paragraph_dedup_removes_boilerplate_keeps_first(spark):
     """CCNet/Dolma-style corpus paragraph dedup: a banner shared by three
     docs survives only in the first (doc, position) occurrence; unique
