@@ -1215,6 +1215,28 @@ def minhash_lsh_pairs_q(spark, sf_dir):
     return minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
 
 
+@register("minhash_lsh_incremental")  # no SQL oracle: probabilistic family;
+# the gate is the equality property test (incremental ≡ batch restricted
+# to delta-touching pairs, bit-for-bit — tests/test_dedup.py)
+def minhash_lsh_incremental_q(spark, sf_dir):
+    """Index+delta dedup (functions/dedup.py:minhash_lsh_pairs_incremental):
+    even-id docs play the already-indexed corpus (their minhash_index rows
+    stand in for yesterday's parquet), odd-id docs the new ingest batch —
+    signatures computed for the delta only, TB-scale index never
+    re-hashed. The production daily-crawl loop."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return minhash_lsh_pairs_incremental(
+        new, minhash_index(old), docs, threshold=0.8
+    )
+
+
 @register("simhash_pairs")  # no SQL oracle: signature family not SQL-expressible
 def simhash_pairs_q(spark, sf_dir):
     """SimHash-64 near-dup pairs (Hamming ≤ 3) via 4×16-bit segment index."""

@@ -230,6 +230,117 @@ def doc_shingle_sets(
     )
 
 
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows from a signature table.
+    Shingle-less docs have a null signature and would collide into one
+    bucket per band (then 0/0 at verification — ANSI mode throws): the
+    bucket stays NULL for them — band equi-joins drop null keys free."""
+    rows = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.when(
+                F.col("sig").isNotNull(),
+                F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]),
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_index(
+    docs: DataFrame, n: int = 3,
+    num_hashes: int = NUM_HASHES, bands: int = BANDS,
+    text_col: str = "text", id_col: str = "doc_id",
+    signature_impl: str = "arrow",
+) -> DataFrame:
+    """The persistable LSH index: (doc_id, band, bucket) rows for a
+    corpus — what a production pipeline writes to parquet after each
+    ingest so tomorrow's delta dedups against it WITHOUT re-hashing the
+    corpus (``minhash_lsh_pairs_incremental``). Deterministic: the same
+    document always produces the same band rows, so index rows from
+    different runs compose. Write partitioned/bucketed by ``band`` for
+    co-located delta joins."""
+    ds = doc_shingle_sets(docs, n, text_col, id_col)
+    sig = minhash_sig_array(ds, num_hashes, impl=signature_impl)
+    return _band_rows(sig, num_hashes, bands).filter(F.col("bucket").isNotNull())
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    n: int = 3, threshold: float = 0.8,
+    num_hashes: int = NUM_HASHES, bands: int = BANDS,
+    text_col: str = "text", id_col: str = "doc_id",
+    signature_impl: str = "arrow",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Index+delta near-dup detection — the production ingest loop:
+    signatures are computed for the NEW batch only; the existing corpus
+    participates through its persisted ``minhash_index`` rows. Emits
+    exactly the ``minhash_lsh_pairs`` result restricted to pairs
+    touching a new doc (same hash family, so batch and incremental
+    agree bit-for-bit — property-pinned), at delta-sized signature cost.
+
+    ``corpus`` must contain every doc the pairs may reference (old +
+    new) — verification re-tokenizes only candidate docs via a semi-join
+    into it. Scale: the delta's band rows broadcast onto the index (a
+    TB-scale index never shuffles for the join — at most one exchange if
+    the index isn't pre-bucketed by band); the one index-wide aggregate
+    is the hot-bucket cap check, map-side combined. ``max_bucket_size``
+    counts the bucket across index ∪ delta, matching the batch cap."""
+    new_banded = minhash_index(
+        new_docs, n, num_hashes, bands, text_col, id_col, signature_impl
+    )
+    all_banded = index.unionByName(new_banded)
+    sizes = all_banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
+    hot = sizes.filter(F.col("_bsz") > max_bucket_size).select("band", "bucket")
+    probe = new_banded.join(hot, ["band", "bucket"], "left_anti")
+    other = all_banded.join(hot, ["band", "bucket"], "left_anti").select(
+        "band", "bucket", F.col("doc_id").alias("_other")
+    )
+    candidates = (
+        F.broadcast(probe)
+        .join(other, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("_other"))
+        .select(
+            F.least("doc_id", "_other").alias("i"),
+            F.greatest("doc_id", "_other").alias("j"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand_ids = (
+        candidates.select(F.col("i").alias(id_col))
+        .union(candidates.select(F.col("j").alias(id_col)))
+        .distinct()
+    )
+    cand_ds = doc_shingle_sets(
+        corpus.join(F.broadcast(cand_ids), id_col, "left_semi"), n, text_col, id_col
+    )
+    di, dj = cand_ds.alias("di"), cand_ds.alias("dj")
+    return (
+        F.broadcast(candidates).join(di, F.col("i") == F.col("di.doc_id"))
+        .join(dj, F.col("j") == F.col("dj.doc_id"))
+        .withColumn("common", F.size(F.array_intersect(F.col("di.shset"), F.col("dj.shset"))))
+        .withColumn(
+            "_union", F.size(F.col("di.shset")) + F.size(F.col("dj.shset")) - F.col("common")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / F.nullif(F.col("_union"), F.lit(0)), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
     num_hashes: int = NUM_HASHES, bands: int = BANDS,
@@ -256,22 +367,7 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     ds = doc_shingle_sets(docs, n, text_col, id_col)
     sig = minhash_sig_array(ds, num_hashes, impl=signature_impl)
-    # shingle-less docs have a null signature and would collide into one
-    # bucket per band (then 0/0 at verification — ANSI mode throws): the
-    # bucket stays NULL for them — the band equi-join drops null keys free.
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.when(
-                F.col("sig").isNotNull(),
-                F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]),
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = _band_rows(sig, num_hashes, bands)
     # Candidate pairs via bucket grouping, NOT a self-join: a self-join
     # reads the banded table twice, and each side re-runs the whole
     # tokenize→shingle→minhash pipeline over the corpus (the dominant

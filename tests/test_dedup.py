@@ -334,6 +334,47 @@ def test_embedding_cap_error_mode_fails_loudly(spark):
         embedding_cosine_pairs(df, max_block_size=3, on_oversized="warn")
 
 
+def test_minhash_incremental_equals_batch_restricted_to_delta(spark):
+    """Index+delta dedup: signatures computed only for the new batch,
+    corpus via its persisted minhash_index rows — the result must equal
+    the full batch run restricted to pairs touching a new doc, BIT FOR
+    BIT (same hash family, deterministic). Old×old pairs are excluded;
+    index rows from a previous 'run' compose with the delta's."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base_text.replace("dog", f"dog{i % 3}")) for i in range(12)]
+    rows += [(50, "completely unrelated words live over here in this doc"),
+             (51, "completely unrelated words live over here in that doc")]
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = all_docs.filter(F.col("doc_id") < 8)
+    new = all_docs.filter(F.col("doc_id") >= 8)
+
+    batch = {(r["i"], r["j"]): r["jaccard"] for r in
+             minhash_lsh_pairs(all_docs, n=3, threshold=0.5).collect()}
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {p: jac for p, jac in batch.items()
+                if p[0] in new_ids or p[1] in new_ids}
+    assert expected, "fixture produced no cross-delta near-dup pairs"
+    assert any(p[0] < 8 for p in expected), "no old×new pair in fixture"
+
+    idx = minhash_index(old, n=3)
+    got = {(r["i"], r["j"]): r["jaccard"] for r in
+           minhash_lsh_pairs_incremental(
+               new, idx, all_docs, n=3, threshold=0.5).collect()}
+    assert got == expected
+    # old×old pairs never re-emitted
+    assert not any(p[0] < 8 and p[1] < 8 for p in got)
+    # hot-bucket cap: cap 1 drops every bucket with >1 member → no pairs
+    assert minhash_lsh_pairs_incremental(
+        new, idx, all_docs, n=3, threshold=0.5, max_bucket_size=1
+    ).count() == 0
+
+
 def test_contamination_overlap_pairs_flags_and_guards(spark):
     """The pair-level drop-list: a train doc embedding an eval doc's
     passage is flagged with the exact distinct-shingle overlap; unrelated
