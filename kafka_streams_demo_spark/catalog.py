@@ -1148,6 +1148,54 @@ def dedup_exact(spark, sf_dir):
 
 
 @register(
+    "dedup_exact_incremental",
+    "WITH newd AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1), "
+    "old AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0), "
+    "f AS (SELECT h, min(doc_id) AS doc_id FROM newd GROUP BY 1) "
+    "SELECT f.doc_id, f.h AS text_hash FROM f LEFT JOIN old ON f.h = old.h "
+    "WHERE old.h IS NULL",
+)
+def dedup_exact_incremental_q(spark, sf_dir):
+    """Index+delta exact dedup (functions/dedup.py:
+    exact_dedup_incremental): odd-id docs are the new ingest batch,
+    even-id docs' content hashes the persisted index — keep-list =
+    first-in-batch per hash, anti-joined against the index. In-batch
+    election is a min() aggregate (map-side combine), the probe a
+    hash-keyed anti-join."""
+    from kafka_streams_demo_spark.functions.dedup import exact_dedup_incremental
+
+    docs = load_table(spark, "documents", sf_dir)
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash")
+    )
+    return exact_dedup_incremental(docs.filter(F.col("doc_id") % 2 == 1), seen)
+
+
+@register(
+    "mixture_upsample",
+    "WITH d AS (SELECT doc_id, source, "
+    "  CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0 ELSE 1 END "
+    "    + CASE WHEN substring(md5(text), 1, 2) < "
+    "        (CASE WHEN source = 'src0' THEN '80' WHEN source = 'src1' THEN '40' ELSE '00' END) "
+    "      THEN 1 ELSE 0 END AS n FROM documents) "
+    "SELECT doc_id, source, CAST(g.gs AS INT) AS copy_id "
+    "FROM d, LATERAL UNNEST(generate_series(1, n)) AS g(gs)",
+)
+def mixture_upsample_q(spark, sf_dir):
+    """Epoch-style upsampling (functions/packing.py:mixture_upsample):
+    src0 ×2.5 (two copies + a content-hash coin for the third), src1
+    ×0.25 (keep/drop), others ×1.0 — rates above 1 emit replicated rows
+    with copy ids, deterministically. A narrow map stage; the oracle
+    replays the copy-count arithmetic with generate_series."""
+    from kafka_streams_demo_spark.functions.packing import mixture_upsample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mixture_upsample(
+        docs, {"src0": 2.5, "src1": 0.25}, default_rate=1.0
+    ).select("doc_id", "source", "copy_id")
+
+
+@register(
     "paragraph_dedup_rebuild",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -4182,7 +4230,9 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # (hash-sharded string ids, new); paragraph_dedup_rebuild (CCNet-style
 # corpus paragraph dedup + rebuild, new); bm25_search (lexical
 # retrieval, new); contamination_overlap_pairs (pair-level drop-list,
-# new); temperature_mixture (rate floor, new oracle);
+# new); dedup_exact_incremental + mixture_upsample (index+delta exact
+# dedup, epoch upsampling — new); temperature_mixture (rate floor, new
+# oracle);
 # gif_decode_meta (r4's codec tier, never driver-checked); the
 # remaining TPC-H shapes q4/q7/q8/q10/q11/q12/q14/q16/q18/q19/q22; and
 # the r5 demotions can rotate back in as slots free up.

@@ -762,6 +762,32 @@ def dedup_clusters(
     )
 
 
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index+delta EXACT dedup — the companion to
+    ``minhash_lsh_pairs_incremental`` for the byte-identical tier: keep
+    each new doc iff its content hash is unseen, electing ONE
+    representative per hash within the batch (min id). ``seen_hashes``
+    is the persisted index — one ``text_hash`` column, appended with
+    this function's output hashes after every ingest.
+
+    Scale: in-batch election is a min() AGGREGATE on the hash (map-side
+    combine — a batch full of one viral document collapses before the
+    exchange); the index probe is a hash-keyed anti-join, broadcast when
+    the delta is small relative to the index or bucket-joinable on
+    text_hash when both are huge. Output: (doc_id, text_hash) keep-list."""
+    hashed = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col).cast("binary")).alias("text_hash")
+    )
+    firsts = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    idx = seen_hashes.select(F.col("text_hash"))
+    return firsts.join(idx, ["text_hash"], "left_anti").select("doc_id", "text_hash")
+
+
 def contamination_overlap_pairs(
     train: DataFrame,
     eval_df: DataFrame,

@@ -218,6 +218,52 @@ def mixture_sample(
     )
 
 
+def mixture_upsample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    group_col: str = "source",
+    text_col: str = "text",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Mixture sampling with rates ABOVE 1 (epochs-per-source): each row
+    is emitted ``floor(rate)`` times plus one more with probability
+    ``frac(rate)`` — decided by the same content-hash rule as
+    ``mixture_sample``, so the realized copy count of every row is
+    reproducible across engines and partitionings. Rates below 1 degrade
+    to the familiar keep/drop filter (0 ≤ copies ≤ 1). Output: the input
+    columns plus ``copy_col`` (1..n per surviving copy) — downstream
+    shuffles/packing treat copies as distinct rows.
+
+    Scale: a narrow map stage — one ``when`` ladder for the rate, one
+    bounded ``sequence``+``explode``; no shuffle, no RNG, no driver
+    state. Fractional granularity 1/256."""
+    def parts(r: float) -> tuple[int, str]:
+        if r < 0:
+            raise ValueError(f"negative rate {r}")
+        whole = int(r)
+        t = max(0, min(256, round((r - whole) * 256)))
+        thresh = "zz" if t == 256 else format(t, "02x")
+        return whole, thresh
+
+    dw, dt = parts(default_rate)
+    whole_expr = F.lit(dw)
+    thresh_expr = F.lit(dt)
+    for src, r in rates.items():
+        w, t = parts(r)
+        whole_expr = F.when(F.col(group_col) == src, F.lit(w)).otherwise(whole_expr)
+        thresh_expr = F.when(F.col(group_col) == src, F.lit(t)).otherwise(thresh_expr)
+    n_copies = whole_expr + F.when(
+        F.substring(F.md5(F.col(text_col).cast("binary")), 1, 2) < thresh_expr,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # sequence(1, 0) DESCENDS in Spark — empty-copy rows need the guard
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select("*", F.explode(copies).alias(copy_col))
+
+
 def temperature_mixture(
     docs: DataFrame,
     alpha: float = 0.5,

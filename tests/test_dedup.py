@@ -468,3 +468,20 @@ def test_oversized_blocks_audit_matches_cap(spark):
     assert audit_rows == {0: 6}
     pairs = embedding_cosine_pairs(df, threshold=0.5, max_block_size=3)
     assert {(r["i"], r["j"]) for r in pairs.collect()} == {(100, 101)}
+
+
+def test_exact_dedup_incremental_keep_list(spark):
+    """Keep-list semantics: in-batch dup collapses to the min id; a doc
+    whose hash is already indexed is dropped entirely; novel docs pass."""
+    from kafka_streams_demo_spark.functions.dedup import exact_dedup_incremental
+
+    new = spark.createDataFrame(
+        [(10, "fresh content one"), (11, "seen before text"),
+         (12, "fresh content two"), (13, "fresh content two")],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame([("seen before text",)], "t string").select(
+        F.md5(F.col("t").cast("binary")).alias("text_hash")
+    )
+    got = {r["doc_id"] for r in exact_dedup_incremental(new, seen).collect()}
+    assert got == {10, 12}  # 11 indexed out, 13 loses in-batch election

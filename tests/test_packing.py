@@ -320,3 +320,33 @@ def test_temperature_mixture_keeps_null_group_docs(spark):
     )
     out = temperature_mixture(docs, alpha=1.0)  # natural rates: keep all
     assert out.count() == 100
+
+
+def test_mixture_upsample_copy_counts_and_determinism(spark):
+    """Rates above 1 replicate rows (floor + content-hash coin for the
+    fraction); rate 0 erases a source; integral rates are exact; output
+    is deterministic across invocations; negative rates raise."""
+    from kafka_streams_demo_spark.functions.packing import mixture_upsample
+
+    docs = _docs(
+        spark,
+        [(i, ["a", "b", "c"][i % 3], f"text {i} body {i * 11}") for i in range(300)],
+    )
+    out = mixture_upsample(docs, {"a": 3.0, "b": 0.0, "c": 1.5})
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["a"] == 300  # 100 docs × exactly 3
+    assert "b" not in by_src   # erased
+    assert 100 <= by_src["c"] <= 200  # 1 or 2 copies each
+    # per-row copy ids are 1..n with no gaps
+    per_doc = out.filter(F.col("source") == "a").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy_id")).alias("ids"))
+    assert all(r["ids"] == [1, 2, 3] for r in per_doc.collect())
+    # deterministic: a second run is identical
+    again = {(r["doc_id"], r["copy_id"]) for r in
+             mixture_upsample(docs, {"a": 3.0, "b": 0.0, "c": 1.5}).collect()}
+    first = {(r["doc_id"], r["copy_id"]) for r in out.collect()}
+    assert first == again
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="negative"):
+        mixture_upsample(docs, {"a": -1.0})
