@@ -779,7 +779,10 @@ def exact_dedup_incremental(
     combine — a batch full of one viral document collapses before the
     exchange); the index probe is a hash-keyed anti-join, broadcast when
     the delta is small relative to the index or bucket-joinable on
-    text_hash when both are huge. Output: (doc_id, text_hash) keep-list."""
+    text_hash when both are huge. Output: (doc_id, text_hash) keep-list.
+    NULL-text docs hash to a NULL key: one batch representative survives
+    and the anti-join can never drop it (NULL never equals an index row)
+    — filter nulls upstream if empty docs shouldn't pass."""
     hashed = new_docs.select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col).cast("binary")).alias("text_hash")
     )
