@@ -1686,6 +1686,36 @@ def gif_decode_meta_q(spark, sf_dir):
 
 
 @register(
+    "jpeg_decode_meta",
+    "SELECT doc_id AS key, "
+    "CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width, "
+    "CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_components "
+    "FROM documents",
+)
+def jpeg_decode_meta_q(spark, sf_dir):
+    """HASH-VERIFIED real ENTROPY-CODED image parse (round 5): each doc
+    carries a baseline-DCT JPEG written by the from-scratch T.81 codec
+    (Annex K tables, canonical Huffman, byte-stuffed entropy stream) —
+    grayscale for even ids, YCbCr 4:4:4 color for odd — and the marker
+    parser must read back exact dimensions and component count on every
+    row. Completes the codec ladder: uncompressed (WAV/PPM) → LZW (GIF)
+    → entropy-coded DCT (JPEG); quantization math is pinned against the
+    published T.81 worked example and the Huffman construction against
+    the spec's documented codewords in tests/test_multimodal.py."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_jpeg,
+        jpeg_meta_extract,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = jpeg_meta_extract(attach_synthetic_jpeg(docs))
+    return out.select(
+        F.col("doc_id").alias("key"), "width", "height", "n_components"
+    )
+
+
+@register(
     "gif_frames_meta",
     "SELECT doc_id AS key, CAST(g.f AS INTEGER) AS frame_no, "
     "CAST(12 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h "
@@ -4232,8 +4262,8 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # retrieval, new); contamination_overlap_pairs (pair-level drop-list,
 # new); dedup_exact_incremental + mixture_upsample (index+delta exact
 # dedup, epoch upsampling — new); temperature_mixture (rate floor, new
-# oracle);
-# gif_decode_meta (r4's codec tier, never driver-checked); the
+# oracle); jpeg_decode_meta (the from-scratch T.81 entropy-coded tier,
+# new) + gif_decode_meta (r4's codec tier, never driver-checked); the
 # remaining TPC-H shapes q4/q7/q8/q10/q11/q12/q14/q16/q18/q19/q22; and
 # the r5 demotions can rotate back in as slots free up.
 DRIVER_PRIORITY: list[str] = [

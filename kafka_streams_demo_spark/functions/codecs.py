@@ -1,9 +1,11 @@
 """Pure-Python media codecs for the multimodal pipeline: WAV-PCM audio,
-PPM-P6 images, and LZW-compressed GIF — all implementable from their
-public specifications with zero external codec libraries (stdlib +
-numpy). They make the multimodal decode path REAL for these formats,
-including one genuinely COMPRESSED image format; entropy-coded formats
-with large spec surfaces (JPEG/MP3/H.264) stay out of scope in this
+PPM-P6 images, LZW-compressed GIF, and baseline-DCT JPEG — all
+implemented from their public specifications with zero external codec
+libraries (stdlib + numpy). They make the multimodal decode path REAL
+across the whole codec ladder — uncompressed (WAV/PPM), dictionary-
+compressed (GIF/LZW), and entropy-coded transform compression (JPEG:
+DCT + quantization + canonical Huffman per ITU-T T.81). Perceptual-
+model audio/video formats (MP3/H.264) remain out of scope in this
 container (see functions/multimodal.py docstring).
 
 All codec functions are defined inside a factory and exported as
@@ -424,3 +426,504 @@ def _make_gif_codec():
 
 (gif_encode, gif_decode, gif_meta, gif_frames, gif_encode_animation,
  gif_resize, _gif_lzw_decode, _gif_lzw_encode_literal) = _make_gif_codec()
+
+
+def _make_jpeg_codec():
+    """Baseline sequential-DCT JPEG (ITU-T T.81), from scratch per the
+    public specification: Annex K quantization + Huffman tables, IJG
+    quality scaling, level-shift → 8×8 DCT-II → quantize → zigzag →
+    DC-difference / AC run-length magnitude coding → canonical Huffman →
+    byte-stuffed entropy stream, wrapped in SOI/APP0(JFIF)/DQT/SOF0/DHT/
+    SOS/EOI segments. Grayscale (1 component) and YCbCr 4:4:4 color
+    (3 components, no subsampling — every MCU is one block per
+    component). The decoder parses the full marker grammar (multi-table
+    DQT/DHT segments, APPn/COM skip), rejects progressive (SOF2) and
+    restart-interval streams with named errors, and entropy-decodes with
+    canonically rebuilt Huffman trees. Quantization math is pinned
+    against the published T.81/Wallace worked-example block, and the
+    canonical code construction against the spec's documented AC-luma
+    codewords (EOB=1010, ZRL=11111111001) in tests/test_multimodal.py.
+    By-value closures for worker safety, same as the other codecs."""
+
+    QT_LUMA = [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+    QT_CHROMA = [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+    ZIGZAG = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_L_VALS = list(range(12))
+    DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+    DC_C_VALS = list(range(12))
+    AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    AC_L_VALS = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+    AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+    AC_C_VALS = [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+
+    def _canonical_codes(bits, vals):
+        """(symbol → (code, length)) per the spec's canonical rule: codes
+        assigned in increasing length, within a length in table order."""
+        out, code, i = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[i]] = (code, ln)
+                code += 1
+                i += 1
+            code <<= 1
+        return out
+
+    def _dct_basis():
+        import math
+
+        import numpy as np
+
+        c = np.zeros((8, 8))
+        for k in range(8):
+            for n in range(8):
+                c[k, n] = math.cos((2 * n + 1) * k * math.pi / 16)
+            c[k] *= math.sqrt(0.125) if k == 0 else 0.5
+        return c
+
+    def _quality_tables(quality: int):
+        import numpy as np
+
+        if not 1 <= quality <= 100:
+            raise ValueError(f"quality must be 1..100, got {quality}")
+        scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+        def scaled(base):
+            t = [(b * scale + 50) // 100 for b in base]
+            return np.array([min(255, max(1, v)) for v in t]).reshape(8, 8)
+        return scaled(QT_LUMA), scaled(QT_CHROMA)
+
+    def _quantize_block(block, qtbl):
+        """Level-shifted 8×8 spatial block → quantized DCT coefficients
+        (the stage pinned against the published worked example)."""
+        import numpy as np
+
+        C = _dct_basis()
+        coef = C @ np.asarray(block, dtype=np.float64) @ C.T
+        return np.round(coef / qtbl).astype(np.int32)
+
+    class _BitWriter:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def write(self, value: int, length: int):
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((value >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0x00)  # byte stuffing
+                    self.acc, self.n = 0, 0
+
+        def flush(self):
+            while self.n:
+                self.write(1, 1)  # pad with 1-bits per spec
+            return bytes(self.buf)
+
+    def _category(v: int) -> int:
+        return abs(v).bit_length()
+
+    def _magnitude_bits(v: int, s: int) -> int:
+        return v if v >= 0 else v + (1 << s) - 1
+
+    def _encode_block(w, coef, dc_codes, ac_codes, prev_dc):
+        zz = [int(coef.flat[ZIGZAG[i]]) for i in range(64)]
+        diff = zz[0] - prev_dc
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(_magnitude_bits(diff, s), s)
+        run = 0
+        last_nz = 0
+        for i in range(1, 64):
+            if zz[i]:
+                last_nz = i
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.write(code, ln)
+                run -= 16
+            s = _category(zz[i])
+            code, ln = ac_codes[(run << 4) | s]
+            w.write(code, ln)
+            w.write(_magnitude_bits(zz[i], s), s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            w.write(code, ln)
+        return zz[0]
+
+    def _pad_blocks(plane):
+        """Edge-replicate to multiples of 8 and yield 8×8 blocks row-major."""
+        import numpy as np
+
+        h, wd = plane.shape
+        ph, pw = -(-h // 8) * 8, -(-wd // 8) * 8
+        padded = np.empty((ph, pw), dtype=np.float64)
+        padded[:h, :wd] = plane
+        padded[h:, :wd] = plane[h - 1:h, :]
+        padded[:h, wd:] = padded[:h, wd - 1:wd]
+        padded[h:, wd:] = padded[h - 1, wd - 1]
+        return padded, ph // 8, pw // 8
+
+    def _seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def jpeg_encode(pixels, quality: int = 90) -> bytes:
+        """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB → baseline JFIF
+        bytes (4:4:4, no subsampling)."""
+        import numpy as np
+
+        px = np.asarray(pixels)
+        if px.dtype != np.uint8:
+            raise ValueError(f"uint8 pixels required, got {px.dtype}")
+        gray = px.ndim == 2
+        if not gray and (px.ndim != 3 or px.shape[2] != 3):
+            raise ValueError(f"expected (h,w) or (h,w,3), got {px.shape}")
+        h, wd = px.shape[:2]
+        qt_l, qt_c = _quality_tables(quality)
+
+        if gray:
+            planes = [px.astype(np.float64)]
+        else:
+            r = px[:, :, 0].astype(np.float64)
+            g = px[:, :, 1].astype(np.float64)
+            b = px[:, :, 2].astype(np.float64)
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            planes = [y, cb, cr]
+
+        dc_l = _canonical_codes(DC_L_BITS, DC_L_VALS)
+        ac_l = _canonical_codes(AC_L_BITS, AC_L_VALS)
+        dc_c = _canonical_codes(DC_C_BITS, DC_C_VALS)
+        ac_c = _canonical_codes(AC_C_BITS, AC_C_VALS)
+
+        padded = []
+        for p in planes:
+            pp, bh, bw = _pad_blocks(p)
+            padded.append(pp)
+        writer = _BitWriter()
+        prev = [0] * len(planes)
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, pp in enumerate(padded):
+                    block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                    coef = _quantize_block(block, qt_l if ci == 0 else qt_c)
+                    prev[ci] = _encode_block(
+                        writer, coef,
+                        dc_l if ci == 0 else dc_c,
+                        ac_l if ci == 0 else ac_c,
+                        prev[ci],
+                    )
+        entropy = writer.flush()
+
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        dqt = bytes([0x00]) + bytes(int(qt_l.flat[ZIGZAG[i]]) for i in range(64))
+        if not gray:
+            dqt += bytes([0x01]) + bytes(int(qt_c.flat[ZIGZAG[i]]) for i in range(64))
+        out += _seg(0xDB, dqt)
+        ncomp = 1 if gray else 3
+        sof = bytes([8]) + h.to_bytes(2, "big") + wd.to_bytes(2, "big") + bytes([ncomp])
+        for ci in range(ncomp):
+            sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        out += _seg(0xC0, sof)
+        dht = bytes([0x00]) + bytes(DC_L_BITS) + bytes(DC_L_VALS)
+        dht += bytes([0x10]) + bytes(AC_L_BITS) + bytes(AC_L_VALS)
+        if not gray:
+            dht += bytes([0x01]) + bytes(DC_C_BITS) + bytes(DC_C_VALS)
+            dht += bytes([0x11]) + bytes(AC_C_BITS) + bytes(AC_C_VALS)
+        out += _seg(0xC4, dht)
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0x00, 0x3F, 0x00])
+        out += _seg(0xDA, sos)
+        out += entropy
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    def _parse_segments(data: bytes):
+        """Marker walk up to SOS; returns (meta dict, entropy offset)."""
+        if len(data) < 4 or data[0:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (missing SOI)")
+        qtables, huff, sof, sos = {}, {}, None, None
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"bad marker alignment at {pos}")
+            marker = data[pos + 1]
+            if marker == 0xD9:
+                break
+            ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+            seg = data[pos + 4:pos + 2 + ln]
+            if len(seg) != ln - 2:
+                raise ValueError("truncated segment")
+            if marker == 0xDB:
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    if pq != 0:
+                        raise ValueError("16-bit quant tables unsupported")
+                    qtables[tq] = list(seg[i + 1:i + 65])
+                    i += 65
+            elif marker == 0xC4:
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    bits = list(seg[i + 1:i + 17])
+                    nv = sum(bits)
+                    vals = list(seg[i + 17:i + 17 + nv])
+                    huff[(tc, th)] = (bits, vals)
+                    i += 17 + nv
+            elif marker == 0xC0:
+                comps = []
+                nc = seg[5]
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                    if hv != 0x11:
+                        raise ValueError(
+                            "chroma subsampling unsupported (4:4:4 only)"
+                        )
+                    comps.append((cid, tq))
+                sof = {
+                    "precision": seg[0],
+                    "height": int.from_bytes(seg[1:3], "big"),
+                    "width": int.from_bytes(seg[3:5], "big"),
+                    "components": comps,
+                }
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    f"only baseline sequential (SOF0) supported, got SOF marker {marker:#x}"
+                )
+            elif marker == 0xDD:
+                raise ValueError("restart intervals (DRI) unsupported")
+            elif marker == 0xDA:
+                nc = seg[0]
+                sos = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                       for c in range(nc)]
+                return {"qt": qtables, "huff": huff, "sof": sof, "sos": sos}, pos + 2 + ln
+            pos += 2 + ln
+        raise ValueError("no SOS segment (truncated or not baseline)")
+
+    class _BitReader:
+        def __init__(self, data: bytes, pos: int):
+            self.data, self.pos, self.bit = data, pos, 0
+
+        def read_bit(self) -> int:
+            d = self.data
+            if self.pos >= len(d):
+                raise ValueError("entropy stream truncated")
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0xD9 and self.bit == 0:
+                    raise ValueError("entropy stream truncated (hit EOI)")
+            b = (byte >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+                if byte == 0xFF:
+                    if self.pos >= len(d) or d[self.pos] != 0x00:
+                        raise ValueError("bad byte stuffing in entropy stream")
+                    self.pos += 1
+            return b
+
+        def read(self, n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+
+    def _huff_decoder(bits, vals):
+        table = {}
+        code, i = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[(ln, code)] = vals[i]
+                code += 1
+                i += 1
+            code <<= 1
+        return table
+
+    def _read_symbol(r, table):
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | r.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    def _extend(bits_val: int, s: int) -> int:
+        if s == 0:
+            return 0
+        return bits_val if bits_val >= (1 << (s - 1)) else bits_val - (1 << s) + 1
+
+    def jpeg_decode(payload: bytes):
+        """JFIF bytes → (h, w) uint8 grayscale or (h, w, 3) uint8 RGB."""
+        import numpy as np
+
+        data = bytes(payload)
+        meta, epos = _parse_segments(data)
+        sof = meta["sof"]
+        if sof is None:
+            raise ValueError("missing SOF0 segment")
+        h, wd = sof["height"], sof["width"]
+        comps = sof["components"]
+        ncomp = len(comps)
+        if ncomp not in (1, 3):
+            raise ValueError(f"1 or 3 components supported, got {ncomp}")
+        dec = {k: _huff_decoder(*v) for k, v in meta["huff"].items()}
+        C = _dct_basis()
+        inv_zz = ZIGZAG  # zz[i] lands at flat position ZIGZAG[i]
+        bh, bw = -(-h // 8), -(-wd // 8)
+        planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
+        r = _BitReader(data, epos)
+        prev = [0] * ncomp
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, (cid, tq) in enumerate(comps):
+                    td, ta = meta["sos"][ci][1], meta["sos"][ci][2]
+                    dct = dec.get((0, td))
+                    act = dec.get((1, ta))
+                    if dct is None or act is None:
+                        raise ValueError("missing Huffman table for scan")
+                    zz = [0] * 64
+                    s = _read_symbol(r, dct)
+                    prev[ci] += _extend(r.read(s), s)
+                    zz[0] = prev[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _read_symbol(r, act)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        zz[k] = _extend(r.read(sym & 15), sym & 15)
+                        k += 1
+                    qt = meta["qt"].get(tq)
+                    if qt is None:
+                        raise ValueError(f"missing quant table {tq}")
+                    coef = np.zeros(64)
+                    for i in range(64):
+                        coef[inv_zz[i]] = zz[i] * qt[i]
+                    block = C.T @ coef.reshape(8, 8) @ C + 128.0
+                    planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+        planes = [p[:h, :wd] for p in planes]
+        if ncomp == 1:
+            return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        y, cb, cr = planes
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r_, g_, b_], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    def jpeg_meta(payload: bytes) -> dict:
+        """Header-only parse (no entropy decode): width, height,
+        n_components, precision — the cheap metadata path."""
+        meta, _ = _parse_segments(bytes(payload))
+        sof = meta["sof"]
+        if sof is None:
+            raise ValueError("missing SOF0 segment")
+        return {
+            "width": int(sof["width"]),
+            "height": int(sof["height"]),
+            "n_components": len(sof["components"]),
+            "precision": int(sof["precision"]),
+        }
+
+    return (jpeg_encode, jpeg_decode, jpeg_meta,
+            _quantize_block, _quality_tables, _canonical_codes,
+            AC_L_BITS, AC_L_VALS, QT_LUMA, ZIGZAG)
+
+
+(jpeg_encode, jpeg_decode, jpeg_meta, _jpeg_quantize_block,
+ _jpeg_quality_tables, _jpeg_canonical_codes, _JPEG_AC_L_BITS,
+ _JPEG_AC_L_VALS, _JPEG_QT_LUMA, _JPEG_ZIGZAG) = _make_jpeg_codec()

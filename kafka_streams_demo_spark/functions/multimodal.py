@@ -7,15 +7,17 @@ Python boundary, sized by batch not by row.
 
 Decode status, by format family:
 
-- REAL: WAV-PCM audio and PPM-P6 images decode for real via the pure-
-  Python codecs in functions/codecs.py (``wav_feature_extract`` /
-  ``ppm_resize_images`` below + synthetic fixture generators) — no
-  external codec library involved.
-- STUBBED: compressed formats (JPEG/MP3/H.264 …) need codec libraries
-  this container does not ship. ``decode_features``/``resize_images``/
-  ``frame_sample`` raise ``NotImplementedError`` unless ``fake=True``,
-  which computes deterministic stand-ins — the Spark-side plumbing
-  (schema, batching, partitioning) is real and tested either way.
+- REAL: WAV-PCM audio, PPM-P6 images, LZW-compressed GIF (incl.
+  multi-frame animation as the compressed video container), and
+  baseline-DCT JPEG (round 5 — the entropy-coded tier) decode for real
+  via the pure-Python codecs in functions/codecs.py — no external codec
+  library involved.
+- STUBBED: perceptual-model formats (MP3/H.264 …) need codec libraries
+  this container does not ship. The generic ``decode_features``/
+  ``resize_images``/``frame_sample`` paths raise ``NotImplementedError``
+  unless ``fake=True``, which computes deterministic stand-ins — the
+  Spark-side plumbing (schema, batching, partitioning) is real and
+  tested either way.
 """
 
 from __future__ import annotations
@@ -508,4 +510,71 @@ def gif_frame_sample(multimodal: DataFrame, every_n: int = 2) -> DataFrame:
 
     return multimodal.select("doc_id", "payload").mapInPandas(
         batches, schema="doc_id long, frame_no int, w int, h int"
+    )
+
+
+def attach_synthetic_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload, …) with a REAL baseline-DCT JPEG per doc
+    (functions/codecs.py jpeg codec): dimensions and component count
+    derive deterministically from doc_id (grayscale for even ids, YCbCr
+    4:4:4 color for odd), pixel content a closed-form gradient — the
+    entropy-coded sibling of ``attach_synthetic_gif``."""
+    from kafka_streams_demo_spark.functions.codecs import jpeg_encode
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 * (1 + d % 3)
+                h = 8 * (1 + d % 2)
+                base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) + d) % 256
+                if d % 2 == 0:
+                    px = base.astype(np.uint8)
+                else:
+                    px = np.stack(
+                        [base, (base * 2) % 256, (255 - base) % 256], axis=-1
+                    ).astype(np.uint8)
+                payloads.append(jpeg_encode(px, quality=90))
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "modality": ["image_jpeg"] * len(pdf),
+                "byte_len": [len(p) for p in payloads],
+                "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return ids.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, modality string, byte_len long, checksum string",
+    )
+
+
+def jpeg_meta_extract(multimodal: DataFrame) -> DataFrame:
+    """REAL entropy-coded-image metadata: parse the JFIF marker grammar
+    per row (Arrow batches, header-only — no entropy decode) →
+    (doc_id, width, height, n_components)."""
+    from kafka_streams_demo_spark.functions.codecs import jpeg_meta
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            metas = [jpeg_meta(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "n_components": [m["n_components"] for m in metas],
+            })
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, width int, height int, n_components int"
     )

@@ -355,3 +355,149 @@ def test_gif_truncated_raises_value_error_not_index_error():
             gif_decode(payload[:cut])
         except ValueError:
             pass  # the only acceptable failure mode
+
+
+def test_jpeg_quantization_matches_published_worked_example():
+    """The T.81/Wallace worked-example 8×8 block, quantized with the
+    Annex K luminance table at quality 50, must reproduce the published
+    coefficient matrix EXACTLY — pins level shift, the orthonormal
+    DCT-II, table scaling (quality 50 == the Annex K base verbatim), and
+    rounding, against an externally documented result."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        _jpeg_quality_tables,
+        _jpeg_quantize_block,
+        _JPEG_QT_LUMA,
+    )
+
+    block = np.array([
+        [52, 55, 61, 66, 70, 61, 64, 73],
+        [63, 59, 55, 90, 109, 85, 69, 72],
+        [62, 59, 68, 113, 144, 104, 66, 73],
+        [63, 58, 71, 122, 154, 106, 70, 69],
+        [67, 61, 68, 104, 126, 88, 68, 70],
+        [79, 65, 60, 70, 77, 68, 58, 75],
+        [85, 71, 64, 59, 55, 61, 65, 83],
+        [87, 79, 69, 68, 65, 76, 78, 94],
+    ], dtype=float)
+    published = np.array([
+        [-26, -3, -6, 2, 2, -1, 0, 0],
+        [0, -2, -4, 1, 1, 0, 0, 0],
+        [-3, 1, 5, -1, -1, 0, 0, 0],
+        [-3, 1, 2, -1, 0, 0, 0, 0],
+        [1, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0],
+    ])
+    qt50, _ = _jpeg_quality_tables(50)
+    assert (qt50.flatten() == np.array(_JPEG_QT_LUMA)).all()
+    got = _jpeg_quantize_block(block - 128.0, qt50)
+    assert (got == published).all(), got
+
+
+def test_jpeg_huffman_canonical_codes_match_spec():
+    """Canonical code construction against the spec's documented AC-luma
+    codewords: EOB (0x00) = 1010, ZRL (0xF0) = 11111111001,
+    (run 0, size 1) = 00 — plus structural invariants (prefix-free,
+    162 AC symbols)."""
+    from kafka_streams_demo_spark.functions.codecs import (
+        _jpeg_canonical_codes,
+        _JPEG_AC_L_BITS,
+        _JPEG_AC_L_VALS,
+    )
+
+    codes = _jpeg_canonical_codes(_JPEG_AC_L_BITS, _JPEG_AC_L_VALS)
+    assert len(codes) == 162
+    def s(sym):
+        c, ln = codes[sym]
+        return format(c, f"0{ln}b")
+    assert s(0x00) == "1010"
+    assert s(0xF0) == "11111111001"
+    assert s(0x01) == "00"
+    # prefix-free: no codeword is a prefix of another
+    words = sorted(s(k) for k in codes)
+    for a, b in zip(words, words[1:]):
+        assert not b.startswith(a)
+
+
+def test_jpeg_roundtrip_psnr_gray_and_color():
+    """decode(encode(img)) stays close at quality 90 (PSNR > 35 dB) for
+    gradient and pseudo-random images, including non-multiple-of-8
+    dimensions (edge-replicated padding cropped back exactly)."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(7)
+
+    def psnr(a, b):
+        mse = float(((a.astype(float) - b.astype(float)) ** 2).mean())
+        return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+    grad = (np.add.outer(np.arange(29) * 4, np.arange(21) * 7) % 256).astype(np.uint8)
+    smooth = (rng.rand(19, 13) * 60 + 90).astype(np.uint8)
+    for img in (grad, smooth):
+        back = jpeg_decode(jpeg_encode(img, quality=90))
+        assert back.shape == img.shape
+        assert psnr(img, back) > 35, psnr(img, back)
+
+    rgb = np.stack([grad, (255 - grad), np.roll(grad, 5, axis=0)], axis=-1)
+    back = jpeg_decode(jpeg_encode(rgb, quality=90))
+    assert back.shape == rgb.shape
+    assert psnr(rgb, back) > 30, psnr(rgb, back)
+    # flat image: near-lossless at any quality
+    flat = np.full((16, 24), 137, dtype=np.uint8)
+    assert psnr(flat, jpeg_decode(jpeg_encode(flat, quality=50))) > 45
+
+
+def test_jpeg_meta_and_malformed_streams():
+    """Header-only meta parse; truncated/garbage/progressive streams
+    raise ValueError (the codec-family contract), never IndexError."""
+    import numpy as np
+    import pytest
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        jpeg_encode,
+        jpeg_decode,
+        jpeg_meta,
+    )
+
+    img = (np.arange(16 * 24).reshape(16, 24) % 256).astype(np.uint8)
+    data = jpeg_encode(img, quality=75)
+    m = jpeg_meta(data)
+    assert m == {"width": 24, "height": 16, "n_components": 1, "precision": 8}
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_meta(b"\x00\x01\x02")
+    for cut in (4, 20, len(data) // 2, len(data) - 3):
+        with pytest.raises(ValueError):
+            jpeg_decode(data[:cut])
+    # progressive (SOF2) rejected by name, not mis-decoded
+    sof0_at = data.find(b"\xff\xc0")
+    assert sof0_at > 0
+    prog = data[:sof0_at] + b"\xff\xc2" + data[sof0_at + 2:]
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_meta(prog)
+    with pytest.raises(ValueError, match="quality"):
+        jpeg_encode(img, quality=0)
+
+
+def test_jpeg_spark_attach_and_meta_extract(spark):
+    """The Spark plumbing end-to-end at sf0.001: every doc's JPEG parses
+    back to the closed-form dimensions/components the generator used."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_jpeg,
+        jpeg_meta_extract,
+    )
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    out = jpeg_meta_extract(attach_synthetic_jpeg(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        d = r["doc_id"]
+        assert r["width"] == 8 * (1 + d % 3)
+        assert r["height"] == 8 * (1 + d % 2)
+        assert r["n_components"] == (1 if d % 2 == 0 else 3)
