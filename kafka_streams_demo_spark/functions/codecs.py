@@ -919,11 +919,25 @@ def _make_jpeg_codec():
             "precision": int(sof["precision"]),
         }
 
-    return (jpeg_encode, jpeg_decode, jpeg_meta,
+    def jpeg_resize(payload: bytes, new_w: int, new_h: int,
+                    quality: int = 90) -> bytes:
+        """Decode → nearest-neighbor resample → re-encode (the same
+        resize contract as the PPM/GIF tiers; lossy like any JPEG
+        re-encode)."""
+        import numpy as np
+
+        px = jpeg_decode(payload)
+        h, wd = px.shape[:2]
+        ys = np.minimum((np.arange(new_h) * h) // new_h, h - 1)
+        xs = np.minimum((np.arange(new_w) * wd) // new_w, wd - 1)
+        return jpeg_encode(px[np.ix_(ys, xs)], quality=quality)
+
+    return (jpeg_encode, jpeg_decode, jpeg_meta, jpeg_resize,
             _quantize_block, _quality_tables, _canonical_codes,
             AC_L_BITS, AC_L_VALS, QT_LUMA, ZIGZAG)
 
 
-(jpeg_encode, jpeg_decode, jpeg_meta, _jpeg_quantize_block,
- _jpeg_quality_tables, _jpeg_canonical_codes, _JPEG_AC_L_BITS,
- _JPEG_AC_L_VALS, _JPEG_QT_LUMA, _JPEG_ZIGZAG) = _make_jpeg_codec()
+(jpeg_encode, jpeg_decode, jpeg_meta, jpeg_resize,
+ _jpeg_quantize_block, _jpeg_quality_tables, _jpeg_canonical_codes,
+ _JPEG_AC_L_BITS, _JPEG_AC_L_VALS, _JPEG_QT_LUMA,
+ _JPEG_ZIGZAG) = _make_jpeg_codec()

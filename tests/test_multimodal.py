@@ -501,3 +501,23 @@ def test_jpeg_spark_attach_and_meta_extract(spark):
         assert r["width"] == 8 * (1 + d % 3)
         assert r["height"] == 8 * (1 + d % 2)
         assert r["n_components"] == (1 if d % 2 == 0 else 3)
+
+
+def test_jpeg_resize_dims_and_content():
+    """Resize completes the JPEG quartet: output re-parses at the target
+    dimensions and a flat image survives resampling intact."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        jpeg_encode,
+        jpeg_decode,
+        jpeg_meta,
+        jpeg_resize,
+    )
+
+    img = np.full((24, 32), 200, dtype=np.uint8)
+    small = jpeg_resize(jpeg_encode(img), 16, 8)
+    m = jpeg_meta(small)
+    assert (m["width"], m["height"]) == (16, 8)
+    back = jpeg_decode(small)
+    assert abs(float(back.mean()) - 200.0) < 3.0
