@@ -4266,6 +4266,8 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # new) + gif_decode_meta (r4's codec tier, never driver-checked); the
 # remaining TPC-H shapes q4/q7/q8/q10/q11/q12/q14/q16/q18/q19/q22; and
 # the r5 demotions can rotate back in as slots free up.
+# (minhash_lsh_incremental is rows-only by design — its gate is the
+# bit-equality property test against the batch run.)
 DRIVER_PRIORITY: list[str] = [
     "filter_events", "map_values_upper",
     "select_key_prefix", "branch_c", "word_count",
