@@ -1203,13 +1203,19 @@ def mixture_upsample_q(spark, sf_dir):
           FROM t, unnest(generate_series(1, greatest(len(w), 1), 10)) AS u(st)),
     r AS (SELECT doc_id, pos, seg,
                  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
-          FROM s)
-    SELECT doc_id,
-           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
-           CAST(COUNT(*) - COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_dropped,
-           COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
-             AS new_text
-    FROM r GROUP BY 1
+          FROM s),
+    g AS (SELECT doc_id,
+                 CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+                 CAST(COUNT(*) - COUNT(*) FILTER (WHERE rn = 1) AS BIGINT)
+                   AS n_dropped,
+                 COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                          '') AS new_text
+          FROM r GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(g.n_kept, 0) AS n_kept,
+           COALESCE(g.n_dropped, 0) AS n_dropped,
+           COALESCE(g.new_text, '') AS new_text
+    FROM documents d LEFT JOIN g USING (doc_id)
     """,
 )
 def paragraph_dedup_rebuild_q(spark, sf_dir):
@@ -1220,7 +1226,8 @@ def paragraph_dedup_rebuild_q(spark, sf_dir):
     First-occurrence election is a min(struct) AGGREGATE (map-side
     combine — a 10⁸-fold boilerplate segment never serializes into one
     rank task); the oracle uses the equivalent rank formulation DuckDB
-    side."""
+    side. NULL-text docs (zero segments) are left-joined back as
+    (0, 0, '') in both engines — no document ever vanishes."""
     from kafka_streams_demo_spark.functions.dedup import paragraph_dedup
 
     return paragraph_dedup(load_table(spark, "documents", sf_dir))

@@ -563,12 +563,13 @@ def _make_jpeg_codec():
             return np.array([min(255, max(1, v)) for v in t]).reshape(8, 8)
         return scaled(QT_LUMA), scaled(QT_CHROMA)
 
-    def _quantize_block(block, qtbl):
+    def _quantize_block(block, qtbl, C):
         """Level-shifted 8×8 spatial block → quantized DCT coefficients
-        (the stage pinned against the published worked example)."""
+        (the stage pinned against the published worked example). ``C`` is
+        the hoisted DCT basis — rebuilt per block it's 64 cos() calls +
+        two allocs in the encode hot loop (decode already hoists it)."""
         import numpy as np
 
-        C = _dct_basis()
         coef = C @ np.asarray(block, dtype=np.float64) @ C.T
         return np.round(coef / qtbl).astype(np.int32)
 
@@ -682,11 +683,12 @@ def _make_jpeg_codec():
             padded.append(pp)
         writer = _BitWriter()
         prev = [0] * len(planes)
+        dct_c = _dct_basis()  # hoisted: one basis for the whole image
         for by in range(bh):
             for bx in range(bw):
                 for ci, pp in enumerate(padded):
                     block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-                    coef = _quantize_block(block, qt_l if ci == 0 else qt_c)
+                    coef = _quantize_block(block, qt_l if ci == 0 else qt_c, dct_c)
                     prev[ci] = _encode_block(
                         writer, coef,
                         dc_l if ci == 0 else dc_c,

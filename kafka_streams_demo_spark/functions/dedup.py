@@ -40,6 +40,29 @@ NUM_HASHES = 64
 BANDS = 16
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
+# Persisted intermediates (candidate pair lists, simhash signatures) are
+# read several times inside one lazy plan, so they cannot be unpersisted
+# before the caller materializes the returned DataFrame. Each persist site
+# registers itself here; callers in long-lived driver sessions should call
+# release_caches() after materialization to free executor storage.
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_cache(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate this module has cached since the last
+    call (candidate pair lists in minhash_lsh_pairs / _incremental,
+    simhash signature tables). Safe to call any time AFTER the returned
+    DataFrames have been materialized; returns the number released."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
 # MinHash permutation family: h_i(x) = (a_i·x + b_i) mod P over the 31-bit
 # prehash x = xxhash64(shingle) & 0x7FFFFFFF. One string hash per shingle,
 # then 64 multiply-mods — vs 64 full string hashes (measured 1.5× native;
@@ -278,6 +301,7 @@ def minhash_lsh_pairs_incremental(
     text_col: str = "text", id_col: str = "doc_id",
     signature_impl: str = "arrow",
     max_bucket_size: int = 10_000,
+    broadcast_delta: bool = False,
 ) -> DataFrame:
     """Index+delta near-dup detection — the production ingest loop:
     signatures are computed for the NEW batch only; the existing corpus
@@ -288,11 +312,24 @@ def minhash_lsh_pairs_incremental(
 
     ``corpus`` must contain every doc the pairs may reference (old +
     new) — verification re-tokenizes only candidate docs via a semi-join
-    into it. Scale: the delta's band rows broadcast onto the index (a
-    TB-scale index never shuffles for the join — at most one exchange if
-    the index isn't pre-bucketed by band); the one index-wide aggregate
-    is the hot-bucket cap check, map-side combined. ``max_bucket_size``
-    counts the bucket across index ∪ delta, matching the batch cap."""
+    into it. Scale: by default join strategy is left to Catalyst/AQE —
+    a small delta broadcasts automatically under
+    ``autoBroadcastJoinThreshold``, a LARGE ingest batch (10⁷–10⁸ docs
+    × ``bands`` band rows is a realistic daily delta at corpus scale)
+    degrades to a shuffle join instead of OOMing executors. Pass
+    ``broadcast_delta=True`` only when the caller KNOWS the batch is
+    small — it force-broadcasts the delta's band rows, the candidate
+    pair list, and the candidate-id semi-join so the TB-scale index and
+    corpus never shuffle. Pre-bucket the persisted ``minhash_index`` on
+    ``(band, bucket)`` so the index side is exchange-free either way.
+    The one index-wide aggregate is the hot-bucket cap check, map-side
+    combined. ``max_bucket_size`` counts the bucket across index ∪
+    delta, matching the batch cap.
+
+    The candidate pair list is persisted (read 3×); call
+    ``release_caches()`` after materializing the result to free it in a
+    long-lived driver session."""
+    hint = F.broadcast if broadcast_delta else (lambda df: df)
     new_banded = minhash_index(
         new_docs, n, num_hashes, bands, text_col, id_col, signature_impl
     )
@@ -306,7 +343,7 @@ def minhash_lsh_pairs_incremental(
         "band", "bucket", F.col("doc_id").alias("_other")
     )
     candidates = (
-        F.broadcast(probe)
+        hint(probe)
         .join(other, ["band", "bucket"])
         .filter(F.col("doc_id") != F.col("_other"))
         .select(
@@ -316,17 +353,18 @@ def minhash_lsh_pairs_incremental(
         .distinct()
         .persist()
     )
+    _track_cache(candidates)
     cand_ids = (
         candidates.select(F.col("i").alias(id_col))
         .union(candidates.select(F.col("j").alias(id_col)))
         .distinct()
     )
     cand_ds = doc_shingle_sets(
-        corpus.join(F.broadcast(cand_ids), id_col, "left_semi"), n, text_col, id_col
+        corpus.join(hint(cand_ids), id_col, "left_semi"), n, text_col, id_col
     )
     di, dj = cand_ds.alias("di"), cand_ds.alias("dj")
     return (
-        F.broadcast(candidates).join(di, F.col("i") == F.col("di.doc_id"))
+        hint(candidates).join(di, F.col("i") == F.col("di.doc_id"))
         .join(dj, F.col("j") == F.col("dj.doc_id"))
         .withColumn("common", F.size(F.array_intersect(F.col("di.shset"), F.col("dj.shset"))))
         .withColumn(
@@ -402,6 +440,7 @@ def minhash_lsh_pairs(
         .distinct()
         .persist()  # tiny pair list; read 3× below (ids ×2 + the verify join)
     )
+    _track_cache(candidates)  # release_caches() frees it post-materialization
     # Verify ONLY candidate docs: semi-join the raw corpus down to the ids
     # that appear in some candidate pair BEFORE shingling, so the exact-
     # Jaccard stage re-tokenizes a candidate-sized subset, not the corpus.
@@ -520,7 +559,7 @@ def simhash_pairs(
     # Persist: the segment self-join reads sigs from both sides; without
     # the cache each side re-runs tokenize→hash→signature over the corpus.
     # One long per doc — negligible storage at any scale.
-    sigs = simhash_sig(hashed, impl=signature_impl).persist()
+    sigs = _track_cache(simhash_sig(hashed, impl=signature_impl).persist())
     segs = sigs.select(
         "doc_id", "sig",
         F.explode(
@@ -853,6 +892,9 @@ def paragraph_dedup(
     single-line). Output: (doc_id, n_kept, n_dropped, new_text) for
     EVERY input document — a doc whose every paragraph was seen before
     survives with new_text '' (the caller decides whether to drop it).
+    NULL-text documents produce no segments in either mode; they are
+    joined back and emitted as (doc_id, 0, 0, '') so the rebuild never
+    loses a document (same contract as exact_dedup_incremental).
 
     100 TB design: first-occurrence election is an AGGREGATE
     (min_by-style ``min(struct(doc_id, pos))`` per segment), NOT a rank
@@ -913,10 +955,17 @@ def paragraph_dedup(
             sep,
         ).alias("new_text"),
     )
-    return agg.select(
+    # NULL-text docs segment to zero rows in both modes; left-join the
+    # original ids back so EVERY doc gets a row (ADVICE r5: a (id, NULL)
+    # doc must not vanish from the rebuild) — doc-keyed like the agg
+    # itself, and the agg side is already doc-unique so no fanout
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(agg, ["doc_id"], "left").select(
         "doc_id",
-        F.col("_k").cast("long").alias("n_kept"),
-        (F.col("_tot") - F.col("_k")).cast("long").alias("n_dropped"),
+        F.coalesce(F.col("_k").cast("long"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(
+            (F.col("_tot") - F.col("_k")).cast("long"), F.lit(0).cast("long")
+        ).alias("n_dropped"),
         F.coalesce("new_text", F.lit("")).alias("new_text"),
     )
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 
 from pyspark.sql import DataFrame
@@ -185,6 +186,12 @@ class HttpSchemaRegistry:
         except (TypeError, ValueError):
             self._accepts_timeout = True  # urllib.request.urlopen does
 
+    @staticmethod
+    def _q(subject: str) -> str:
+        # subjects land in URL path segments; '/', '?', '%', spaces in a
+        # subject name must not restructure the request (ADVICE r5)
+        return urllib.parse.quote(subject, safe="")
+
     def _call(self, method: str, path: str, payload: dict | None = None) -> dict:
         req = urllib.request.Request(
             self.base_url + path,
@@ -215,7 +222,7 @@ class HttpSchemaRegistry:
 
     def register(self, subject: str, schema_json: str) -> int:
         out = self._call(
-            "POST", f"/subjects/{subject}/versions", {"schema": schema_json}
+            "POST", f"/subjects/{self._q(subject)}/versions", {"schema": schema_json}
         )
         return int(out["id"])
 
@@ -223,7 +230,7 @@ class HttpSchemaRegistry:
         return self._call("GET", f"/schemas/ids/{schema_id}")["schema"]
 
     def latest(self, subject: str) -> tuple[int, str]:
-        out = self._call("GET", f"/subjects/{subject}/versions/latest")
+        out = self._call("GET", f"/subjects/{self._q(subject)}/versions/latest")
         return int(out["id"]), out["schema"]
 
     # -- compatibility config + check (public Confluent REST surface) ------
@@ -233,7 +240,7 @@ class HttpSchemaRegistry:
             raise ValueError(
                 f"unknown compatibility level {level!r}; one of {COMPATIBILITY_LEVELS}"
             )
-        path = "/config" if subject is None else f"/config/{subject}"
+        path = "/config" if subject is None else f"/config/{self._q(subject)}"
         return self._call("PUT", path, {"compatibility": level})["compatibility"]
 
     def get_compatibility(self, subject: str | None = None) -> str:
@@ -241,7 +248,7 @@ class HttpSchemaRegistry:
         path = (
             "/config"
             if subject is None
-            else f"/config/{subject}?defaultToGlobal=true"
+            else f"/config/{self._q(subject)}?defaultToGlobal=true"
         )
         return self._call("GET", path)["compatibilityLevel"]
 
@@ -251,7 +258,7 @@ class HttpSchemaRegistry:
         a new version."""
         out = self._call(
             "POST",
-            f"/compatibility/subjects/{subject}/versions/latest",
+            f"/compatibility/subjects/{self._q(subject)}/versions/latest",
             {"schema": schema_json},
         )
         return bool(out["is_compatible"])

@@ -436,6 +436,79 @@ def test_paragraph_dedup_removes_boilerplate_keeps_first(spark):
     assert sum(k + d for k, d, _ in got.values()) == 6
 
 
+def test_paragraph_dedup_null_text_docs_survive(spark):
+    """ADVICE r5 (medium): a NULL-text doc produces zero segments in both
+    modes but must still get a (doc_id, 0, 0, '') row — the rebuild never
+    loses a document."""
+    from kafka_streams_demo_spark.functions.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha text\n\nbeta text"), (2, None), (3, "gamma text")],
+        "doc_id long, text string",
+    )
+    for kwargs in ({"delimiter": "\n\n"}, {"segment_words": 2}):
+        got = {r["doc_id"]: (r["n_kept"], r["n_dropped"], r["new_text"])
+               for r in paragraph_dedup(docs, **kwargs).collect()}
+        assert set(got) == {1, 2, 3}, f"doc lost in {kwargs}"
+        assert got[2] == (0, 0, "")
+
+
+def test_minhash_incremental_broadcast_gate(spark):
+    """VERDICT r5 #2: the delta broadcast is opt-in. Default leaves join
+    strategy to Catalyst/AQE (no forced BroadcastExchange when broadcast
+    is disabled — a huge ingest batch degrades to shuffle joins instead
+    of OOMing); broadcast_delta=True forces the hint for known-small
+    batches. Results are bit-identical either way."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    rows = [(i, f"shared core text block number {i % 2} with tail words")
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 4)
+    new = docs.filter(F.col("doc_id") >= 4)
+    idx = minhash_index(old, n=3)
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # with auto-broadcast off, any BroadcastExchange can only come
+        # from a forced hint — exactly what the gate must not emit
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        ungated = minhash_lsh_pairs_incremental(new, idx, docs, n=3, threshold=0.5)
+        forced = minhash_lsh_pairs_incremental(
+            new, idx, docs, n=3, threshold=0.5, broadcast_delta=True
+        )
+        assert "BroadcastExchange" not in ungated._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in forced._jdf.queryExecution().executedPlan().toString()
+        key = lambda df: sorted((r["i"], r["j"], r["jaccard"]) for r in df.collect())
+        assert key(ungated) == key(forced)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_release_caches_frees_tracked_intermediates(spark):
+    """ADVICE r5: persisted candidate-pair intermediates are tracked and
+    released by release_caches() after materialization."""
+    from kafka_streams_demo_spark.functions import dedup as D
+
+    D.release_caches()  # clear anything earlier tests tracked
+    docs = spark.createDataFrame(
+        [(i, f"same text body repeated across docs {i % 2}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    D.minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    assert len(D._PERSISTED) >= 1
+    cached_before = [df for df in D._PERSISTED]
+    assert D.release_caches() == len(cached_before)
+    assert D._PERSISTED == []
+    assert all(df.storageLevel.useMemory is False for df in cached_before)
+
+
 def test_paragraph_dedup_word_windows_and_order(spark):
     """delimiter=None: fixed word-window segments; reassembly restores
     position order; first occurrence is elected by (doc_id, pos)."""

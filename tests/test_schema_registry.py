@@ -103,6 +103,47 @@ def test_http_registry_pins_rest_contract():
     assert calls[2][:2] == ("GET", "http://sr:8081/subjects/clicks-value/versions/latest")
 
 
+def test_http_registry_percent_encodes_subjects():
+    """Subjects containing '/', '?', '%', or spaces must not restructure
+    the URL path (ADVICE r5): every path builder goes through quote(safe='')."""
+    calls = []
+
+    class FakeResp:
+        def __init__(self, body): self._b = json.dumps(body).encode()
+        def read(self): return self._b
+        def __enter__(self): return self
+        def __exit__(self, *a): return False
+
+    def opener(req, timeout=None):
+        calls.append((req.get_method(), req.full_url))
+        if "%2Fversions%2Flatest" in req.full_url:  # must never happen
+            raise AssertionError("over-encoded fixed path segment")
+        if "/config/" in req.full_url:
+            return FakeResp({"compatibility": "FULL",
+                             "compatibilityLevel": "FULL"})
+        if "/compatibility/" in req.full_url:
+            return FakeResp({"is_compatible": True})
+        if "/versions/latest" in req.full_url:
+            return FakeResp({"id": 1, "schema": SCHEMA, "version": 1})
+        return FakeResp({"id": 1})
+
+    reg = HttpSchemaRegistry("http://sr:8081", opener=opener)
+    nasty = "a/b c?x=1%"
+    enc = "a%2Fb%20c%3Fx%3D1%25"
+    assert reg.register(nasty, SCHEMA) == 1
+    reg.latest(nasty)
+    reg.set_compatibility("FULL", nasty)
+    reg.get_compatibility(nasty)
+    reg.test_compatibility(nasty, SCHEMA)
+    assert [u for _, u in calls] == [
+        f"http://sr:8081/subjects/{enc}/versions",
+        f"http://sr:8081/subjects/{enc}/versions/latest",
+        f"http://sr:8081/config/{enc}",
+        f"http://sr:8081/config/{enc}?defaultToGlobal=true",
+        f"http://sr:8081/compatibility/subjects/{enc}/versions/latest",
+    ]
+
+
 def test_http_registry_timeout_and_error_body():
     """ADVICE r4: requests carry a bounded timeout (a hung registry must
     not block the driver forever) and HTTP error bodies (the registry's
