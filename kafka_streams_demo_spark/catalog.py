@@ -2837,6 +2837,135 @@ def bm25_search_q(spark, sf_dir):
     )
 
 
+_BM25_MULTI_ORACLE = """
+WITH q(query_id, query_text) AS (VALUES
+  (CAST(1 AS BIGINT), 'table scan fast'),
+  (CAST(2 AS BIGINT), 'stream join window'),
+  (CAST(3 AS BIGINT), 'vector hash merge')),
+qt AS (SELECT query_id, unnest(list_distinct(string_split(lower(query_text), ' '))) AS term
+       FROM q),
+tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents),
+s AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+qd AS (SELECT DISTINCT term FROM qt),
+rel AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN qd USING (term)),
+dft AS (SELECT term, count(*) AS df FROM rel GROUP BY 1),
+contrib AS (
+  SELECT qt.query_id, rel.doc_id,
+         LN((s.n - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+           * rel.tf * 2.2 / (rel.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS c
+  FROM qt JOIN rel USING (term) JOIN dft USING (term)
+  JOIN dl ON rel.doc_id = dl.doc_id CROSS JOIN s),
+sc AS (SELECT query_id, doc_id, ROUND(list_sum(list_sort(list(c))), 6) AS score
+       FROM contrib GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+      FROM sc)
+SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10
+"""
+
+
+@register("bm25_search_multi", _BM25_MULTI_ORACLE)
+def bm25_search_multi_q(spark, sf_dir):
+    """BM25 over a QUERY TABLE (functions/text.py:bm25_search_queries;
+    VERDICT r5 #5) — three queries scored in one corpus pass, top-10
+    each. Corpus rows never shuffle: row-local (term, tf) posting math,
+    broadcast query-term join, df over matched rows only, one global
+    stats aggregate; per-query rank windows spread across the cluster.
+    Contributions sum in SORTED order in both engines (array fold /
+    list_sum(list_sort)) so the 6-dp round-then-rank cut is
+    deterministic under shuffle arrival order."""
+    from kafka_streams_demo_spark.functions.text import bm25_search_queries
+
+    qdf = spark.createDataFrame(
+        [(1, "table scan fast"), (2, "stream join window"),
+         (3, "vector hash merge")],
+        "query_id long, query_text string",
+    )
+    return bm25_search_queries(
+        load_table(spark, "documents", sf_dir), qdf, k=10
+    )
+
+
+_RRF_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+base AS (SELECT doc_id, len(w) AS dl,
+  len(list_filter(w, x -> x = 'table')) AS tf0,
+  len(list_filter(w, x -> x = 'scan')) AS tf1,
+  len(list_filter(w, x -> x = 'fast')) AS tf2 FROM t),
+s AS (SELECT avg(dl) AS avgdl, count(*) AS n,
+  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM base),
+bm AS (SELECT doc_id, ROUND(
+    LN((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0*2.2/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+  + LN((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1*2.2/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+  + LN((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2*2.2/(tf2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+  , 6) AS score
+  FROM base, s WHERE tf0 + tf1 + tf2 > 0),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
+q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id <> 0),
+el AS (SELECT n_id, CAST(q_vec[g.i] AS DOUBLE) AS qa, CAST(n_vec[g.i] AS DOUBLE) AS na
+       FROM q, c, generate_series(1, 64) g(i)),
+dp AS (SELECT n_id, SUM(qa*na) AS dp, SUM(qa*qa) AS qq, SUM(na*na) AS nn
+       FROM el GROUP BY 1),
+annr AS (SELECT n_id AS doc_id,
+         row_number() OVER (ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, n_id) AS rnk
+         FROM dp),
+u AS (SELECT doc_id, 1.0/(60.0 + rnk) AS cb FROM bmr WHERE rnk <= 20
+      UNION ALL
+      SELECT doc_id, 1.0/(60.0 + rnk) AS cb FROM annr WHERE rnk <= 20),
+f AS (SELECT doc_id, ROUND(list_sum(list_sort(list(cb))), 6) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY 1),
+r AS (SELECT doc_id, rrf_score, n_lists,
+             row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
+SELECT doc_id, rrf_score, n_lists, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+@register("hybrid_rrf_fusion", _RRF_ORACLE)
+def hybrid_rrf_fusion_q(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (VERDICT r5 #6,
+    functions/similarity.py:rrf_fuse): BM25 top-20 for 'table scan
+    fast' fused with exact-cosine top-20 for query vector 0 over the
+    shared 0..499 id space — the standard lexical+dense recipe a
+    training-data pipeline deploys. Pure column math over the two
+    component top-k lists (k rows each; no corpus touched by the
+    fusion); 1/(60+rank) contributions fold in sorted order so the
+    6-dp round-then-rank cut is engine-deterministic. The oracle
+    replays both components exactly (brute-force cosine, not IVF, so
+    the whole entry stays SQL-expressible); recall of the IVF/LSH
+    variants vs this exact baseline is pinned in tests."""
+    from pyspark.sql import Window as _W
+
+    from kafka_streams_demo_spark.functions.similarity import (
+        rrf_fuse,
+        topk_bruteforce,
+    )
+    from kafka_streams_demo_spark.functions.text import bm25_search
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    bm = bm25_search(docs, "table scan fast", k=20).withColumn(
+        "rank",
+        F.row_number().over(
+            _W.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ann = topk_bruteforce(emb, qv, k=20).select(
+        F.col("n_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        [bm.select("doc_id", "rank"), ann], k=60, top_k=10
+    )
+
+
 @register(
     "tfidf_top_terms",
     "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "

@@ -467,3 +467,58 @@ def topk_quantized(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    group_cols: tuple[str, ...] = (),
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) — THE
+    standard hybrid-retrieval recipe: each input ranking contributes
+    1/(k + rank) per item, fused score = the sum over the lists the item
+    appears in. Score scales never need calibrating (only ranks enter),
+    which is why production pipelines fuse lexical BM25 with dense ANN
+    this way. Output: (*group_cols, id_col, rrf_score, n_lists, rank),
+    rank ≤ ``top_k`` per group.
+
+    Inputs are (group_cols..., id_col, rank_col) top-k lists — already
+    tiny (k rows per query per system), so fusion is pure column math:
+    union → one grouped sum → one rank window partitioned by the group
+    (thousands of queries spread across the cluster; no corpus is ever
+    touched). Deterministic: 6-dp round-then-rank, ties broken by id."""
+    gcols = list(group_cols)
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = [
+        r.select(
+            *gcols,
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    # sorted-order fold, not F.sum: double addition isn't associative and
+    # shuffle arrival order is nondeterministic — a boundary flip at the
+    # 6-dp round would break engine determinism (oracle mirrors with
+    # list_sum(list_sort(...))). ≤len(rankings) elements per group.
+    fused = u.groupBy(*gcols, id_col).agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("_c")), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -260,3 +260,102 @@ def bm25_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_search_queries(
+    docs,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    broadcast_queries: bool = True,
+):
+    """BM25 over a QUERY TABLE — real retrieval scores thousands of
+    queries per corpus pass, not one literal string (``bm25_search`` is
+    the single-query special case; same smoothed-idf formula, same
+    round-then-rank determinism — parity-tested). Output:
+    (query_id, doc_id, score, rk) with rk ≤ ``k`` per query.
+
+    100 TB design: corpus rows never shuffle. Per-doc (term, tf) posting
+    rows are ROW-LOCAL HOF math (distinct-token transform + in-array
+    count — no corpus-keyed exchange anywhere); the query-term join is a
+    broadcast (``broadcast_queries``, default on — a query table is KB-
+    to-MB; set False to let AQE decide for huge query sets), so only the
+    MATCHED posting rows — query-relevant by construction — flow into
+    the df aggregate and the per-(query, doc) score shuffle. N/avgdl is
+    one map-side-combined global aggregate broadcast back. The final
+    per-query top-k is a rank window over scored pairs, partitioned by
+    query — thousands of queries spread across the cluster."""
+    hint = F.broadcast if broadcast_queries else (lambda df: df)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+    )
+    stats = toks.agg(
+        F.avg(F.size("_toks")).alias("_avgdl"), F.count(F.lit(1)).alias("_n")
+    )
+    postings = toks.select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        F.explode(
+            F.transform(
+                F.array_distinct("_toks"),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter(F.col("_toks"), lambda x: x == t)).alias("tf"),
+                ),
+            )
+        ).alias("_p"),
+    ).select("doc_id", "dl", F.col("_p.term").alias("term"), F.col("_p.tf").alias("tf"))
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(qtext_col)), " "))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    # restrict postings to query-relevant terms BEFORE any aggregate: df_t
+    # must count each (term, doc) once even when several queries share the
+    # term, so the distinct-term semi-join comes first
+    rel = postings.join(hint(qterms.select("term").distinct()), ["term"])
+    df_t = rel.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    tf = F.col("tf").cast("double")
+    dfc = F.col("_df").cast("double")
+    contrib = (
+        F.log((F.col("_n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)) + F.lit(1.0))
+        * tf * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")))
+    )
+    # per-(query, doc) score: term contributions are summed in SORTED
+    # order (array_sort + left-fold), not shuffle-arrival order — double
+    # addition isn't associative, and a run-to-run arrival flip at the
+    # 6-dp rounding boundary would make the result nondeterministic. The
+    # DuckDB oracle mirrors with list_sum(list_sort(...)). ≤|query terms|
+    # elements per group, so the array is bounded and tiny.
+    scored = (
+        rel.join(hint(qterms), ["term"])
+        .join(hint(df_t), ["term"])
+        .crossJoin(hint(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(contrib)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )

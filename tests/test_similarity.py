@@ -229,3 +229,67 @@ def test_ivf_int8_hybrid_structure(spark):
         probe_cells.setdefault(r["vid"], set()).add(r["cell"])
     for r in out:
         assert corpus_cell[r["n_id"]] in probe_cells[r["q_id"]]
+
+
+def test_rrf_fuse_matches_python_model(spark):
+    """RRF: score = Σ 1/(60+rank) over the lists an id appears in; an id
+    in BOTH lists outranks single-list ids with comparable ranks; ties
+    break by id; n_lists counts memberships."""
+    from kafka_streams_demo_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(101, 1), (102, 2), (103, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(103, 1), (104, 2), (101, 3)], "doc_id long, rank long"
+    )
+    got = {r["doc_id"]: (r["rrf_score"], r["n_lists"], r["rank"])
+           for r in rrf_fuse([a, b], k=60, top_k=10).collect()}
+    model = {}
+    for lst in ([(101, 1), (102, 2), (103, 3)], [(103, 1), (104, 2), (101, 3)]):
+        for d, rk in lst:
+            model[d] = model.get(d, 0.0) + 1.0 / (60 + rk)
+    ranked = sorted(model.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))
+    for pos, (d, s) in enumerate(ranked, 1):
+        assert got[d][0] == round(s, 6)
+        assert got[d][2] == pos
+    assert got[101][1] == 2 and got[102][1] == 1
+    # both-lists docs beat single-list docs here
+    assert got[101][2] <= 2 and got[103][2] <= 2
+
+
+def test_rrf_fuse_grouped_per_query(spark):
+    """group_cols: fusion partitions per query — ranks from different
+    queries never mix."""
+    from kafka_streams_demo_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 101, 1), (2, 201, 1)], "q long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 101, 2), (2, 202, 1)], "q long, doc_id long, rank long"
+    )
+    rows = rrf_fuse([a, b], k=60, group_cols=("q",), top_k=5).collect()
+    got = {(r["q"], r["doc_id"]): (r["n_lists"], r["rank"]) for r in rows}
+    assert got[(1, 101)] == (2, 1)
+    assert got[(2, 201)] == (1, 1) or got[(2, 202)] == (1, 1)
+    assert len([k for k in got if k[0] == 2]) == 2
+
+
+def test_hybrid_rrf_recall_vs_components(spark):
+    """The fused top-10 retains the heads of both component rankings
+    (standard hybrid sanity: rank-1 of each list always survives fusion
+    at equal list lengths)."""
+    from kafka_streams_demo_spark.functions.similarity import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(100 + i, i) for i in range(1, 21)], "doc_id long, rank long"
+    )
+    ann = spark.createDataFrame(
+        [(200 + i, i) for i in range(1, 21)], "doc_id long, rank long"
+    )
+    fused = {r["doc_id"] for r in rrf_fuse([bm, ann], top_k=10).collect()}
+    assert 101 in fused and 201 in fused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])

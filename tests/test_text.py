@@ -162,3 +162,64 @@ def test_bm25_search_matches_python_model_and_plan(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no terms"):
         bm25_search(df, "   ")
+
+
+def test_bm25_search_queries_parity_and_shape(spark):
+    """The query-TABLE variant (VERDICT r5 #5): for each query it returns
+    exactly the single-query path's top-k docs and 6-dp scores (same
+    smoothed idf; sorted-order contribution fold); queries that hit
+    nothing contribute no rows; rk is dense 1..n per query."""
+    from kafka_streams_demo_spark.functions.text import (
+        bm25_search,
+        bm25_search_queries,
+    )
+
+    corpus = [
+        (1, "table scan fast table"),
+        (2, "slow row merge"),
+        (3, "fast fast fast scan"),
+        (4, "table"),
+        (5, "window agg join"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(10, "table scan fast"), (20, "merge row"), (30, "zzz_nohit")],
+        "query_id long, query_text string",
+    )
+    out = bm25_search_queries(df, qdf, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rk"], r["doc_id"], r["score"]))
+    for q in by_q:
+        by_q[q].sort()
+        assert [rk for rk, _, _ in by_q[q]] == list(range(1, len(by_q[q]) + 1))
+    assert 30 not in by_q  # no-hit query yields no rows
+
+    for qid, qtext in [(10, "table scan fast"), (20, "merge row")]:
+        single = [(r["doc_id"], r["score"])
+                  for r in bm25_search(df, qtext, k=3).collect()]
+        multi = [(d, s) for _, d, s in by_q[qid]]
+        assert multi == single, f"query {qid}: {multi} != {single}"
+
+
+def test_bm25_search_queries_corpus_never_shuffles(spark):
+    """Plan contract: with the query side broadcast, the corpus-side
+    posting rows reach the score aggregate through broadcast joins only —
+    exchanges exist solely for the tiny matched/stats/df relations and
+    the per-query rank window, and at least one BroadcastExchange
+    carries the query terms."""
+    from kafka_streams_demo_spark.functions.text import bm25_search_queries
+    from kafka_streams_demo_spark.plans.explain import audit
+
+    df = spark.createDataFrame(
+        [(i, "table scan fast row merge") for i in range(20)],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "table scan"), (2, "merge")], "query_id long, query_text string"
+    )
+    a = audit(bm25_search_queries(df, qdf, k=5))
+    assert "BroadcastExchange" in a.plan
+    # corpus explode feeds a BroadcastHashJoin (stream side), never a
+    # SortMergeJoin — the posting rows must not be exchange-partitioned
+    assert "SortMergeJoin" not in a.plan, a.plan
