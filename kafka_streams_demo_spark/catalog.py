@@ -1723,6 +1723,41 @@ def jpeg_decode_meta_q(spark, sf_dir):
 
 
 @register(
+    "jpeg_decode_subsampled",
+    "SELECT doc_id AS key, "
+    "CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width, "
+    "CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_components, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'gray' "
+    "     WHEN doc_id % 3 = 1 THEN '4:4:4' ELSE '4:2:0' END AS subsampling, "
+    "CAST(TRUE AS BOOLEAN) AS decode_ok "
+    "FROM documents",
+)
+def jpeg_decode_subsampled_q(spark, sf_dir):
+    """Chroma-subsampled JPEG decode at corpus scale (VERDICT r5 #7):
+    every doc carries a mixed-layout baseline JPEG (doc_id%3 → gray /
+    4:4:4 / 4:2:0 — the dominant real-world layout) and the row must
+    report the closed-form dimensions, component count, layout name,
+    AND a full entropy decode producing exactly the header-declared
+    pixel shape (decode_ok) — proving the generic T.81 interleaved-MCU
+    walk with 2×2 luma + replication-upsampled chroma on every 4:2:0
+    row, not just the marker parse. Pixel closeness is pinned in
+    tests/test_multimodal.py (flat-image bit-exactness, luma parity
+    with the 4:4:4 decode, hand-built spec-stream 4:2:2)."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_jpeg_mixed,
+        jpeg_decode_check,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = jpeg_decode_check(attach_synthetic_jpeg_mixed(docs))
+    return out.select(
+        F.col("doc_id").alias("key"), "width", "height",
+        "n_components", "subsampling", "decode_ok",
+    )
+
+
+@register(
     "gif_frames_meta",
     "SELECT doc_id AS key, CAST(g.f AS INTEGER) AS frame_no, "
     "CAST(12 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h "

@@ -434,12 +434,16 @@ def _make_jpeg_codec():
     quality scaling, level-shift → 8×8 DCT-II → quantize → zigzag →
     DC-difference / AC run-length magnitude coding → canonical Huffman →
     byte-stuffed entropy stream, wrapped in SOI/APP0(JFIF)/DQT/SOF0/DHT/
-    SOS/EOI segments. Grayscale (1 component) and YCbCr 4:4:4 color
-    (3 components, no subsampling — every MCU is one block per
-    component). The decoder parses the full marker grammar (multi-table
-    DQT/DHT segments, APPn/COM skip), rejects progressive (SOF2) and
-    restart-interval streams with named errors, and entropy-decodes with
-    canonically rebuilt Huffman trees. Quantization math is pinned
+    SOS/EOI segments. Grayscale (1 component) and YCbCr color — 4:4:4
+    (one block per component per MCU) and, round 6, chroma-subsampled
+    layouts: the encoder emits 4:2:0 on request (2×2 luma + box-averaged
+    chroma per 16×16 MCU) and the decoder handles 4:2:0 / 4:2:2 / 4:4:0
+    via the generic T.81 A.2.3 interleaved-MCU walk with
+    replication upsampling. The decoder parses the full marker grammar
+    (multi-table DQT/DHT segments, APPn/COM skip), rejects progressive
+    (SOF2), restart-interval, and unsupported-sampling streams with
+    named errors, and entropy-decodes with canonically rebuilt Huffman
+    trees. Quantization math is pinned
     against the published T.81/Wallace worked-example block, and the
     canonical code construction against the spec's documented AC-luma
     codewords (EOB=1010, ZRL=11111111001) in tests/test_multimodal.py.
@@ -563,13 +567,16 @@ def _make_jpeg_codec():
             return np.array([min(255, max(1, v)) for v in t]).reshape(8, 8)
         return scaled(QT_LUMA), scaled(QT_CHROMA)
 
-    def _quantize_block(block, qtbl, C):
+    def _quantize_block(block, qtbl, C=None):
         """Level-shifted 8×8 spatial block → quantized DCT coefficients
         (the stage pinned against the published worked example). ``C`` is
-        the hoisted DCT basis — rebuilt per block it's 64 cos() calls +
-        two allocs in the encode hot loop (decode already hoists it)."""
+        the hoisted DCT basis — the encode hot loop passes it in (rebuilt
+        per block it's 64 cos() calls + two allocs; decode already
+        hoists); None rebuilds it for standalone/test use."""
         import numpy as np
 
+        if C is None:
+            C = _dct_basis()
         coef = C @ np.asarray(block, dtype=np.float64) @ C.T
         return np.round(coef / qtbl).astype(np.int32)
 
@@ -631,12 +638,13 @@ def _make_jpeg_codec():
             w.write(code, ln)
         return zz[0]
 
-    def _pad_blocks(plane):
-        """Edge-replicate to multiples of 8 and yield 8×8 blocks row-major."""
+    def _pad_blocks(plane, mult: int = 8):
+        """Edge-replicate to multiples of ``mult`` (8 for one block; 16 for
+        a 2×2-sampled MCU) and report the 8×8 block grid."""
         import numpy as np
 
         h, wd = plane.shape
-        ph, pw = -(-h // 8) * 8, -(-wd // 8) * 8
+        ph, pw = -(-h // mult) * mult, -(-wd // mult) * mult
         padded = np.empty((ph, pw), dtype=np.float64)
         padded[:h, :wd] = plane
         padded[h:, :wd] = plane[h - 1:h, :]
@@ -647,11 +655,18 @@ def _make_jpeg_codec():
     def _seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
-    def jpeg_encode(pixels, quality: int = 90) -> bytes:
+    def jpeg_encode(pixels, quality: int = 90, subsampling: str = "444") -> bytes:
         """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB → baseline JFIF
-        bytes (4:4:4, no subsampling)."""
+        bytes. ``subsampling``: '444' (one block per component per MCU) or
+        '420' (color only: luma sampled 2×2 per 16×16 MCU, chroma 2×2
+        box-averaged to one block each — the dominant real-world JPEG
+        layout, T.81 A.2.3 interleaved MCU order)."""
         import numpy as np
 
+        if subsampling not in ("444", "420"):
+            raise ValueError(
+                f"subsampling must be '444' or '420', got {subsampling!r}"
+            )
         px = np.asarray(pixels)
         if px.dtype != np.uint8:
             raise ValueError(f"uint8 pixels required, got {px.dtype}")
@@ -660,6 +675,7 @@ def _make_jpeg_codec():
             raise ValueError(f"expected (h,w) or (h,w,3), got {px.shape}")
         h, wd = px.shape[:2]
         qt_l, qt_c = _quality_tables(quality)
+        sub420 = subsampling == "420" and not gray
 
         if gray:
             planes = [px.astype(np.float64)]
@@ -677,24 +693,45 @@ def _make_jpeg_codec():
         dc_c = _canonical_codes(DC_C_BITS, DC_C_VALS)
         ac_c = _canonical_codes(AC_C_BITS, AC_C_VALS)
 
-        padded = []
-        for p in planes:
-            pp, bh, bw = _pad_blocks(p)
-            padded.append(pp)
         writer = _BitWriter()
         prev = [0] * len(planes)
         dct_c = _dct_basis()  # hoisted: one basis for the whole image
-        for by in range(bh):
-            for bx in range(bw):
-                for ci, pp in enumerate(padded):
-                    block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-                    coef = _quantize_block(block, qt_l if ci == 0 else qt_c, dct_c)
-                    prev[ci] = _encode_block(
-                        writer, coef,
-                        dc_l if ci == 0 else dc_c,
-                        ac_l if ci == 0 else ac_c,
-                        prev[ci],
-                    )
+
+        def put(block, ci):
+            coef = _quantize_block(block - 128.0, qt_l if ci == 0 else qt_c, dct_c)
+            prev[ci] = _encode_block(
+                writer, coef,
+                dc_l if ci == 0 else dc_c,
+                ac_l if ci == 0 else ac_c,
+                prev[ci],
+            )
+
+        if sub420:
+            # pad every full-res plane to 16-multiples FIRST so the 2×2
+            # chroma box average lands exactly on an 8×8 block grid
+            pads = [_pad_blocks(p, 16)[0] for p in planes]
+            ly = pads[0]
+            ch = [
+                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+                for p in pads[1:]
+            ]
+            for my in range(ly.shape[0] // 16):
+                for mx in range(ly.shape[1] // 16):
+                    for v in range(2):          # T.81 interleaved MCU order:
+                        for hh in range(2):     # luma blocks raster-first
+                            y0, x0 = my * 16 + v * 8, mx * 16 + hh * 8
+                            put(ly[y0:y0 + 8, x0:x0 + 8], 0)
+                    for ci, cp in enumerate(ch, start=1):
+                        put(cp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], ci)
+        else:
+            padded = []
+            for p in planes:
+                pp, bh, bw = _pad_blocks(p)
+                padded.append(pp)
+            for by in range(bh):
+                for bx in range(bw):
+                    for ci, pp in enumerate(padded):
+                        put(pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], ci)
         entropy = writer.flush()
 
         out = bytearray(b"\xff\xd8")  # SOI
@@ -706,7 +743,8 @@ def _make_jpeg_codec():
         ncomp = 1 if gray else 3
         sof = bytes([8]) + h.to_bytes(2, "big") + wd.to_bytes(2, "big") + bytes([ncomp])
         for ci in range(ncomp):
-            sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+            hv = 0x22 if (sub420 and ci == 0) else 0x11
+            sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
         out += _seg(0xC0, sof)
         dht = bytes([0x00]) + bytes(DC_L_BITS) + bytes(DC_L_VALS)
         dht += bytes([0x10]) + bytes(AC_L_BITS) + bytes(AC_L_VALS)
@@ -761,11 +799,7 @@ def _make_jpeg_codec():
                 nc = seg[5]
                 for c in range(nc):
                     cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                    if hv != 0x11:
-                        raise ValueError(
-                            "chroma subsampling unsupported (4:4:4 only)"
-                        )
-                    comps.append((cid, tq))
+                    comps.append((cid, tq, hv >> 4, hv & 15))
                 sof = {
                     "precision": seg[0],
                     "height": int.from_bytes(seg[1:3], "big"),
@@ -843,6 +877,37 @@ def _make_jpeg_codec():
             return 0
         return bits_val if bits_val >= (1 << (s - 1)) else bits_val - (1 << s) + 1
 
+    _SUBSAMPLING_NAMES = {(1, 1): "4:4:4", (2, 2): "4:2:0",
+                          (2, 1): "4:2:2", (1, 2): "4:4:0"}
+
+    def _sampling_factors(sof) -> list:
+        """[(Hi, Vi)] per component, validated to the supported layouts:
+        grayscale (a single-component scan is non-interleaved, so its MCU
+        is one block regardless of declared factors — T.81 A.2.2) and
+        YCbCr with chroma 1×1 and luma 1×1 / 2×2 / 2×1 / 1×2. Other
+        factor combinations get a named rejection."""
+        comps = sof["components"]
+        if len(comps) == 1:
+            return [(1, 1)]
+        luma = (comps[0][2], comps[0][3])
+        if luma not in _SUBSAMPLING_NAMES:
+            raise ValueError(
+                f"unsupported luma sampling factors {luma[0]}x{luma[1]} "
+                "(4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 only)"
+            )
+        for cid, _, hi, vi in comps[1:]:
+            if (hi, vi) != (1, 1):
+                raise ValueError(
+                    f"unsupported chroma sampling factors {hi}x{vi} for "
+                    f"component {cid} (chroma must be 1x1)"
+                )
+        return [luma, (1, 1), (1, 1)]
+
+    def _subsampling_name(sof) -> str:
+        if len(sof["components"]) == 1:
+            return "gray"
+        return _SUBSAMPLING_NAMES[_sampling_factors(sof)[0]]
+
     def jpeg_decode(payload: bytes):
         """JFIF bytes → (h, w) uint8 grayscale or (h, w, 3) uint8 RGB."""
         import numpy as np
@@ -857,47 +922,67 @@ def _make_jpeg_codec():
         ncomp = len(comps)
         if ncomp not in (1, 3):
             raise ValueError(f"1 or 3 components supported, got {ncomp}")
+        sampling = _sampling_factors(sof)
+        hmax = max(hi for hi, _ in sampling)
+        vmax = max(vi for _, vi in sampling)
         dec = {k: _huff_decoder(*v) for k, v in meta["huff"].items()}
         C = _dct_basis()
         inv_zz = ZIGZAG  # zz[i] lands at flat position ZIGZAG[i]
-        bh, bw = -(-h // 8), -(-wd // 8)
-        planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
+        # T.81 A.2.3: one interleaved MCU covers (8·Hmax)×(8·Vmax) image
+        # pixels and carries Hi×Vi raster-ordered blocks per component
+        mcuy, mcux = -(-h // (8 * vmax)), -(-wd // (8 * hmax))
+        planes = [
+            np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for hi, vi in sampling
+        ]
         r = _BitReader(data, epos)
         prev = [0] * ncomp
-        for by in range(bh):
-            for bx in range(bw):
-                for ci, (cid, tq) in enumerate(comps):
-                    td, ta = meta["sos"][ci][1], meta["sos"][ci][2]
-                    dct = dec.get((0, td))
-                    act = dec.get((1, ta))
-                    if dct is None or act is None:
-                        raise ValueError("missing Huffman table for scan")
-                    zz = [0] * 64
-                    s = _read_symbol(r, dct)
-                    prev[ci] += _extend(r.read(s), s)
-                    zz[0] = prev[ci]
-                    k = 1
-                    while k < 64:
-                        sym = _read_symbol(r, act)
-                        if sym == 0x00:
-                            break
-                        if sym == 0xF0:
-                            k += 16
-                            continue
-                        k += sym >> 4
-                        if k > 63:
-                            raise ValueError("AC run past end of block")
-                        zz[k] = _extend(r.read(sym & 15), sym & 15)
-                        k += 1
-                    qt = meta["qt"].get(tq)
-                    if qt is None:
-                        raise ValueError(f"missing quant table {tq}")
-                    coef = np.zeros(64)
-                    for i in range(64):
-                        coef[inv_zz[i]] = zz[i] * qt[i]
-                    block = C.T @ coef.reshape(8, 8) @ C + 128.0
-                    planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-        planes = [p[:h, :wd] for p in planes]
+
+        def read_block(ci, tq):
+            td, ta = meta["sos"][ci][1], meta["sos"][ci][2]
+            dct = dec.get((0, td))
+            act = dec.get((1, ta))
+            if dct is None or act is None:
+                raise ValueError("missing Huffman table for scan")
+            zz = [0] * 64
+            s = _read_symbol(r, dct)
+            prev[ci] += _extend(r.read(s), s)
+            zz[0] = prev[ci]
+            k = 1
+            while k < 64:
+                sym = _read_symbol(r, act)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zz[k] = _extend(r.read(sym & 15), sym & 15)
+                k += 1
+            qt = meta["qt"].get(tq)
+            if qt is None:
+                raise ValueError(f"missing quant table {tq}")
+            coef = np.zeros(64)
+            for i in range(64):
+                coef[inv_zz[i]] = zz[i] * qt[i]
+            return C.T @ coef.reshape(8, 8) @ C + 128.0
+
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, tq, _, _) in enumerate(comps):
+                    hi, vi = sampling[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            y0 = (my * vi + v) * 8
+                            x0 = (mx * hi + hh) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = read_block(ci, tq)
+        # upsample subsampled components by pixel replication (nearest),
+        # then crop the MCU padding
+        planes = [
+            np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)[:h, :wd]
+            for p, (hi, vi) in zip(planes, sampling)
+        ]
         if ncomp == 1:
             return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         y, cb, cr = planes
@@ -909,7 +994,8 @@ def _make_jpeg_codec():
 
     def jpeg_meta(payload: bytes) -> dict:
         """Header-only parse (no entropy decode): width, height,
-        n_components, precision — the cheap metadata path."""
+        n_components, precision, subsampling ('gray' / '4:4:4' /
+        '4:2:0' / '4:2:2' / '4:4:0') — the cheap metadata path."""
         meta, _ = _parse_segments(bytes(payload))
         sof = meta["sof"]
         if sof is None:
@@ -919,6 +1005,7 @@ def _make_jpeg_codec():
             "height": int(sof["height"]),
             "n_components": len(sof["components"]),
             "precision": int(sof["precision"]),
+            "subsampling": _subsampling_name(sof),
         }
 
     def jpeg_resize(payload: bytes, new_w: int, new_h: int,

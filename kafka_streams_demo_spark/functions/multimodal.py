@@ -578,3 +578,84 @@ def jpeg_meta_extract(multimodal: DataFrame) -> DataFrame:
     return multimodal.select("doc_id", "payload").mapInPandas(
         batches, schema="doc_id long, width int, height int, n_components int"
     )
+
+
+def attach_synthetic_jpeg_mixed(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mixed-layout JPEG fixture (round 6): doc_id%3 selects grayscale /
+    YCbCr 4:4:4 / YCbCr 4:2:0 — the three layouts a real crawl corpus
+    actually contains (4:2:0 dominates in the wild). Same closed-form
+    dimensions as ``attach_synthetic_jpeg``."""
+    from kafka_streams_demo_spark.functions.codecs import jpeg_encode
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 * (1 + d % 3)
+                h = 8 * (1 + d % 2)
+                base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) + d) % 256
+                kind = d % 3
+                if kind == 0:
+                    payloads.append(jpeg_encode(base.astype(np.uint8), quality=90))
+                else:
+                    px = np.stack(
+                        [base, (base * 2) % 256, (255 - base) % 256], axis=-1
+                    ).astype(np.uint8)
+                    payloads.append(jpeg_encode(
+                        px, quality=90,
+                        subsampling="444" if kind == 1 else "420",
+                    ))
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "modality": ["image_jpeg"] * len(pdf),
+                "byte_len": [len(p) for p in payloads],
+                "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return ids.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, modality string, byte_len long, checksum string",
+    )
+
+
+def jpeg_decode_check(multimodal: DataFrame) -> DataFrame:
+    """Metadata + FULL entropy decode per row: (doc_id, width, height,
+    n_components, subsampling, decode_ok) where decode_ok verifies the
+    decoded pixel array has exactly the header-declared shape — the
+    row-level proof that the subsampled MCU walk really ran (the cheap
+    path ``jpeg_meta_extract`` stops at the markers)."""
+    from kafka_streams_demo_spark.functions.codecs import jpeg_decode, jpeg_meta
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "n_components": [], "subsampling": [], "decode_ok": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                m = jpeg_meta(bytes(p))
+                px = jpeg_decode(bytes(p))
+                want = (m["height"], m["width"]) if m["n_components"] == 1 \
+                    else (m["height"], m["width"], 3)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["n_components"].append(m["n_components"])
+                rows["subsampling"].append(m["subsampling"])
+                rows["decode_ok"].append(px.shape == want)
+            yield _pd.DataFrame(rows)
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema="doc_id long, width int, height int, n_components int, "
+               "subsampling string, decode_ok boolean",
+    )

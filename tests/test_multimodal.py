@@ -467,7 +467,8 @@ def test_jpeg_meta_and_malformed_streams():
     img = (np.arange(16 * 24).reshape(16, 24) % 256).astype(np.uint8)
     data = jpeg_encode(img, quality=75)
     m = jpeg_meta(data)
-    assert m == {"width": 24, "height": 16, "n_components": 1, "precision": 8}
+    assert m == {"width": 24, "height": 16, "n_components": 1,
+                 "precision": 8, "subsampling": "gray"}
 
     with pytest.raises(ValueError, match="SOI"):
         jpeg_meta(b"\x00\x01\x02")
@@ -501,6 +502,95 @@ def test_jpeg_spark_attach_and_meta_extract(spark):
         assert r["width"] == 8 * (1 + d % 3)
         assert r["height"] == 8 * (1 + d % 2)
         assert r["n_components"] == (1 if d % 2 == 0 else 3)
+
+
+def test_jpeg_420_roundtrip_and_meta():
+    """4:2:0 (VERDICT r5 #7): the encoder emits 2×2-luma MCUs with
+    box-averaged chroma; decode reads them back. Luma must match the
+    4:4:4 decode closely (subsampling only touches chroma); a flat image
+    is bit-exact; meta reports the layout; grayscale ignores the flag."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_meta,
+    )
+
+    base = (np.add.outer(np.arange(19) * 3, np.arange(29) * 5)) % 256
+    px = np.stack([base, (base * 2) % 256, (255 - base) % 256],
+                  axis=-1).astype(np.uint8)
+    b444 = jpeg_encode(px, quality=90)
+    b420 = jpeg_encode(px, quality=90, subsampling="420")
+    assert jpeg_meta(b444)["subsampling"] == "4:4:4"
+    assert jpeg_meta(b420)["subsampling"] == "4:2:0"
+    assert len(b420) < len(b444)  # half the chroma blocks
+    d444, d420 = jpeg_decode(b444), jpeg_decode(b420)
+    assert d420.shape == px.shape
+    y444 = 0.299 * d444[..., 0] + 0.587 * d444[..., 1] + 0.114 * d444[..., 2]
+    y420 = 0.299 * d420[..., 0] + 0.587 * d420[..., 1] + 0.114 * d420[..., 2]
+    assert np.abs(y444 - y420).mean() < 1.5
+    # flat color: DC-only blocks survive subsampling exactly
+    flat = np.full((16, 16, 3), 120, np.uint8)
+    assert (jpeg_decode(jpeg_encode(flat, subsampling="420")) == 120).all()
+    # grayscale has no chroma to subsample — byte-identical output
+    g = base.astype(np.uint8)
+    assert jpeg_encode(g, subsampling="420") == jpeg_encode(g)
+
+    import pytest
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(px, subsampling="411")
+
+
+def test_jpeg_422_decode_hand_built_stream():
+    """4:2:2 decode, pinned against a hand-assembled spec stream: a flat
+    128-gray 16×8 image is one 2×1-luma MCU whose entropy bits are the
+    documented Annex K codewords (DC cat-0 '00', luma EOB '1010',
+    chroma DC '00', chroma EOB '00') — 20 bits, 1-padded. The generic
+    MCU walk must reproduce the flat image exactly; unsupported factor
+    combos get named rejections."""
+    import numpy as np
+    import pytest
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_meta,
+    )
+
+    # header donor: real 4:4:4 color stream (DQT/DHT segments reused)
+    donor = jpeg_encode(np.full((16, 16, 3), 128, np.uint8), quality=50)
+    sof_at = donor.find(b"\xff\xc0")
+    sos_at = donor.find(b"\xff\xda")
+    assert sof_at > 0 and sos_at > sof_at
+    sof_len = int.from_bytes(donor[sof_at + 2:sof_at + 4], "big")
+    sof = bytearray(donor[sof_at:sof_at + 2 + sof_len])
+    sof[5:7] = (8).to_bytes(2, "big")    # height 8
+    sof[7:9] = (16).to_bytes(2, "big")   # width 16
+    sof[11] = 0x21                       # luma H=2, V=1 → 4:2:2
+    sos_len = int.from_bytes(donor[sos_at + 2:sos_at + 4], "big")
+    header = (donor[:sof_at] + bytes(sof)
+              + donor[sof_at + 2 + sof_len:sos_at]
+              + donor[sos_at:sos_at + 2 + sos_len])
+    # 1 MCU: Y("00"+"1010") ×2, Cb("00"+"00"), Cr("00"+"00"), pad 1s
+    bits = "001010" * 2 + "0000" * 2 + "1111"
+    entropy = bytes(int(bits[i:i + 8], 2) for i in range(0, 24, 8))
+    stream = header + entropy + b"\xff\xd9"
+    assert jpeg_meta(stream)["subsampling"] == "4:2:2"
+    out = jpeg_decode(stream)
+    assert out.shape == (8, 16, 3)
+    assert (out == 128).all()
+
+    # luma 3x1 → named rejection, never a mis-decode
+    bad = bytearray(stream)
+    bad[sof_at + 11] = 0x31
+    with pytest.raises(ValueError, match="sampling"):
+        jpeg_decode(bytes(bad))
+    # chroma 2x1 → named rejection
+    bad = bytearray(stream)
+    bad[sof_at + 14] = 0x21
+    with pytest.raises(ValueError, match="chroma"):
+        jpeg_decode(bytes(bad))
 
 
 def test_jpeg_resize_dims_and_content():
