@@ -4120,6 +4120,70 @@ def pipeline_keeplist(spark, sf_dir):
     )
 
 
+_INGEST_ORACLE = """
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+seen AS (SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 2 = 0),
+k1 AS (SELECT md5(text) AS text_hash, min(doc_id) AS doc_id FROM newd GROUP BY 1),
+k1u AS (SELECT k1.doc_id, k1.text_hash FROM k1
+        LEFT JOIN seen ON k1.text_hash = seen.th WHERE seen.th IS NULL),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS s FROM idx),
+dcnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+prs AS (SELECT p.i, p.j FROM
+        (SELECT a.doc_id i, b.doc_id j, count(*) common
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+        JOIN dcnt d1 ON p.i = d1.doc_id JOIN dcnt d2 ON p.j = d2.doc_id
+        WHERE ROUND(p.common / (d1.n + d2.n - p.common), 6) >= 0.5),
+sides AS (SELECT i AS d, j AS o FROM prs UNION ALL SELECT j AS d, i AS o FROM prs),
+drops AS (SELECT DISTINCT s.d AS doc_id FROM sides s
+          JOIN k1u kd ON s.d = kd.doc_id
+          LEFT JOIN (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) old
+                 ON s.o = old.doc_id
+          LEFT JOIN k1u ko ON s.o = ko.doc_id
+          WHERE old.doc_id IS NOT NULL
+             OR (ko.doc_id IS NOT NULL AND s.o < s.d)),
+k2 AS (SELECT k1u.doc_id, k1u.text_hash FROM k1u
+       LEFT JOIN drops ON k1u.doc_id = drops.doc_id WHERE drops.doc_id IS NULL),
+gated AS (SELECT doc_id FROM newd
+          WHERE len(text) >= 100 AND len(string_split(text, ' ')) >= 20)
+SELECT k2.doc_id, k2.text_hash FROM k2 JOIN gated USING (doc_id)
+"""
+
+
+@register("pipeline_ingest_incremental", _INGEST_ORACLE)
+def pipeline_ingest_incremental_q(spark, sf_dir):
+    """The incremental ingest loop END-TO-END (VERDICT r5 #4,
+    functions/dedup.py:ingest_keeplist): even-id docs play yesterday's
+    indexed corpus, odd-id docs today's batch — exact index+delta dedup
+    → near-dup drop against the eligible pool (indexed docs ∪ smaller-id
+    batch survivors, greedy non-transitive) → quality gate, one lazy
+    plan emitting the (doc_id, text_hash) keep-list whose hashes append
+    to the index after commit. This entry feeds EXACT 3-gram-Jaccard
+    pairs (threshold 0.5) so the whole pipeline is SQL-oracle-checkable;
+    the production minhash pair source is the function default,
+    bit-equal on delta-touching pairs by the incremental-≡-batch
+    property test and recall-pinned at threshold 0.8. The multi-batch
+    streaming composition (availableNow + idempotent sink, index grows
+    exactly once per batch) is pinned in tests/test_streaming.py."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        ingest_keeplist,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = old.select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash")
+    ).distinct()
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=None)
+    return ingest_keeplist(
+        new, seen, old.select("doc_id"),
+        pairs=pairs, min_chars=100, min_words=20,
+    )
+
+
 @register(
     "hopping_window_sum_cents",
     "SELECT event_type AS key, "

@@ -830,6 +830,95 @@ def exact_dedup_incremental(
     return firsts.join(idx, ["text_hash"], "left_anti").select("doc_id", "text_hash")
 
 
+def ingest_keeplist(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    old_ids: DataFrame,
+    index: DataFrame | None = None,
+    corpus: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    min_chars: int = 100,
+    min_words: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs: DataFrame | None = None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """The daily-ingest loop END-TO-END (VERDICT r5 #4): exact
+    index+delta dedup → near-dup index+delta dedup → quality gate, as
+    ONE lazy plan over the new batch. Output: the (doc_id, text_hash)
+    keep-list whose hashes get appended to ``seen_hashes`` (and whose
+    docs get ``minhash_index`` rows appended to ``index``) after the
+    batch commits — see the idempotent-sink streaming composition in
+    tests/test_streaming.py.
+
+    Stages:
+    1. ``exact_dedup_incremental(new_docs, seen_hashes)`` — one batch
+       representative per content hash, minus already-indexed hashes.
+    2. Near-dup drop against ``pairs`` — by default
+       ``minhash_lsh_pairs_incremental`` over the stage-1 survivors
+       (exact dups removed BEFORE signatures, per that function's own
+       guidance). A surviving new doc d drops iff some pair links it to
+       a partner o in the eligible pool (``old_ids`` ∪ stage-1
+       survivors) with o indexed or o a smaller-id survivor. The rule is
+       greedy and non-transitive (d drops even if its smaller partner
+       also dropped) — deterministic and order-free, the standard
+       first-occurrence approximation. Pass ``pairs`` to substitute an
+       exact pair source (the oracle-gated catalog entry does, so the
+       whole pipeline is SQL-checkable; the minhash default is
+       recall-pinned against it in tests).
+    3. Quality gate: ``length(text) >= min_chars`` and
+       ``size(split(text)) >= min_words`` — applied last so the kept
+       hash set is independent of gate tuning.
+
+    Scale: every relation past stage 1 is delta-sized (the corpus only
+    participates through the broadcast-or-AQE joins inside the
+    incremental primitives); join strategy is left to AQE throughout."""
+    k1 = exact_dedup_incremental(new_docs, seen_hashes, id_col, text_col)
+    k1_ids = k1.select("doc_id")
+    kept_new = new_docs.join(
+        k1_ids.withColumnRenamed("doc_id", id_col), [id_col], "left_semi"
+    )
+    if pairs is None:
+        if index is None or corpus is None:
+            raise ValueError(
+                "ingest_keeplist needs (index, corpus) for the default "
+                "minhash pair source, or an explicit pairs DataFrame"
+            )
+        pairs = minhash_lsh_pairs_incremental(
+            kept_new, index, corpus, n=n, threshold=threshold,
+            text_col=text_col, id_col=id_col, **minhash_kwargs,
+        )
+    p = pairs.select("i", "j")
+    sides = p.select(F.col("i").alias("d"), F.col("j").alias("o")).unionByName(
+        p.select(F.col("j").alias("d"), F.col("i").alias("o"))
+    )
+    surv = k1_ids.select(F.col("doc_id").alias("_sid"))
+    olds = old_ids.select(F.col(old_ids.columns[0]).alias("_oid")).distinct()
+    drops = (
+        sides.join(surv, F.col("d") == F.col("_sid"), "left_semi")
+        .join(olds, F.col("o") == F.col("_oid"), "left")
+        .join(
+            surv.withColumnRenamed("_sid", "_osid"),
+            F.col("o") == F.col("_osid"),
+            "left",
+        )
+        .filter(
+            F.col("_oid").isNotNull()
+            | (F.col("_osid").isNotNull() & (F.col("o") < F.col("d")))
+        )
+        .select(F.col("d").alias("doc_id"))
+        .distinct()
+    )
+    k2 = k1.join(drops, ["doc_id"], "left_anti")
+    gated = new_docs.filter(
+        (F.length(F.col(text_col)) >= min_chars)
+        & (F.size(F.split(F.col(text_col), " ")) >= min_words)
+    ).select(F.col(id_col).alias("doc_id"))
+    return k2.join(gated, ["doc_id"], "left_semi").select("doc_id", "text_hash")
+
+
 def contamination_overlap_pairs(
     train: DataFrame,
     eval_df: DataFrame,

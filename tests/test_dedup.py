@@ -558,3 +558,73 @@ def test_exact_dedup_incremental_keep_list(spark):
     )
     got = {r["doc_id"] for r in exact_dedup_incremental(new, seen).collect()}
     assert got == {10, 12}  # 11 indexed out, 13 loses in-batch election
+
+
+def test_ingest_keeplist_stage_semantics(spark):
+    """ingest_keeplist (VERDICT r5 #4): exact index+delta → near-dup
+    drop (partner old, or smaller-id survivor; greedy non-transitive) →
+    quality gate, as one plan. Each stage exercised by a dedicated doc."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        ingest_keeplist,
+        ngram_jaccard_pairs,
+    )
+
+    def body(tag):
+        return " ".join(f"{tag}{i}" for i in range(10))
+
+    old_rows = [
+        (0, body("a")),
+        (2, body("b")),
+    ]
+    new_rows = [
+        (1, body("a")),                         # exact dup of old 0
+        (3, body("c")),                         # kept
+        (5, body("d")),                         # in-batch rep (kept)
+        (7, body("d")),                         # in-batch dup of 5
+        (9, body("b") + " extra"),              # near-dup of old 2
+        (11, body("c") + " extra"),             # near-dup of new 3
+        (13, "short"),                          # fails quality gate
+    ]
+    docs = spark.createDataFrame(old_rows + new_rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = old.select(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=None)
+    got = {r["doc_id"] for r in ingest_keeplist(
+        new, seen, old.select("doc_id"), pairs=pairs,
+        min_chars=10, min_words=5,
+    ).collect()}
+    assert got == {3, 5}
+
+
+def test_ingest_keeplist_minhash_default_matches_exact_pairs(spark):
+    """The production minhash pair source produces the same keep-list as
+    the exact-Jaccard pair source when similarities are far from the
+    threshold (recall ≈ 1 at J ≈ 0.9, threshold 0.5)."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        ingest_keeplist,
+        minhash_index,
+        ngram_jaccard_pairs,
+    )
+
+    body = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, body + " indexed"), (2, "other " + body),
+         (1, body + " INDEXED"),       # near-dup of old 0 → drop
+         (3, "fresh " + " ".join(f"z{i}" for i in range(30)))],  # kept
+        "doc_id long, text string",
+    )
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = old.select(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+    kw = dict(min_chars=10, min_words=5, n=3, threshold=0.5)
+    exact = {r["doc_id"] for r in ingest_keeplist(
+        new, seen, old.select("doc_id"),
+        pairs=ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=None),
+        **{k: v for k, v in kw.items() if k not in ("n", "threshold")},
+    ).collect()}
+    mh = {r["doc_id"] for r in ingest_keeplist(
+        new, seen, old.select("doc_id"),
+        index=minhash_index(old, n=3), corpus=docs, **kw,
+    ).collect()}
+    assert exact == mh == {3}

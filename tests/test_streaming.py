@@ -759,3 +759,77 @@ def test_interactive_query_reads_processor_state(spark, tmp_path):
     # applyInPandasWithState nests the state tuple under value.groupState
     got = {r["key"]: r["groupState"]["n"] for r in state_store(spark, ck).collect()}
     assert got == {"w0": 30, "w1": 30, "w2": 30}
+
+
+def test_incremental_ingest_stream_index_grows_once_per_batch(spark, tmp_path):
+    """The ingest-loop composition (VERDICT r5 #4): an availableNow file
+    stream drives exact index+delta dedup per micro-batch; the keep-list
+    hashes land through the idempotent-sink pair, and the committed
+    directories ARE the growing index the next batch dedups against.
+    Exactly-once both ways: a rerun on the same checkpoint adds nothing,
+    a retried batch id overwrites instead of duplicating."""
+    import os
+
+    from kafka_streams_demo_spark.functions.dedup import exact_dedup_incremental
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    index_dir = str(tmp_path / "index")
+    os.makedirs(index_dir)
+    schema = "doc_id long, text string"
+    sink = idempotent_parquet_sink(index_dir)
+
+    def current_index():
+        if any(d.startswith("batch_id=") for d in os.listdir(index_dir)):
+            return read_committed(spark, index_dir).select("text_hash")
+        return spark.createDataFrame([], "text_hash string")
+
+    def ingest(batch, batch_id):
+        keep = exact_dedup_incremental(batch, current_index())
+        sink(keep, batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha body"), (2, "beta body"), (3, "alpha body")], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    idx1 = {(r["doc_id"], r["text_hash"])
+            for r in read_committed(spark, index_dir).collect()}
+    assert {d for d, _ in idx1} == {1, 2}  # in-batch dup 3 collapsed
+
+    run()  # same checkpoint, no new files: index unchanged
+    assert read_committed(spark, index_dir).count() == 2
+
+    b2 = spark.createDataFrame(
+        [(4, "beta body"), (5, "gamma body")], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    idx2 = {(r["doc_id"], r["text_hash"])
+            for r in read_committed(spark, index_dir).collect()}
+    # batch 2 added ONLY the unseen hash: 4 deduped against batch 1's index
+    assert {d for d, _ in idx2} == {1, 2, 5}
+
+    # retried batch id overwrites its own directory — index stays put
+    committed = sorted(d for d in os.listdir(index_dir) if d.startswith("batch_id="))
+    assert len(committed) == 2  # one dir per non-empty source batch
+    last_id = int(committed[-1].split("=")[1])
+    sink(spark.createDataFrame([(99, "dup attempt")], schema)
+         .select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")),
+         last_id)
+    assert {d for d, _ in {(r["doc_id"], r["text_hash"])
+            for r in read_committed(spark, index_dir).collect()}} == {1, 2, 5}
