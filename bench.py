@@ -52,6 +52,10 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_ivf_topk",
     "bm25_search",
+    # round 6: multi-query retrieval, hybrid fusion, the ingest loop
+    "bm25_search_multi",
+    "hybrid_rrf_fusion",
+    "pipeline_ingest_incremental",
 ]
 
 

@@ -292,6 +292,23 @@ def minhash_index(
     return _band_rows(sig, num_hashes, bands).filter(F.col("bucket").isNotNull())
 
 
+def write_minhash_index(
+    index: DataFrame, table: str, num_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist a ``minhash_index`` result as a catalog table BUCKETED on
+    (band, bucket) — the layout that keeps the TB-scale index side of
+    ``minhash_lsh_pairs_incremental`` exchange-free: the delta join and
+    the hot-bucket aggregate both key on (band, bucket), so
+    EnsureRequirements satisfies their distribution from storage and
+    only delta-sized relations ever shuffle (plan pinned in
+    tests/test_dedup.py). Append tomorrow's keep-list rows with
+    ``mode='append'`` — same bucket spec, rows from different runs
+    compose (the index is deterministic per document)."""
+    from kafka_streams_demo_spark.sources.bucketing import write_bucketed
+
+    write_bucketed(index, table, ["band", "bucket"], num_buckets, mode=mode)
+
+
 def minhash_lsh_pairs_incremental(
     new_docs: DataFrame,
     index: DataFrame,
@@ -333,18 +350,37 @@ def minhash_lsh_pairs_incremental(
     new_banded = minhash_index(
         new_docs, n, num_hashes, bands, text_col, id_col, signature_impl
     )
-    all_banded = index.unionByName(new_banded)
-    sizes = all_banded.groupBy("band", "bucket").agg(
+    # the hot-bucket cap counts across index ∪ delta; the union only feeds
+    # a partial-combined aggregate, so index ROWS collapse map-side and
+    # the exchange carries per-bucket counts
+    sizes = index.unionByName(new_banded).groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_bsz")
     )
-    hot = sizes.filter(F.col("_bsz") > max_bucket_size).select("band", "bucket")
-    probe = new_banded.join(hot, ["band", "bucket"], "left_anti")
-    other = all_banded.join(hot, ["band", "bucket"], "left_anti").select(
-        "band", "bucket", F.col("doc_id").alias("_other")
+    # hot is ALWAYS broadcast (independent of broadcast_delta): it holds
+    # only the over-cap outlier buckets — a handful of rows by
+    # construction — and without the hint its inherited 32-partition agg
+    # distribution would force a bucketed index scan through a re-Exchange
+    # just to anti-join against it
+    hot = F.broadcast(
+        sizes.filter(F.col("_bsz") > max_bucket_size).select("band", "bucket")
     )
+    probe = new_banded.join(hot, ["band", "bucket"], "left_anti")
+    # join the index side and the delta side SEPARATELY instead of through
+    # an index∪delta union: a union would destroy a bucketed index scan's
+    # (band, bucket) distribution, forcing the TB-scale index through an
+    # Exchange. Split, both the anti-join and the probe join on the index
+    # branch are satisfied straight from storage when the index was
+    # persisted with write_minhash_index (plan pinned in tests) — only
+    # delta-sized relations ever shuffle. Join-over-union equivalence
+    # keeps the result set identical.
+    def pair_up(side):
+        other = side.join(hot, ["band", "bucket"], "left_anti").select(
+            "band", "bucket", F.col("doc_id").alias("_other")
+        )
+        return hint(probe).join(other, ["band", "bucket"])
+
     candidates = (
-        hint(probe)
-        .join(other, ["band", "bucket"])
+        pair_up(index).unionByName(pair_up(new_banded))
         .filter(F.col("doc_id") != F.col("_other"))
         .select(
             F.least("doc_id", "_other").alias("i"),
