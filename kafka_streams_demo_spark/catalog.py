@@ -3001,6 +3001,97 @@ def hybrid_rrf_fusion_q(spark, sf_dir):
     )
 
 
+_RRF_MULTI_ORACLE = """
+WITH q(query_id, query_text) AS (VALUES
+  (CAST(1 AS BIGINT), 'table scan fast'),
+  (CAST(2 AS BIGINT), 'stream join window'),
+  (CAST(3 AS BIGINT), 'vector hash merge')),
+qt AS (SELECT query_id, unnest(list_distinct(string_split(lower(query_text), ' '))) AS term
+       FROM q),
+tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents),
+s AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+qd AS (SELECT DISTINCT term FROM qt),
+rel AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN qd USING (term)),
+dft AS (SELECT term, count(*) AS df FROM rel GROUP BY 1),
+contrib AS (
+  SELECT qt.query_id, rel.doc_id,
+         LN((s.n - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+           * rel.tf * 2.2 / (rel.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS c
+  FROM qt JOIN rel USING (term) JOIN dft USING (term)
+  JOIN dl ON rel.doc_id = dl.doc_id CROSS JOIN s),
+sc AS (SELECT query_id, doc_id, ROUND(list_sum(list_sort(list(c))), 6) AS score
+       FROM contrib GROUP BY 1, 2),
+bmr AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM sc),
+av AS (SELECT vec_id + 1 AS query_id, vec_id AS qvid, embedding AS q_vec
+       FROM embeddings WHERE vec_id < 3),
+ac AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+el AS (SELECT av.query_id, ac.n_id,
+              CAST(q_vec[g.i] AS DOUBLE) AS qa, CAST(n_vec[g.i] AS DOUBLE) AS na
+       FROM av, ac, generate_series(1, 64) g(i) WHERE ac.n_id <> av.qvid),
+dp AS (SELECT query_id, n_id, SUM(qa*na) AS dp, SUM(qa*qa) AS qq, SUM(na*na) AS nn
+       FROM el GROUP BY 1, 2),
+annr AS (SELECT query_id, n_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, n_id) AS rnk
+         FROM dp),
+u AS (SELECT query_id, doc_id, 1.0/(60.0 + rnk) AS cb FROM bmr WHERE rnk <= 20
+      UNION ALL
+      SELECT query_id, doc_id, 1.0/(60.0 + rnk) AS cb FROM annr WHERE rnk <= 20),
+f AS (SELECT query_id, doc_id, ROUND(list_sum(list_sort(list(cb))), 6) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, rrf_score, n_lists,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
+SELECT query_id, doc_id, rrf_score, n_lists, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
+@register("hybrid_rrf_fusion_multi", _RRF_MULTI_ORACLE)
+def hybrid_rrf_fusion_multi_q(spark, sf_dir):
+    """Grouped hybrid retrieval — the production shape: a QUERY TABLE
+    scored lexically (bm25_search_queries) and densely (brute-force
+    cosine per query vector, exact so the oracle replays it), fused
+    per-query with reciprocal ranks (rrf_fuse group_cols). Three text
+    queries paired with query vectors 0..2 over the shared id space;
+    fusion itself is pure column math over 20-row component lists per
+    query, rank windows partitioned by query — thousands of queries
+    spread the cluster, the corpus is touched only by the two component
+    retrievals."""
+    from kafka_streams_demo_spark.functions.similarity import (
+        rrf_fuse,
+        topk_bruteforce,
+    )
+    from kafka_streams_demo_spark.functions.text import bm25_search_queries
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    qdf = spark.createDataFrame(
+        [(1, "table scan fast"), (2, "stream join window"),
+         (3, "vector hash merge")],
+        "query_id long, query_text string",
+    )
+    bm = bm25_search_queries(docs, qdf, k=20).select(
+        "query_id", "doc_id", F.col("rk").alias("rank")
+    )
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ann = topk_bruteforce(emb, qv, k=20).select(
+        (F.col("q_id") + 1).alias("query_id"),
+        F.col("n_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse(
+        [bm, ann], k=60, group_cols=("query_id",), top_k=10
+    ).select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
+
+
 @register(
     "tfidf_top_terms",
     "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
