@@ -262,6 +262,46 @@ def bm25_search(
     )
 
 
+def bm25_postings(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, dl, term, tf) posting rows — ROW-LOCAL HOF math
+    (distinct-token transform + in-array count; no corpus-keyed exchange).
+    This is the persistable retrieval index: write it once per corpus
+    (``write_bm25_postings`` buckets it by term so downstream term-keyed
+    aggregates/joins satisfy their distribution from storage) and score
+    every future query table against it WITHOUT re-tokenizing the corpus
+    (``bm25_search_queries(postings=...)``) — the BM25 counterpart of
+    ``minhash_index``. Deterministic per document, so postings from
+    different runs compose under append."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        F.explode(
+            F.transform(
+                F.array_distinct("_toks"),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter(F.col("_toks"), lambda x: x == t)).alias("tf"),
+                ),
+            )
+        ).alias("_p"),
+    ).select("doc_id", "dl", F.col("_p.term").alias("term"), F.col("_p.tf").alias("tf"))
+
+
+def write_bm25_postings(
+    postings, table: str, num_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist ``bm25_postings`` output as a catalog table bucketed on
+    ``term`` — the df aggregate and any non-broadcast term join then read
+    their distribution straight from storage (plan pinned in tests)."""
+    from kafka_streams_demo_spark.sources.bucketing import write_bucketed
+
+    write_bucketed(postings, table, ["term"], num_buckets, mode=mode)
+
+
 def bm25_search_queries(
     docs,
     queries,
@@ -273,6 +313,7 @@ def bm25_search_queries(
     qid_col: str = "query_id",
     qtext_col: str = "query_text",
     broadcast_queries: bool = True,
+    postings=None,
 ):
     """BM25 over a QUERY TABLE — real retrieval scores thousands of
     queries per corpus pass, not one literal string (``bm25_search`` is
@@ -289,28 +330,35 @@ def bm25_search_queries(
     the df aggregate and the per-(query, doc) score shuffle. N/avgdl is
     one map-side-combined global aggregate broadcast back. The final
     per-query top-k is a rank window over scored pairs, partitioned by
-    query — thousands of queries spread across the cluster."""
+    query — thousands of queries spread across the cluster.
+
+    Pass ``postings`` (a persisted ``bm25_postings`` table — bucketed by
+    term via ``write_bm25_postings``) to score against the stored index
+    without re-tokenizing the corpus; ``docs`` may then be None. N/avgdl
+    is derived from the postings with one doc-keyed partial-combined
+    aggregate (cheap next to the scoring pass; results bit-equal to the
+    direct path — same-oracle hash-gated in the catalog)."""
     hint = F.broadcast if broadcast_queries else (lambda df: df)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
-    )
-    stats = toks.agg(
-        F.avg(F.size("_toks")).alias("_avgdl"), F.count(F.lit(1)).alias("_n")
-    )
-    postings = toks.select(
-        "doc_id",
-        F.size("_toks").alias("dl"),
-        F.explode(
-            F.transform(
-                F.array_distinct("_toks"),
-                lambda t: F.struct(
-                    t.alias("term"),
-                    F.size(F.filter(F.col("_toks"), lambda x: x == t)).alias("tf"),
-                ),
-            )
-        ).alias("_p"),
-    ).select("doc_id", "dl", F.col("_p.term").alias("term"), F.col("_p.tf").alias("tf"))
+    if postings is None:
+        if docs is None:
+            raise ValueError("bm25_search_queries needs docs or postings")
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+        )
+        stats = toks.agg(
+            F.avg(F.size("_toks")).alias("_avgdl"), F.count(F.lit(1)).alias("_n")
+        )
+        postings = bm25_postings(docs, id_col, text_col)
+    else:
+        # every doc carries ≥1 posting row (empty text still emits the ""
+        # term), so per-doc dl recovery + one global aggregate reproduces
+        # the direct path's N/avgdl exactly
+        stats = (
+            postings.groupBy("doc_id")
+            .agg(F.max("dl").alias("_dl"))
+            .agg(F.avg("_dl").alias("_avgdl"), F.count(F.lit(1)).alias("_n"))
+        )
     qterms = queries.select(
         F.col(qid_col).alias("query_id"),
         F.explode(

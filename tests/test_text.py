@@ -223,3 +223,70 @@ def test_bm25_search_queries_corpus_never_shuffles(spark):
     # corpus explode feeds a BroadcastHashJoin (stream side), never a
     # SortMergeJoin — the posting rows must not be exchange-partitioned
     assert "SortMergeJoin" not in a.plan, a.plan
+
+
+def test_bm25_postings_path_matches_direct_and_buckets_help(spark):
+    """The persisted-postings path returns exactly the direct path's
+    results (stats recovered from postings, incl. empty-text docs); a
+    term-bucketed postings table feeds the df aggregate without a
+    re-Exchange (fewer exchanges than the unbucketed scan plan)."""
+    from kafka_streams_demo_spark.functions.text import (
+        bm25_postings,
+        bm25_search_queries,
+        write_bm25_postings,
+    )
+    from kafka_streams_demo_spark.plans.explain import audit
+
+    df = spark.createDataFrame(
+        [(1, "table scan fast table"), (2, "slow row merge"),
+         (3, "fast fast fast scan"), (4, ""), (5, "window agg join")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "table scan fast"), (2, "merge row")],
+        "query_id long, query_text string",
+    )
+    direct = sorted(
+        tuple(r) for r in bm25_search_queries(df, qdf, k=3).collect()
+    )
+    via_postings = sorted(
+        tuple(r) for r in
+        bm25_search_queries(None, qdf, k=3, postings=bm25_postings(df)).collect()
+    )
+    assert direct == via_postings
+
+    write_bm25_postings(bm25_postings(df), "bm25_post_test", num_buckets=4)
+    try:
+        prev_abs = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        # under the DEFAULT broadcast query-term join the postings scan's
+        # term-bucketing feeds the df aggregate directly (the broadcast
+        # join preserves the stream side's partitioning) — that is the
+        # production win. At 4 toy buckets vs 32 shuffle partitions the
+        # autoBucketedScan heuristic would drop the bucketed scan for
+        # parallelism, so pin the mechanism; at scale num_buckets is
+        # sized ≈ shuffle partitions and the heuristic keeps it.
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        try:
+            plain = bm25_search_queries(
+                None, qdf, k=3, postings=bm25_postings(df)
+            )
+            bucketed = bm25_search_queries(
+                None, qdf, k=3, postings=spark.table("bm25_post_test")
+            )
+            a_plain, a_buck = audit(plain), audit(bucketed)
+            assert "SelectedBucketsCount" in a_buck.plan
+            # the df_t groupBy(term) reads its distribution from storage
+            assert a_buck.exchanges < a_plain.exchanges, (
+                f"bucketed {a_buck.exchanges} vs plain {a_plain.exchanges}"
+            )
+            assert sorted(tuple(r) for r in bucketed.collect()) == direct
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_abs
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_post_test")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="docs or postings"):
+        bm25_search_queries(None, qdf)
