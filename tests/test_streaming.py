@@ -833,3 +833,92 @@ def test_incremental_ingest_stream_index_grows_once_per_batch(spark, tmp_path):
          last_id)
     assert {d for d, _ in {(r["doc_id"], r["text_hash"])
             for r in read_committed(spark, index_dir).collect()}} == {1, 2, 5}
+
+
+def test_ingest_keeplist_stream_full_pipeline(spark, tmp_path):
+    """The COMPLETE ingest loop under availableNow streaming: each
+    micro-batch runs ingest_keeplist (exact index+delta → minhash
+    near-dup vs the committed LSH index → quality gate) and appends
+    THREE committed artifacts through idempotent sinks — the hash index,
+    the minhash index (kept docs only), and the kept corpus. Batch 2's
+    exact dup dies on the hash index, its near-dup dies on the minhash
+    index, its short doc dies on the gate, and only the genuinely new
+    doc lands everywhere."""
+    import os
+
+    from kafka_streams_demo_spark.functions.dedup import (
+        ingest_keeplist,
+        minhash_index,
+    )
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    dirs = {n: str(tmp_path / n) for n in ("hashes", "mhidx", "corpus")}
+    for d in dirs.values():
+        os.makedirs(d)
+    sinks = {n: idempotent_parquet_sink(d) for n, d in dirs.items()}
+    schema = "doc_id long, text string"
+
+    def committed(name, empty_schema):
+        if any(x.startswith("batch_id=") for x in os.listdir(dirs[name])):
+            return read_committed(spark, dirs[name])
+        return spark.createDataFrame([], empty_schema)
+
+    def ingest(batch, batch_id):
+        seen = committed("hashes", "doc_id long, text_hash string").select("text_hash")
+        mh = committed("mhidx", "doc_id long, band int, bucket long").select(
+            "doc_id", "band", "bucket"
+        )
+        corpus_old = committed("corpus", schema)
+        keep = ingest_keeplist(
+            batch, seen, corpus_old.select("doc_id"),
+            index=mh, corpus=corpus_old.unionByName(batch),
+            n=3, threshold=0.5, min_chars=10, min_words=5,
+        )
+        kept_docs = batch.join(keep.select("doc_id"), ["doc_id"], "left_semi")
+        sinks["hashes"](keep, batch_id)
+        sinks["mhidx"](minhash_index(kept_docs, n=3), batch_id)
+        sinks["corpus"](kept_docs, batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    body = lambda tag: " ".join(f"{tag}{i}" for i in range(10))  # noqa: E731
+    b1 = spark.createDataFrame(
+        [(1, body("a")), (2, body("b")), (3, body("a"))], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    assert {r["doc_id"] for r in read_committed(spark, dirs["corpus"]).collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [(4, body("a")),                 # exact dup of committed 1
+         (5, body("b") + " extra"),      # near-dup of committed 2
+         (6, body("c")),                 # genuinely new → kept
+         (7, "short")],                  # fails the quality gate
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    kept = {r["doc_id"] for r in read_committed(spark, dirs["corpus"]).collect()}
+    assert kept == {1, 2, 6}
+    # each sink committed exactly one directory per batch
+    for name, d in dirs.items():
+        n = len([x for x in os.listdir(d) if x.startswith("batch_id=")])
+        assert n == 2, f"{name}: {n} committed dirs"
+    # the minhash index holds band rows ONLY for kept docs
+    assert {r["doc_id"] for r in read_committed(spark, dirs["mhidx"]).collect()} == {1, 2, 6}
+    # rerun on the same checkpoint: nothing grows
+    run()
+    assert {r["doc_id"] for r in read_committed(spark, dirs["corpus"]).collect()} == {1, 2, 6}
