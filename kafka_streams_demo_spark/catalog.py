@@ -4655,9 +4655,28 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # sessionize_gap_bucketed + running_sum_per_user_bucketed→
 # top3_orders_per_cust_salted (skew-tools family, hash-gate pattern),
 # mixture_sample→mixture_upsample + temperature_mixture (mixture
-# family).
+# family). Late-round swaps for the two newest entries: count_by_key→
+# aggregate_sum_cents + ktable_reduce_sum + cogroup_user_metrics
+# (aggregation family, green since r1) frees a slot for
+# hybrid_rrf_fusion_multi; doc_chunk_overlap→pack_sequences_strid
+# (packing/chunking family, green r5) frees one for
+# bm25_search_postings (same-oracle as bm25_search_multi — a driver
+# green externally proves the persisted-index path bit-equal).
+#
+# Round-7 rotation candidates (all locally hash-green, awaiting a
+# driver slot): the r6 demotions rotate back as slots free up
+# (filter_events, map_values_upper, select_key_prefix, count_by_key,
+# doc_chunk_overlap, session_window_count, sliding_window_count(_bucketed),
+# stream_stream_join_window, table_table_join_inner, wav_decode_meta,
+# dedup_exact, dedup_stream_watermark, pii_redact, ann_lsh_topk,
+# pack_sequences, contamination_check_bloom, sessionize_gap_bucketed,
+# running_sum_per_user_bucketed, mixture_sample, q2/q6/q9/q13/q15/q17/
+# q20/q21); plus never-driver-checked oracled entries: gif_frames_meta,
+# ppm_resize_images, tfidf_top_terms, corpus_profile, vocab_token_freq,
+# winnow_fingerprints, salted_count_skew, hopping_window_sum_cents,
+# q3_shipping_priority, q5_regional_revenue.
 DRIVER_PRIORITY: list[str] = [
-    "branch_c", "word_count", "count_by_key", "aggregate_sum_cents",
+    "branch_c", "word_count", "hybrid_rrf_fusion_multi", "aggregate_sum_cents",
     "ktable_latest", "processor_running_count", "json_extract_sum",
     "tumbling_window_count",
     "sliding_window_full_count", "sliding_window_full_count_bucketed",
@@ -4677,7 +4696,7 @@ DRIVER_PRIORITY: list[str] = [
     "pack_sequences_strid", "mixture_upsample", "temperature_mixture",
     "asof_join_purchase", "cogroup_user_metrics",
     "top3_orders_per_cust_salted", "median_value_per_type",
-    "doc_chunk_overlap",
+    "bm25_search_postings",
     "jpeg_decode_meta", "jpeg_decode_subsampled", "gif_decode_meta",
 ]
 
