@@ -1538,6 +1538,42 @@ WHERE ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) >= 0.35
 """
 
 
+_EMB_DEDUP_INC_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+el AS (SELECT a.vec_id i, b.vec_id j,
+       CAST(a.embedding[g.i] AS DOUBLE) AS qa, CAST(b.embedding[g.i] AS DOUBLE) AS na
+       FROM e a, e b, generate_series(1, 64) g(i)
+       WHERE a.label = b.label AND a.vec_id < b.vec_id
+         AND (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)),
+s AS (SELECT i, j, SUM(qa*na) AS dp, SUM(qa*qa) AS qq, SUM(na*na) AS nn FROM el GROUP BY 1, 2)
+SELECT i, j, ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) AS cos FROM s
+WHERE ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) >= 0.35
+"""
+
+
+@register("dedup_embedding_cosine_incremental", _EMB_DEDUP_INC_ORACLE)
+def dedup_embedding_cosine_incremental_q(spark, sf_dir):
+    """Index+delta embedding near-dup (round 6,
+    functions/dedup.py:embedding_cosine_pairs_incremental): even vec_ids
+    play the indexed corpus, odd the new batch — exactly the batch
+    result restricted to delta-touching pairs (the oracle applies that
+    restriction to the same exact all-pairs SQL). Completes the
+    incremental tier across exact/minhash/embedding dedup; pair cost is
+    delta × block, never block²."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        embedding_cosine_pairs_incremental,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # cap off: the oracle computes exact all-pairs (same pattern as the
+    # batch entry)
+    return embedding_cosine_pairs_incremental(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        threshold=0.35, max_block_size=None,
+    )
+
+
 @register("dedup_embedding_cosine", _EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine_q(spark, sf_dir):
     """Embedding-cosine near-dup: all (i < j) pairs within a label block

@@ -748,6 +748,64 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_cosine_pairs_incremental(
+    new_emb: DataFrame,
+    index_emb: DataFrame,
+    threshold: float = 0.35,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_size: int | None = 10_000,
+    on_oversized: str = "drop",
+) -> DataFrame:
+    """Index+delta embedding near-dup — completes the incremental tier
+    across all three dedup families (exact hashes, MinHash-LSH, and now
+    dense vectors): pairs TOUCHING A NEW VECTOR only (new×index and
+    new×new within a blocking key), exactly the
+    ``embedding_cosine_pairs`` result over index ∪ delta restricted to
+    delta-touching pairs (property-pinned bit-equal — same 6-dp rounded
+    cosine, same i<j canonical orientation).
+
+    Scale: the pair join streams the delta against each block — cost is
+    |delta-block| × |block|, never |block|², so a daily batch prices at
+    delta × corpus-block, not corpus². ``max_block_size`` counts blocks
+    across index ∪ delta (matching the batch cap, so capped runs agree
+    too); join strategy is AQE's (pre-partition or bucket the persisted
+    index on ``block_col`` and the index side satisfies the block join
+    from storage, same recipe as write_minhash_index)."""
+    from kafka_streams_demo_spark.functions.similarity import dot, norm
+
+    idx = index_emb.select(
+        F.col(id_col), F.col(block_col), F.col(vec_col), F.lit(False).alias("_new")
+    )
+    nw = new_emb.select(
+        F.col(id_col), F.col(block_col), F.col(vec_col), F.lit(True).alias("_new")
+    )
+    capped = _cap_blocks(idx.unionByName(nw), block_col, max_block_size, on_oversized)
+    probe = capped.filter(F.col("_new")).select(
+        F.col(id_col).alias("_pi"), F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("va"),
+    ).select("*", norm(F.col("va")).alias("na"))
+    other = capped.select(
+        F.col(id_col).alias("_oi"), F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vb"),
+    ).select("*", norm(F.col("vb")).alias("nb"))
+    return (
+        probe.join(other, ["blk"])
+        .filter(F.col("_pi") != F.col("_oi"))
+        .select(
+            F.least("_pi", "_oi").alias("i"),
+            F.greatest("_pi", "_oi").alias("j"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()  # new×new pairs arrive once per orientation; cos is
+        # symmetric and rounded, so distinct collapses them exactly
+    )
+
+
 def connected_components(
     pairs: DataFrame, src: str = "i", dst: str = "j", max_iter: int = 25
 ) -> DataFrame:
