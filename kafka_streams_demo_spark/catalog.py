@@ -1172,6 +1172,27 @@ def dedup_exact_incremental_q(spark, sf_dir):
 
 
 @register(
+    "shuffle_shards",
+    "WITH h AS (SELECT doc_id, "
+    "('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv "
+    "FROM documents) "
+    "SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard, "
+    "CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos "
+    "FROM h",
+)
+def shuffle_shards_q(spark, sf_dir):
+    """Deterministic global shuffle into 8 shards (round 6,
+    functions/packing.py:shuffle_shards): shard and within-shard
+    position derive from md5(seed:id) — the reproducible training-data
+    shuffle (same order on every run/engine/partitioning, unlike
+    rand()). One shard-keyed shuffle + per-shard sort; the oracle
+    replays the 60-bit hex-prefix hash exactly."""
+    from kafka_streams_demo_spark.functions.packing import shuffle_shards
+
+    return shuffle_shards(load_table(spark, "documents", sf_dir), n_shards=8)
+
+
+@register(
     "mixture_upsample",
     "WITH d AS (SELECT doc_id, source, "
     "  CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0 ELSE 1 END "

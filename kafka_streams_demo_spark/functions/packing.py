@@ -309,3 +309,47 @@ def temperature_mixture(
         .filter(F.substring(F.md5(F.col(text_col).cast("binary")), 1, 2) < thresh)
         .drop("_g", "_t")
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into shards — the reproducible
+    replacement for rand()-ordered training-data shuffles: (doc_id,
+    shard, pos) where ``shard`` and the within-shard ``pos`` derive
+    entirely from md5(seed:id), so every run, engine, and partitioning
+    produces the SAME shuffle order (rand() does not survive a retry,
+    let alone an engine swap — same argument as sample_per_source). A
+    training job reads shard s in pos order; changing ``seed`` reshuffles.
+
+    The hash is a 60-bit integer from the first 15 md5 hex digits —
+    exactly replayable in SQL (oracle-gated). Scale: one shuffle on the
+    shard key + a per-shard sort (the window); at 100 TB write the output
+    partitioned by shard with ``sortWithinPartitions(pos)`` and readers
+    stream shards sequentially. Uniformity: md5 is uniform, so shards are
+    balanced to ~sqrt(n/doc_count) relative error — no hot shard."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    based = docs.select(F.col(id_col).alias("doc_id"), h.alias("_h")).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return based.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )

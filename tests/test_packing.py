@@ -350,3 +350,32 @@ def test_mixture_upsample_copy_counts_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="negative"):
         mixture_upsample(docs, {"a": -1.0})
+
+
+def test_shuffle_shards_deterministic_uniform_and_seeded(spark):
+    """shuffle_shards: every doc appears exactly once; pos is dense
+    1..|shard| within each shard; the same seed reproduces the identical
+    assignment; a different seed produces a different order; shards are
+    roughly balanced."""
+    from kafka_streams_demo_spark.functions.packing import shuffle_shards
+
+    docs = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = shuffle_shards(docs, n_shards=4, seed=42).collect()
+    assert len(a) == 400 and len({r["doc_id"] for r in a}) == 400
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, poses in by_shard.items():
+        assert sorted(poses) == list(range(1, len(poses) + 1)), shard
+        assert 50 <= len(poses) <= 150  # uniform-ish at n=400
+    b = shuffle_shards(docs, n_shards=4, seed=42).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         shuffle_shards(docs, n_shards=4, seed=7).collect()}
+    a_map = {r["doc_id"]: (r["shard"], r["pos"]) for r in a}
+    assert a_map != c  # reseeding reshuffles
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(docs, n_shards=0)
