@@ -4296,6 +4296,41 @@ def pipeline_keeplist(spark, sf_dir):
     )
 
 
+_JACCARD_INC_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS s FROM idx),
+d AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+          GROUP BY 1, 2)
+SELECT p.i, p.j, ROUND(p.common / (d1.n + d2.n - p.common), 6) AS jaccard
+FROM pairs p JOIN d d1 ON p.i = d1.doc_id JOIN d d2 ON p.j = d2.doc_id
+WHERE ROUND(p.common / (d1.n + d2.n - p.common), 6) >= 0.5
+"""
+
+
+@register("ngram_jaccard_incremental", _JACCARD_INC_ORACLE)
+def ngram_jaccard_incremental_q(spark, sf_dir):
+    """Index+delta EXACT Jaccard (round 6,
+    functions/dedup.py:ngram_jaccard_pairs_incremental): odd-id docs
+    play the new batch — delta shingles probe the corpus's shingle rows
+    (the inverted-index probe, |delta| × matches, never corpus²),
+    emitting exactly the batch pairs restricted to delta-touching ones.
+    The exact tier of the incremental family now matches the minhash
+    tier's delta pricing while staying fully SQL-oracle-checkable."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        ngram_jaccard_pairs_incremental,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), docs,
+        n=3, threshold=0.5, max_doc_freq=None,
+    )
+
+
 _INGEST_ORACLE = """
 WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
 seen AS (SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 2 = 0),
@@ -4339,12 +4374,16 @@ def pipeline_ingest_incremental_q(spark, sf_dir):
     pairs (threshold 0.5) so the whole pipeline is SQL-oracle-checkable;
     the production minhash pair source is the function default,
     bit-equal on delta-touching pairs by the incremental-≡-batch
-    property test and recall-pinned at threshold 0.8. The multi-batch
-    streaming composition (availableNow + idempotent sink, index grows
-    exactly once per batch) is pinned in tests/test_streaming.py."""
+    property test and recall-pinned at threshold 0.8. The pair stage is
+    DELTA-PRICED (round-6 upgrade: ngram_jaccard_pairs_incremental —
+    delta shingles probe the corpus, never corpus²); the oracle is
+    unchanged because its drop rule only ever examines delta-touching
+    pairs. The multi-batch streaming composition (availableNow +
+    idempotent sink, index grows exactly once per batch) is pinned in
+    tests/test_streaming.py."""
     from kafka_streams_demo_spark.functions.dedup import (
         ingest_keeplist,
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental,
     )
 
     docs = load_table(spark, "documents", sf_dir)
@@ -4353,7 +4392,9 @@ def pipeline_ingest_incremental_q(spark, sf_dir):
     seen = old.select(
         F.md5(F.col("text").cast("binary")).alias("text_hash")
     ).distinct()
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=None)
+    pairs = ngram_jaccard_pairs_incremental(
+        new, docs, n=3, threshold=0.5, max_doc_freq=None
+    )
     return ingest_keeplist(
         new, seen, old.select("doc_id"),
         pairs=pairs, min_chars=100, min_words=20,

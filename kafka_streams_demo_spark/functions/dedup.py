@@ -154,6 +154,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Index+delta EXACT Jaccard: pairs TOUCHING A NEW DOC only — the
+    batch ``ngram_jaccard_pairs`` over ``corpus`` restricted to
+    delta-touching pairs, bit-for-bit (property-pinned). ``corpus`` must
+    contain every doc a pair may reference (old + new, same contract as
+    ``minhash_lsh_pairs_incremental``).
+
+    Scale: the shingle join probes the corpus with DELTA shingles only —
+    cost is |delta shingles| × their corpus matches (the inverted-index
+    probe), never corpus². The per-doc set-size aggregate stays
+    map-side-combined over the corpus (persist it alongside the corpus
+    to make that delta-priced too). ``max_doc_freq`` counts document
+    frequency across the whole corpus, matching the batch guard."""
+    sh_all = shingle_rows(corpus, n, text_col, id_col)
+    sh_new = shingle_rows(new_docs, n, text_col, id_col)
+    if max_doc_freq is not None:
+        hot = (
+            sh_all.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("s")
+        )
+        sh_all = sh_all.join(F.broadcast(hot), "s", "left_anti")
+        sh_new = sh_new.join(F.broadcast(hot), "s", "left_anti")
+        sizes_src = shingle_rows(corpus, n, text_col, id_col)
+    else:
+        sizes_src = sh_all
+    sizes = sizes_src.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh_new.alias("a"), sh_all.alias("b")
+    # delta probes the corpus; new×new pairs match in both orientations,
+    # so canonicalize then DISTINCT (doc_id, doc_id, s) before counting —
+    # each shared shingle contributes exactly once, as in the batch join
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("i"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("j"),
+            F.col("a.s").alias("s"),
+        )
+        .distinct()
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    si, sj = sizes.alias("si"), sizes.alias("sj")
+    return (
+        common.join(si, F.col("i") == F.col("si.doc_id"))
+        .join(sj, F.col("j") == F.col("sj.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("si.n_sh") + F.col("sj.n_sh") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """64 minhashes per doc in ONE aggregation pass (64 min() aggregates
     over the universal-hash family — map-side combine keeps the shuffle at

@@ -722,3 +722,35 @@ def test_embedding_incremental_equals_batch_restricted_to_delta(spark):
     assert embedding_cosine_pairs_incremental(
         new, old, threshold=0.5, max_block_size=1
     ).count() == 0
+
+
+def test_ngram_jaccard_incremental_equals_batch_restricted(spark):
+    """Exact-Jaccard index+delta == the batch run restricted to pairs
+    touching a new doc, bit for bit — with and without the hot-shingle
+    guard (df counted across the whole corpus in both)."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental,
+    )
+
+    boiler = "common boiler plate words here"
+    rows = [(i, f"doc {i % 3} unique body text variant {boiler}")
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+
+    for mdf in (None, 3):
+        batch = {(r["i"], r["j"]): r["jaccard"] for r in
+                 ngram_jaccard_pairs(docs, n=3, threshold=0.1,
+                                     max_doc_freq=mdf).collect()}
+        expected = {p: v for p, v in batch.items()
+                    if p[0] in new_ids or p[1] in new_ids}
+        got = {(r["i"], r["j"]): r["jaccard"] for r in
+               ngram_jaccard_pairs_incremental(
+                   new, docs, n=3, threshold=0.1, max_doc_freq=mdf
+               ).collect()}
+        assert got == expected, f"max_doc_freq={mdf}"
+        assert expected, "fixture must produce pairs"
+    # old×old pairs exist in batch but never in the incremental result
+    assert any(p[0] not in new_ids and p[1] not in new_ids for p in batch)
