@@ -188,20 +188,28 @@ def ngram_jaccard_pairs_incremental(
     else:
         sizes_src = sh_all
     sizes = sizes_src.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh_new.alias("a"), sh_all.alias("b")
-    # delta probes the corpus; new×new pairs match in both orientations,
-    # so canonicalize then DISTINCT (doc_id, doc_id, s) before counting —
-    # each shared shingle contributes exactly once, as in the batch join
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+    # split the probe so every shared shingle matches EXACTLY once (no
+    # dedup exchange): new×old pairs can only match in one orientation
+    # (the old side is corpus-minus-delta), new×new pairs take a.id < b.id
+    new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    sh_old = sh_all.join(new_ids, ["doc_id"], "left_anti")
+    a = sh_new.alias("a")
+    no = (
+        a.join(sh_old.alias("b"), F.col("a.s") == F.col("b.s"))
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("i"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("j"),
-            F.col("a.s").alias("s"),
         )
-        .distinct()
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nn = (
+        a.join(
+            sh_new.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+    )
+    common = no.unionByName(nn).groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("common")
     )
     si, sj = sizes.alias("si"), sizes.alias("sj")
     return (
