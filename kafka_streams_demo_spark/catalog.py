@@ -3177,6 +3177,55 @@ def hybrid_rrf_fusion_multi_q(spark, sf_dir):
     ).select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
 
 
+_GOPHER_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  ROUND(CASE WHEN len(w) = 0 THEN 0
+        ELSE CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+        END, 6) AS mean_word_len,
+  ROUND(CASE WHEN len(w) = 0 THEN 0
+        ELSE CAST((len(text) - len(replace(text, '#', '')))
+             + (len(string_split_regex(text, '\.\.\.|…')) - 1) AS DOUBLE) / len(w)
+        END, 6) AS symbol_ratio,
+  ROUND(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[\-\*•]')))
+        AS DOUBLE) / len(lines), 6) AS bullet_frac,
+  ROUND(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+        AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
+  ROUND(CASE WHEN len(w) = 0 THEN 0
+        ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+             AS DOUBLE) / len(w) END, 6) AS alpha_frac,
+  CAST(len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+       ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+    AS n_stopwords
+ FROM base)
+SELECT m.*,
+  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+   AND alpha_frac >= 0.8 AND n_stopwords >= 2) AS keep
+FROM m
+"""
+
+
+@register("gopher_quality_filter", _GOPHER_ORACLE)
+def gopher_quality_filter_q(spark, sf_dir):
+    """The published Gopher corpus-quality rule bundle (Rae et al. 2021
+    Appendix A; functions/text.py:gopher_quality) — word-count and
+    mean-word-length windows, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, ≥2-of-8 stop words — as one
+    row-local column-expression pass with per-rule signal columns and
+    the composite keep flag. Zero shuffle at any scale; every
+    fractional signal rounds to 6 dp so the keep cut is
+    engine-deterministic."""
+    from kafka_streams_demo_spark.functions.text import gopher_quality
+
+    return gopher_quality(load_table(spark, "documents", sf_dir))
+
+
 @register(
     "tfidf_top_terms",
     "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "

@@ -407,3 +407,99 @@ def bm25_search_queries(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "score", "rk")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+):
+    """The published Gopher quality-filter rule bundle (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A) as ONE row-local
+    column-expression pass — the standard pre-training corpus gate:
+    word-count window, mean-word-length window, #/ellipsis symbol ratio,
+    bullet-started and ellipsis-ended line fractions, fraction of words
+    with an alphabetic character, and the ≥2-of-8 stop-word check.
+    Output: per-doc signal columns (each 6-dp rounded where fractional,
+    so the keep cut is engine-deterministic) + the composite ``keep``.
+    Thresholds are the paper's defaults, overridable per corpus.
+
+    100 TB design: pure column expressions — an embarrassingly parallel
+    map stage inside WholeStageCodegen, zero shuffle, composable with
+    pipeline_keeplist/ingest_keeplist as an extra gate predicate."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(words)
+    nz = F.nullif(n_words.cast("double"), F.lit(0.0))
+    n_lines = F.nullif(F.size(lines).cast("double"), F.lit(0.0))
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / nz,
+        6,
+    )
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = F.size(
+        F.split(F.col(text_col), r"\.\.\.|…")
+    ) - F.lit(1)
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / nz, 6)
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.rlike(r"^\s*[\-\*•]"),
+            )
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / nz,
+        6,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.coalesce(mean_wl, F.lit(0.0)).alias("mean_word_len"),
+        F.coalesce(symbol_ratio, F.lit(0.0)).alias("symbol_ratio"),
+        F.coalesce(bullet_frac, F.lit(0.0)).alias("bullet_frac"),
+        F.coalesce(ellipsis_frac, F.lit(0.0)).alias("ellipsis_frac"),
+        F.coalesce(alpha_frac, F.lit(0.0)).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("bullet_frac") < max_bullet_frac)
+        & (F.col("ellipsis_frac") < max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("keep", keep)

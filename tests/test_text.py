@@ -290,3 +290,43 @@ def test_bm25_postings_path_matches_direct_and_buckets_help(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="docs or postings"):
         bm25_search_queries(None, qdf)
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    """Each Gopher rule (Rae et al. 2021 Appendix A) kills exactly the doc
+    built to violate it; a well-formed doc passes everything."""
+    from kafka_streams_demo_spark.functions.text import gopher_quality
+
+    good_words = ("the quick brown fox jumps over lazy dogs and cats with "
+                  "plenty more everyday common words that keep going ") * 5
+    docs = spark.createDataFrame([
+        (1, good_words.strip()),                       # passes all rules
+        (2, "the and of short"),                       # too few words
+        (3, " ".join(["a"] * 60) + " the and"),        # mean word len < 3
+        (4, good_words.strip() + " " + "#" * 1 * 60),  # hash symbols
+        (5, "- " + good_words.strip()),                # single bullet line
+        (6, " ".join(["12345"] * 60) + " the and"),    # no alphabetic words
+        (7, " ".join(["zork"] * 60)),                  # no stopwords
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["n_words"] < 50
+    assert got[3]["keep"] is False and got[3]["mean_word_len"] < 3.0
+    assert got[4]["keep"] is False and got[4]["symbol_ratio"] >= 0.1
+    assert got[5]["keep"] is False and got[5]["bullet_frac"] >= 0.9
+    assert got[6]["keep"] is False and got[6]["alpha_frac"] < 0.8
+    assert got[7]["keep"] is False and got[7]["n_stopwords"] < 2
+    # multi-line: one bullet of three lines → fraction 1/3, under the cap
+    ml = spark.createDataFrame(
+        [(8, "- bullet line\n" + good_words.strip() + "\nplain closing line")],
+        "doc_id long, text string",
+    )
+    r = gopher_quality(ml).collect()[0]
+    assert r["bullet_frac"] == round(1 / 3, 6) and r["keep"] is True
+    # ellipsis-ended lines
+    el = spark.createDataFrame(
+        [(9, (good_words.strip() + "...\n") * 2 + good_words.strip() + "...")],
+        "doc_id long, text string",
+    )
+    r = gopher_quality(el).collect()[0]
+    assert r["ellipsis_frac"] == 1.0 and r["keep"] is False
