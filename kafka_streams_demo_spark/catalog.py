@@ -3177,6 +3177,50 @@ def hybrid_rrf_fusion_multi_q(spark, sf_dir):
     ).select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
 
 
+_C4_ORACLE = r"""
+WITH structured AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (table|value) ', '.' || chr(10), 'g') AS t
+  FROM documents),
+base AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+                NOT (contains(lower(t), '{') OR contains(lower(t), 'lorem ipsum'))
+                  AS page_ok
+         FROM structured),
+m AS (SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  page_ok,
+  list_filter(lines, l -> regexp_matches(l, '[.!?"]\s*$')
+    AND len(list_filter(string_split(trim(l), ' '), x -> x <> '')) >= 3
+    AND NOT contains(lower(l), 'javascript')) AS kept
+ FROM base)
+SELECT doc_id, n_lines,
+  CAST(CASE WHEN page_ok THEN len(kept) ELSE 0 END AS BIGINT) AS n_kept,
+  page_ok,
+  CASE WHEN page_ok THEN COALESCE(array_to_string(kept, chr(10)), '')
+       ELSE '' END AS new_text
+FROM m
+"""
+
+
+@register("c4_line_clean", _C4_ORACLE)
+def c4_line_clean_q(spark, sf_dir):
+    """The published C4 line-cleaning rules (Raffel et al. 2019 §2.2;
+    functions/text.py:c4_line_clean): terminal-punctuation + ≥3-word +
+    no-'javascript' line filters, page-level '{'/'lorem ipsum' drops.
+    The fixture corpus is single-line, so BOTH engines first derive a
+    line-structured variant with the same deterministic rewrite
+    (' table '/' value ' → '.\\n'), then clean it — the filters then
+    discriminate on real line shapes. Pure row-local HOF pass, zero
+    shuffle."""
+    from kafka_streams_demo_spark.functions.text import c4_line_clean
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " (table|value) ", ".\n").alias("text"),
+    )
+    return c4_line_clean(docs)
+
+
 _GOPHER_ORACLE = r"""
 WITH base AS (
   SELECT doc_id, text,

@@ -503,3 +503,50 @@ def gopher_quality(
         & (F.col("n_stopwords") >= min_stopwords)
     )
     return out.withColumn("keep", keep)
+
+
+def c4_line_clean(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+    banned_words: tuple[str, ...] = ("javascript",),
+    page_banned: tuple[str, ...] = ("{", "lorem ipsum"),
+):
+    """The published C4 line-level cleaning rules (Raffel et al. 2019,
+    §2.2) as one row-local pass: keep only lines that end in terminal
+    punctuation (. ! ? "), carry at least ``min_line_words`` words, and
+    don't mention a banned word (the paper drops 'javascript' lines);
+    pages containing a page-level banned marker ('{' code fence, 'lorem
+    ipsum') are dropped wholesale. Output: (doc_id, n_lines, n_kept,
+    page_ok, new_text) — new_text is the kept lines rejoined in order
+    ('' when the page is dropped). Pairs with paragraph_dedup (the
+    paper's three-sentence dedup) and gopher_quality for the full
+    cleaning stack.
+
+    100 TB design: pure higher-order column expressions over the line
+    array — zero shuffle, embarrassingly parallel."""
+    lines = F.split(F.col(text_col), "\n")
+    low = F.lower(F.col(text_col))
+    page_ok = ~F.lit(False)
+    for marker in page_banned:
+        page_ok = page_ok & ~low.contains(marker)
+
+    def line_ok(l):
+        ok = l.rlike(r'[.!?"]\s*$')
+        ok = ok & (
+            F.size(F.filter(F.split(F.trim(l), " "), lambda x: x != ""))
+            >= min_line_words
+        )
+        for w in banned_words:
+            ok = ok & ~F.lower(l).contains(w)
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(page_ok, F.size(kept)).otherwise(F.lit(0)).cast("long").alias("n_kept"),
+        page_ok.alias("page_ok"),
+        F.when(page_ok, F.array_join(kept, "\n")).otherwise(F.lit("")).alias("new_text"),
+    )

@@ -330,3 +330,29 @@ def test_gopher_quality_rules_fire_individually(spark):
     )
     r = gopher_quality(el).collect()[0]
     assert r["ellipsis_frac"] == 1.0 and r["keep"] is False
+
+
+def test_c4_line_clean_rules(spark):
+    """C4 rules (Raffel et al. 2019 §2.2): terminal-punctuation lines with
+    ≥3 words survive; short, unterminated, and 'javascript' lines drop;
+    '{' or 'lorem ipsum' anywhere drops the whole page."""
+    from kafka_streams_demo_spark.functions.text import c4_line_clean
+
+    docs = spark.createDataFrame([
+        (1, 'good sentence stays here.\nno terminal punct\nok? \n'
+            'enable javascript to view this.\ntoo short.\nalso "quoted line" stays.'),
+        (2, "function() { return 1; }\nreal sentence would stay."),
+        (3, "lorem ipsum dolor sit amet.\nreal text here too."),
+        (4, "every line is kept here!\nand this one also stays."),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_line_clean(docs).collect()}
+    r1 = got[1]
+    assert r1["page_ok"] and r1["n_lines"] == 6
+    # "ok? " ends in terminal punctuation but has only 1 word — dropped
+    assert r1["new_text"].split("\n") == [
+        "good sentence stays here.", 'also "quoted line" stays.'
+    ]
+    assert r1["n_kept"] == 2
+    assert not got[2]["page_ok"] and got[2]["n_kept"] == 0 and got[2]["new_text"] == ""
+    assert not got[3]["page_ok"]
+    assert got[4]["n_kept"] == 2 and got[4]["new_text"].count("\n") == 1
