@@ -4862,10 +4862,15 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # dedup_exact, dedup_stream_watermark, pii_redact, ann_lsh_topk,
 # pack_sequences, contamination_check_bloom, sessionize_gap_bucketed,
 # running_sum_per_user_bucketed, mixture_sample, q2/q6/q9/q13/q15/q17/
-# q20/q21); plus never-driver-checked oracled entries: gif_frames_meta,
-# ppm_resize_images, tfidf_top_terms, corpus_profile, vocab_token_freq,
-# winnow_fingerprints, salted_count_skew, hopping_window_sum_cents,
-# q3_shipping_priority, q5_regional_revenue.
+# q20/q21); the late-round-6 additions, all locally hash-green with
+# full oracles: ngram_jaccard_incremental (delta-priced exact Jaccard),
+# dedup_embedding_cosine_incremental (the third incremental family),
+# shuffle_shards (deterministic training shuffle),
+# gopher_quality_filter + c4_line_clean (the published corpus-cleaning
+# rule bundles); plus never-driver-checked oracled entries:
+# gif_frames_meta, ppm_resize_images, tfidf_top_terms, corpus_profile,
+# vocab_token_freq, winnow_fingerprints, salted_count_skew,
+# hopping_window_sum_cents, q3_shipping_priority, q5_regional_revenue.
 DRIVER_PRIORITY: list[str] = [
     "branch_c", "word_count", "hybrid_rrf_fusion_multi", "aggregate_sum_cents",
     "ktable_latest", "processor_running_count", "json_extract_sum",
