@@ -3221,6 +3221,87 @@ def c4_line_clean_q(spark, sf_dir):
     return c4_line_clean(docs)
 
 
+_CLEAN_CORPUS_ORACLE = r"""
+WITH structured AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (table|value) ', '.' || chr(10), 'g') AS t
+  FROM documents),
+cbase AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+                 NOT (contains(lower(t), '{') OR contains(lower(t), 'lorem ipsum'))
+                   AS page_ok
+          FROM structured),
+c4 AS (SELECT doc_id, page_ok,
+  list_filter(lines, l -> regexp_matches(l, '[.!?"]\s*$')
+    AND len(list_filter(string_split(trim(l), ' '), x -> x <> '')) >= 3
+    AND NOT contains(lower(l), 'javascript')) AS kept
+ FROM cbase),
+cleaned AS (SELECT doc_id,
+  CASE WHEN page_ok THEN COALESCE(array_to_string(kept, chr(10)), '')
+       ELSE '' END AS new_text,
+  CASE WHEN page_ok THEN len(kept) ELSE 0 END AS n_kept
+ FROM c4),
+gw AS (SELECT doc_id, new_text, n_kept,
+  list_filter(string_split(replace(new_text, chr(10), ' '), ' '), x -> x <> '') AS w
+ FROM cleaned),
+g AS (SELECT doc_id, new_text, n_kept,
+  len(w) AS n_words,
+  CASE WHEN len(w) = 0 THEN 0
+       ELSE CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+       END AS mwl,
+  len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+      ['the','be','to','of','and','that','have','with'])) AS n_stop
+ FROM gw),
+gate AS (SELECT doc_id, new_text, n_kept FROM g
+         WHERE n_kept >= 1 AND n_words BETWEEN 10 AND 100000
+           AND ROUND(mwl, 6) BETWEEN 2.0 AND 10.0 AND n_stop >= 1),
+canon AS (SELECT md5(new_text) AS h, min(doc_id) AS keep_id FROM gate GROUP BY 1)
+SELECT gate.doc_id, CAST(gate.n_kept AS BIGINT) AS n_kept, gate.new_text
+FROM gate JOIN canon ON gate.doc_id = canon.keep_id
+"""
+
+
+@register("pipeline_clean_corpus", _CLEAN_CORPUS_ORACLE)
+def pipeline_clean_corpus_q(spark, sf_dir):
+    """The canonical corpus-cleaning STACK as one lazy plan (the
+    composition story for the cleaning family, as pipeline_keeplist is
+    for dedup): C4 line rules (Raffel et al.) → Gopher-style quality
+    gate (Rae et al.; thresholds tuned to the post-cleaning fixture
+    shape and documented inline) → exact dedup election on the CLEANED
+    text (min doc per md5) — output the surviving (doc_id, n_kept,
+    new_text) corpus. Every stage is an existing catalog op; chaining
+    them stays one Catalyst plan: two row-local map stages + one
+    dedup groupBy + the election semi-join — no materialization
+    between stages at any scale."""
+    from kafka_streams_demo_spark.functions.text import c4_line_clean, gopher_quality
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " (table|value) ", ".\n").alias("text"),
+    )
+    cleaned = c4_line_clean(docs).select("doc_id", "n_kept", "new_text")
+    flat = cleaned.select(
+        "doc_id", "n_kept",
+        F.regexp_replace(F.col("new_text"), "\n", " ").alias("text"),
+        "new_text",
+    )
+    g = gopher_quality(
+        flat, min_words=10, min_mean_word_len=2.0, max_mean_word_len=10.0,
+        min_stopwords=1, min_alpha_frac=0.0, max_symbol_ratio=1e9,
+        max_bullet_frac=1e9, max_ellipsis_frac=1e9,
+    ).select("doc_id", "keep")
+    gate = (
+        flat.join(g, ["doc_id"])
+        .filter((F.col("n_kept") >= 1) & F.col("keep"))
+        .select("doc_id", "n_kept", "new_text")
+    )
+    canon = gate.groupBy(F.md5(F.col("new_text").cast("binary"))).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    return gate.join(
+        canon, gate["doc_id"] == canon["keep_id"], "left_semi"
+    ).select("doc_id", F.col("n_kept").cast("long").alias("n_kept"), "new_text")
+
+
 _GOPHER_ORACLE = r"""
 WITH base AS (
   SELECT doc_id, text,
