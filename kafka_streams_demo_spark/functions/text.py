@@ -367,9 +367,18 @@ def bm25_search_queries(
     ).filter(F.col("term") != "")
     # restrict postings to query-relevant terms BEFORE any aggregate: df_t
     # must count each (term, doc) once even when several queries share the
-    # term, so the distinct-term semi-join comes first
+    # term, so the distinct-term semi-join comes first. df_t is a WINDOW
+    # count over the matched rows, not a groupBy+join-back: the posting
+    # subtree has no exchange for Spark to reuse, so referencing it from
+    # two branches would recompute the whole row-local posting build —
+    # the window formulation reads it exactly once, paying one term-keyed
+    # exchange of the (tiny, query-relevant) matched rows instead.
+    from pyspark.sql import Window as _Window
+
     rel = postings.join(hint(qterms.select("term").distinct()), ["term"])
-    df_t = rel.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    rel = rel.withColumn(
+        "_df", F.count(F.lit(1)).over(_Window.partitionBy("term"))
+    )
     tf = F.col("tf").cast("double")
     dfc = F.col("_df").cast("double")
     contrib = (
@@ -385,7 +394,6 @@ def bm25_search_queries(
     # elements per group, so the array is bounded and tiny.
     scored = (
         rel.join(hint(qterms), ["term"])
-        .join(hint(df_t), ["term"])
         .crossJoin(hint(stats))
         .groupBy("query_id", "doc_id")
         .agg(
