@@ -128,10 +128,13 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
-        sizes_src = shingle_rows(docs, n, text_col, id_col)
-    else:
-        sizes_src = sh
-    sizes = sizes_src.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc set size is ROW-LOCAL (size of the distinct shingle array —
+    # always the UNguarded count, per the lower-bound contract above); the
+    # old explode+groupBy formulation re-shingled the corpus through an
+    # extra exchange for the same numbers
+    sizes = doc_shingle_sets(docs, n, text_col, id_col).select(
+        "doc_id", F.size("shset").alias("n_sh")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -184,10 +187,10 @@ def ngram_jaccard_pairs_incremental(
         )
         sh_all = sh_all.join(F.broadcast(hot), "s", "left_anti")
         sh_new = sh_new.join(F.broadcast(hot), "s", "left_anti")
-        sizes_src = shingle_rows(corpus, n, text_col, id_col)
-    else:
-        sizes_src = sh_all
-    sizes = sizes_src.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # row-local per-doc set sizes (unguarded, same contract as the batch)
+    sizes = doc_shingle_sets(corpus, n, text_col, id_col).select(
+        "doc_id", F.size("shset").alias("n_sh")
+    )
     # split the probe so every shared shingle matches EXACTLY once (no
     # dedup exchange): new×old pairs can only match in one orientation
     # (the old side is corpus-minus-delta), new×new pairs take a.id < b.id
