@@ -3221,6 +3221,90 @@ def c4_line_clean_q(spark, sf_dir):
     return c4_line_clean(docs)
 
 
+def _gopher_rep_sql() -> str:
+    """Generated oracle for gopher_repetition: one n-gram CTE block per n
+    (2..10) replaying the cnt·10⁵+charlen encoding and the char-coverage
+    approximation exactly (same pattern as the generated LSH-plane
+    oracle)."""
+    from kafka_streams_demo_spark.functions.text import (
+        GOPHER_DUP_NGRAM_LIMITS,
+        GOPHER_TOP_NGRAM_LIMITS,
+    )
+
+    ns = sorted(set(GOPHER_TOP_NGRAM_LIMITS) | set(GOPHER_DUP_NGRAM_LIMITS))
+    ctes = [
+        "toks AS (SELECT doc_id, len(text) AS tc, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)",
+        "lm AS (SELECT doc_id, "
+        "ROUND(CASE WHEN len(ls) = 0 THEN 0 ELSE "
+        "(len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) END, 6) "
+        "AS dup_line_frac, "
+        "ROUND(LEAST(1.0, CASE WHEN len(text) = 0 THEN 0 ELSE "
+        "list_sum(list_transform(ls, l -> CASE WHEN "
+        "len(list_filter(ls, x -> x = l)) > 1 THEN len(l) ELSE 0 END))::DOUBLE "
+        "/ len(text) END), 6) AS dup_line_char_frac "
+        "FROM (SELECT doc_id, text, string_split(text, chr(10)) AS ls "
+        "FROM documents))",
+    ]
+    for n in ns:
+        cat = " || '_' || ".join(f"w[i+{j}]" for j in range(n))
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, {cat} AS g FROM toks, "
+            f"unnest(range(1, len(w) - {n - 2})) u(i))"
+        )
+        ctes.append(
+            f"s{n} AS (SELECT doc_id, g, count(*) AS cnt, len(g) AS ln "
+            f"FROM g{n} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"a{n} AS (SELECT doc_id, max(cnt*100000 + ln) AS e, "
+            f"SUM(CASE WHEN cnt > 1 THEN cnt*ln ELSE 0 END) AS dup "
+            f"FROM s{n} GROUP BY 1)"
+        )
+    sel = ["d.doc_id", "lm.dup_line_frac", "lm.dup_line_char_frac"]
+    keeps = ["lm.dup_line_frac <= 0.30", "lm.dup_line_char_frac <= 0.20"]
+    for n, lim in sorted(GOPHER_TOP_NGRAM_LIMITS.items()):
+        sel.append(
+            f"ROUND(COALESCE(((a{n}.e // 100000) * (a{n}.e % 100000))::DOUBLE "
+            f"/ NULLIF(d.tc, 0), 0), 6) AS top{n}gram_char_frac"
+        )
+        keeps.append(
+            f"ROUND(COALESCE(((a{n}.e // 100000) * (a{n}.e % 100000))::DOUBLE "
+            f"/ NULLIF(d.tc, 0), 0), 6) <= {lim}"
+        )
+    for n, lim in sorted(GOPHER_DUP_NGRAM_LIMITS.items()):
+        sel.append(
+            f"ROUND(LEAST(1.0, COALESCE(a{n}.dup::DOUBLE / NULLIF(d.tc, 0), 0)), 6) "
+            f"AS dup{n}gram_char_frac"
+        )
+        keeps.append(
+            f"ROUND(LEAST(1.0, COALESCE(a{n}.dup::DOUBLE / NULLIF(d.tc, 0), 0)), 6) "
+            f"<= {lim}"
+        )
+    joins = " ".join(f"LEFT JOIN a{n} ON d.doc_id = a{n}.doc_id" for n in ns)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT " + ", ".join(sel)
+        + ", (" + " AND ".join(keeps) + ") AS keep"
+        + "\nFROM toks d JOIN lm ON d.doc_id = lm.doc_id " + joins
+    )
+
+
+@register("gopher_repetition_filter", _gopher_rep_sql())
+def gopher_repetition_filter_q(spark, sf_dir):
+    """The repetition half of the published Gopher filter table (Rae et
+    al. 2021 Appendix A1.2; functions/text.py:gopher_repetition),
+    completing the quality+repetition bundle: duplicate-line fraction
+    and char fraction, top-{2,3,4}-gram char fraction, duplicated-
+    {5..10}-gram char fraction, each against the paper's limit, plus
+    the composite keep. Entirely row-local HOF math (per-n gram arrays
+    projected before the in-array counting, per the HOF re-evaluation
+    rule); the oracle is generated per n from the same limits table."""
+    from kafka_streams_demo_spark.functions.text import gopher_repetition
+
+    return gopher_repetition(load_table(spark, "documents", sf_dir))
+
+
 _CLEAN_CORPUS_ORACLE = r"""
 WITH structured AS (
   SELECT doc_id,

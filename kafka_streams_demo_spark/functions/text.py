@@ -558,3 +558,113 @@ def c4_line_clean(
         page_ok.alias("page_ok"),
         F.when(page_ok, F.array_join(kept, "\n")).otherwise(F.lit("")).alias("new_text"),
     )
+
+
+# (threshold, kind) per the published Gopher table: top-n-gram char
+# fraction for n=2..4, duplicated-n-gram char fraction for n=5..10
+GOPHER_TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+_ENC = 100_000  # cnt*_ENC + charlen encodes (cnt, charlen) lexicographically
+
+
+def gopher_repetition(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+):
+    """The repetition half of the published Gopher filter table (Rae et
+    al. 2021, Appendix A1.2), completing ``gopher_quality``: fraction of
+    duplicate lines, fraction of characters in duplicate lines, the
+    most-frequent-n-gram character fraction for n=2..4 (paper limits
+    0.20/0.18/0.16) and the duplicated-n-gram character fraction for
+    n=5..10 (0.15 down to 0.10). Word n-grams; character coverage is the
+    standard approximation Σ count·charlen / total_chars (clamped to 1 —
+    overlaps are not geometrically de-duplicated; documented, applied
+    identically in the oracle). Top-gram tie-break: (count, charlen)
+    lexicographic max, engine-deterministic via the cnt·10⁵+len integer
+    encoding. Output: all signal columns (6-dp) + composite ``keep``.
+
+    100 TB design: entirely row-local higher-order expressions — every
+    per-n gram array is projected behind its own select before the
+    O(|grams|²) in-array counting HOFs touch it (the HOF
+    re-evaluation rule), so the whole pass is one narrow map stage."""
+    ns = sorted(set(GOPHER_TOP_NGRAM_LIMITS) | set(GOPHER_DUP_NGRAM_LIMITS))
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("double").alias("_tc"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        *[word_shingles(words, n).alias(f"_g{n}") for n in ns],
+    )
+    nz = F.nullif(F.col("_tc"), F.lit(0.0))
+    n_lines = F.size("_lines")
+
+    def stats(n):
+        g = F.col(f"_g{n}")
+        enc = F.transform(
+            F.array_distinct(g),
+            lambda d: (
+                F.size(F.filter(g, lambda x: x == d)).cast("long") * F.lit(_ENC)
+                + F.length(d)
+            ),
+        )
+        top = F.array_max(enc)
+        top_frac = F.round(
+            F.coalesce(
+                ((top / F.lit(_ENC)).cast("long") * F.pmod(top, F.lit(_ENC)))
+                / nz,
+                F.lit(0.0),
+            ),
+            6,
+        )
+        dup_chars = F.aggregate(
+            enc,
+            F.lit(0).cast("long"),
+            lambda acc, e: acc
+            + F.when(
+                (e / F.lit(_ENC)).cast("long") > 1,
+                (e / F.lit(_ENC)).cast("long") * F.pmod(e, F.lit(_ENC)),
+            ).otherwise(F.lit(0)),
+        )
+        dup_frac = F.round(
+            F.least(F.lit(1.0), F.coalesce(dup_chars / nz, F.lit(0.0))), 6
+        )
+        return top_frac, dup_frac
+
+    dup_line_frac = F.round(
+        (n_lines - F.size(F.array_distinct("_lines"))).cast("double")
+        / F.nullif(n_lines.cast("double"), F.lit(0.0)),
+        6,
+    )
+    lines_col = F.col("_lines")
+    dup_line_chars = F.aggregate(
+        lines_col,
+        F.lit(0).cast("long"),
+        lambda acc, l: acc
+        + F.when(
+            F.size(F.filter(lines_col, lambda x: x == l)) > 1, F.length(l)
+        ).otherwise(F.lit(0)),
+    )
+    dup_line_char_frac = F.round(
+        F.least(F.lit(1.0), F.coalesce(dup_line_chars / nz, F.lit(0.0))), 6
+    )
+    cols = {
+        "dup_line_frac": F.coalesce(dup_line_frac, F.lit(0.0)),
+        "dup_line_char_frac": dup_line_char_frac,
+    }
+    for n in GOPHER_TOP_NGRAM_LIMITS:
+        cols[f"top{n}gram_char_frac"] = stats(n)[0]
+    for n in GOPHER_DUP_NGRAM_LIMITS:
+        cols[f"dup{n}gram_char_frac"] = stats(n)[1]
+    out = base.select("doc_id", *[c.alias(name) for name, c in cols.items()])
+    keep = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+    )
+    for n, lim in GOPHER_TOP_NGRAM_LIMITS.items():
+        keep = keep & (F.col(f"top{n}gram_char_frac") <= lim)
+    for n, lim in GOPHER_DUP_NGRAM_LIMITS.items():
+        keep = keep & (F.col(f"dup{n}gram_char_frac") <= lim)
+    return out.withColumn("keep", keep)

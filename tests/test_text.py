@@ -356,3 +356,34 @@ def test_c4_line_clean_rules(spark):
     assert not got[2]["page_ok"] and got[2]["n_kept"] == 0 and got[2]["new_text"] == ""
     assert not got[3]["page_ok"]
     assert got[4]["n_kept"] == 2 and got[4]["new_text"].count("\n") == 1
+
+
+def test_gopher_repetition_signals(spark):
+    """Repetition filters (Gopher A1.2): a clean varied doc passes; a doc
+    that is one 2-gram over and over trips the top-2-gram char fraction;
+    duplicated lines trip the line fractions; a repeated long phrase
+    trips the dup-n-gram fractions."""
+    from kafka_streams_demo_spark.functions.text import gopher_repetition
+
+    varied = " ".join(f"w{i}" for i in range(40))
+    phrase = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame([
+        (1, varied),
+        (2, "spam ham " * 30 + "spam"),          # one dominating 2-gram
+        (3, "dup line\ndup line\nother line"),    # duplicate lines
+        (4, (phrase + " ") * 4 + "tail"),         # repeated 10-gram phrase
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    r1 = got[1]
+    assert r1["keep"] is True
+    assert r1["dup_line_frac"] == 0.0 and r1["top2gram_char_frac"] < 0.2
+    assert got[2]["keep"] is False and got[2]["top2gram_char_frac"] > 0.2
+    r3 = got[3]
+    assert r3["dup_line_frac"] == round(1 / 3, 6)
+    assert r3["dup_line_char_frac"] > 0.2 and r3["keep"] is False
+    r4 = got[4]
+    assert r4["dup10gram_char_frac"] > 0.10 and r4["keep"] is False
+    # clamping: coverage approximation never exceeds 1
+    for r in got.values():
+        for n in (5, 6, 7, 8, 9, 10):
+            assert 0.0 <= r[f"dup{n}gram_char_frac"] <= 1.0
