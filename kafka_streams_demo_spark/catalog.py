@@ -1254,6 +1254,44 @@ def paragraph_dedup_rebuild_q(spark, sf_dir):
     return paragraph_dedup(load_table(spark, "documents", sf_dir))
 
 
+@register(
+    "ngram_span_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+               FROM documents),
+    occ AS (SELECT doc_id, st AS pos, array_to_string(w[st:st+4], ' ') AS ng
+            FROM t, unnest(generate_series(1, len(w) - 4)) AS u(st)),
+    m AS (SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn
+          FROM occ),
+    cov AS (SELECT DISTINCT m.doc_id, m.pos + g.d AS tpos
+            FROM m, unnest(generate_series(0, 4)) AS g(d) WHERE m.rn > 1),
+    tok AS (SELECT doc_id, u.p AS pos, w[u.p] AS word
+            FROM t, unnest(generate_series(1, len(w))) AS u(p)),
+    k AS (SELECT tok.doc_id, tok.pos, tok.word FROM tok
+          LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.tpos
+          WHERE cov.tpos IS NULL),
+    g2 AS (SELECT doc_id, count(*) AS n_kept,
+            string_agg(word, ' ' ORDER BY pos) AS new_text FROM k GROUP BY 1)
+    SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(len(t.w) - COALESCE(g2.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(g2.new_text, '') AS new_text
+    FROM t LEFT JOIN g2 USING (doc_id)
+    """,
+)
+def ngram_span_dedup_q(spark, sf_dir):
+    """Exact duplicated-substring removal at 5-gram granularity
+    (functions/dedup.py:ngram_span_dedup — the Lee et al. 2021 exact
+    substring dedup family, shuffle-parallel instead of suffix-array):
+    every non-first occurrence of a corpus-duplicated 5-gram has its 5
+    token positions cut, documents rebuilt from the survivors. The
+    oracle replays the same election as a rank window; the engine side
+    uses the map-side-combinable min(struct) aggregate."""
+    from kafka_streams_demo_spark.functions.dedup import ngram_span_dedup
+
+    return ngram_span_dedup(load_table(spark, "documents", sf_dir), n=5)
+
+
 _JACCARD_ORACLE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM toks),
@@ -2090,6 +2128,101 @@ def rollup_revenue(spark, sf_dir):
             F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
             F.count(F.lit(1)).alias("orders_cnt"),
         )
+    )
+
+
+@register(
+    "funnel_conversion",
+    "WITH a AS (SELECT user_id, event_type, ts, "
+    "  min(CASE WHEN event_type = 'view' THEN ts END) "
+    "    OVER (PARTITION BY user_id) AS v FROM events), "
+    "b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > v THEN ts END) "
+    "    OVER (PARTITION BY user_id) AS c FROM a), "
+    "c2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c THEN ts END) "
+    "    OVER (PARTITION BY user_id) AS p FROM b), "
+    "u AS (SELECT user_id, min(v) AS v, min(c) AS c, min(p) AS p FROM c2 GROUP BY 1) "
+    "SELECT CAST(count(user_id) AS BIGINT) AS users_total, "
+    "CAST(count(v) AS BIGINT) AS users_view, "
+    "CAST(count(c) AS BIGINT) AS users_click_after_view, "
+    "CAST(count(p) AS BIGINT) AS users_purchase_after_click FROM u",
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase), corpus-level
+    stage counts. Sibling of `funnel_signup_click_purchase` (per-user
+    timestamps via a shrinking join chain): this variant needs no joins
+    at all — each stage's timestamp is the user's first qualifying event
+    STRICTLY AFTER the previous stage, computed as min-over-user-window
+    chained through three selects. All three window passes and the
+    per-user rollup share ONE user-keyed exchange (same partition spec →
+    Catalyst reuses the sort), then a single-row global count, so a
+    10⁹-user corpus is one shuffle."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn("v", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "c",
+            F.min(
+                F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "p",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("v").alias("v"), F.min("c").alias("c"), F.min("p").alias("p")
+    )
+    return per_user.agg(
+        F.count("user_id").alias("users_total"),
+        F.count("v").alias("users_view"),
+        F.count("c").alias("users_click_after_view"),
+        F.count("p").alias("users_purchase_after_click"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    "WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
+    "cu AS (SELECT user_id, min(d) AS cohort FROM du GROUP BY 1) "
+    "SELECT strftime(cu.cohort, '%Y-%m-%d') AS cohort_day, "
+    "CAST(du.d - cu.cohort AS BIGINT) AS day_offset, "
+    "CAST(count(*) AS BIGINT) AS users "
+    "FROM du JOIN cu USING (user_id) WHERE du.d - cu.cohort <= 7 "
+    "GROUP BY 1, 2",
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention table: users bucketed by first-active day, counted
+    on each of the next 7 days they return. ONE user-keyed shuffle builds
+    each user's distinct-active-day set (collect_set has a map-side
+    partial, and the set is bounded by the horizon in days — not by the
+    user's event count), the cohort day and offsets are row-local array
+    math, and the final (cohort, offset) agg is tiny. The oracle spells
+    the same computation as distinct + self-join, which DuckDB plans
+    fine at sf but would cost a second big shuffle at 100 TB — the
+    collect_set formulation is the scale path."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(F.to_date("ts")).alias("days")
+    )
+    return (
+        per_user.select(
+            F.array_min("days").alias("cohort"), F.explode("days").alias("d")
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("long").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
     )
 
 

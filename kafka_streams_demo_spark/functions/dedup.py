@@ -1229,6 +1229,81 @@ def paragraph_dedup(
     )
 
 
+def ngram_span_dedup(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring removal at n-gram granularity — the
+    corpus-level "exact substring dedup" recipe (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"), which
+    single-machine implementations build a suffix array for. Here the
+    span primitive is the word n-gram: every occurrence of an n-gram
+    that appears ≥2 times anywhere in the corpus — except its FIRST
+    occurrence in (doc, position) order — has its n token positions
+    removed from the owning document, and documents are rebuilt from the
+    surviving tokens. Overlapping duplicated spans merge naturally via
+    the covered-position set. Output: (doc_id, n_tokens, n_removed,
+    new_text) for EVERY input document (NULL text coalesces to '', same
+    contract as paragraph_dedup).
+
+    100 TB design: first-occurrence election is a ``min(struct(doc_id,
+    pos))`` AGGREGATE per n-gram (map-side combine — a 10⁸-fold
+    boilerplate n-gram never funnels into one rank task), mirroring
+    paragraph_dedup. Shuffle ledger: one n-gram-keyed agg + one
+    n-gram-keyed join over the occurrence relation (the inherent cost of
+    exact-substring matching, but embarrassingly shuffle-parallel,
+    unlike a suffix array), one doc-keyed covered-set agg, one doc-keyed
+    left join; the rebuild is row-local array math (per-doc
+    O(tokens × covered) array_contains — bounded by document size, the
+    right trade against a corpus-wide (doc, pos)-keyed anti-join). At
+    extreme n-gram widths key the two n-gram stages by md5(ng) to
+    narrow the shuffle rows.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_w"),
+    ).select("doc_id", "_w", F.size("_w").alias("_n"))
+    occ = toks.select(
+        "doc_id",
+        "_w",
+        F.explode(
+            F.when(
+                F.col("_n") >= n, F.sequence(F.lit(1), F.col("_n") - (n - 1))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        "doc_id", "pos", F.array_join(F.slice("_w", F.col("pos"), n), " ").alias("ng")
+    )
+    firsts = occ.groupBy("ng").agg(F.min(F.struct("doc_id", "pos")).alias("_f")).select(
+        "ng", F.col("_f.doc_id").alias("_fd"), F.col("_f.pos").alias("_fp")
+    )
+    # an n-gram with a single occurrence IS its own first → filtered out,
+    # so no separate count≥2 gate is needed
+    marked = occ.join(firsts, ["ng"]).filter(
+        ~((F.col("doc_id") == F.col("_fd")) & (F.col("pos") == F.col("_fp")))
+    )
+    cov = (
+        marked.select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tpos")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tpos").alias("_cov"))
+    )
+    covered = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(F.col("_w"), lambda x, i: F.struct((i + 1).alias("p"), x.alias("t"))),
+        lambda s: ~F.array_contains(covered, s["p"]),
+    )
+    return toks.join(cov, ["doc_id"], "left").select(
+        "doc_id",
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.size(covered).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("new_text"),
+    )
+
+
 def oversized_blocks(
     emb: DataFrame, block_col: str = "label", max_block_size: int = 10_000
 ) -> DataFrame:

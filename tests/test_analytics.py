@@ -65,6 +65,9 @@ NEW_QUERIES = [
     "corpus_profile",
     "pii_redact",
     "pipeline_keeplist",
+    "funnel_conversion",
+    "retention_cohorts",
+    "ngram_span_dedup",
 ]
 
 
