@@ -127,6 +127,43 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     return F.when(F.size(tokens) >= n, make).otherwise(F.array().cast("array<string>"))
 
 
+def run_starts(s: Column) -> Column:
+    """0-based indices where a new run begins in a SORTED array — the O(L)
+    building block for per-element frequency counting (run-length
+    encoding by index). ``counts[j] = coalesce(starts[j+1], size(s)) -
+    starts[j]`` recovers each distinct element's multiplicity without the
+    O(L²) per-distinct-element ``F.filter`` scan.
+
+    CALLER CONTRACT (the HOF re-evaluation rule): ``s`` must be a BOUND
+    attribute — project ``array_sort(...)`` behind its own select first,
+    and project this function's result behind another select before
+    indexing into it from a downstream lambda. Higher-order functions are
+    interpreted (no codegen CSE), so a computed expression referenced
+    inside a lambda re-evaluates per element; an attribute reference is a
+    row-slot read, O(1). Empty/NULL input → empty starts array."""
+    return F.when(
+        F.size(s) > 0,
+        F.filter(
+            F.sequence(F.lit(0), F.size(s) - 1),
+            lambda i: (i == F.lit(0)) | (F.get(s, i) != F.get(s, i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def pushdown_barrier(col: Column) -> Column:
+    """Identity wrapper marked non-deterministic (a 1-element ``shuffle``):
+    a Project containing it blocks predicate pushdown through the whole
+    projection list, so a downstream ``.filter(...)`` evaluates the BOUND
+    output columns once per row instead of substituting their full
+    expression trees into the pushed condition. Essential above
+    ``run_starts``-style indexed-lambda chains, where substitution nests
+    computed arrays inside per-element lambdas and re-inflates the pass
+    to O(L²+). Costs one 1-element array per row; trades away scan-level
+    pushdown of filters on the wrapped relation (document per call
+    site)."""
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
 def winnow_fingerprints(tokens: Column, k: int = 4, w: int = 4) -> Column:
     """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
     hash every token k-gram, slide a w-wide window over the hash
@@ -263,28 +300,42 @@ def bm25_search(
 
 
 def bm25_postings(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """(doc_id, dl, term, tf) posting rows — ROW-LOCAL HOF math
-    (distinct-token transform + in-array count; no corpus-keyed exchange).
+    """(doc_id, dl, term, tf) posting rows — ROW-LOCAL run-length math:
+    sort the token array once, find run starts (O(L log L) total per doc
+    via ``run_starts``; formerly a per-distinct-term in-array count,
+    O(L²) — a 100k-token doc would straggle a 100 TB partition).
     This is the persistable retrieval index: write it once per corpus
     (``write_bm25_postings`` buckets it by term so downstream term-keyed
     aggregates/joins satisfy their distribution from storage) and score
     every future query table against it WITHOUT re-tokenizing the corpus
     (``bm25_search_queries(postings=...)``) — the BM25 counterpart of
     ``minhash_index``. Deterministic per document, so postings from
-    different runs compose under append."""
+    different runs compose under append. NULL text coalesces to '' (one
+    ``""`` posting, dl=1 — matching the direct path, which applies the
+    same coalesce) so N/avgdl recovered from postings stay bit-equal to
+    the direct path even on corpora with NULL rows."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+        F.array_sort(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("_ts"),
     )
-    return toks.select(
+    starts = toks.select("doc_id", "_ts", run_starts(F.col("_ts")).alias("_st"))
+    return starts.select(
         "doc_id",
-        F.size("_toks").alias("dl"),
+        F.size("_ts").alias("dl"),
         F.explode(
             F.transform(
-                F.array_distinct("_toks"),
-                lambda t: F.struct(
-                    t.alias("term"),
-                    F.size(F.filter(F.col("_toks"), lambda x: x == t)).alias("tf"),
+                F.col("_st"),
+                lambda st, j: F.struct(
+                    F.get(F.col("_ts"), st).alias("term"),
+                    (
+                        F.coalesce(
+                            F.try_element_at(F.col("_st"), (j + F.lit(2)).cast("int")),
+                            F.size("_ts"),
+                        )
+                        - st
+                    ).alias("tf"),
                 ),
             )
         ).alias("_p"),
@@ -344,16 +395,20 @@ def bm25_search_queries(
             raise ValueError("bm25_search_queries needs docs or postings")
         toks = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+            # coalesce NULL→'' exactly as bm25_postings does, so the two
+            # paths' N/avgdl agree even on corpora with NULL-text rows
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ").alias(
+                "_toks"
+            ),
         )
         stats = toks.agg(
             F.avg(F.size("_toks")).alias("_avgdl"), F.count(F.lit(1)).alias("_n")
         )
         postings = bm25_postings(docs, id_col, text_col)
     else:
-        # every doc carries ≥1 posting row (empty text still emits the ""
-        # term), so per-doc dl recovery + one global aggregate reproduces
-        # the direct path's N/avgdl exactly
+        # every doc carries ≥1 posting row (NULL/empty text coalesces to
+        # the "" term in bm25_postings), so per-doc dl recovery + one
+        # global aggregate reproduces the direct path's N/avgdl exactly
         stats = (
             postings.groupBy("doc_id")
             .agg(F.max("dl").alias("_dl"))
@@ -564,7 +619,11 @@ def c4_line_clean(
 # fraction for n=2..4, duplicated-n-gram char fraction for n=5..10
 GOPHER_TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
-_ENC = 100_000  # cnt*_ENC + charlen encodes (cnt, charlen) lexicographically
+# cnt*_ENC + charlen encodes (cnt, charlen) lexicographically; charlen is
+# clamped to _ENC-1 so a pathological ≥100k-char n-gram can no longer wrap
+# into the count field (it under-reports that gram's char coverage instead
+# of corrupting the election/sums — documented bound).
+_ENC = 100_000
 
 
 def gopher_repetition(
@@ -584,30 +643,66 @@ def gopher_repetition(
     overlaps are not geometrically de-duplicated; documented, applied
     identically in the oracle). Top-gram tie-break: (count, charlen)
     lexicographic max, engine-deterministic via the cnt·10⁵+len integer
-    encoding. Output: all signal columns (6-dp) + composite ``keep``.
+    encoding (charlen clamped to 10⁵−1 so a pathological gram cannot wrap
+    into the count field). Output: all signal columns (6-dp) +
+    composite ``keep``.
 
-    100 TB design: entirely row-local higher-order expressions — every
-    per-n gram array is projected behind its own select before the
-    O(|grams|²) in-array counting HOFs touch it (the HOF
-    re-evaluation rule), so the whole pass is one narrow map stage."""
+    100 TB design: entirely row-local higher-order expressions, and
+    LINEAR per document: each per-n gram array is sorted once, run
+    starts are found by one indexed O(L) pass (``run_starts``), and per-
+    gram counts fall out of consecutive start positions — O(L log L)
+    per n instead of the former per-distinct-gram in-array scan (O(L²),
+    which at 100k words × nine n values is ~10¹⁰ comparisons in one
+    task — a 100 TB straggler). Every sorted array and starts array is
+    projected behind its own select before a lambda indexes into it
+    (the HOF re-evaluation rule), so the whole pass is one narrow map
+    stage of attribute-reference lookups."""
     ns = sorted(set(GOPHER_TOP_NGRAM_LIMITS) | set(GOPHER_DUP_NGRAM_LIMITS))
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    base = docs.select(
+    # the words array MUST be bound before word_shingles indexes into it:
+    # a computed expression inside the shingle lambda re-evaluates the
+    # whole split+filter per element (O(L²) again, through the back door)
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(text_col)).cast("double").alias("_tc"),
-        F.split(F.col(text_col), "\n").alias("_lines"),
-        *[word_shingles(words, n).alias(f"_g{n}") for n in ns],
+        F.array_sort(F.split(F.col(text_col), "\n")).alias("_ls"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("_w"),
+    )
+    base = toks.select(
+        "doc_id",
+        "_tc",
+        "_ls",
+        *[
+            F.array_sort(word_shingles(F.col("_w"), n)).alias(f"_s{n}")
+            for n in ns
+        ],
+    )
+    starts = base.select(
+        "doc_id",
+        "_tc",
+        "_ls",
+        *[f"_s{n}" for n in ns],
+        run_starts(F.col("_ls")).alias("_stl"),
+        *[run_starts(F.col(f"_s{n}")).alias(f"_st{n}") for n in ns],
     )
     nz = F.nullif(F.col("_tc"), F.lit(0.0))
-    n_lines = F.size("_lines")
+    n_lines = F.size("_ls")
+
+    def _cnt(st_col, s_col, st, j):
+        # run length = next start (or array end) − this start; O(1) reads
+        return (
+            F.coalesce(
+                F.try_element_at(st_col, (j + F.lit(2)).cast("int")), F.size(s_col)
+            )
+            - st
+        )
 
     def stats(n):
-        g = F.col(f"_g{n}")
+        s_col, st_col = F.col(f"_s{n}"), F.col(f"_st{n}")
         enc = F.transform(
-            F.array_distinct(g),
-            lambda d: (
-                F.size(F.filter(g, lambda x: x == d)).cast("long") * F.lit(_ENC)
-                + F.length(d)
+            st_col,
+            lambda st, j: (
+                _cnt(st_col, s_col, st, j).cast("long") * F.lit(_ENC)
+                + F.least(F.length(F.get(s_col, st)), F.lit(_ENC - 1))
             ),
         )
         top = F.array_max(enc)
@@ -633,19 +728,25 @@ def gopher_repetition(
         )
         return top_frac, dup_frac
 
+    # distinct line count = run count in the sorted array; duplicate-line
+    # chars from run lengths — same O(L log L) replacement of the former
+    # per-line in-array scan
     dup_line_frac = F.round(
-        (n_lines - F.size(F.array_distinct("_lines"))).cast("double")
+        (n_lines - F.size("_stl")).cast("double")
         / F.nullif(n_lines.cast("double"), F.lit(0.0)),
         6,
     )
-    lines_col = F.col("_lines")
     dup_line_chars = F.aggregate(
-        lines_col,
+        F.transform(
+            F.col("_stl"),
+            lambda st, j: F.when(
+                _cnt(F.col("_stl"), F.col("_ls"), st, j) > 1,
+                _cnt(F.col("_stl"), F.col("_ls"), st, j).cast("long")
+                * F.length(F.get(F.col("_ls"), st)),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, l: acc
-        + F.when(
-            F.size(F.filter(lines_col, lambda x: x == l)) > 1, F.length(l)
-        ).otherwise(F.lit(0)),
+        lambda acc, x: acc + x,
     )
     dup_line_char_frac = F.round(
         F.least(F.lit(1.0), F.coalesce(dup_line_chars / nz, F.lit(0.0))), 6
@@ -658,7 +759,7 @@ def gopher_repetition(
         cols[f"top{n}gram_char_frac"] = stats(n)[0]
     for n in GOPHER_DUP_NGRAM_LIMITS:
         cols[f"dup{n}gram_char_frac"] = stats(n)[1]
-    out = base.select("doc_id", *[c.alias(name) for name, c in cols.items()])
+    out = starts.select("doc_id", *[c.alias(name) for name, c in cols.items()])
     keep = (
         (F.col("dup_line_frac") <= max_dup_line_frac)
         & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
@@ -667,4 +768,9 @@ def gopher_repetition(
         keep = keep & (F.col(f"top{n}gram_char_frac") <= lim)
     for n, lim in GOPHER_DUP_NGRAM_LIMITS.items():
         keep = keep & (F.col(f"dup{n}gram_char_frac") <= lim)
-    return out.withColumn("keep", keep)
+    # pushdown_barrier: .filter("keep") / .filter(signal <= x) on this
+    # output must NOT push below the projections — substitution would
+    # nest the run-length arrays back inside per-element lambdas
+    # (observed: a 300-char-doc corpus hangs). Scan-level pushdown on
+    # the gopher output is worthless anyway (it reads every doc's text).
+    return out.withColumn("keep", pushdown_barrier(keep))

@@ -387,3 +387,105 @@ def test_gopher_repetition_signals(spark):
     for r in got.values():
         for n in (5, 6, 7, 8, 9, 10):
             assert 0.0 <= r[f"dup{n}gram_char_frac"] <= 1.0
+
+
+def test_run_starts_semantics(spark):
+    """run_starts over a sorted array yields run-start indices whose
+    consecutive differences are exactly each distinct element's count —
+    including empty and NULL inputs (empty starts)."""
+    from kafka_streams_demo_spark.functions.text import run_starts
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b", "c", "c", "c"]), (2, ["x"]), (3, []), (4, None)],
+        "id long, s array<string>",
+    ).select("id", "s", run_starts(F.col("s")).alias("st"))
+    got = {r["id"]: r["st"] for r in df.collect()}
+    assert got[1] == [0, 2, 3]
+    assert got[2] == [0]
+    assert got[3] == [] and got[4] == []
+
+
+def test_gopher_repetition_long_document_bounded(spark):
+    """The linearized counting (array_sort + run_starts) must handle a
+    ≥50k-word document in bounded time — the former per-distinct-gram
+    in-array scan was O(L²)·9 (~10¹⁰ comparisons at this length) and
+    would effectively never finish. Values stay exact: the dominating
+    2-gram fraction and dup-gram coverage match hand math."""
+    import time
+
+    from kafka_streams_demo_spark.functions.text import gopher_repetition
+
+    # 60k words over a 2k vocab: every 2-gram appears ~30x (all dup'd),
+    # no single gram dominates; deterministic construction
+    words = [f"w{(i * 7919) % 2000}" for i in range(60_000)]
+    long_doc = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, " ".join(f"w{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    t0 = time.monotonic()
+    got = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120.0, f"long-doc pass took {elapsed:.1f}s — not linear"
+    # .filter("keep") is the natural composition — the pushdown_barrier
+    # must keep the pushed predicate from re-inflating the HOF tree
+    t0 = time.monotonic()
+    kept = gopher_repetition(docs).filter("keep").count()
+    elapsed = time.monotonic() - t0
+    assert kept == 1
+    assert elapsed < 120.0, f"filter-on-keep took {elapsed:.1f}s — pushdown leak"
+    r1 = got[1]
+    # (i*7919) mod 2000 cycles with period 2000 → every 5-gram repeats
+    # ~30x → dup coverage clamps to 1.0
+    assert r1["dup5gram_char_frac"] == 1.0
+    assert r1["keep"] is False
+    assert got[2]["keep"] is True
+
+
+def test_bm25_postings_long_document_bounded(spark):
+    """bm25_postings run-length tf counting stays linear on a 60k-token
+    document and its (term, tf) rows sum back to the doc length."""
+    import time
+
+    from kafka_streams_demo_spark.functions.text import bm25_postings
+
+    words = [f"t{(i * 104729) % 5000}" for i in range(60_000)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    rows = bm25_postings(docs).collect()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60.0, f"postings took {elapsed:.1f}s — not linear"
+    assert len(rows) == 5000
+    assert sum(r["tf"] for r in rows) == 60_000
+    assert all(r["dl"] == 60_000 for r in rows)
+
+
+def test_bm25_postings_null_text_matches_direct_path(spark):
+    """ADVICE r6: NULL text coalesces to '' in BOTH paths, so N/avgdl
+    derived from postings equals the direct path's and the documented
+    bit-equality holds on corpora with NULL rows."""
+    from kafka_streams_demo_spark.functions.text import (
+        bm25_postings,
+        bm25_search_queries,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, None), (3, "beta gamma")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame([(1, "alpha beta")], "query_id long, query_text string")
+    direct = sorted(
+        tuple(r) for r in bm25_search_queries(docs, qdf, k=5).collect()
+    )
+    via_postings = sorted(
+        tuple(r)
+        for r in bm25_search_queries(
+            None, qdf, k=5, postings=bm25_postings(docs)
+        ).collect()
+    )
+    assert direct == via_postings and len(direct) == 2
+    # the NULL doc contributes one "" posting row with dl=1
+    p = {(r["doc_id"], r["term"]): r for r in bm25_postings(docs).collect()}
+    assert p[(2, "")]["dl"] == 1 and p[(2, "")]["tf"] == 1
