@@ -2202,9 +2202,15 @@ def retention_cohorts(spark, sf_dir):
     """Cohort retention table: users bucketed by first-active day, counted
     on each of the next 7 days they return. ONE user-keyed shuffle builds
     each user's distinct-active-day set (collect_set has a map-side
-    partial, and the set is bounded by the horizon in days — not by the
-    user's event count), the cohort day and offsets are row-local array
-    math, and the final (cohort, offset) agg is tiny. The oracle spells
+    partial; the horizon filter applies AFTER explode, so the set holds
+    ALL distinct active days per user — bounded by distinct calendar
+    days in-corpus, ~3.6k for a decade of data, NOT by the 7-day
+    horizon; still far below any per-user event count), the cohort day
+    and offsets are row-local array math, and the final (cohort, offset)
+    agg is tiny. A genuinely horizon-bounded variant needs a second
+    events shuffle (min-day first, datediff filter before collect) —
+    strictly worse until per-user distinct-day cardinality rivals
+    executor memory. The oracle spells
     the same computation as distinct + self-join, which DuckDB plans
     fine at sf but would cost a second big shuffle at 100 TB — the
     collect_set formulation is the scale path."""

@@ -42,26 +42,79 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 
 # Persisted intermediates (candidate pair lists, simhash signatures) are
 # read several times inside one lazy plan, so they cannot be unpersisted
-# before the caller materializes the returned DataFrame. Each persist site
-# registers itself here; callers in long-lived driver sessions should call
-# release_caches() after materialization to free executor storage.
-_PERSISTED: list[DataFrame] = []
+# before the caller materializes the returned DataFrame. Tracking is
+# SCOPED per call site: run the builder inside ``with CacheScope():`` and
+# its intermediates unpersist on exit, owned by that scope alone — safe
+# under concurrent driver threads (the active-scope stack is
+# thread-local, so one job's release can never unpersist another job's
+# live intermediates). Outside any scope, persists fall back to a
+# module-global scope that only ``release_caches()`` drains
+# (back-compatible with pre-r7 callers).
+import threading as _threading
+
+
+class CacheScope:
+    """Owns the persisted intermediates created while it is the active
+    scope on THIS thread. Usage::
+
+        with CacheScope():
+            pairs = minhash_lsh_pairs(docs)
+            pairs.write.parquet(...)        # materialize INSIDE the scope
+        # exit → this call's intermediates unpersisted, nobody else's
+
+    Exit (or an explicit ``.release()``) unpersists only what this scope
+    tracked, dropping the DataFrame references so executor storage and
+    driver plan objects are both reclaimable. Scopes nest (innermost
+    wins); each thread has its own stack."""
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+
+    def track(self, df: DataFrame) -> DataFrame:
+        self._dfs.append(df)
+        return df
+
+    def release(self) -> int:
+        n = len(self._dfs)
+        while self._dfs:
+            self._dfs.pop().unpersist()
+        return n
+
+    def __enter__(self) -> "CacheScope":
+        _scope_stack().append(self)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        stack = _scope_stack()
+        if self in stack:  # tolerate exotic exit orders
+            stack.remove(self)
+        self.release()
+
+
+_LOCAL = _threading.local()
+_GLOBAL_SCOPE = CacheScope()  # fallback for scope-less callers
+
+
+def _scope_stack() -> list:
+    stack = getattr(_LOCAL, "stack", None)
+    if stack is None:
+        stack = _LOCAL.stack = []
+    return stack
 
 
 def _track_cache(df: DataFrame) -> DataFrame:
-    _PERSISTED.append(df)
-    return df
+    stack = _scope_stack()
+    return (stack[-1] if stack else _GLOBAL_SCOPE).track(df)
 
 
 def release_caches() -> int:
-    """Unpersist every intermediate this module has cached since the last
-    call (candidate pair lists in minhash_lsh_pairs / _incremental,
-    simhash signature tables). Safe to call any time AFTER the returned
-    DataFrames have been materialized; returns the number released."""
-    n = len(_PERSISTED)
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-    return n
+    """Unpersist every intermediate cached OUTSIDE any ``CacheScope``
+    since the last call (candidate pair lists in minhash_lsh_pairs /
+    _incremental, simhash signature tables). Safe to call any time AFTER
+    the returned DataFrames have been materialized; returns the number
+    released. Never touches a live ``CacheScope``'s intermediates, so a
+    concurrent job running inside its own scope is unaffected."""
+    return _GLOBAL_SCOPE.release()
 
 # MinHash permutation family: h_i(x) = (a_i·x + b_i) mod P over the 31-bit
 # prehash x = xxhash64(shingle) & 0x7FFFFFFF. One string hash per shingle,
@@ -379,7 +432,17 @@ def write_minhash_index(
     only delta-sized relations ever shuffle (plan pinned in
     tests/test_dedup.py). Append tomorrow's keep-list rows with
     ``mode='append'`` — same bucket spec, rows from different runs
-    compose (the index is deterministic per document)."""
+    compose (the index is deterministic per document).
+
+    APPEND CONTRACT: each append must carry DISJOINT NEW doc_ids only
+    (the ingest loop's keep-list discipline — every doc is indexed by
+    exactly the batch that admitted it). Re-appending an already-indexed
+    doc duplicates its ``bands`` band rows: candidate results stay
+    correct (pairs dedup via ``distinct``) but bucket sizes
+    double-count toward ``max_bucket_size`` and candidate generation
+    does duplicate probe work. Deduping ``(doc_id, band)`` at read time
+    would cost a TB-scale index shuffle per ingest — enforce
+    disjointness at the writer instead."""
     from kafka_streams_demo_spark.sources.bucketing import write_bucketed
 
     write_bucketed(index, table, ["band", "bucket"], num_buckets, mode=mode)

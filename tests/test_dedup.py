@@ -544,11 +544,62 @@ def test_release_caches_frees_tracked_intermediates(spark):
         "doc_id long, text string",
     )
     D.minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
-    assert len(D._PERSISTED) >= 1
-    cached_before = [df for df in D._PERSISTED]
+    assert len(D._GLOBAL_SCOPE._dfs) >= 1
+    cached_before = list(D._GLOBAL_SCOPE._dfs)
     assert D.release_caches() == len(cached_before)
-    assert D._PERSISTED == []
+    assert D._GLOBAL_SCOPE._dfs == []
     assert all(df.storageLevel.useMemory is False for df in cached_before)
+
+
+def test_cache_scope_isolates_concurrent_jobs(spark):
+    """ADVICE r6: CacheScope owns only its own intermediates — exiting one
+    scope (or calling release_caches()) cannot unpersist a concurrent
+    scope's live caches, and scope exit drops the references."""
+    from kafka_streams_demo_spark.functions import dedup as D
+
+    D.release_caches()
+    docs = spark.createDataFrame(
+        [(i, f"body text shared by both scopes {i % 2}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    with D.CacheScope() as outer:
+        D.minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+        assert len(outer._dfs) >= 1
+        outer_cached = list(outer._dfs)
+        # a global release (another job's cleanup) must not touch the scope
+        assert D.release_caches() == 0
+        assert all(df.storageLevel.useMemory for df in outer_cached)
+        # distinct input — identical plans would share ONE cache entry
+        # (Spark dedups caches by analyzed plan), making unpersists alias
+        docs2 = spark.createDataFrame(
+            [(i, f"inner scope distinct corpus {i % 2}") for i in range(6)],
+            "doc_id long, text string",
+        )
+        with D.CacheScope() as inner:
+            D.minhash_lsh_pairs(docs2, n=3, threshold=0.5).collect()
+            assert len(inner._dfs) >= 1
+            inner_cached = list(inner._dfs)
+        # inner exit released only inner's caches
+        assert all(df.storageLevel.useMemory is False for df in inner_cached)
+        assert all(df.storageLevel.useMemory for df in outer_cached)
+    assert all(df.storageLevel.useMemory is False for df in outer_cached)
+    assert D._GLOBAL_SCOPE._dfs == []
+
+    # scopes on another thread never see this thread's stack
+    import threading
+
+    seen = {}
+
+    def worker():
+        with D.CacheScope() as ws:
+            D.minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+            seen["n"] = len(ws._dfs)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert seen["n"] >= 1
+    assert D._GLOBAL_SCOPE._dfs == []
 
 
 def test_paragraph_dedup_word_windows_and_order(spark):

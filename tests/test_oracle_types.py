@@ -93,3 +93,16 @@ def test_catalog_summary_counts_consistent():
     assert len(s["driver_window"]) == 50
     # every rows-only entry is documented as such (not in the gate window)
     assert not set(s["rows_only"]) & set(s["driver_window"])
+
+
+def test_readme_counts_match_catalog():
+    """ADVICE r6: README's registered/oracled counts must track HEAD —
+    derive them from the catalog instead of trusting the prose."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("README.md").read_text()
+    m = re.search(r"\((\d+) registered queries[\s\S]{0,120}?(\d+) with DuckDB oracles", text)
+    assert m, "README query-count sentence not found"
+    assert int(m.group(1)) == len(catalog.QUERIES)
+    assert int(m.group(2)) == len(catalog.ORACLES)
