@@ -299,32 +299,88 @@ def kmeans_train(
     )
 
 
-def ivf_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = 2,
+def ivf_build_index(
+    emb: DataFrame,
     cell_col: str = "label", id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable IVF index pair: ``(centroids, assignments)``.
+
+    - centroids: (cell, centroid) — |cells| rows, broadcasts everywhere.
+    - assignments: (n_id, n_vec, cell) — each corpus vector with its
+      nearest cell; this is the TB-scale relation, written ONCE
+      (``write_ivf_index`` partitions it by cell so a probe touches
+      nprobe/|cells| of the files) and then served to every future query
+      batch by ``ivf_topk_from_index`` WITHOUT retraining — the dense
+      sibling of ``write_bm25_postings``/``minhash_index``.
+
+    Assignment is a broadcast-join map pass — the corpus never shuffles.
+    Deterministic per vector given the centroid table, so delta batches
+    assigned later (``ivf_assign_delta``) compose under append."""
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    assignments = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col).select(
+        F.col("vid").alias("n_id"), F.col("vec").alias("n_vec"), "cell"
+    )
+    return cents, assignments
+
+
+def ivf_assign_delta(
+    new_vectors: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign a NEW ingest batch against the STORED centroid table — no
+    retraining, no touch of the existing assignments: cost is
+    |delta|×|cells| row-local cosine math under a broadcast join. Emits
+    (n_id, n_vec, cell) rows appendable to the persisted assignments
+    table (same append contract as write_minhash_index: disjoint new ids
+    only). Bit-equal to what a full ``ivf_build_index`` rebuild would
+    assign those ids given the same centroids — property-pinned in
+    tests/test_similarity.py and oracle-gated as
+    ``ann_ivf_assign_incremental``."""
+    return ivf_assign(new_vectors, centroids, n=1, id_col=id_col, vec_col=vec_col).select(
+        F.col("vid").alias("n_id"), F.col("vec").alias("n_vec"), "cell"
+    )
+
+
+def write_ivf_index(
+    centroids: DataFrame, assignments: DataFrame, prefix: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF index as catalog tables: ``{prefix}_centroids``
+    (plain — |cells| rows) and ``{prefix}_cells`` PARTITIONED BY cell.
+    Partitioning (not bucketing) is the right layout here: probes filter
+    on a handful of cell values, so partition pruning (static or dynamic,
+    via the broadcast probe join) skips every unprobed cell's files —
+    the scan cost per query batch is nprobe/|cells| of the corpus.
+    Append delta batches (``ivf_assign_delta`` output) with
+    ``mode='append'`` — new rows land inside their cell's partition."""
+    centroids.write.mode(mode).saveAsTable(f"{prefix}_centroids")
+    assignments.write.mode(mode).partitionBy("cell").saveAsTable(f"{prefix}_cells")
+
+
+def read_ivf_index(spark, prefix: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) from tables written by write_ivf_index."""
+    return spark.table(f"{prefix}_centroids"), spark.table(f"{prefix}_cells")
+
+
+def ivf_topk_from_index(
+    centroids: DataFrame, assignments: DataFrame, queries: DataFrame,
+    k: int = 10, nprobe: int = 2,
     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """IVF ANN: corpus bucketed by nearest centroid (1 cell each); each
-    query probes its ``nprobe`` nearest cells and reranks exactly inside.
-
-    At 100 TB: assignment is a broadcast-join map pass (no shuffle), the
-    corpus is written partitioned by cell once, and each query touches
-    nprobe/|cells| of the data. Candidate volume scales with nprobe, not
-    corpus size.
-
-    Caching contract: the |cells|-row centroid table is persisted because
-    both assignment passes read it; long-lived callers should
-    ``spark.catalog.clearCache()`` at pipeline boundaries to release it
-    (see functions/dedup.py module docstring for the same pattern)."""
-    # Persist the centroid table: both assignment passes (corpus + probes)
-    # broadcast it, and without the cache each pass re-runs the posexplode
-    # aggregation over the full corpus. |cells| rows — trivially cached.
-    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col).persist()
-    corpus = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col).select(
-        F.col("vid").alias("n_id"), F.col("vec").alias("n_vec"), "cell"
-    ).select("*", norm(F.col("n_vec")).alias("n_nrm"))
+    """Score a query batch against a PERSISTED IVF index: queries are
+    assigned to their ``nprobe`` nearest stored centroids (broadcast —
+    |cells| rows), then join the stored assignments on cell and rerank
+    exactly inside. The corpus is neither re-trained nor re-assigned —
+    when ``assignments`` is the cell-partitioned table from
+    ``write_ivf_index``, the broadcast probe join dynamically prunes the
+    scan to the probed cells. Registered against the SAME oracle as
+    ``ann_ivf_topk``, so the driver hash gate proves this path bit-equal
+    to the from-scratch run."""
+    corpus = assignments.select("n_id", "n_vec", "cell").select(
+        "*", norm(F.col("n_vec")).alias("n_nrm")
+    )
     probes = ivf_assign(
-        queries, cents, n=nprobe, id_col=q_id_col, vec_col=q_vec_col
+        queries, centroids, n=nprobe, id_col=q_id_col, vec_col=q_vec_col
     ).select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"), "cell").select(
         "*", norm(F.col("q_vec")).alias("q_nrm")
     )
@@ -343,6 +399,38 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = 2,
+    cell_col: str = "label", id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF ANN from scratch: build the index in-plan, score through the
+    same code path a persisted index uses (``ivf_build_index`` →
+    ``ivf_topk_from_index``), so from-scratch and from-storage results
+    are bit-equal by construction.
+
+    At 100 TB: assignment is a broadcast-join map pass (no shuffle), the
+    corpus is written partitioned by cell once (``write_ivf_index``), and
+    each query touches nprobe/|cells| of the data. Candidate volume
+    scales with nprobe, not corpus size.
+
+    Caching contract: the |cells|-row centroid table is persisted because
+    both assignment passes read it; long-lived callers should
+    ``spark.catalog.clearCache()`` at pipeline boundaries to release it
+    (see functions/dedup.py module docstring for the same pattern)."""
+    # Persist the centroid table: both assignment passes (corpus + probes)
+    # broadcast it, and without the cache each pass re-runs the posexplode
+    # aggregation over the full corpus. |cells| rows — trivially cached.
+    cents, assignments = ivf_build_index(
+        emb, cell_col=cell_col, id_col=id_col, vec_col=vec_col
+    )
+    cents = cents.persist()
+    return ivf_topk_from_index(
+        cents, assignments, queries, k=k, nprobe=nprobe,
+        q_id_col=q_id_col, q_vec_col=q_vec_col,
     )
 
 
