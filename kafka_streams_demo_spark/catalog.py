@@ -1292,6 +1292,22 @@ def ngram_span_dedup_q(spark, sf_dir):
     return ngram_span_dedup(load_table(spark, "documents", sf_dir), n=5)
 
 
+@register("ngram_span_dedup_hashed", ORACLES["ngram_span_dedup"])
+def ngram_span_dedup_hashed_q(spark, sf_dir):
+    """ngram_span_dedup with md5-keyed shuffle stages (VERDICT r6 #7 —
+    hash_ngrams=True): at the Lee-et-al 50-token span width the raw
+    n-gram shuffle key is ~250+ bytes; hashing narrows it to 32 hex
+    chars, shrinking both n-gram-keyed exchanges. Registered against
+    the SAME oracle as ngram_span_dedup, so the hash gate externally
+    proves the narrowed-key plan bit-equal at n=5 (collision impact
+    bounded in the docstring; wide-n behavior unit-tested)."""
+    from kafka_streams_demo_spark.functions.dedup import ngram_span_dedup
+
+    return ngram_span_dedup(
+        load_table(spark, "documents", sf_dir), n=5, hash_ngrams=True
+    )
+
+
 _JACCARD_ORACLE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM toks),

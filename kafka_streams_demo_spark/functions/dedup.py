@@ -1297,6 +1297,7 @@ def ngram_span_dedup(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_ngrams: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring removal at n-gram granularity — the
     corpus-level "exact substring dedup" recipe (Lee et al. 2021,
@@ -1320,10 +1321,20 @@ def ngram_span_dedup(
     unlike a suffix array), one doc-keyed covered-set agg, one doc-keyed
     left join; the rebuild is row-local array math (per-doc
     O(tokens × covered) array_contains — bounded by document size, the
-    right trade against a corpus-wide (doc, pos)-keyed anti-join). At
-    extreme n-gram widths key the two n-gram stages by md5(ng) to
-    narrow the shuffle rows.
+    right trade against a corpus-wide (doc, pos)-keyed anti-join).
+
+    ``hash_ngrams=True`` keys the two n-gram stages by md5(ng) instead
+    of the raw string: at the Lee-et-al default span width (50 tokens,
+    ~250+ bytes per gram) the shuffle key narrows to 32 hex chars —
+    use it for any n beyond a handful of tokens. Results are identical
+    up to md5 collisions (2⁻⁶⁴ birthday scale at 10¹⁰ distinct grams;
+    a collision merges two spans' election, it never loses a doc) —
+    externally proven bit-equal at n=5 by registering
+    ``ngram_span_dedup_hashed`` against the SAME oracle.
     """
+    ng_expr = F.array_join(F.slice("_w", F.col("pos"), n), " ")
+    if hash_ngrams:
+        ng_expr = F.md5(ng_expr)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_w"),
@@ -1336,9 +1347,7 @@ def ngram_span_dedup(
                 F.col("_n") >= n, F.sequence(F.lit(1), F.col("_n") - (n - 1))
             ).otherwise(F.array().cast("array<int>"))
         ).alias("pos"),
-    ).select(
-        "doc_id", "pos", F.array_join(F.slice("_w", F.col("pos"), n), " ").alias("ng")
-    )
+    ).select("doc_id", "pos", ng_expr.alias("ng"))
     firsts = occ.groupBy("ng").agg(F.min(F.struct("doc_id", "pos")).alias("_f")).select(
         "ng", F.col("_f.doc_id").alias("_fd"), F.col("_f.pos").alias("_fp")
     )

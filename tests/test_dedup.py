@@ -838,3 +838,41 @@ def test_ngram_jaccard_incremental_equals_batch_restricted(spark):
         assert expected, "fixture must produce pairs"
     # old×old pairs exist in batch but never in the incremental result
     assert any(p[0] not in new_ids and p[1] not in new_ids for p in batch)
+
+
+def test_ngram_span_dedup_hashed_matches_and_handles_wide_n(spark):
+    """hash_ngrams=True (md5-keyed shuffle stages) must reproduce the
+    raw-key result exactly, and work at the Lee-et-al span width (n=50)
+    where the raw key would be a ~250-byte string."""
+    from kafka_streams_demo_spark.functions.dedup import ngram_span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "x a b c y"),
+            (3, "p q r p q r p q"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(ngram_span_dedup(docs, n=3, hash_ngrams=True)) == key(
+        ngram_span_dedup(docs, n=3)
+    )
+
+    # wide n: one 60-token doc repeats another's full 50-token prefix
+    span = " ".join(f"w{i}" for i in range(50))
+    wide = spark.createDataFrame(
+        [
+            (1, span + " t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+            (2, "lead " + span + " tail"),
+            (3, "unrelated " + " ".join(f"z{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_span_dedup(wide, n=50, hash_ngrams=True).collect()}
+    assert got[1]["n_removed"] == 0
+    # doc 2's single duplicated 50-gram occurrence (pos 2) is cut
+    assert got[2]["n_removed"] == 50
+    assert got[2]["new_text"] == "lead tail"
+    assert got[3]["n_removed"] == 0
