@@ -1940,6 +1940,40 @@ def jpeg_decode_subsampled_q(spark, sf_dir):
 
 
 @register(
+    "jpeg_meta_progressive",
+    "SELECT doc_id AS key, "
+    "CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width, "
+    "CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_components, "
+    "CAST(doc_id % 2 = 1 AS BOOLEAN) AS progressive, "
+    "CAST(doc_id % 2 = 0 AS BOOLEAN) AS decode_ok "
+    "FROM documents",
+)
+def jpeg_meta_progressive_q(spark, sf_dir):
+    """Progressive-marker tolerance over a mixed crawl corpus (round 7;
+    VERDICT r6 #8 — functions/codecs.py parses SOF2 headers,
+    functions/multimodal.py:jpeg_meta_tolerant): even ids are baseline
+    grayscale, odd ids progressive (SOF2) color. Every row must report
+    closed-form dimensions and component count FROM THE HEADER —
+    progressive included — while decode_ok comes back true only where
+    the baseline entropy tier actually decoded the declared pixel
+    shape. A metadata pass that dies on the first progressive file is
+    useless on real corpora; this pins the tolerant contract row-wise
+    against the SQL oracle."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_jpeg_progressive_mix,
+        jpeg_meta_tolerant,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = jpeg_meta_tolerant(attach_synthetic_jpeg_progressive_mix(docs))
+    return out.select(
+        F.col("doc_id").alias("key"), "width", "height",
+        "n_components", "progressive", "decode_ok",
+    )
+
+
+@register(
     "gif_frames_meta",
     "SELECT doc_id AS key, CAST(g.f AS INTEGER) AS frame_no, "
     "CAST(12 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h "

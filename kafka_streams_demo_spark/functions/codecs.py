@@ -440,10 +440,12 @@ def _make_jpeg_codec():
     chroma per 16×16 MCU) and the decoder handles 4:2:0 / 4:2:2 / 4:4:0
     via the generic T.81 A.2.3 interleaved-MCU walk with
     replication upsampling. The decoder parses the full marker grammar
-    (multi-table DQT/DHT segments, APPn/COM skip), rejects progressive
-    (SOF2), restart-interval, and unsupported-sampling streams with
-    named errors, and entropy-decodes with canonically rebuilt Huffman
-    trees. Quantization math is pinned
+    (multi-table DQT/DHT segments, APPn/COM skip); progressive (SOF2)
+    headers parse for the METADATA path (round 7 — dimensions /
+    components / subsampling from any real-corpus JPEG) while entropy
+    decode rejects them — as it does restart-interval and
+    unsupported-sampling streams — with named errors; baseline streams
+    entropy-decode with canonically rebuilt Huffman trees. Quantization math is pinned
     against the published T.81/Wallace worked-example block, and the
     canonical code construction against the spec's documented AC-luma
     codewords (EOB=1010, ZRL=11111111001) in tests/test_multimodal.py.
@@ -794,7 +796,12 @@ def _make_jpeg_codec():
                     vals = list(seg[i + 17:i + 17 + nv])
                     huff[(tc, th)] = (bits, vals)
                     i += 17 + nv
-            elif marker == 0xC0:
+            elif marker in (0xC0, 0xC2):
+                # SOF2 (progressive) shares SOF0's segment layout
+                # (T.81 B.2.2), so the METADATA path parses it too;
+                # jpeg_decode rejects on the progressive flag — real
+                # corpora contain progressive files and dimension
+                # extraction must not die on them (round 7)
                 comps = []
                 nc = seg[5]
                 for c in range(nc):
@@ -805,8 +812,9 @@ def _make_jpeg_codec():
                     "height": int.from_bytes(seg[1:3], "big"),
                     "width": int.from_bytes(seg[3:5], "big"),
                     "components": comps,
+                    "progressive": marker == 0xC2,
                 }
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
                     f"only baseline sequential (SOF0) supported, got SOF marker {marker:#x}"
@@ -917,6 +925,11 @@ def _make_jpeg_codec():
         sof = meta["sof"]
         if sof is None:
             raise ValueError("missing SOF0 segment")
+        if sof.get("progressive"):
+            raise ValueError(
+                "progressive JPEG (SOF2) decode unsupported — metadata "
+                "available via jpeg_meta"
+            )
         h, wd = sof["height"], sof["width"]
         comps = sof["components"]
         ncomp = len(comps)
@@ -995,7 +1008,10 @@ def _make_jpeg_codec():
     def jpeg_meta(payload: bytes) -> dict:
         """Header-only parse (no entropy decode): width, height,
         n_components, precision, subsampling ('gray' / '4:4:4' /
-        '4:2:0' / '4:2:2' / '4:4:0') — the cheap metadata path."""
+        '4:2:0' / '4:2:2' / '4:4:0'), progressive — the cheap metadata
+        path. Parses baseline (SOF0) AND progressive (SOF2) headers —
+        dimension extraction works on any real-corpus JPEG even though
+        progressive entropy decode stays rejected."""
         meta, _ = _parse_segments(bytes(payload))
         sof = meta["sof"]
         if sof is None:
@@ -1006,6 +1022,7 @@ def _make_jpeg_codec():
             "n_components": len(sof["components"]),
             "precision": int(sof["precision"]),
             "subsampling": _subsampling_name(sof),
+            "progressive": bool(sof.get("progressive")),
         }
 
     def jpeg_resize(payload: bytes, new_w: int, new_h: int,

@@ -627,6 +627,97 @@ def attach_synthetic_jpeg_mixed(docs: DataFrame, id_col: str = "doc_id") -> Data
     )
 
 
+def attach_synthetic_jpeg_progressive_mix(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Mixed baseline/progressive JPEG fixture (round 7): even doc_ids
+    carry the grayscale baseline stream from ``attach_synthetic_jpeg``'s
+    recipe; odd doc_ids carry the color stream with its SOF0 marker
+    rewritten to SOF2 — byte-identical segment payload (T.81 B.2.2
+    gives SOF0 and SOF2 the same layout), so it exercises exactly what
+    a real progressive header hands the parser: dimensions readable,
+    entropy decode undecodable by a baseline decoder."""
+    from kafka_streams_demo_spark.functions.codecs import jpeg_encode
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        def to_progressive(payload: bytes) -> bytes:
+            i = payload.index(b"\xff\xc0")
+            return payload[:i] + b"\xff\xc2" + payload[i + 2:]
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 * (1 + d % 3)
+                h = 8 * (1 + d % 2)
+                base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) + d) % 256
+                if d % 2 == 0:
+                    payloads.append(jpeg_encode(base.astype(np.uint8), quality=90))
+                else:
+                    px = np.stack(
+                        [base, (base * 2) % 256, (255 - base) % 256], axis=-1
+                    ).astype(np.uint8)
+                    payloads.append(to_progressive(jpeg_encode(px, quality=90)))
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "modality": ["image_jpeg"] * len(pdf),
+                "byte_len": [len(p) for p in payloads],
+                "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return ids.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, modality string, byte_len long, checksum string",
+    )
+
+
+def jpeg_meta_tolerant(multimodal: DataFrame) -> DataFrame:
+    """Crawl-corpus metadata pass: per row, parse the header (works for
+    baseline AND progressive) and ATTEMPT the full decode — progressive
+    rows keep their metadata and report decode_ok=false instead of
+    failing the task (round 7; VERDICT r6 #8). This is the shape a real
+    ingest filter needs: dimensions for size gates on every file, decode
+    only where the baseline tier supports it."""
+    from kafka_streams_demo_spark.functions.codecs import jpeg_decode, jpeg_meta
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "n_components": [], "progressive": [], "decode_ok": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                m = jpeg_meta(bytes(p))
+                try:
+                    px = jpeg_decode(bytes(p))
+                    want = (m["height"], m["width"]) if m["n_components"] == 1 \
+                        else (m["height"], m["width"], 3)
+                    ok = px.shape == want
+                except ValueError:
+                    ok = False
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["n_components"].append(m["n_components"])
+                rows["progressive"].append(m["progressive"])
+                rows["decode_ok"].append(ok)
+            yield _pd.DataFrame(rows)
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema="doc_id long, width int, height int, n_components int, "
+               "progressive boolean, decode_ok boolean",
+    )
+
+
 def jpeg_decode_check(multimodal: DataFrame) -> DataFrame:
     """Metadata + FULL entropy decode per row: (doc_id, width, height,
     n_components, subsampling, decode_ok) where decode_ok verifies the

@@ -468,19 +468,21 @@ def test_jpeg_meta_and_malformed_streams():
     data = jpeg_encode(img, quality=75)
     m = jpeg_meta(data)
     assert m == {"width": 24, "height": 16, "n_components": 1,
-                 "precision": 8, "subsampling": "gray"}
+                 "precision": 8, "subsampling": "gray",
+                 "progressive": False}
 
     with pytest.raises(ValueError, match="SOI"):
         jpeg_meta(b"\x00\x01\x02")
     for cut in (4, 20, len(data) // 2, len(data) - 3):
         with pytest.raises(ValueError):
             jpeg_decode(data[:cut])
-    # progressive (SOF2) rejected by name, not mis-decoded
+    # progressive (SOF2): metadata PARSES (round 7), decode rejects by name
     sof0_at = data.find(b"\xff\xc0")
     assert sof0_at > 0
     prog = data[:sof0_at] + b"\xff\xc2" + data[sof0_at + 2:]
-    with pytest.raises(ValueError, match="baseline"):
-        jpeg_meta(prog)
+    assert jpeg_meta(prog)["progressive"] is True
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(prog)
     with pytest.raises(ValueError, match="quality"):
         jpeg_encode(img, quality=0)
 
@@ -611,3 +613,57 @@ def test_jpeg_resize_dims_and_content():
     assert (m["width"], m["height"]) == (16, 8)
     back = jpeg_decode(small)
     assert abs(float(back.mean()) - 200.0) < 3.0
+
+
+def test_jpeg_progressive_header_parses_decode_rejects(spark):
+    """SOF2 (progressive) headers must parse for metadata — same segment
+    layout as SOF0 — while entropy decode rejects with a named error;
+    other SOFn variants stay rejected even at parse time."""
+    import numpy as np
+    import pytest
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_meta,
+    )
+
+    px = np.stack([
+        (np.add.outer(np.arange(16) * 3, np.arange(24) * 5)) % 256,
+        (np.add.outer(np.arange(16), np.arange(24))) % 256,
+        np.full((16, 24), 7),
+    ], axis=-1).astype(np.uint8)
+    baseline = jpeg_encode(px, quality=90)
+    i = baseline.index(b"\xff\xc0")
+    progressive = baseline[:i] + b"\xff\xc2" + baseline[i + 2:]
+
+    m = jpeg_meta(progressive)
+    assert (m["width"], m["height"], m["n_components"]) == (24, 16, 3)
+    assert m["progressive"] is True
+    assert jpeg_meta(baseline)["progressive"] is False
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(progressive)
+    # lossless (SOF3) still rejected outright
+    sof3 = baseline[:i] + b"\xff\xc3" + baseline[i + 2:]
+    with pytest.raises(ValueError, match="SOF"):
+        jpeg_meta(sof3)
+
+
+def test_jpeg_meta_tolerant_rows(spark):
+    """jpeg_meta_tolerant over the mixed fixture: progressive rows carry
+    header metadata with decode_ok=false; baseline rows decode."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_jpeg_progressive_mix,
+        jpeg_meta_tolerant,
+    )
+
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    got = {r["doc_id"]: r for r in
+           jpeg_meta_tolerant(attach_synthetic_jpeg_progressive_mix(docs)).collect()}
+    assert len(got) == 8
+    for d, r in got.items():
+        assert r["width"] == 8 * (1 + d % 3)
+        assert r["height"] == 8 * (1 + d % 2)
+        assert r["n_components"] == (1 if d % 2 == 0 else 3)
+        assert r["progressive"] is (d % 2 == 1)
+        assert r["decode_ok"] is (d % 2 == 0)
