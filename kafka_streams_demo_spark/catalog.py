@@ -5279,46 +5279,76 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # bm25_search_postings (same-oracle as bm25_search_multi — a driver
 # green externally proves the persisted-index path bit-equal).
 #
-# Round-7 rotation candidates (all locally hash-green, awaiting a
-# driver slot): the r6 demotions rotate back as slots free up
-# (filter_events, map_values_upper, select_key_prefix, count_by_key,
-# doc_chunk_overlap, session_window_count, sliding_window_count(_bucketed),
-# stream_stream_join_window, table_table_join_inner, wav_decode_meta,
-# dedup_exact, dedup_stream_watermark, pii_redact, ann_lsh_topk,
-# pack_sequences, contamination_check_bloom, sessionize_gap_bucketed,
-# running_sum_per_user_bucketed, mixture_sample, q2/q6/q9/q13/q15/q17/
-# q20/q21); the late-round-6 additions, all locally hash-green with
-# full oracles: ngram_jaccard_incremental (delta-priced exact Jaccard),
-# dedup_embedding_cosine_incremental (the third incremental family),
-# shuffle_shards (deterministic training shuffle),
-# gopher_quality_filter + c4_line_clean (the published corpus-cleaning
-# rule bundles); plus never-driver-checked oracled entries:
-# gif_frames_meta, ppm_resize_images, tfidf_top_terms, corpus_profile,
-# vocab_token_freq, winnow_fingerprints, salted_count_skew,
-# hopping_window_sum_cents, q3_shipping_priority, q5_regional_revenue.
+# Round-7 rotation (VERDICT r6 task #1): ALL pre-declared r7
+# candidates promoted — the five late-r6 additions
+# (ngram_jaccard_incremental, dedup_embedding_cosine_incremental,
+# shuffle_shards, gopher_quality_filter, c4_line_clean), the five
+# named in the verdict (gopher_repetition_filter — now LINEARIZED,
+# pipeline_clean_corpus, funnel_conversion, retention_cohorts,
+# ngram_span_dedup), all ten never-driver-checked oracled entries
+# (gif_frames_meta, ppm_frames_meta — the verdict's
+# 'ppm_resize_images' by its registered name — tfidf_top_terms,
+# corpus_profile, vocab_token_freq, winnow_fingerprints,
+# salted_count_skew, hopping_window_sum_cents, q3_shipping_priority,
+# q5_regional_revenue), and the four round-7 additions
+# (ann_ivf_index_topk + ann_ivf_assign_incremental — the persisted
+# IVF tier, the former same-oracle as ann_ivf_topk which STAYS
+# in-window so the hash gate proves the pair bit-equal externally;
+# ngram_span_dedup_hashed — same-oracle as ngram_span_dedup, also
+# kept in-window, proving the md5-keyed plan; jpeg_meta_progressive).
+# The 25 demoted rows were each driver-GREEN in r6 and keep a green
+# family sibling in-window: q4/q7/q8/q10/q11/q12/q14/q16/q19/q22→
+# q1_pricing_summary + q18_large_orders + incoming q3/q5 (TPC-H
+# family, all 22 shapes driver-green on record after this round),
+# sliding_window_full_count_bucketed→sliding_window_full_count
+# (same-oracle pair already externally proven r6),
+# hybrid_rrf_fusion_multi→hybrid_rrf_fusion, bm25_search +
+# bm25_search_postings→bm25_search_multi (retrieval family; the
+# postings bit-equality was externally proven r6),
+# jpeg_decode_meta→jpeg_decode_subsampled + jpeg_meta_progressive,
+# gif_decode_meta→gif_frames_meta (strictly stronger: per-frame LZW),
+# mixture_upsample + temperature_mixture→pack_sequences_strid +
+# mixture-family r6 greens on record, dedup_exact_incremental→
+# pipeline_ingest_incremental (superset) + the two incoming
+# incremental families, char_entropy + lang_id→corpus_profile +
+# tfidf_top_terms + vocab_token_freq (text-analysis family),
+# contamination_overlap_pairs→winnow_fingerprints (fingerprint/
+# decontamination family; r6 green on record),
+# top3_orders_per_cust_salted + median_value_per_type→
+# salted_count_skew (skew family).
 DRIVER_PRIORITY: list[str] = [
-    "branch_c", "word_count", "hybrid_rrf_fusion_multi", "aggregate_sum_cents",
+    # core DSL / streaming keepers (driver-green r6, families anchored)
+    "branch_c", "word_count", "aggregate_sum_cents",
     "ktable_latest", "processor_running_count", "json_extract_sum",
-    "tumbling_window_count",
-    "sliding_window_full_count", "sliding_window_full_count_bucketed",
+    "tumbling_window_count", "sliding_window_full_count",
     "stream_stream_join_asymmetric", "stream_table_join_segment",
     "ktable_fk_join", "event_time_extract", "ktable_reduce_sum",
     "avro_wire_roundtrip",
-    "q1_pricing_summary", "q4_late_ship_priority", "q7_nation_volume",
-    "q8_market_share", "q10_returned_items", "q11_important_parts",
-    "q12_priority_by_class", "q14_promo_revenue", "q16_supplier_cnt",
-    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_balances",
-    "dedup_clusters", "dedup_exact_incremental",
-    "pipeline_ingest_incremental", "paragraph_dedup_rebuild",
-    "contamination_overlap_pairs",
-    "lang_id", "char_entropy",
-    "bm25_search", "bm25_search_multi", "hybrid_rrf_fusion",
-    "ann_ivf_topk",
-    "pack_sequences_strid", "mixture_upsample", "temperature_mixture",
+    "q1_pricing_summary", "q18_large_orders",
+    # incoming: last two never-driver-checked TPC-H shapes
+    "q3_shipping_priority", "q5_regional_revenue",
+    # dedup / ingest keepers + incoming incremental families
+    "dedup_clusters", "pipeline_ingest_incremental",
+    "paragraph_dedup_rebuild",
+    "ngram_jaccard_incremental", "dedup_embedding_cosine_incremental",
+    "ngram_span_dedup", "ngram_span_dedup_hashed",
+    # cleaning bundles (incoming)
+    "gopher_quality_filter", "gopher_repetition_filter",
+    "c4_line_clean", "pipeline_clean_corpus",
+    # retrieval / ANN: keepers + the persisted-IVF pair
+    "bm25_search_multi", "hybrid_rrf_fusion",
+    "ann_ivf_topk", "ann_ivf_index_topk", "ann_ivf_assign_incremental",
+    # text analysis (incoming)
+    "tfidf_top_terms", "corpus_profile", "vocab_token_freq",
+    "winnow_fingerprints",
+    # packing / sharding / analytics
+    "pack_sequences_strid", "shuffle_shards",
+    "funnel_conversion", "retention_cohorts",
     "asof_join_purchase", "cogroup_user_metrics",
-    "top3_orders_per_cust_salted", "median_value_per_type",
-    "bm25_search_postings",
-    "jpeg_decode_meta", "jpeg_decode_subsampled", "gif_decode_meta",
+    "salted_count_skew", "hopping_window_sum_cents",
+    # codecs
+    "jpeg_decode_subsampled", "jpeg_meta_progressive",
+    "gif_frames_meta", "ppm_frames_meta",
 ]
 
 
