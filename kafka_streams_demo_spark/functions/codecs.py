@@ -763,11 +763,372 @@ def _make_jpeg_codec():
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
-    def _parse_segments(data: bytes):
-        """Marker walk up to SOS; returns (meta dict, entropy offset)."""
+    # ---- progressive (SOF2) tier — T.81 Annex G, Huffman coding ----
+
+    def _opt_huffman(freq: dict) -> tuple:
+        """Canonical Huffman (bits, vals) from symbol frequencies — the
+        Annex K.2 optimization procedure: reserved symbol 256 (freq 1)
+        guarantees no all-ones code, lengths capped at 16 via the
+        ADJUST_BITS redistribution, canonical assignment by (code size,
+        symbol). Deterministic: heap ties break on smallest member
+        symbol. Progressive scans carry EOBn symbols Annex K's fixed
+        baseline tables don't define, so per-scan optimized tables are
+        not just smaller — they're required."""
+        import heapq
+
+        f = {s: c for s, c in freq.items() if c > 0}
+        f[256] = 1
+        depth = {s: 0 for s in f}
+        heap = [(c, s, (s,)) for s, c in f.items()]
+        heapq.heapify(heap)
+        while len(heap) > 1:
+            c1, m1, l1 = heapq.heappop(heap)
+            c2, m2, l2 = heapq.heappop(heap)
+            for s in l1 + l2:
+                depth[s] += 1
+            heapq.heappush(heap, (c1 + c2, min(m1, m2), l1 + l2))
+        for s in depth:
+            if depth[s] == 0:
+                depth[s] = 1  # single-symbol table
+        counts = [0] * 33
+        for s, d in depth.items():
+            counts[min(d, 32)] += 1
+        for i in range(32, 16, -1):  # ADJUST_BITS (K.2 Figure K.3)
+            while counts[i] > 0:
+                j = i - 2
+                while counts[j] == 0:
+                    j -= 1
+                counts[i] -= 2
+                counts[i - 1] += 1
+                counts[j + 1] += 2
+                counts[j] -= 1
+        # drop the reserved symbol's slot from the deepest used length
+        top = max(i for i in range(1, 17) if counts[i])
+        counts[top] -= 1
+        ordered = sorted((s for s in depth if s != 256),
+                         key=lambda s: (depth[s], s))
+        bits = counts[1:17]
+        return bits, ordered
+
+    def _comp_coef_arrays(px, quality: int, subsampling: str):
+        """Per-component quantized-coefficient blocks in zigzag order on
+        the PADDED block grid — the shared front half of both entropy
+        orderings. Identical quantization to jpeg_encode, which is what
+        makes progressive and baseline round-trips bit-equal."""
+        import numpy as np
+
+        gray = px.ndim == 2
+        h, wd = px.shape[:2]
+        qt_l, qt_c = _quality_tables(quality)
+        sub420 = subsampling == "420" and not gray
+        if gray:
+            planes = [px.astype(np.float64)]
+        else:
+            r = px[:, :, 0].astype(np.float64)
+            g = px[:, :, 1].astype(np.float64)
+            b = px[:, :, 2].astype(np.float64)
+            planes = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+            ]
+        C = _dct_basis()
+        if sub420:
+            pads = [_pad_blocks(p, 16)[0] for p in planes]
+            comp_planes = [pads[0]] + [
+                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+                for p in pads[1:]
+            ]
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        else:
+            comp_planes = [_pad_blocks(p)[0] for p in planes]
+            sampling = [(1, 1)] * len(planes)
+        coefs = []
+        for ci, cp in enumerate(comp_planes):
+            qt = qt_l if ci == 0 else qt_c
+            gby, gbx = cp.shape[0] // 8, cp.shape[1] // 8
+            arr = np.zeros((gby, gbx, 64), dtype=np.int64)
+            for by in range(gby):
+                for bx in range(gbx):
+                    q = _quantize_block(
+                        cp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0, qt, C
+                    )
+                    arr[by, bx] = [int(q.flat[ZIGZAG[i]]) for i in range(64)]
+            coefs.append(arr)
+        return coefs, sampling, (qt_l, qt_c), gray, h, wd
+
+    class _SymCounter:
+        """Counting sink for the two-pass optimized-Huffman encode: pass
+        1 records symbol frequencies with this, pass 2 replays the
+        identical decisions into the _BitWriter."""
+
+        def __init__(self):
+            self.freq = {}
+
+        def sym(self, s):
+            self.freq[s] = self.freq.get(s, 0) + 1
+
+        def bits(self, v, n):
+            pass
+
+    class _SymWriter:
+        def __init__(self, writer, codes):
+            self.w, self.codes = writer, codes
+
+        def sym(self, s):
+            code, ln = self.codes[s]
+            self.w.write(code, ln)
+
+        def bits(self, v, n):
+            if n:
+                self.w.write(v, n)
+
+    def _ac_first_scan(blocks, ss, se, al, sink):
+        """G.1.2.2: spectral-selection first scan over one component's
+        blocks — run/size coding with EOBn run accumulation."""
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                sink.sym(n << 4)
+                sink.bits(eobrun - (1 << n), n)
+                eobrun = 0
+
+        for zz in blocks:
+            r = 0
+            emitted = False
+            for k in range(ss, se + 1):
+                a = abs(int(zz[k])) >> al
+                if a == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                emitted = True
+                while r > 15:
+                    sink.sym(0xF0)
+                    r -= 16
+                s = a.bit_length()
+                v = a if int(zz[k]) >= 0 else -a
+                sink.sym((r << 4) | s)
+                sink.bits(_magnitude_bits(v, s), s)
+                r = 0
+            if r > 0 or not emitted:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    def _ac_refine_scan(blocks, ss, se, al, sink):
+        """G.1.2.3: successive-approximation refinement scan (Ah=Al+1):
+        newly significant coefficients code as (run,1)+sign, history
+        coefficients contribute appended correction bits, whole-block
+        remainders fold into EOB runs with their bits."""
+        eobrun = 0
+        ebits: list = []
+
+        def flush_eob():
+            nonlocal eobrun, ebits
+            if eobrun or ebits:
+                n = max(eobrun, 1).bit_length() - 1 if eobrun else 0
+                if eobrun == 0:
+                    # correction bits with no pending EOB block cannot
+                    # happen: bits only accumulate alongside eobrun
+                    raise AssertionError("pending bits without EOB run")
+                sink.sym(n << 4)
+                sink.bits(eobrun - (1 << n), n)
+                for b in ebits:
+                    sink.bits(b, 1)
+                eobrun, ebits = 0, []
+
+        for zz in blocks:
+            temps = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            # last newly-significant position: ZRLs beyond it fold into
+            # the EOB run instead (the `k <= EOB` condition of G.1.2.3)
+            eobpos = -1
+            for idx, t in enumerate(temps):
+                if t == 1:
+                    eobpos = idx
+            r = 0
+            br: list = []
+            for idx, t in enumerate(temps):
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRL check at EVERY nonzero coefficient (history too):
+                # keeps every buffered correction bit ahead of the 16th
+                # pending zero, exactly what the decoder's run
+                # traversal consumes after each ZRL
+                while r > 15 and idx <= eobpos:
+                    flush_eob()
+                    sink.sym(0xF0)
+                    for b in br:
+                        sink.bits(b, 1)
+                    br = []
+                    r -= 16
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                # newly significant at this precision
+                flush_eob()
+                sink.sym((r << 4) | 1)
+                sink.bits(1 if int(zz[ss + idx]) > 0 else 0, 1)
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                ebits.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    def jpeg_encode_progressive(
+        pixels, quality: int = 90, subsampling: str = "444"
+    ) -> bytes:
+        """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB → progressive
+        (SOF2) JFIF bytes — T.81 Annex G spectral selection + successive
+        approximation: DC first scan (Al=1) then DC refinement, and per
+        component AC bands 1-5 and 6-63 at Al=1 then their refinements
+        to full precision. Quantization is bit-identical to
+        ``jpeg_encode`` (same `_quantize_block` over the same padded
+        planes), so progressive-decode(progressive-encode(px)) ==
+        baseline-decode(baseline-encode(px)) exactly — pinned in tests.
+        DC scans use the Annex K tables; every AC scan carries its own
+        optimized Huffman table (`_opt_huffman`) because progressive
+        EOBn symbols don't exist in the fixed baseline tables."""
+        import numpy as np
+
+        if subsampling not in ("444", "420"):
+            raise ValueError(
+                f"subsampling must be '444' or '420', got {subsampling!r}"
+            )
+        px = np.asarray(pixels)
+        if px.dtype != np.uint8:
+            raise ValueError(f"uint8 pixels required, got {px.dtype}")
+        gray = px.ndim == 2
+        if not gray and (px.ndim != 3 or px.shape[2] != 3):
+            raise ValueError(f"expected (h,w) or (h,w,3), got {px.shape}")
+        coefs, sampling, (qt_l, qt_c), gray, h, wd = _comp_coef_arrays(
+            px, quality, subsampling if not gray else "444"
+        )
+        ncomp = len(coefs)
+        hmax = max(hi for hi, _ in sampling)
+        vmax = max(vi for _, vi in sampling)
+        mcuy = coefs[0].shape[0] // sampling[0][1]
+        mcux = coefs[0].shape[1] // sampling[0][0]
+
+        def comp_grid(ci):
+            """Non-interleaved block dims (T.81 A.2.2: ceil of the
+            component's own size, NOT padded to the MCU grid)."""
+            hi, vi = sampling[ci]
+            ch = -(-h * vi // vmax)
+            cw = -(-wd * hi // hmax)
+            return -(-ch // 8), -(-cw // 8)
+
+        dc_l = _canonical_codes(DC_L_BITS, DC_L_VALS)
+        dc_c = _canonical_codes(DC_C_BITS, DC_C_VALS)
+
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        dqt = bytes([0x00]) + bytes(int(qt_l.flat[ZIGZAG[i]]) for i in range(64))
+        if not gray:
+            dqt += bytes([0x01]) + bytes(int(qt_c.flat[ZIGZAG[i]]) for i in range(64))
+        out += _seg(0xDB, dqt)
+        sof = bytes([8]) + h.to_bytes(2, "big") + wd.to_bytes(2, "big") + bytes([ncomp])
+        for ci in range(ncomp):
+            hi, vi = sampling[ci]
+            sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+        out += _seg(0xC2, sof)
+        dht = bytes([0x00]) + bytes(DC_L_BITS) + bytes(DC_L_VALS)
+        if not gray:
+            dht += bytes([0x01]) + bytes(DC_C_BITS) + bytes(DC_C_VALS)
+        out += _seg(0xC4, dht)
+
+        def sos_header(comps, ss, se, ah, al):
+            p = bytes([len(comps)])
+            for cid, td, ta in comps:
+                p += bytes([cid, (td << 4) | ta])
+            return _seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+        def dc_scan(al, refine):
+            w = _BitWriter()
+            prev = [0] * ncomp
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(ncomp):
+                        hi, vi = sampling[ci]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                dc = int(coefs[ci][my * vi + v, mx * hi + hh, 0])
+                                if refine:
+                                    w.write((dc >> al) & 1, 1)
+                                    continue
+                                val = dc >> al
+                                diff = val - prev[ci]
+                                prev[ci] = val
+                                s = _category(diff)
+                                code, ln = (dc_l if ci == 0 else dc_c)[s]
+                                w.write(code, ln)
+                                if s:
+                                    w.write(_magnitude_bits(diff, s), s)
+            return w.flush()
+
+        # scan 1+2: DC first (Al=1) + refinement, all components interleaved
+        comps_hdr = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+        out += sos_header(comps_hdr, 0, 0, 0, 1) + dc_scan(1, False)
+        out += sos_header(comps_hdr, 0, 0, 1, 0) + dc_scan(0, True)
+
+        def ac_scan(ci, ss, se, ah, al):
+            nby, nbx = comp_grid(ci)
+            blocks = [coefs[ci][by, bx]
+                      for by in range(nby) for bx in range(nbx)]
+            walk = _ac_refine_scan if ah else _ac_first_scan
+            counter = _SymCounter()
+            walk(blocks, ss, se, al, counter)
+            bits, vals = _opt_huffman(counter.freq)
+            tid = 0 if ci == 0 else 1
+            seg = _seg(0xC4, bytes([0x10 | tid]) + bytes(bits) + bytes(vals))
+            w = _BitWriter()
+            walk(blocks, ss, se, al, _SymWriter(w, _canonical_codes(bits, vals)))
+            return (seg + sos_header([(ci + 1, 0, tid)], ss, se, ah, al)
+                    + w.flush())
+
+        for ci in range(ncomp):
+            out += ac_scan(ci, 1, 5, 0, 1)
+            out += ac_scan(ci, 6, 63, 0, 1)
+        for ci in range(ncomp):
+            out += ac_scan(ci, 1, 5, 1, 0)
+            out += ac_scan(ci, 6, 63, 1, 0)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def _skip_entropy(data: bytes, pos: int) -> int:
+        """Advance past an entropy-coded segment: stop at the first real
+        marker (0xFF followed by neither a stuffed 0x00 nor RSTn)."""
+        n = len(data)
+        while pos + 1 < n:
+            if data[pos] == 0xFF:
+                nxt = data[pos + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    pos += 2
+                    continue
+                return pos
+            pos += 1
+        raise ValueError("entropy stream ran off the end (no trailing marker)")
+
+    def _parse_segments(data: bytes, all_scans: bool = False):
+        """Marker walk; returns (meta dict, entropy offset) at the first
+        SOS by default. ``all_scans=True`` (the progressive path) walks
+        to EOI instead, collecting every scan as {comps, ss, se, ah,
+        al, epos, huff-snapshot} — tables may be redefined between
+        scans, so each scan pins the Huffman state as of its SOS."""
         if len(data) < 4 or data[0:2] != b"\xff\xd8":
             raise ValueError("not a JPEG (missing SOI)")
         qtables, huff, sof, sos = {}, {}, None, None
+        scans: list = []
         pos = 2
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
@@ -825,8 +1186,22 @@ def _make_jpeg_codec():
                 nc = seg[0]
                 sos = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
                        for c in range(nc)]
-                return {"qt": qtables, "huff": huff, "sof": sof, "sos": sos}, pos + 2 + ln
+                if not all_scans:
+                    return {"qt": qtables, "huff": huff, "sof": sof, "sos": sos}, pos + 2 + ln
+                ss, se, ahal = seg[1 + 2 * nc], seg[2 + 2 * nc], seg[3 + 2 * nc]
+                epos = pos + 2 + ln
+                scans.append({
+                    "comps": sos, "ss": ss, "se": se,
+                    "ah": ahal >> 4, "al": ahal & 15,
+                    "epos": epos, "huff": dict(huff),
+                })
+                pos = _skip_entropy(data, epos)
+                continue
             pos += 2 + ln
+        if all_scans:
+            if sof is None or not scans:
+                raise ValueError("no SOF/SOS segments (truncated stream)")
+            return {"qt": qtables, "sof": sof}, scans
         raise ValueError("no SOS segment (truncated or not baseline)")
 
     class _BitReader:
@@ -916,8 +1291,200 @@ def _make_jpeg_codec():
             return "gray"
         return _SUBSAMPLING_NAMES[_sampling_factors(sof)[0]]
 
+    def _decode_progressive(data: bytes):
+        """Full progressive (SOF2) entropy decode — T.81 Annex G: walk
+        every scan, accumulating quantized coefficients per component
+        (DC first/refinement, AC spectral-band first scans with EOBn
+        runs, AC successive-approximation refinement with correction
+        bits), then dequantize + IDCT + upsample exactly like the
+        baseline tier. Handles per-scan Huffman redefinition and the
+        non-interleaved component grids of AC scans (ceil of the
+        component's own size, not the MCU-padded grid)."""
+        import numpy as np
+
+        meta, scans = _parse_segments(data, all_scans=True)
+        sof = meta["sof"]
+        h, wd = sof["height"], sof["width"]
+        comps = sof["components"]
+        ncomp = len(comps)
+        if ncomp not in (1, 3):
+            raise ValueError(f"1 or 3 components supported, got {ncomp}")
+        sampling = _sampling_factors(sof)
+        hmax = max(hi for hi, _ in sampling)
+        vmax = max(vi for _, vi in sampling)
+        mcuy, mcux = -(-h // (8 * vmax)), -(-wd // (8 * hmax))
+        cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+        coef = [
+            np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+            for hi, vi in sampling
+        ]
+
+        def comp_grid(ci):
+            hi, vi = sampling[ci]
+            return -(-(-(-h * vi // vmax)) // 8), -(-(-(-wd * hi // hmax)) // 8)
+
+        for scan in scans:
+            r = _BitReader(data, scan["epos"])
+            dec = {k: _huff_decoder(*v) for k, v in scan["huff"].items()}
+            ss, se = scan["ss"], scan["se"]
+            ah, al = scan["ah"], scan["al"]
+            scomps = scan["comps"]
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "progressive scan mixing DC and AC bands (Ss=0, Se≠0)"
+                    )
+                # DC scan: interleaved over the listed components (the
+                # single-component case degenerates to its own grid)
+                prev = {cid: 0 for cid, _, _ in scomps}
+                if len(scomps) > 1:
+                    order = []
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for cid, td, _ in scomps:
+                                ci = cid_to_ci[cid]
+                                hi, vi = sampling[ci]
+                                for v in range(vi):
+                                    for hh in range(hi):
+                                        order.append(
+                                            (cid, td, my * vi + v, mx * hi + hh)
+                                        )
+                else:
+                    cid, td, _ = scomps[0]
+                    nby, nbx = comp_grid(cid_to_ci[cid])
+                    order = [(cid, td, by, bx)
+                             for by in range(nby) for bx in range(nbx)]
+                for cid, td, by, bx in order:
+                    ci = cid_to_ci[cid]
+                    if ah == 0:
+                        dct = dec.get((0, td))
+                        if dct is None:
+                            raise ValueError("missing DC Huffman table for scan")
+                        s = _read_symbol(r, dct)
+                        prev[cid] += _extend(r.read(s), s)
+                        coef[ci][by, bx, 0] = prev[cid] << al
+                    else:
+                        if r.read_bit():
+                            coef[ci][by, bx, 0] |= 1 << al
+                continue
+            # AC scan: exactly one component, non-interleaved
+            if len(scomps) != 1:
+                raise ValueError("progressive AC scan must cover one component")
+            cid, _, ta = scomps[0]
+            ci = cid_to_ci[cid]
+            act = dec.get((1, ta))
+            if act is None:
+                raise ValueError("missing AC Huffman table for scan")
+            nby, nbx = comp_grid(ci)
+            eobrun = 0
+            p1 = 1 << al
+            for by in range(nby):
+                for bx in range(nbx):
+                    blk = coef[ci][by, bx]
+                    if ah == 0:
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = _read_symbol(r, act)
+                            rr, s = sym >> 4, sym & 15
+                            if s == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << rr) - 1
+                                if rr:
+                                    eobrun += r.read(rr)
+                                break
+                            k += rr
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            blk[k] = _extend(r.read(s), s) << al
+                            k += 1
+                        continue
+                    # refinement scan (G.2): correction bits interleave
+                    # with newly-significant placements and EOB runs
+                    def correct(kk):
+                        if r.read_bit():
+                            if (int(blk[kk]) & p1) == 0:
+                                blk[kk] += p1 if blk[kk] > 0 else -p1
+
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _read_symbol(r, act)
+                            rr, s = sym >> 4, sym & 15
+                            newval = 0
+                            if s == 0:
+                                if rr != 15:
+                                    eobrun = 1 << rr
+                                    if rr:
+                                        eobrun += r.read(rr)
+                                    break
+                                # ZRL: pass 16 zero-history positions
+                            elif s == 1:
+                                newval = p1 if r.read_bit() else -p1
+                            else:
+                                raise ValueError(
+                                    "refinement coefficient must be ±1"
+                                )
+                            while k <= se:
+                                if blk[k] != 0:
+                                    correct(k)
+                                else:
+                                    rr -= 1
+                                    if rr < 0:
+                                        break
+                                k += 1
+                            if newval and k <= se:
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if blk[k] != 0:
+                                correct(k)
+                            k += 1
+                        eobrun -= 1
+
+        # dequantize + IDCT + upsample — identical tail to baseline
+        C = _dct_basis()
+        planes = []
+        for ci, (cid, tq, _, _) in enumerate(comps):
+            q = meta["qt"].get(tq)
+            if q is None:
+                raise ValueError(f"missing quant table {tq}")
+            hi, vi = sampling[ci]
+            gby, gbx = mcuy * vi, mcux * hi
+            plane = np.zeros((gby * 8, gbx * 8))
+            for by in range(gby):
+                for bx in range(gbx):
+                    cf = np.zeros(64)
+                    zz = coef[ci][by, bx]
+                    for i in range(64):
+                        cf[ZIGZAG[i]] = int(zz[i]) * q[i]
+                    plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                        C.T @ cf.reshape(8, 8) @ C + 128.0
+                    )
+            planes.append(plane)
+        planes = [
+            np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)[:h, :wd]
+            for p, (hi, vi) in zip(planes, sampling)
+        ]
+        if ncomp == 1:
+            return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        y, cb, cr = planes
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r_, g_, b_], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
     def jpeg_decode(payload: bytes):
-        """JFIF bytes → (h, w) uint8 grayscale or (h, w, 3) uint8 RGB."""
+        """JFIF bytes → (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
+        Baseline (SOF0) streams entropy-decode directly; progressive
+        (SOF2) streams dispatch to the Annex G multi-scan decoder
+        (round 7 — the last common real-world variant)."""
         import numpy as np
 
         data = bytes(payload)
@@ -926,10 +1493,7 @@ def _make_jpeg_codec():
         if sof is None:
             raise ValueError("missing SOF0 segment")
         if sof.get("progressive"):
-            raise ValueError(
-                "progressive JPEG (SOF2) decode unsupported — metadata "
-                "available via jpeg_meta"
-            )
+            return _decode_progressive(data)
         h, wd = sof["height"], sof["width"]
         comps = sof["components"]
         ncomp = len(comps)
@@ -1039,11 +1603,13 @@ def _make_jpeg_codec():
         return jpeg_encode(px[np.ix_(ys, xs)], quality=quality)
 
     return (jpeg_encode, jpeg_decode, jpeg_meta, jpeg_resize,
+            jpeg_encode_progressive,
             _quantize_block, _quality_tables, _canonical_codes,
             AC_L_BITS, AC_L_VALS, QT_LUMA, ZIGZAG)
 
 
 (jpeg_encode, jpeg_decode, jpeg_meta, jpeg_resize,
+ jpeg_encode_progressive,
  _jpeg_quantize_block, _jpeg_quality_tables, _jpeg_canonical_codes,
  _JPEG_AC_L_BITS, _JPEG_AC_L_VALS, _JPEG_QT_LUMA,
  _JPEG_ZIGZAG) = _make_jpeg_codec()

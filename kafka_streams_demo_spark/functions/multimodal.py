@@ -632,12 +632,15 @@ def attach_synthetic_jpeg_progressive_mix(
 ) -> DataFrame:
     """Mixed baseline/progressive JPEG fixture (round 7): even doc_ids
     carry the grayscale baseline stream from ``attach_synthetic_jpeg``'s
-    recipe; odd doc_ids carry the color stream with its SOF0 marker
-    rewritten to SOF2 — byte-identical segment payload (T.81 B.2.2
-    gives SOF0 and SOF2 the same layout), so it exercises exactly what
-    a real progressive header hands the parser: dimensions readable,
-    entropy decode undecodable by a baseline decoder."""
-    from kafka_streams_demo_spark.functions.codecs import jpeg_encode
+    recipe; odd doc_ids carry the color stream as a REAL progressive
+    (SOF2) encoding — multi-scan spectral selection + successive
+    approximation from ``jpeg_encode_progressive``, same pixels and
+    quality, so the decoded output must be bit-identical to what the
+    baseline stream of the same image decodes to."""
+    from kafka_streams_demo_spark.functions.codecs import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
 
     ids = docs.select(F.col(id_col).alias("doc_id"))
 
@@ -646,10 +649,6 @@ def attach_synthetic_jpeg_progressive_mix(
 
         import numpy as np
         import pandas as _pd
-
-        def to_progressive(payload: bytes) -> bytes:
-            i = payload.index(b"\xff\xc0")
-            return payload[:i] + b"\xff\xc2" + payload[i + 2:]
 
         for pdf in it:
             payloads = []
@@ -664,7 +663,7 @@ def attach_synthetic_jpeg_progressive_mix(
                     px = np.stack(
                         [base, (base * 2) % 256, (255 - base) % 256], axis=-1
                     ).astype(np.uint8)
-                    payloads.append(to_progressive(jpeg_encode(px, quality=90)))
+                    payloads.append(jpeg_encode_progressive(px, quality=90))
             yield _pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload": payloads,
@@ -680,12 +679,14 @@ def attach_synthetic_jpeg_progressive_mix(
 
 
 def jpeg_meta_tolerant(multimodal: DataFrame) -> DataFrame:
-    """Crawl-corpus metadata pass: per row, parse the header (works for
-    baseline AND progressive) and ATTEMPT the full decode — progressive
-    rows keep their metadata and report decode_ok=false instead of
-    failing the task (round 7; VERDICT r6 #8). This is the shape a real
-    ingest filter needs: dimensions for size gates on every file, decode
-    only where the baseline tier supports it."""
+    """Crawl-corpus metadata + decode pass: per row, parse the header
+    (baseline AND progressive) and ATTEMPT the full decode —
+    undecodable rows keep their metadata and report decode_ok=false
+    instead of failing the task (round 7; VERDICT r6 #8). With the
+    Annex G tier, progressive rows now decode too, so decode_ok also
+    verifies the multi-scan path produced the header-declared pixel
+    shape; malformed streams (wrong scan structure, truncation) still
+    degrade to metadata-only rows."""
     from kafka_streams_demo_spark.functions.codecs import jpeg_decode, jpeg_meta
 
     def batches(it):

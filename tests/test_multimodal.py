@@ -615,10 +615,12 @@ def test_jpeg_resize_dims_and_content():
     assert abs(float(back.mean()) - 200.0) < 3.0
 
 
-def test_jpeg_progressive_header_parses_decode_rejects(spark):
-    """SOF2 (progressive) headers must parse for metadata — same segment
-    layout as SOF0 — while entropy decode rejects with a named error;
-    other SOFn variants stay rejected even at parse time."""
+def test_jpeg_progressive_header_parses_malformed_rejects(spark):
+    """SOF2 headers parse for metadata (same segment layout as SOF0). A
+    baseline stream with its marker REWRITTEN to SOF2 is structurally
+    invalid progressive (its single scan spans Ss=0..Se=63) — metadata
+    still parses but decode rejects with a named error; other SOFn
+    variants stay rejected even at parse time."""
     import numpy as np
     import pytest
 
@@ -635,23 +637,62 @@ def test_jpeg_progressive_header_parses_decode_rejects(spark):
     ], axis=-1).astype(np.uint8)
     baseline = jpeg_encode(px, quality=90)
     i = baseline.index(b"\xff\xc0")
-    progressive = baseline[:i] + b"\xff\xc2" + baseline[i + 2:]
+    pseudo = baseline[:i] + b"\xff\xc2" + baseline[i + 2:]
 
-    m = jpeg_meta(progressive)
+    m = jpeg_meta(pseudo)
     assert (m["width"], m["height"], m["n_components"]) == (24, 16, 3)
     assert m["progressive"] is True
     assert jpeg_meta(baseline)["progressive"] is False
     with pytest.raises(ValueError, match="progressive"):
-        jpeg_decode(progressive)
+        jpeg_decode(pseudo)
     # lossless (SOF3) still rejected outright
     sof3 = baseline[:i] + b"\xff\xc3" + baseline[i + 2:]
     with pytest.raises(ValueError, match="SOF"):
         jpeg_meta(sof3)
 
 
+def test_jpeg_progressive_roundtrip_bit_equal_to_baseline(spark):
+    """The Annex G progressive tier: decode(progressive_encode(px)) must
+    equal decode(baseline_encode(px)) BIT-FOR-BIT — both pipelines
+    quantize identically, progressive only reorders coefficient bits
+    across scans (DC first/refine, AC spectral bands 1-5/6-63 at Al=1
+    plus refinements). Covers gray, 4:4:4, 4:2:0, odd dims, a flat
+    image (multi-block EOBn runs) and dense noise (ZRL + correction
+    bits), at two qualities."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+        jpeg_meta,
+    )
+
+    rng = np.random.RandomState(7)
+    base = (np.add.outer(np.arange(18) * 11, np.arange(22) * 13)) % 256
+    cases = [
+        (((np.add.outer(np.arange(20) * 7, np.arange(14) * 3)) % 256
+          ).astype(np.uint8), "444"),
+        (np.stack([base, (base + 70) % 256, (base * 3) % 256],
+                  axis=-1).astype(np.uint8), "420"),
+        (np.full((32, 40, 3), 128, dtype=np.uint8), "420"),
+        (rng.randint(0, 256, (24, 24, 3)).astype(np.uint8), "444"),
+    ]
+    for px, sub in cases:
+        for q in (90, 50):
+            kw = {} if px.ndim == 2 else {"subsampling": sub}
+            b = jpeg_encode(px, quality=q, **kw)
+            p = jpeg_encode_progressive(px, quality=q, **kw)
+            assert np.array_equal(jpeg_decode(b), jpeg_decode(p))
+            m = jpeg_meta(p)
+            assert m["progressive"] is True
+            assert p.count(b"\xff\xda") >= 6  # genuinely multi-scan
+
+
 def test_jpeg_meta_tolerant_rows(spark):
-    """jpeg_meta_tolerant over the mixed fixture: progressive rows carry
-    header metadata with decode_ok=false; baseline rows decode."""
+    """jpeg_meta_tolerant over the mixed fixture: every row (baseline
+    gray and REAL progressive color) carries header metadata and a
+    successful decode of the declared shape."""
     from kafka_streams_demo_spark.functions.multimodal import (
         attach_synthetic_jpeg_progressive_mix,
         jpeg_meta_tolerant,
@@ -666,4 +707,4 @@ def test_jpeg_meta_tolerant_rows(spark):
         assert r["height"] == 8 * (1 + d % 2)
         assert r["n_components"] == (1 if d % 2 == 0 else 3)
         assert r["progressive"] is (d % 2 == 1)
-        assert r["decode_ok"] is (d % 2 == 0)
+        assert r["decode_ok"] is True
