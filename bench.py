@@ -56,6 +56,14 @@ HEADLINE = [
     "bm25_search_multi",
     "hybrid_rrf_fusion",
     "pipeline_ingest_incremental",
+    # round 7: persisted-IVF scoring, span dedup, the cleaning stack
+    # (gopher_repetition_filter tracks the linearized counting pass),
+    # deterministic shard shuffle
+    "ann_ivf_index_topk",
+    "ngram_span_dedup",
+    "gopher_repetition_filter",
+    "pipeline_clean_corpus",
+    "shuffle_shards",
 ]
 
 

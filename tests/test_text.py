@@ -489,3 +489,30 @@ def test_bm25_postings_null_text_matches_direct_path(spark):
     # the NULL doc contributes one "" posting row with dl=1
     p = {(r["doc_id"], r["term"]): r for r in bm25_postings(docs).collect()}
     assert p[(2, "")]["dl"] == 1 and p[(2, "")]["tf"] == 1
+
+
+def test_gopher_repetition_impls_are_bit_identical(spark):
+    """arrow (numpy/Counter kernel) and native (HOF column expressions)
+    gopher_repetition must produce identical rows — the impl flag is a
+    runtime choice, never a semantic one. The fixture forces every
+    kernel path: short docs (tuple-Counter), a >2000-word doc (numpy
+    id-window path), '_'-bearing words (joined-string fallback, where
+    id-tuples and joins are non-bijective), unicode, NULL and empty
+    text, heavy repetition."""
+    rows = [
+        (1, "the cat sat\nthe cat sat\non the mat."),
+        (2, "a_b c d a b_c d"),                       # '_' fallback path
+        (3, None),
+        (4, ""),
+        (5, "solo"),
+        (6, "naïve café déjà vu naïve café déjà vu naïve café déjà vu"),
+        (7, " ".join(f"w{(i * 7919) % 300}" for i in range(3000))),  # numpy path
+        (8, "x " * 50),                                # one dominating gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from kafka_streams_demo_spark.functions.text import gopher_repetition
+
+    a = {r["doc_id"]: tuple(r) for r in gopher_repetition(docs, impl="arrow").collect()}
+    n = {r["doc_id"]: tuple(r) for r in gopher_repetition(docs, impl="native").collect()}
+    assert a == n
+    assert len(a) == len(rows)
