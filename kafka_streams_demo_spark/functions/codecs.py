@@ -657,12 +657,17 @@ def _make_jpeg_codec():
     def _seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
-    def jpeg_encode(pixels, quality: int = 90, subsampling: str = "444") -> bytes:
+    def jpeg_encode(pixels, quality: int = 90, subsampling: str = "444",
+                    restart_interval: int = 0) -> bytes:
         """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB → baseline JFIF
         bytes. ``subsampling``: '444' (one block per component per MCU) or
         '420' (color only: luma sampled 2×2 per 16×16 MCU, chroma 2×2
         box-averaged to one block each — the dominant real-world JPEG
-        layout, T.81 A.2.3 interleaved MCU order)."""
+        layout, T.81 A.2.3 interleaved MCU order). ``restart_interval``
+        (round 7): emit a DRI segment and an RSTn marker every that many
+        MCUs — byte-aligned entropy flush + DC-predictor reset, the
+        error-resilience feature camera JPEGs carry; decoded output is
+        bit-identical to the restart-free stream."""
         import numpy as np
 
         if subsampling not in ("444", "420"):
@@ -698,6 +703,23 @@ def _make_jpeg_codec():
         writer = _BitWriter()
         prev = [0] * len(planes)
         dct_c = _dct_basis()  # hoisted: one basis for the whole image
+        chunks: list = []
+        mcus_done = [0]
+        rstm = [0]
+
+        def end_mcu(total_mcus):
+            """RSTn every restart_interval MCUs: flush to a byte
+            boundary, emit the cycling marker, reset DC predictors."""
+            nonlocal writer
+            mcus_done[0] += 1
+            if (restart_interval
+                    and mcus_done[0] % restart_interval == 0
+                    and mcus_done[0] < total_mcus):
+                chunks.append(writer.flush())
+                chunks.append(bytes([0xFF, 0xD0 + rstm[0] % 8]))
+                rstm[0] += 1
+                writer = _BitWriter()
+                prev[:] = [0] * len(prev)
 
         def put(block, ci):
             coef = _quantize_block(block - 128.0, qt_l if ci == 0 else qt_c, dct_c)
@@ -717,6 +739,7 @@ def _make_jpeg_codec():
                 p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
                 for p in pads[1:]
             ]
+            n_mcus = (ly.shape[0] // 16) * (ly.shape[1] // 16)
             for my in range(ly.shape[0] // 16):
                 for mx in range(ly.shape[1] // 16):
                     for v in range(2):          # T.81 interleaved MCU order:
@@ -725,6 +748,7 @@ def _make_jpeg_codec():
                             put(ly[y0:y0 + 8, x0:x0 + 8], 0)
                     for ci, cp in enumerate(ch, start=1):
                         put(cp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], ci)
+                    end_mcu(n_mcus)
         else:
             padded = []
             for p in planes:
@@ -734,7 +758,8 @@ def _make_jpeg_codec():
                 for bx in range(bw):
                     for ci, pp in enumerate(padded):
                         put(pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], ci)
-        entropy = writer.flush()
+                    end_mcu(bh * bw)
+        entropy = b"".join(chunks) + writer.flush()
 
         out = bytearray(b"\xff\xd8")  # SOI
         out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -742,6 +767,8 @@ def _make_jpeg_codec():
         if not gray:
             dqt += bytes([0x01]) + bytes(int(qt_c.flat[ZIGZAG[i]]) for i in range(64))
         out += _seg(0xDB, dqt)
+        if restart_interval:
+            out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
         ncomp = 1 if gray else 3
         sof = bytes([8]) + h.to_bytes(2, "big") + wd.to_bytes(2, "big") + bytes([ncomp])
         for ci in range(ncomp):
@@ -1128,6 +1155,7 @@ def _make_jpeg_codec():
         if len(data) < 4 or data[0:2] != b"\xff\xd8":
             raise ValueError("not a JPEG (missing SOI)")
         qtables, huff, sof, sos = {}, {}, None, None
+        dri = 0
         scans: list = []
         pos = 2
         while pos + 4 <= len(data):
@@ -1181,13 +1209,14 @@ def _make_jpeg_codec():
                     f"only baseline sequential (SOF0) supported, got SOF marker {marker:#x}"
                 )
             elif marker == 0xDD:
-                raise ValueError("restart intervals (DRI) unsupported")
+                dri = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:
                 nc = seg[0]
                 sos = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
                        for c in range(nc)]
                 if not all_scans:
-                    return {"qt": qtables, "huff": huff, "sof": sof, "sos": sos}, pos + 2 + ln
+                    return {"qt": qtables, "huff": huff, "sof": sof,
+                            "sos": sos, "dri": dri}, pos + 2 + ln
                 ss, se, ahal = seg[1 + 2 * nc], seg[2 + 2 * nc], seg[3 + 2 * nc]
                 epos = pos + 2 + ln
                 scans.append({
@@ -1201,7 +1230,7 @@ def _make_jpeg_codec():
         if all_scans:
             if sof is None or not scans:
                 raise ValueError("no SOF/SOS segments (truncated stream)")
-            return {"qt": qtables, "sof": sof}, scans
+            return {"qt": qtables, "sof": sof, "dri": dri}, scans
         raise ValueError("no SOS segment (truncated or not baseline)")
 
     class _BitReader:
@@ -1255,6 +1284,19 @@ def _make_jpeg_codec():
                 return sym
         raise ValueError("invalid Huffman code in entropy stream")
 
+    def _restart_sync(r) -> int:
+        """Align the bit reader past the next RSTn marker (tolerant
+        forward scan — stuffed FF00 pairs can't match). Returns the
+        marker index 0-7."""
+        d = r.data
+        pos = r.pos if r.bit == 0 else r.pos + 1
+        while pos + 1 < len(d):
+            if d[pos] == 0xFF and 0xD0 <= d[pos + 1] <= 0xD7:
+                r.pos, r.bit = pos + 2, 0
+                return d[pos + 1] - 0xD0
+            pos += 1
+        raise ValueError("missing restart marker (DRI)")
+
     def _extend(bits_val: int, s: int) -> int:
         if s == 0:
             return 0
@@ -1303,6 +1345,10 @@ def _make_jpeg_codec():
         import numpy as np
 
         meta, scans = _parse_segments(data, all_scans=True)
+        if meta.get("dri"):
+            raise ValueError(
+                "restart intervals in progressive streams unsupported"
+            )
         sof = meta["sof"]
         h, wd = sof["height"], sof["width"]
         comps = sof["components"]
@@ -1545,6 +1591,8 @@ def _make_jpeg_codec():
                 coef[inv_zz[i]] = zz[i] * qt[i]
             return C.T @ coef.reshape(8, 8) @ C + 128.0
 
+        dri = meta.get("dri", 0)
+        mcus_done = 0
         for my in range(mcuy):
             for mx in range(mcux):
                 for ci, (cid, tq, _, _) in enumerate(comps):
@@ -1554,6 +1602,11 @@ def _make_jpeg_codec():
                             y0 = (my * vi + v) * 8
                             x0 = (mx * hi + hh) * 8
                             planes[ci][y0:y0 + 8, x0:x0 + 8] = read_block(ci, tq)
+                mcus_done += 1
+                if (dri and mcus_done % dri == 0
+                        and mcus_done < mcuy * mcux):
+                    _restart_sync(r)
+                    prev[:] = [0] * ncomp
         # upsample subsampled components by pixel replication (nearest),
         # then crop the MCU padding
         planes = [

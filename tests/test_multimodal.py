@@ -708,3 +708,40 @@ def test_jpeg_meta_tolerant_rows(spark):
         assert r["n_components"] == (1 if d % 2 == 0 else 3)
         assert r["progressive"] is (d % 2 == 1)
         assert r["decode_ok"] is True
+
+
+def test_jpeg_restart_interval_roundtrip_and_meta(spark):
+    """DRI/RSTn support (round 7): streams encoded with a restart
+    interval decode bit-identically to the restart-free stream (the
+    markers only byte-align and reset DC predictors), metadata parses,
+    and a stream whose restart marker is destroyed raises instead of
+    desyncing silently."""
+    import numpy as np
+    import pytest
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_meta,
+    )
+
+    base = (np.add.outer(np.arange(18) * 11, np.arange(22) * 13)) % 256
+    color = np.stack(
+        [base, (base + 70) % 256, (base * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    gray = ((np.add.outer(np.arange(20) * 7, np.arange(14) * 3)) % 256
+            ).astype(np.uint8)
+    for px, sub in ((gray, None), (color, "444"), (color, "420")):
+        kw = {} if sub is None else {"subsampling": sub}
+        plain = jpeg_decode(jpeg_encode(px, quality=85, **kw))
+        for ri in (1, 3, 1000):
+            b = jpeg_encode(px, quality=85, restart_interval=ri, **kw)
+            assert np.array_equal(jpeg_decode(b), plain)
+    with_rst = jpeg_encode(gray, quality=85, restart_interval=1)
+    assert jpeg_meta(with_rst)["width"] == 14
+    assert with_rst.count(b"\xff\xdd") == 1 and b"\xff\xd0" in with_rst
+    # destroy the first restart marker: decode must fail loudly
+    i = with_rst.index(b"\xff\xd0")
+    broken = with_rst[:i] + b"\x00\x00" + with_rst[i + 2:]
+    with pytest.raises(ValueError):
+        jpeg_decode(broken)
