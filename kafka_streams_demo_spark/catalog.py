@@ -1940,6 +1940,40 @@ def jpeg_decode_subsampled_q(spark, sf_dir):
 
 
 @register(
+    "jpeg_decode_restart",
+    "SELECT doc_id AS key, "
+    "CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width, "
+    "CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_components, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'gray' "
+    "     WHEN doc_id % 3 = 1 THEN '4:4:4' ELSE '4:2:0' END AS subsampling, "
+    "CAST(TRUE AS BOOLEAN) AS decode_ok "
+    "FROM documents",
+)
+def jpeg_decode_restart_q(spark, sf_dir):
+    """Restart-marker (DRI/RSTn) decode at corpus scale (round 7 —
+    functions/codecs.py): the mixed gray/4:4:4/4:2:0 corpus re-encoded
+    with restart interval 1 + doc_id % 4, so every row's decode walks
+    RSTn resync + DC-predictor reset at a different marker density —
+    the error-resilience layout camera JPEGs actually ship. Same
+    closed-form oracle shape as jpeg_decode_subsampled: decode_ok
+    proves the full entropy walk produced the header-declared pixel
+    shape on every row; restart-vs-plain pixel bit-equality is pinned
+    in tests/test_multimodal.py."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_jpeg_restart,
+        jpeg_decode_check,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = jpeg_decode_check(attach_synthetic_jpeg_restart(docs))
+    return out.select(
+        F.col("doc_id").alias("key"), "width", "height",
+        "n_components", "subsampling", "decode_ok",
+    )
+
+
+@register(
     "jpeg_meta_progressive",
     "SELECT doc_id AS key, "
     "CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width, "

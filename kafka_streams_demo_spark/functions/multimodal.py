@@ -719,6 +719,60 @@ def jpeg_meta_tolerant(multimodal: DataFrame) -> DataFrame:
     )
 
 
+def attach_synthetic_jpeg_restart(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Restart-marker JPEG fixture (round 7): the same closed-form
+    mixed-layout recipe as ``attach_synthetic_jpeg_mixed``, but every
+    stream carries a DRI segment with restart interval 1 + doc_id % 4 —
+    so RSTn resync and DC-predictor reset run on every row, at varying
+    marker densities, under the driver's hash gate."""
+    from kafka_streams_demo_spark.functions.codecs import jpeg_encode
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 * (1 + d % 3)
+                h = 8 * (1 + d % 2)
+                ri = 1 + d % 4
+                base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) + d) % 256
+                kind = d % 3
+                if kind == 0:
+                    payloads.append(jpeg_encode(
+                        base.astype(np.uint8), quality=90, restart_interval=ri
+                    ))
+                else:
+                    px = np.stack(
+                        [base, (base * 2) % 256, (255 - base) % 256], axis=-1
+                    ).astype(np.uint8)
+                    payloads.append(jpeg_encode(
+                        px, quality=90,
+                        subsampling="444" if kind == 1 else "420",
+                        restart_interval=ri,
+                    ))
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "modality": ["image_jpeg"] * len(pdf),
+                "byte_len": [len(p) for p in payloads],
+                "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return ids.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, modality string, byte_len long, checksum string",
+    )
+
+
 def jpeg_decode_check(multimodal: DataFrame) -> DataFrame:
     """Metadata + FULL entropy decode per row: (doc_id, width, height,
     n_components, subsampling, decode_ok) where decode_ok verifies the
