@@ -4239,6 +4239,37 @@ def dedup_clusters_q(spark, sf_dir):
     return dedup_clusters(docs, pairs)
 
 
+@register("dedup_clusters_incremental", ORACLES["dedup_clusters"])
+def dedup_clusters_incremental_q(spark, sf_dir):
+    """Index+delta cluster maintenance (round 7 —
+    functions/dedup.py:dedup_clusters_incremental): even doc_ids play
+    the indexed corpus with their persisted (doc_id, cluster_id)
+    assignment; odd ids are the ingest batch, whose pairs (everything
+    touching an odd doc) map onto cluster representatives and re-run CC
+    over the delta-sized rep graph only. Exercises cross-batch cluster
+    MERGES (an odd doc bridging two even clusters) and root takeover
+    (an odd id undercutting an even cluster's minimum). Registered
+    against the SAME recursive-CTE oracle as dedup_clusters, so the
+    hash gate proves batch ≡ incremental bit-for-bit."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_doc_freq=None
+    ).select("i", "j")
+    even = (F.col("i") % 2 == 0) & (F.col("j") % 2 == 0)
+    assignments = dedup_clusters(
+        docs.filter(F.col("doc_id") % 2 == 0), pairs.filter(even)
+    ).select("doc_id", "cluster_id")
+    return dedup_clusters_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), assignments, pairs.filter(~even)
+    )
+
+
 @register(
     "sample_per_source",
     "WITH ranked AS (SELECT doc_id, source, "

@@ -1034,6 +1034,75 @@ def dedup_clusters(
     )
 
 
+def dedup_clusters_incremental(
+    new_docs: DataFrame,
+    assignments: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+    broadcast_delta: bool = False,
+) -> DataFrame:
+    """Index+delta CLUSTER maintenance — the incremental tier for
+    ``dedup_clusters``, completing the set (exact / minhash / jaccard /
+    embedding pairs all have delta paths; this delta-prices the final
+    clustering stage). ``assignments`` is the persisted (doc_id,
+    cluster_id) table from the last run — a fixpoint, so each old
+    cluster is fully described by its representative. New pairs map
+    their endpoints onto representatives (a delta-sized probe of the
+    assignment index), connected components runs over the REP-LEVEL
+    edge graph (delta-sized — never the original pair set), and the
+    resulting (rep → new root) map rewrites exactly the touched
+    clusters: old rows join the tiny root map (broadcast under
+    ``broadcast_delta=True``, else AQE decides — same discipline as
+    ``minhash_lsh_pairs_incremental``), so the TB-scale assignment
+    table is one map-side pass and unclustered rows are untouched.
+
+    Correctness: cluster ids are component minima, every old member ≥
+    its cluster_id, so min-label CC over {reps} ∪ {new ids} yields the
+    true merged minimum — even when a NEW doc's id undercuts an old
+    cluster's minimum, or one new doc bridges two old clusters.
+    Registered against the SAME oracle as ``dedup_clusters``, so the
+    driver hash gate proves batch ≡ incremental bit-for-bit. Output:
+    (doc_id, cluster_id, is_canonical) over indexed ∪ new corpus."""
+    hint = F.broadcast if broadcast_delta else (lambda d: d)
+    asg_i = assignments.select(
+        F.col(id_col).alias("_ni"), F.col("cluster_id").alias("_ci")
+    )
+    asg_j = assignments.select(
+        F.col(id_col).alias("_nj"), F.col("cluster_id").alias("_cj")
+    )
+    p = new_pairs.select("i", "j")
+    rep_edges = (
+        hint(p)
+        .join(asg_i, p["i"] == F.col("_ni"), "left")
+        .join(asg_j, p["j"] == F.col("_nj"), "left")
+        .select(
+            F.coalesce("_ci", "i").alias("ri"),
+            F.coalesce("_cj", "j").alias("rj"),
+        )
+        .filter(F.col("ri") != F.col("rj"))
+    )
+    cc = connected_components(rep_edges, src="ri", dst="rj", max_iter=max_iter)
+    root = cc.select(F.col("node").alias("_r"), F.col("cluster_id").alias("_root"))
+    old_updated = assignments.join(
+        hint(root), assignments["cluster_id"] == F.col("_r"), "left"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce("_root", "cluster_id").alias("cluster_id"),
+    )
+    nd = new_docs.select(F.col(id_col).alias("doc_id"))
+    new_rows = nd.join(hint(root), nd["doc_id"] == F.col("_r"), "left").select(
+        "doc_id", F.coalesce("_root", "doc_id").alias("cluster_id")
+    )
+    return old_updated.unionByName(new_rows).select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("cluster_id") == F.col("doc_id"), 1).otherwise(0).alias(
+            "is_canonical"
+        ),
+    )
+
+
 def exact_dedup_incremental(
     new_docs: DataFrame,
     seen_hashes: DataFrame,

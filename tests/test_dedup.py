@@ -876,3 +876,51 @@ def test_ngram_span_dedup_hashed_matches_and_handles_wide_n(spark):
     assert got[2]["n_removed"] == 50
     assert got[2]["new_text"] == "lead tail"
     assert got[3]["n_removed"] == 0
+
+
+def test_dedup_clusters_incremental_merges_and_root_takeover(spark):
+    """Delta cluster maintenance: a new doc can BRIDGE two indexed
+    clusters (all their members re-root), a new id below the old
+    minimum takes the root over, untouched clusters keep their rows
+    bit-identical, and pair-free new docs enter as singletons."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+    )
+
+    # indexed corpus: clusters {2,4}, {6,8}, {10} (singleton)
+    old_docs = spark.createDataFrame(
+        [(i,) for i in (2, 4, 6, 8, 10)], "doc_id long"
+    )
+    old_pairs = spark.createDataFrame([(2, 4), (6, 8)], "i long, j long")
+    assignments = dedup_clusters(old_docs, old_pairs).select("doc_id", "cluster_id")
+
+    # delta: 5 bridges both clusters; 1 takes over {2,4}'s root via 3;
+    # 11 is pair-free
+    new_docs = spark.createDataFrame([(1,), (3,), (5,), (11,)], "doc_id long")
+    new_pairs = spark.createDataFrame(
+        [(4, 5), (5, 6), (1, 3), (3, 2)], "i long, j long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters_incremental(
+            new_docs, assignments, new_pairs
+        ).collect()
+    }
+    # {2,4} ∪ {6,8} ∪ {5} ∪ {1,3} all collapse to root 1
+    for d in (1, 2, 3, 4, 5, 6, 8):
+        assert got[d] == (1, 1 if d == 1 else 0), (d, got[d])
+    assert got[10] == (10, 1)   # untouched singleton
+    assert got[11] == (11, 1)   # pair-free new doc
+    assert len(got) == 9
+
+    # batch equivalence on the union
+    all_docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 6, 8, 10, 11)], "doc_id long"
+    )
+    all_pairs = old_pairs.unionByName(new_pairs)
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(all_docs, all_pairs).collect()
+    }
+    assert got == want
