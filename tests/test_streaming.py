@@ -1040,3 +1040,69 @@ def test_clean_then_ingest_stream_pipeline(spark, tmp_path):
     texts = {r["doc_id"]: r["text"]
              for r in read_committed(spark, dirs["corpus"]).collect()}
     assert texts[1] == line("a") and "junk" not in " ".join(texts.values())
+
+
+def test_ivf_delta_ingest_stream_index_grows_once(spark, tmp_path):
+    """The dense-index ingest loop (round 7, completing the persisted-IVF
+    tier): an availableNow vector stream delta-assigns each micro-batch
+    against the STORED centroid table (no retraining) and appends the
+    (n_id, cell) rows through the idempotent sink; the committed
+    directories ARE the growing cell index. Rerun on the same
+    checkpoint adds nothing, and the final index equals what a full
+    batch rebuild with the same centroids would assign."""
+    import os
+
+    from kafka_streams_demo_spark.functions.similarity import (
+        ivf_assign,
+        ivf_assign_delta,
+        ivf_centroids,
+    )
+    from kafka_streams_demo_spark.sources.registry import load_table
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cents = ivf_centroids(emb).persist()
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    idx_dir = str(tmp_path / "cells")
+    os.makedirs(idx_dir)
+    sink = idempotent_parquet_sink(idx_dir)
+
+    def ingest(batch, batch_id):
+        sink(ivf_assign_delta(batch, cents).select("n_id", "cell"), batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = emb.filter(F.col("vec_id") < 30).select("vec_id", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    assert read_committed(spark, idx_dir).count() == 30
+    run()  # no new files → no growth
+    assert read_committed(spark, idx_dir).count() == 30
+    emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 80)).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    got = {(r["n_id"], r["cell"])
+           for r in read_committed(spark, idx_dir).collect()}
+    assert len(got) == 80
+    want = {
+        (r["vid"], r["cell"])
+        for r in ivf_assign(
+            emb.filter(F.col("vec_id") < 80), cents, n=1
+        ).collect()
+    }
+    assert got == want
+    cents.unpersist()
