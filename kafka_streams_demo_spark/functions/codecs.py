@@ -898,9 +898,12 @@ def _make_jpeg_codec():
         def bits(self, v, n):
             pass
 
+        def restart(self):
+            pass
+
     class _SymWriter:
-        def __init__(self, writer, codes):
-            self.w, self.codes = writer, codes
+        def __init__(self, writer, codes, on_restart=None):
+            self.w, self.codes, self.on_restart = writer, codes, on_restart
 
         def sym(self, s):
             code, ln = self.codes[s]
@@ -910,9 +913,16 @@ def _make_jpeg_codec():
             if n:
                 self.w.write(v, n)
 
-    def _ac_first_scan(blocks, ss, se, al, sink):
+        def restart(self):
+            # flush to a byte boundary, emit RSTn, continue in a fresh
+            # writer — the callback owns marker numbering + chunk list
+            self.w = self.on_restart(self.w)
+
+    def _ac_first_scan(blocks, ss, se, al, sink, ri=0):
         """G.1.2.2: spectral-selection first scan over one component's
-        blocks — run/size coding with EOBn run accumulation."""
+        blocks — run/size coding with EOBn run accumulation. ``ri``:
+        restart interval in blocks (non-interleaved MCU = 1 block) —
+        EOB runs cannot span a restart, so they flush at the marker."""
         eobrun = 0
 
         def flush_eob():
@@ -923,7 +933,7 @@ def _make_jpeg_codec():
                 sink.bits(eobrun - (1 << n), n)
                 eobrun = 0
 
-        for zz in blocks:
+        for bi, zz in enumerate(blocks):
             r = 0
             emitted = False
             for k in range(ss, se + 1):
@@ -945,9 +955,12 @@ def _make_jpeg_codec():
                 eobrun += 1
                 if eobrun == 0x7FFF:
                     flush_eob()
+            if ri and (bi + 1) % ri == 0 and bi + 1 < len(blocks):
+                flush_eob()
+                sink.restart()
         flush_eob()
 
-    def _ac_refine_scan(blocks, ss, se, al, sink):
+    def _ac_refine_scan(blocks, ss, se, al, sink, ri=0):
         """G.1.2.3: successive-approximation refinement scan (Ah=Al+1):
         newly significant coefficients code as (run,1)+sign, history
         coefficients contribute appended correction bits, whole-block
@@ -969,7 +982,7 @@ def _make_jpeg_codec():
                     sink.bits(b, 1)
                 eobrun, ebits = 0, []
 
-        for zz in blocks:
+        for bi, zz in enumerate(blocks):
             temps = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
             # last newly-significant position: ZRLs beyond it fold into
             # the EOB run instead (the `k <= EOB` condition of G.1.2.3)
@@ -1010,10 +1023,14 @@ def _make_jpeg_codec():
                 ebits.extend(br)
                 if eobrun == 0x7FFF:
                     flush_eob()
+            if ri and (bi + 1) % ri == 0 and bi + 1 < len(blocks):
+                flush_eob()
+                sink.restart()
         flush_eob()
 
     def jpeg_encode_progressive(
-        pixels, quality: int = 90, subsampling: str = "444"
+        pixels, quality: int = 90, subsampling: str = "444",
+        restart_interval: int = 0,
     ) -> bytes:
         """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB → progressive
         (SOF2) JFIF bytes — T.81 Annex G spectral selection + successive
@@ -1025,7 +1042,10 @@ def _make_jpeg_codec():
         baseline-decode(baseline-encode(px)) exactly — pinned in tests.
         DC scans use the Annex K tables; every AC scan carries its own
         optimized Huffman table (`_opt_huffman`) because progressive
-        EOBn symbols don't exist in the fixed baseline tables."""
+        EOBn symbols don't exist in the fixed baseline tables.
+        ``restart_interval`` (round 7): RSTn every that many MCUs in DC
+        scans / blocks in the non-interleaved AC scans, with EOB runs
+        flushed at each marker per G.1.2.2."""
         import numpy as np
 
         if subsampling not in ("444", "420"):
@@ -1073,6 +1093,8 @@ def _make_jpeg_codec():
         if not gray:
             dht += bytes([0x01]) + bytes(DC_C_BITS) + bytes(DC_C_VALS)
         out += _seg(0xC4, dht)
+        if restart_interval:
+            out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
 
         def sos_header(comps, ss, se, ah, al):
             p = bytes([len(comps)])
@@ -1082,7 +1104,9 @@ def _make_jpeg_codec():
 
         def dc_scan(al, refine):
             w = _BitWriter()
+            chunks: list = []
             prev = [0] * ncomp
+            done, mk = 0, 0
             for my in range(mcuy):
                 for mx in range(mcux):
                     for ci in range(ncomp):
@@ -1101,7 +1125,16 @@ def _make_jpeg_codec():
                                 w.write(code, ln)
                                 if s:
                                     w.write(_magnitude_bits(diff, s), s)
-            return w.flush()
+                    done += 1
+                    if (restart_interval
+                            and done % restart_interval == 0
+                            and done < mcuy * mcux):
+                        chunks.append(w.flush())
+                        chunks.append(bytes([0xFF, 0xD0 + mk % 8]))
+                        mk += 1
+                        w = _BitWriter()
+                        prev = [0] * ncomp
+            return b"".join(chunks) + w.flush()
 
         # scan 1+2: DC first (Al=1) + refinement, all components interleaved
         comps_hdr = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
@@ -1114,14 +1147,25 @@ def _make_jpeg_codec():
                       for by in range(nby) for bx in range(nbx)]
             walk = _ac_refine_scan if ah else _ac_first_scan
             counter = _SymCounter()
-            walk(blocks, ss, se, al, counter)
+            walk(blocks, ss, se, al, counter, restart_interval)
             bits, vals = _opt_huffman(counter.freq)
             tid = 0 if ci == 0 else 1
             seg = _seg(0xC4, bytes([0x10 | tid]) + bytes(bits) + bytes(vals))
-            w = _BitWriter()
-            walk(blocks, ss, se, al, _SymWriter(w, _canonical_codes(bits, vals)))
+            chunks: list = []
+            mk = [0]
+
+            def on_restart(wr):
+                chunks.append(wr.flush())
+                chunks.append(bytes([0xFF, 0xD0 + mk[0] % 8]))
+                mk[0] += 1
+                return _BitWriter()
+
+            sw = _SymWriter(
+                _BitWriter(), _canonical_codes(bits, vals), on_restart
+            )
+            walk(blocks, ss, se, al, sw, restart_interval)
             return (seg + sos_header([(ci + 1, 0, tid)], ss, se, ah, al)
-                    + w.flush())
+                    + b"".join(chunks) + sw.w.flush())
 
         for ci in range(ncomp):
             out += ac_scan(ci, 1, 5, 0, 1)
@@ -1345,10 +1389,7 @@ def _make_jpeg_codec():
         import numpy as np
 
         meta, scans = _parse_segments(data, all_scans=True)
-        if meta.get("dri"):
-            raise ValueError(
-                "restart intervals in progressive streams unsupported"
-            )
+        dri = meta.get("dri", 0)
         sof = meta["sof"]
         h, wd = sof["height"], sof["width"]
         comps = sof["components"]
@@ -1383,35 +1424,44 @@ def _make_jpeg_codec():
                 # DC scan: interleaved over the listed components (the
                 # single-component case degenerates to its own grid)
                 prev = {cid: 0 for cid, _, _ in scomps}
+                mcus = []  # list of MCUs, each a list of (cid, td, by, bx)
                 if len(scomps) > 1:
-                    order = []
                     for my in range(mcuy):
                         for mx in range(mcux):
+                            mcu = []
                             for cid, td, _ in scomps:
                                 ci = cid_to_ci[cid]
                                 hi, vi = sampling[ci]
                                 for v in range(vi):
                                     for hh in range(hi):
-                                        order.append(
+                                        mcu.append(
                                             (cid, td, my * vi + v, mx * hi + hh)
                                         )
+                            mcus.append(mcu)
                 else:
                     cid, td, _ = scomps[0]
                     nby, nbx = comp_grid(cid_to_ci[cid])
-                    order = [(cid, td, by, bx)
-                             for by in range(nby) for bx in range(nbx)]
-                for cid, td, by, bx in order:
-                    ci = cid_to_ci[cid]
-                    if ah == 0:
-                        dct = dec.get((0, td))
-                        if dct is None:
-                            raise ValueError("missing DC Huffman table for scan")
-                        s = _read_symbol(r, dct)
-                        prev[cid] += _extend(r.read(s), s)
-                        coef[ci][by, bx, 0] = prev[cid] << al
-                    else:
-                        if r.read_bit():
-                            coef[ci][by, bx, 0] |= 1 << al
+                    mcus = [[(cid, td, by, bx)]
+                            for by in range(nby) for bx in range(nbx)]
+                for mi, mcu in enumerate(mcus):
+                    for cid, td, by, bx in mcu:
+                        ci = cid_to_ci[cid]
+                        if ah == 0:
+                            dct = dec.get((0, td))
+                            if dct is None:
+                                raise ValueError(
+                                    "missing DC Huffman table for scan"
+                                )
+                            s = _read_symbol(r, dct)
+                            prev[cid] += _extend(r.read(s), s)
+                            coef[ci][by, bx, 0] = prev[cid] << al
+                        else:
+                            if r.read_bit():
+                                coef[ci][by, bx, 0] |= 1 << al
+                    if (dri and (mi + 1) % dri == 0
+                            and mi + 1 < len(mcus)):
+                        _restart_sync(r)
+                        prev = {cid: 0 for cid, _, _ in scomps}
                 continue
             # AC scan: exactly one component, non-interleaved
             if len(scomps) != 1:
@@ -1424,9 +1474,15 @@ def _make_jpeg_codec():
             nby, nbx = comp_grid(ci)
             eobrun = 0
             p1 = 1 << al
+            bdone = 0
             for by in range(nby):
                 for bx in range(nbx):
                     blk = coef[ci][by, bx]
+                    if (dri and bdone and bdone % dri == 0
+                            and bdone < nby * nbx):
+                        _restart_sync(r)
+                        eobrun = 0
+                    bdone += 1
                     if ah == 0:
                         if eobrun:
                             eobrun -= 1

@@ -445,3 +445,46 @@ def test_sliding_full_window_set_matches_bruteforce_model(spark, rows, bucketed)
             if n > 0:
                 model[(k, e - size, e)] = n
     assert got == model
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    h=st.integers(4, 40), w=st.integers(4, 40),
+    color=st.booleans(),
+    sub420=st.booleans(),
+    quality=st.sampled_from([35, 70, 90]),
+    ri=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_and_restart_match_plain_baseline(
+    h, w, color, sub420, quality, ri, seed
+):
+    """Randomized codec invariant: for ANY image, (a) the progressive
+    (SOF2, Annex G) stream decodes bit-identically to the baseline
+    stream — scans only reorder coefficient bits — and (b) a baseline
+    stream with restart markers decodes bit-identically to one without
+    — RSTn only byte-aligns and resets predictors."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, 3) if color else (h, w)).astype(np.uint8)
+    kw = {"subsampling": "420" if (color and sub420) else "444"} if color else {}
+    plain = jpeg_decode(jpeg_encode(px, quality=quality, **kw))
+    prog = jpeg_decode(jpeg_encode_progressive(px, quality=quality, **kw))
+    assert np.array_equal(plain, prog)
+    if ri:
+        rst = jpeg_decode(
+            jpeg_encode(px, quality=quality, restart_interval=ri, **kw)
+        )
+        assert np.array_equal(plain, rst)
+        prog_rst = jpeg_decode(jpeg_encode_progressive(
+            px, quality=quality, restart_interval=ri, **kw
+        ))
+        assert np.array_equal(plain, prog_rst)
