@@ -3641,18 +3641,10 @@ FROM gate JOIN canon ON gate.doc_id = canon.keep_id
 """
 
 
-@register("pipeline_clean_corpus", _CLEAN_CORPUS_ORACLE)
-def pipeline_clean_corpus_q(spark, sf_dir):
-    """The canonical corpus-cleaning STACK as one lazy plan (the
-    composition story for the cleaning family, as pipeline_keeplist is
-    for dedup): C4 line rules (Raffel et al.) → Gopher-style quality
-    gate (Rae et al.; thresholds tuned to the post-cleaning fixture
-    shape and documented inline) → exact dedup election on the CLEANED
-    text (min doc per md5) — output the surviving (doc_id, n_kept,
-    new_text) corpus. Every stage is an existing catalog op; chaining
-    them stays one Catalyst plan: two row-local map stages + one
-    dedup groupBy + the election semi-join — no materialization
-    between stages at any scale."""
+def _cleaned_corpus(spark, sf_dir):
+    """Shared front half of the cleaning compositions: C4 line rules →
+    Gopher quality gate → exact dedup election on the CLEANED text →
+    surviving (doc_id, n_kept, new_text)."""
     from kafka_streams_demo_spark.functions.text import c4_line_clean, gopher_quality
 
     docs = load_table(spark, "documents", sf_dir).select(
@@ -3681,6 +3673,140 @@ def pipeline_clean_corpus_q(spark, sf_dir):
     return gate.join(
         canon, gate["doc_id"] == canon["keep_id"], "left_semi"
     ).select("doc_id", F.col("n_kept").cast("long").alias("n_kept"), "new_text")
+
+
+@register("pipeline_clean_corpus", _CLEAN_CORPUS_ORACLE)
+def pipeline_clean_corpus_q(spark, sf_dir):
+    """The canonical corpus-cleaning STACK as one lazy plan (the
+    composition story for the cleaning family, as pipeline_keeplist is
+    for dedup): C4 line rules (Raffel et al.) → Gopher-style quality
+    gate (Rae et al.; thresholds tuned to the post-cleaning fixture
+    shape and documented inline) → exact dedup election on the CLEANED
+    text (min doc per md5) — output the surviving (doc_id, n_kept,
+    new_text) corpus. Every stage is an existing catalog op; chaining
+    them stays one Catalyst plan: two row-local map stages + one
+    dedup groupBy + the election semi-join — no materialization
+    between stages at any scale."""
+    return _cleaned_corpus(spark, sf_dir)
+
+
+_TRAINING_DATA_ORACLE = r"""
+WITH RECURSIVE structured AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (table|value) ', '.' || chr(10), 'g') AS t
+  FROM documents),
+cbase AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+                 NOT (contains(lower(t), '{') OR contains(lower(t), 'lorem ipsum'))
+                   AS page_ok
+          FROM structured),
+c4 AS (SELECT doc_id, page_ok,
+  list_filter(lines, l -> regexp_matches(l, '[.!?"]\s*$')
+    AND len(list_filter(string_split(trim(l), ' '), x -> x <> '')) >= 3
+    AND NOT contains(lower(l), 'javascript')) AS kept
+ FROM cbase),
+cleaned AS (SELECT doc_id,
+  CASE WHEN page_ok THEN COALESCE(array_to_string(kept, chr(10)), '')
+       ELSE '' END AS new_text,
+  CASE WHEN page_ok THEN len(kept) ELSE 0 END AS n_kept
+ FROM c4),
+gw AS (SELECT doc_id, new_text, n_kept,
+  list_filter(string_split(replace(new_text, chr(10), ' '), ' '), x -> x <> '') AS w
+ FROM cleaned),
+g AS (SELECT doc_id, new_text, n_kept,
+  len(w) AS n_words,
+  CASE WHEN len(w) = 0 THEN 0
+       ELSE CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+       END AS mwl,
+  len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+      ['the','be','to','of','and','that','have','with'])) AS n_stop
+ FROM gw),
+gate AS (SELECT doc_id, new_text, n_kept FROM g
+         WHERE n_kept >= 1 AND n_words BETWEEN 10 AND 100000
+           AND ROUND(mwl, 6) BETWEEN 2.0 AND 10.0 AND n_stop >= 1),
+canon AS (SELECT md5(new_text) AS h, min(doc_id) AS keep_id FROM gate GROUP BY 1),
+survivors AS (
+  SELECT gate.doc_id, gate.new_text FROM gate
+  JOIN canon ON gate.doc_id = canon.keep_id),
+d AS (
+  SELECT doc_id,
+         CAST(len(string_split(new_text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM survivors),
+r AS (
+  SELECT doc_id, n_tokens, rn, n_tokens AS fill, 0 AS bin FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN r.fill + d.n_tokens <= 256 THEN r.fill + d.n_tokens ELSE d.n_tokens END,
+         CASE WHEN r.fill + d.n_tokens <= 256 THEN r.bin ELSE r.bin + 1 END
+  FROM d JOIN r ON d.rn = r.rn + 1),
+bins AS (
+  SELECT CAST(bin AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM r GROUP BY 1),
+h AS (
+  SELECT bin_id, n_docs, n_tokens,
+         ('0x' || substr(md5('42:' || CAST(bin_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM bins)
+SELECT bin_id, n_docs, n_tokens, CAST(hv % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, bin_id)
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
+@register("pipeline_training_data", _TRAINING_DATA_ORACLE)
+def pipeline_training_data_q(spark, sf_dir):
+    """The END-TO-END training-data pipeline as one composition (round
+    7): raw docs → C4 line cleaning → Gopher quality gate → exact dedup
+    election on cleaned text → greedy 256-token sequence packing of the
+    survivors → deterministic shuffle of the packed SEQUENCES into 8
+    training shards. Output: one row per packed sequence (bin_id,
+    n_docs, n_tokens, shard, pos) — exactly what a trainer reads (shard
+    s in pos order). WITH RECURSIVE in the oracle replays the greedy
+    fold; the shard/pos hash is the shuffle_shards 60-bit md5 recipe on
+    bin_id. Every stage is an existing oracle-gated op; the chain is
+    lazy end-to-end — cleaning is a narrow map, the election one
+    groupBy, packing applyInPandas per (group, shard), the final
+    shuffle one exchange of BIN-sized rows (thousands per TB, not
+    docs). At sf the corpus fits one pack shard so bin ids are
+    contiguous and the recursive oracle replays them exactly; at 100 TB
+    range-sharded packing emits shard*2^32+local ids — same math, same
+    determinism (pack_sequences docstring)."""
+    from pyspark.sql import Window
+
+    from kafka_streams_demo_spark.functions.packing import pack_sequences
+
+    survivors = _cleaned_corpus(spark, sf_dir).select("doc_id", "new_text")
+    packed = pack_sequences(
+        survivors.withColumn("grp", F.lit("corpus")),
+        capacity=256, group_col="grp", text_col="new_text",
+    )
+    bins = packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    # inline shuffle_shards' md5 recipe so the tiny bin relation is
+    # hashed in the same plan (a join back through shuffle_shards()
+    # would recompute the packing subtree)
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit("42"), F.col("bin_id").cast("string"))
+                .cast("binary")
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    based = bins.withColumn("_h", hv).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(8)).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", "bin_id")
+    return based.select(
+        "bin_id", "n_docs", "n_tokens", "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
 
 
 _GOPHER_ORACLE = r"""
