@@ -5509,7 +5509,27 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # contamination_overlap_pairs→winnow_fingerprints (fingerprint/
 # decontamination family; r6 green on record),
 # top3_orders_per_cust_salted + median_value_per_type→
-# salted_count_skew (skew family).
+# salted_count_skew (skew family). Late-round-7 swaps for the four
+# newest entries (each individually hash-verified at sf0.01 before the
+# swap): paragraph_dedup_rebuild (r6 green; dedup family stays 6-deep
+# in-window)→dedup_clusters_incremental (same-oracle as dedup_clusters
+# — a driver green proves batch ≡ incremental externally);
+# pipeline_clean_corpus (locally green; its whole stack is the front
+# half of the successor)→pipeline_training_data (strict superset:
+# clean → pack → shard with the full recursive oracle);
+# ppm_frames_meta (r4-green family sibling wav_decode_meta on record,
+# gif_frames_meta stays in-window)→jpeg_decode_restart (the DRI/RSTn
+# resync path under the hash gate).
+#
+# Round-8 rotation candidates (all locally hash-green, awaiting a
+# driver slot): pipeline_clean_corpus, ppm_frames_meta,
+# paragraph_dedup_rebuild rotate back as slots free; never-driver-
+# checked oracled entries: sample_per_source, ngram_jaccard_pairs,
+# dedup_exact_incremental's r6-green siblings (q4/q7/q8/q10-q22 TPC-H
+# rotate back), simhash-family and token-analysis entries
+# (token_counts, repetition_ratio, pii_redact, tfidf variants), plus
+# whatever round 8 adds. Keep the standing rule: no family loses its
+# last green representative; document every swap here.
 DRIVER_PRIORITY: list[str] = [
     # core DSL / streaming keepers (driver-green r6, families anchored)
     "branch_c", "word_count", "aggregate_sum_cents",
@@ -5523,12 +5543,12 @@ DRIVER_PRIORITY: list[str] = [
     "q3_shipping_priority", "q5_regional_revenue",
     # dedup / ingest keepers + incoming incremental families
     "dedup_clusters", "pipeline_ingest_incremental",
-    "paragraph_dedup_rebuild",
+    "dedup_clusters_incremental",
     "ngram_jaccard_incremental", "dedup_embedding_cosine_incremental",
     "ngram_span_dedup", "ngram_span_dedup_hashed",
-    # cleaning bundles (incoming)
+    # cleaning bundles (incoming) + the composed trainer-shard pipeline
     "gopher_quality_filter", "gopher_repetition_filter",
-    "c4_line_clean", "pipeline_clean_corpus",
+    "c4_line_clean", "pipeline_training_data",
     # retrieval / ANN: keepers + the persisted-IVF pair
     "bm25_search_multi", "hybrid_rrf_fusion",
     "ann_ivf_topk", "ann_ivf_index_topk", "ann_ivf_assign_incremental",
@@ -5542,7 +5562,7 @@ DRIVER_PRIORITY: list[str] = [
     "salted_count_skew", "hopping_window_sum_cents",
     # codecs
     "jpeg_decode_subsampled", "jpeg_meta_progressive",
-    "gif_frames_meta", "ppm_frames_meta",
+    "jpeg_decode_restart", "gif_frames_meta",
 ]
 
 
