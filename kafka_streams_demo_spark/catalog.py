@@ -1940,6 +1940,38 @@ def jpeg_decode_subsampled_q(spark, sf_dir):
 
 
 @register(
+    "jpeg_decode_all_layouts",
+    "SELECT doc_id AS key, "
+    "CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width, "
+    "CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height, "
+    "CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_components, "
+    "CASE doc_id % 5 WHEN 0 THEN 'gray' WHEN 1 THEN '4:4:4' "
+    "WHEN 2 THEN '4:2:0' WHEN 3 THEN '4:2:2' ELSE '4:4:0' END AS subsampling, "
+    "CAST(TRUE AS BOOLEAN) AS decode_ok "
+    "FROM documents",
+)
+def jpeg_decode_all_layouts_q(spark, sf_dir):
+    """The complete baseline layout set under the hash gate (round 7 —
+    the encoder now emits 4:2:2 and 4:4:0 too): doc_id%5 selects
+    gray / 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0, every row full-entropy-
+    decodes to the header-declared shape via the generic T.81 A.2.3
+    interleaved-MCU walk. Supersedes jpeg_decode_subsampled's 3-way
+    coverage; the 4:2:2 grammar stays independently pinned against the
+    hand-assembled spec-codeword stream in tests/test_multimodal.py."""
+    from kafka_streams_demo_spark.functions.multimodal import (
+        attach_synthetic_jpeg_all_layouts,
+        jpeg_decode_check,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = jpeg_decode_check(attach_synthetic_jpeg_all_layouts(docs))
+    return out.select(
+        F.col("doc_id").alias("key"), "width", "height",
+        "n_components", "subsampling", "decode_ok",
+    )
+
+
+@register(
     "jpeg_decode_restart",
     "SELECT doc_id AS key, "
     "CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width, "

@@ -640,13 +640,16 @@ def _make_jpeg_codec():
             w.write(code, ln)
         return zz[0]
 
-    def _pad_blocks(plane, mult: int = 8):
-        """Edge-replicate to multiples of ``mult`` (8 for one block; 16 for
-        a 2×2-sampled MCU) and report the 8×8 block grid."""
+    def _pad_blocks(plane, mult: int = 8, mult_x: int | None = None):
+        """Edge-replicate to multiples of ``mult`` vertically and
+        ``mult_x`` (default ``mult``) horizontally — 8 for one block, 16
+        along a 2-sampled axis — and report the 8×8 block grid."""
         import numpy as np
 
+        if mult_x is None:
+            mult_x = mult
         h, wd = plane.shape
-        ph, pw = -(-h // mult) * mult, -(-wd // mult) * mult
+        ph, pw = -(-h // mult) * mult, -(-wd // mult_x) * mult_x
         padded = np.empty((ph, pw), dtype=np.float64)
         padded[:h, :wd] = plane
         padded[h:, :wd] = plane[h - 1:h, :]
@@ -657,22 +660,27 @@ def _make_jpeg_codec():
     def _seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
+    SUB_FACTORS = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+
     def jpeg_encode(pixels, quality: int = 90, subsampling: str = "444",
                     restart_interval: int = 0) -> bytes:
         """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB → baseline JFIF
-        bytes. ``subsampling``: '444' (one block per component per MCU) or
-        '420' (color only: luma sampled 2×2 per 16×16 MCU, chroma 2×2
-        box-averaged to one block each — the dominant real-world JPEG
-        layout, T.81 A.2.3 interleaved MCU order). ``restart_interval``
+        bytes. ``subsampling`` (color only): '444' (one block per
+        component per MCU), '420' (2×2 luma per 16×16 MCU, the dominant
+        real-world layout), '422' (2×1 luma per 16×8 MCU — the other
+        common camera layout, round 7) or '440' (1×2 per 8×16) — chroma
+        box-averaged along the sampled axes, T.81 A.2.3 interleaved MCU
+        order. ``restart_interval``
         (round 7): emit a DRI segment and an RSTn marker every that many
         MCUs — byte-aligned entropy flush + DC-predictor reset, the
         error-resilience feature camera JPEGs carry; decoded output is
         bit-identical to the restart-free stream."""
         import numpy as np
 
-        if subsampling not in ("444", "420"):
+        if subsampling not in SUB_FACTORS:
             raise ValueError(
-                f"subsampling must be '444' or '420', got {subsampling!r}"
+                f"subsampling must be one of {sorted(SUB_FACTORS)}, "
+                f"got {subsampling!r}"
             )
         px = np.asarray(pixels)
         if px.dtype != np.uint8:
@@ -682,7 +690,8 @@ def _make_jpeg_codec():
             raise ValueError(f"expected (h,w) or (h,w,3), got {px.shape}")
         h, wd = px.shape[:2]
         qt_l, qt_c = _quality_tables(quality)
-        sub420 = subsampling == "420" and not gray
+        lhi, lvi = (1, 1) if gray else SUB_FACTORS[subsampling]
+        sub420 = (lhi, lvi) != (1, 1)
 
         if gray:
             planes = [px.astype(np.float64)]
@@ -731,20 +740,22 @@ def _make_jpeg_codec():
             )
 
         if sub420:
-            # pad every full-res plane to 16-multiples FIRST so the 2×2
+            # pad every full-res plane to MCU multiples FIRST so the
             # chroma box average lands exactly on an 8×8 block grid
-            pads = [_pad_blocks(p, 16)[0] for p in planes]
+            my8, mx8 = 8 * lvi, 8 * lhi
+            pads = [_pad_blocks(p, my8, mx8)[0] for p in planes]
             ly = pads[0]
             ch = [
-                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+                p.reshape(p.shape[0] // lvi, lvi, p.shape[1] // lhi, lhi)
+                .mean(axis=(1, 3))
                 for p in pads[1:]
             ]
-            n_mcus = (ly.shape[0] // 16) * (ly.shape[1] // 16)
-            for my in range(ly.shape[0] // 16):
-                for mx in range(ly.shape[1] // 16):
-                    for v in range(2):          # T.81 interleaved MCU order:
-                        for hh in range(2):     # luma blocks raster-first
-                            y0, x0 = my * 16 + v * 8, mx * 16 + hh * 8
+            n_mcus = (ly.shape[0] // my8) * (ly.shape[1] // mx8)
+            for my in range(ly.shape[0] // my8):
+                for mx in range(ly.shape[1] // mx8):
+                    for v in range(lvi):        # T.81 interleaved MCU order:
+                        for hh in range(lhi):   # luma blocks raster-first
+                            y0, x0 = my * my8 + v * 8, mx * mx8 + hh * 8
                             put(ly[y0:y0 + 8, x0:x0 + 8], 0)
                     for ci, cp in enumerate(ch, start=1):
                         put(cp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], ci)
@@ -772,7 +783,7 @@ def _make_jpeg_codec():
         ncomp = 1 if gray else 3
         sof = bytes([8]) + h.to_bytes(2, "big") + wd.to_bytes(2, "big") + bytes([ncomp])
         for ci in range(ncomp):
-            hv = 0x22 if (sub420 and ci == 0) else 0x11
+            hv = ((lhi << 4) | lvi) if ci == 0 else 0x11
             sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
         out += _seg(0xC0, sof)
         dht = bytes([0x00]) + bytes(DC_L_BITS) + bytes(DC_L_VALS)
@@ -847,7 +858,8 @@ def _make_jpeg_codec():
         gray = px.ndim == 2
         h, wd = px.shape[:2]
         qt_l, qt_c = _quality_tables(quality)
-        sub420 = subsampling == "420" and not gray
+        lhi, lvi = (1, 1) if gray else SUB_FACTORS[subsampling]
+        sub420 = (lhi, lvi) != (1, 1)
         if gray:
             planes = [px.astype(np.float64)]
         else:
@@ -861,12 +873,13 @@ def _make_jpeg_codec():
             ]
         C = _dct_basis()
         if sub420:
-            pads = [_pad_blocks(p, 16)[0] for p in planes]
+            pads = [_pad_blocks(p, 8 * lvi, 8 * lhi)[0] for p in planes]
             comp_planes = [pads[0]] + [
-                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+                p.reshape(p.shape[0] // lvi, lvi, p.shape[1] // lhi, lhi)
+                .mean(axis=(1, 3))
                 for p in pads[1:]
             ]
-            sampling = [(2, 2), (1, 1), (1, 1)]
+            sampling = [(lhi, lvi), (1, 1), (1, 1)]
         else:
             comp_planes = [_pad_blocks(p)[0] for p in planes]
             sampling = [(1, 1)] * len(planes)
@@ -1048,9 +1061,10 @@ def _make_jpeg_codec():
         flushed at each marker per G.1.2.2."""
         import numpy as np
 
-        if subsampling not in ("444", "420"):
+        if subsampling not in SUB_FACTORS:
             raise ValueError(
-                f"subsampling must be '444' or '420', got {subsampling!r}"
+                f"subsampling must be one of {sorted(SUB_FACTORS)}, "
+                f"got {subsampling!r}"
             )
         px = np.asarray(pixels)
         if px.dtype != np.uint8:

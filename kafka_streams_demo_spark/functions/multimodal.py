@@ -719,6 +719,55 @@ def jpeg_meta_tolerant(multimodal: DataFrame) -> DataFrame:
     )
 
 
+def attach_synthetic_jpeg_all_layouts(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Five-way layout fixture (round 7): doc_id%5 selects gray / 4:4:4 /
+    4:2:0 / 4:2:2 / 4:4:0 — the complete baseline layout set the codec
+    now encodes, same closed-form dimension recipe as the other JPEG
+    fixtures."""
+    from kafka_streams_demo_spark.functions.codecs import jpeg_encode
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        subs = {1: "444", 2: "420", 3: "422", 4: "440"}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 * (1 + d % 3)
+                h = 8 * (1 + d % 2)
+                base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) + d) % 256
+                kind = d % 5
+                if kind == 0:
+                    payloads.append(jpeg_encode(base.astype(np.uint8), quality=90))
+                else:
+                    px = np.stack(
+                        [base, (base * 2) % 256, (255 - base) % 256], axis=-1
+                    ).astype(np.uint8)
+                    payloads.append(
+                        jpeg_encode(px, quality=90, subsampling=subs[kind])
+                    )
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "modality": ["image_jpeg"] * len(pdf),
+                "byte_len": [len(p) for p in payloads],
+                "checksum": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return ids.mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, modality string, byte_len long, checksum string",
+    )
+
+
 def attach_synthetic_jpeg_restart(
     docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

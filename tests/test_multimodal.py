@@ -745,3 +745,50 @@ def test_jpeg_restart_interval_roundtrip_and_meta(spark):
     broken = with_rst[:i] + b"\x00\x00" + with_rst[i + 2:]
     with pytest.raises(ValueError):
         jpeg_decode(broken)
+
+
+def test_jpeg_422_440_encode_all_paths(spark):
+    """Round 7 closes the encoder-side layout set: 4:2:2 (2×1 luma) and
+    4:4:0 (1×2) encode, decode back at the declared layout with smooth
+    chroma fidelity, stay exact on flat images, and hold progressive +
+    restart bit-equality like the other layouts. Gray still ignores
+    subsampling byte-for-byte; 4:1:1 stays rejected."""
+    import numpy as np
+    import pytest
+
+    from kafka_streams_demo_spark.functions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+        jpeg_meta,
+    )
+
+    yy, xx = np.mgrid[0:18, 0:22]
+    smooth = np.stack([
+        np.clip(40 + yy * 5 + xx * 2, 0, 255),
+        np.clip(200 - yy * 3 - xx * 2, 0, 255),
+        np.full((18, 22), 90),
+    ], axis=-1).astype(np.uint8)
+    flat = np.full((24, 40, 3), 200, dtype=np.uint8)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+
+    for sub, name in (("422", "4:2:2"), ("440", "4:4:0")):
+        b = jpeg_encode(smooth, quality=90, subsampling=sub)
+        assert jpeg_meta(b)["subsampling"] == name
+        dec = jpeg_decode(b)
+        assert dec.shape == smooth.shape and psnr(smooth, dec) > 30
+        assert (jpeg_decode(jpeg_encode(flat, quality=90, subsampling=sub))
+                == 200).all()
+        for ri in (0, 2):
+            p = jpeg_encode_progressive(
+                smooth, quality=90, subsampling=sub, restart_interval=ri
+            )
+            assert np.array_equal(jpeg_decode(p), dec)
+            assert jpeg_meta(p)["progressive"] is True
+    g = ((np.arange(16 * 24).reshape(16, 24)) % 256).astype(np.uint8)
+    assert jpeg_encode(g, subsampling="422") == jpeg_encode(g)
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(smooth, subsampling="411")
