@@ -2423,6 +2423,50 @@ def retention_cohorts(spark, sf_dir):
 
 
 @register(
+    "event_paths_topk",
+    "WITH o AS (SELECT user_id, event_type, "
+    "  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+    "  FROM events), "
+    "p AS (SELECT prev AS from_type, event_type AS to_type, "
+    "  CAST(count(*) AS BIGINT) AS n FROM o WHERE prev IS NOT NULL GROUP BY 1, 2) "
+    "SELECT from_type, to_type, n, "
+    "CAST(row_number() OVER (ORDER BY n DESC, from_type, to_type) AS BIGINT) AS rnk "
+    "FROM p QUALIFY rnk <= 20",
+)
+def event_paths_topk(spark, sf_dir):
+    """Behavioral path mining (round 7): the corpus-wide top-20 most
+    common consecutive event-type transitions, from each user's
+    time-ordered stream (ties on ts break on event_id, so the lag is
+    engine-deterministic). One user-keyed shuffle feeds the lag window;
+    the transition count is map-side combined over a
+    |event_types|²-sized domain; the rank window runs on that tiny
+    aggregate. The funnel/cohort entries answer 'did users convert';
+    this answers 'what do users actually do next' — the third standard
+    product-analytics shape."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rw = Window.orderBy(F.desc("n"), "from_type", "to_type")
+    return (
+        trans.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@register(
     "q6_forecast_revenue",
     "SELECT SUM(CAST(ROUND(l_extendedprice*l_discount*100, 0) AS BIGINT)) AS revenue_c "
     "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "

@@ -452,13 +452,13 @@ def test_sliding_full_window_set_matches_bruteforce_model(spark, rows, bucketed)
 @given(
     h=st.integers(4, 40), w=st.integers(4, 40),
     color=st.booleans(),
-    sub420=st.booleans(),
+    sub=st.sampled_from(["444", "420", "422", "440"]),
     quality=st.sampled_from([35, 70, 90]),
     ri=st.sampled_from([0, 1, 3]),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_jpeg_progressive_and_restart_match_plain_baseline(
-    h, w, color, sub420, quality, ri, seed
+    h, w, color, sub, quality, ri, seed
 ):
     """Randomized codec invariant: for ANY image, (a) the progressive
     (SOF2, Annex G) stream decodes bit-identically to the baseline
@@ -475,7 +475,7 @@ def test_jpeg_progressive_and_restart_match_plain_baseline(
 
     rng = np.random.RandomState(seed)
     px = rng.randint(0, 256, (h, w, 3) if color else (h, w)).astype(np.uint8)
-    kw = {"subsampling": "420" if (color and sub420) else "444"} if color else {}
+    kw = {"subsampling": sub} if color else {}
     plain = jpeg_decode(jpeg_encode(px, quality=quality, **kw))
     prog = jpeg_decode(jpeg_encode_progressive(px, quality=quality, **kw))
     assert np.array_equal(plain, prog)
