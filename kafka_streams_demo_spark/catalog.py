@@ -1795,6 +1795,36 @@ def salted_count_skew_q(spark, sf_dir):
     return salted_count(ev, "event_type").withColumnRenamed("event_type", "key")
 
 
+@register("bpe_train_merges")  # no SQL oracle: iterative (greedy merge rounds)
+def bpe_train_merges_q(spark, sf_dir):
+    """Distributed BPE vocabulary training (round 7 — functions/bpe.py,
+    Sennrich et al. 2016): 20 merge rules learned from the documents
+    corpus. Iterative (one pair-count aggregate + one bounded argmax
+    collect + one row-local merge per round over the VOCAB-sized
+    word-type table, localCheckpoint'ed), so rows-only by design;
+    correctness is pinned by the paper's worked example, a pure-Python
+    reference trainer on randomized corpora, and the train/encode
+    consistency invariant in tests/test_bpe.py."""
+    from kafka_streams_demo_spark.functions.bpe import bpe_train
+
+    return bpe_train(load_table(spark, "documents", sf_dir), num_merges=20)
+
+
+@register("bpe_token_counts")  # no SQL oracle: applies the iterative artifact
+def bpe_token_counts_q(spark, sf_dir):
+    """Corpus tokenization with the learned BPE merges: (doc_id,
+    n_tokens) per document — the vocabulary-aware sibling of
+    token_counts. The bounded merge table ships in a mapInPandas
+    closure with a per-batch word cache; encoding is embarrassingly
+    parallel. Rows-only (depends on the iterative trainer); the greedy
+    application is invariant-pinned to training in tests/test_bpe.py."""
+    from kafka_streams_demo_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_train(docs, num_merges=20)
+    return bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+
 @register("multimodal_frames")  # no SQL oracle: pandas-UDF frame-sample stub
 def multimodal_frames_q(spark, sf_dir):
     """Video frame-sampling plumbing (every-Nth-byte stub over mapInPandas):

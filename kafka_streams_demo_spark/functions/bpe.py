@@ -1,0 +1,198 @@
+"""Byte-pair-encoding tokenizer training and application — the standard
+subword vocabulary pipeline (Sennrich, Haddow & Birch 2016, "Neural
+Machine Translation of Rare Words with Subword Units") as a distributed
+DataFrame algorithm.
+
+Scale design (the textbook BPE trick, Spark-shaped):
+- the corpus collapses to the WORD-TYPE table first — (word, n) via one
+  explode + count shuffle. Every training round then runs over vocab
+  rows (≈10⁵-10⁷), never corpus rows, no matter how many TB of text fed
+  the counts.
+- each merge round is: pair-count aggregate (explode adjacent symbol
+  pairs weighted by word count — map-side combined) → ONE collected
+  argmax row (bounded driver data, the kmeans_train pattern) →
+  row-local greedy merge over each word's symbol array. The symbol
+  table is localCheckpoint'ed per round — the lineage-truncation rule
+  for iterative DataFrame algorithms (persist alone doubles the plan
+  per round).
+- encoding is embarrassingly parallel: the learned merge list (≤ a few
+  thousand rows — bounded by construction) ships in a mapInPandas
+  closure; each worker applies merges in rank order per word with a
+  per-batch word cache.
+
+Iterative, so the catalog entries are rows-only by design; correctness
+is pinned by the published worked example (the Sennrich corpus), a
+train/encode consistency invariant, detokenization round-trips, and a
+property test against a pure-Python reference trainer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def _word_types(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, n) word-type table: lowercased whitespace tokens + counts."""
+    return (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+                    lambda x: x != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _merge_pair_expr(s, left: str, right: str):
+    """Greedy left-to-right single-pass merge of adjacent (left, right)
+    symbols inside array column ``s`` — the same semantics as the
+    per-word Python kernel in ``bpe_encode`` (consistency is
+    invariant-tested). Pure HOF fold: O(len) per word, row-local."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 50,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merge rules from the corpus. Returns the
+    ordered merge table (rank, left, right, merged, n_pair) — the
+    artifact ``bpe_encode`` applies and the thing a real pipeline
+    persists next to its corpus.
+
+    Determinism: the per-round argmax breaks ties by (count DESC, left
+    ASC, right ASC), so training is reproducible across engines,
+    partitionings and runs (the same discipline as every other
+    hash-deterministic op here). Training stops early when the best
+    remaining pair occurs fewer than ``min_pair_count`` times."""
+    spark = docs.sparkSession
+    syms = _word_types(docs, text_col).select(
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit(END))
+        ).alias("s"),
+        "n",
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.size("s") - 1),
+                        F.slice(F.col("s"), 2, F.size("s") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, left, right, left + right, cnt))
+        syms = syms.select(
+            _merge_pair_expr(F.col("s"), left, right).alias("s"), "n"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, n_pair long"
+    )
+
+
+def _make_bpe_apply(merge_list: list):
+    """Factory for the worker-side encode kernel (by-value closure)."""
+
+    def apply_word(word: str, cache: dict) -> list:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + [END]
+        for left, right, merged in merge_list:
+            i, out = 0, []
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            if len(syms) == 1:
+                break
+        cache[word] = syms
+        return syms
+
+    def run(it):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in it:
+            ids, toks, counts = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                text = t if isinstance(t, str) else ""
+                words = [w for w in text.lower().split(" ") if w]
+                seq: list = []
+                for w in words:
+                    seq.extend(apply_word(w, cache))
+                ids.append(doc_id)
+                toks.append(seq)
+                counts.append(len(seq))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_tokens": counts, "tokens": toks}
+            )
+
+    return run
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame | list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table: (doc_id,
+    n_tokens, tokens). ``merges`` is the ``bpe_train`` output (or an
+    already-collected [(left, right, merged)] list). The merge table is
+    bounded by num_merges — collecting it is the broadcast-side
+    materialization pattern, never corpus data. Merges apply in rank
+    order with the SAME greedy left-to-right pass as training
+    (invariant-tested), so encoding the training corpus reproduces the
+    trained symbol table exactly. Detokenization invariant:
+    ``concat(tokens)`` with the end markers restored as spaces equals
+    the lowercased, space-normalized input."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("rank").collect()
+        merge_list = [(r["left"], r["right"], r["merged"]) for r in rows]
+    else:
+        merge_list = list(merges)
+    fn = _make_bpe_apply(merge_list)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(fn, "doc_id long, n_tokens long, tokens array<string>")
