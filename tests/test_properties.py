@@ -488,3 +488,55 @@ def test_jpeg_progressive_and_restart_match_plain_baseline(
             px, quality=quality, restart_interval=ri, **kw
         ))
         assert np.array_equal(plain, prog_rst)
+
+
+@given(
+    old_edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=0, max_size=8,
+    ),
+    new_edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=8,
+    ),
+)
+@settings(**{**SETTINGS, "max_examples": 4})
+def test_dedup_clusters_incremental_equals_batch(spark, old_edges, new_edges):
+    """For ANY random old graph + delta edges (including delta edges
+    between old nodes, bridges, and root takeovers), incremental cluster
+    maintenance over the persisted assignment equals a full batch run
+    over the union."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+    )
+
+    old_nodes = sorted({n for e in old_edges for n in e} | {0, 9})
+    new_only = sorted(
+        {n for e in new_edges for n in e if n not in old_nodes} | {15}
+    )
+    old_docs = spark.createDataFrame([(n,) for n in old_nodes], "doc_id long")
+    new_docs = spark.createDataFrame([(n,) for n in new_only], "doc_id long")
+    mk = lambda es: spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in es] or [(None, None)],
+        "i long, j long",
+    ).filter(F.col("i").isNotNull())
+    assignments = dedup_clusters(old_docs, mk(old_edges)).select(
+        "doc_id", "cluster_id"
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup_clusters_incremental(
+            new_docs, assignments, mk(new_edges)
+        ).collect()
+    )
+    all_docs = spark.createDataFrame(
+        [(n,) for n in old_nodes + new_only], "doc_id long"
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup_clusters(
+            all_docs, mk(old_edges + new_edges)
+        ).collect()
+    )
+    assert got == want
