@@ -5634,7 +5634,13 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # dedup_exact_incremental's r6-green siblings (q4/q7/q8/q10-q22 TPC-H
 # rotate back), simhash-family and token-analysis entries
 # (token_counts, repetition_ratio, pii_redact, tfidf variants), plus
-# whatever round 8 adds. Keep the standing rule: no family loses its
+# the late-round-7 additions (all locally hash-green with full oracles
+# unless noted): event_paths_topk (transition mining),
+# jpeg_decode_all_layouts (five-way layout corpus, supersedes
+# jpeg_decode_subsampled's coverage), pipeline_training_data's
+# front-half sibling pipeline_clean_corpus, and the rows-only BPE pair
+# (bpe_train_merges / bpe_token_counts — worked-example + reference-
+# trainer pinned). Keep the standing rule: no family loses its
 # last green representative; document every swap here.
 DRIVER_PRIORITY: list[str] = [
     # core DSL / streaming keepers (driver-green r6, families anchored)
