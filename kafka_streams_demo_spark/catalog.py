@@ -5410,6 +5410,104 @@ def mixture_sample_q(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@register(
+    "ccnet_perplexity",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts
+                  FROM documents),
+    tr AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+    tbig AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+             FROM tr, UNNEST(range(1, len(ts))) AS g(i) WHERE len(ts) >= 2),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM tbig GROUP BY 1, 2),
+    tuni AS (SELECT unnest(ts) AS w FROM tr),
+    cu AS (SELECT w, count(*) AS cu FROM tuni GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM tuni),
+    sbig AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+             FROM toks, UNNEST(range(1, len(ts))) AS g(i) WHERE len(ts) >= 2),
+    db AS (SELECT doc_id, w1, w2, count(*) AS c FROM sbig GROUP BY 1, 2, 3),
+    contrib AS (SELECT db.doc_id, db.c,
+        CAST(db.c AS DOUBLE) * log10(
+          CASE WHEN cb.cb IS NOT NULL
+               THEN CAST(cb.cb AS DOUBLE) / CAST(cu1.cu AS DOUBLE)
+               ELSE 0.4 * CAST(coalesce(cu2.cu, 1) AS DOUBLE) / nt.n_tok END) AS v
+      FROM db LEFT JOIN cb USING (w1, w2)
+      LEFT JOIN cu cu1 ON db.w1 = cu1.w
+      LEFT JOIN cu cu2 ON db.w2 = cu2.w
+      CROSS JOIN nt),
+    sc AS (SELECT doc_id, SUM(c) AS t,
+                  ROUND(-list_sum(list_sort(list(v))) / CAST(SUM(c) AS DOUBLE), 6) AS nll
+           FROM contrib GROUP BY 1)
+    SELECT doc_id, CAST(t AS BIGINT) AS t, nll,
+           CASE WHEN nll < 1.4722 THEN 'head'
+                WHEN nll < 1.4861 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc
+    """,
+)
+def ccnet_perplexity_q(spark, sf_dir):
+    """CCNet-style LM quality bucketing (functions/lm.py:ngram_lm_score +
+    ccnet_bucket; Wenzek et al. 2019 §4.3, Brants et al. 2007 Stupid
+    Backoff — the smoothing designed FOR distributed count aggregation):
+    a bigram LM trained on the doc_id%5≠0 reference split scores EVERY
+    doc's per-token NLL (the held-out 20% genuinely exercises the
+    backoff branch), then fixed head/middle/tail cutoffs — CCNet's
+    offline-percentile constants (p33/p67 of the sf0.01 distribution),
+    applied row-locally so the scoring pass needs NO global sort/window.
+    Scale: counts are map-side-combined aggregates; each distinct
+    scoring bigram is priced once against the vocab-bounded model table
+    (term-keyed joins, AQE-skew-safe); contributions fold in sorted
+    order per doc (the cross-engine float contract)."""
+    from kafka_streams_demo_spark.functions.lm import ccnet_bucket, ngram_lm_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = ngram_lm_score(docs, train_docs=docs.where(F.col("doc_id") % 5 != 0))
+    return ccnet_bucket(scored, cutoffs=(1.4722, 1.4861))
+
+
+@register(
+    "dsir_select",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts
+                  FROM documents),
+    uni AS (SELECT doc_id, unnest(ts) AS f FROM toks),
+    big AS (SELECT doc_id, ts[i] || '_' || ts[i+1] AS f
+            FROM toks, UNNEST(range(1, len(ts))) AS g(i) WHERE len(ts) >= 2),
+    allf AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS bucket
+             FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+    feats AS (SELECT doc_id, bucket, count(*) AS c FROM allf GROUP BY 1, 2),
+    flg AS (SELECT doc_id, source = 'src0' AS is_t FROM documents),
+    tot AS (SELECT bucket, SUM(c) AS c_raw,
+                   SUM(CASE WHEN is_t THEN c ELSE 0 END) AS c_tgt
+            FROM feats JOIN flg USING (doc_id) GROUP BY 1),
+    gr AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM tot),
+    lr AS (SELECT bucket,
+                  ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + 256 AS DOUBLE))
+                - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + 256 AS DOUBLE)) AS lr
+           FROM tot CROSS JOIN gr),
+    contrib AS (SELECT doc_id, CAST(c AS DOUBLE) * lr AS v
+                FROM feats JOIN lr USING (bucket)),
+    w AS (SELECT doc_id, ROUND(list_sum(list_sort(list(v))), 6) AS w
+          FROM contrib GROUP BY 1)
+    SELECT doc_id, w FROM w ORDER BY w DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_select_q(spark, sf_dir):
+    """DSIR — Data Selection via Importance Resampling (functions/lm.py:
+    dsir_select; Xie et al. 2023 §3): hashed unigram+bigram features
+    (the cross-engine md5-60-bit bucket hash, B=256), per-doc importance
+    weight Σ n_f·(ln p̂_target − ln p̂_raw) under Laplace-smoothed bucket
+    multinomials — target = the src0 sample, raw = the whole corpus —
+    then top-50 by (w DESC, doc_id). Scale: feature counts are map-side-
+    combined aggregates keyed by (doc, bucket); the log-ratio model is
+    EXACTLY B rows → broadcast; the global top-k is a TakeOrdered, not a
+    full sort. Smoke-checked: the src0 target docs surface at the top,
+    as resampling toward the target distribution should."""
+    from kafka_streams_demo_spark.functions.lm import dsir_select
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_select(docs, F.col("source") == "src0", k=50)
+
+
 # ---------------------------------------------------------------------------
 # Oracle output-type coercion.
 #

@@ -1,0 +1,293 @@
+"""Distributed n-gram language modeling for corpus quality scoring.
+
+Two published large-scale training-data techniques, both pure DataFrame
+(zero Python boundary, zero driver-side iteration):
+
+- ``ngram_lm_score`` — Stupid Backoff bigram LM (Brants et al. 2007,
+  "Large Language Models in Machine Translation" — the smoothing scheme
+  *designed for* distributed MapReduce-style count aggregation) trained
+  on a reference subset, scoring every document's per-token negative
+  log-likelihood. ``ccnet_bucket`` then applies fixed head/middle/tail
+  cutoffs — the CCNet recipe (Wenzek et al. 2019): cutoffs are computed
+  OFFLINE once per language from a sample's score distribution and
+  applied as constants, so the scoring pass itself needs no global sort
+  or window (embarrassingly parallel at 100 TB).
+
+- ``dsir_weights`` / ``dsir_select`` — Data Selection via Importance
+  Resampling (Xie et al. 2023): hashed n-gram bag-of-features, per-doc
+  importance weight log p_target(doc) − log p_raw(doc) under two
+  Laplace-smoothed multinomials over B hash buckets, then top-k
+  selection.
+
+Scale design, both paths: token/bigram counts are groupBy aggregates
+(map-side partial combine — the Brants et al. distribution strategy);
+the per-doc scoring join is keyed on terms/buckets, never on docs, and
+joins doc-level DISTINCT-gram rows (multiplicity pre-aggregated) so a
+100k-token document contributes its distinct grams once, not one row
+per position. The DSIR log-ratio table is exactly ``num_buckets`` rows
+— broadcast. Per-doc float sums fold in SORTED order (the cross-engine
+determinism contract: ``aggregate(array_sort(collect_list(x)))`` ≡
+DuckDB ``list_sum(list_sort(list(x)))``) so 6-dp rounded scores are
+stable under shuffle arrival order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["ngram_lm_score", "ccnet_bucket", "dsir_weights", "dsir_select"]
+
+
+def _sorted_sum(col: Column) -> Column:
+    """Order-insensitive double sum: fold the sorted contribution list."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(col)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ").alias("_ts"),
+    ).select("doc_id", "_ts", F.size("_ts").alias("_n"))
+
+
+def _bigram_rows(toks: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, c) — per-doc bigram multiplicities. ``_ts`` is a
+    bound attribute (the run_starts HOF contract), and docs shorter than
+    2 tokens are filtered before the 0-based ``sequence(0, _n-2)`` is
+    built (Spark's sequence DESCENDS when start > stop — never evaluate
+    it on an empty doc)."""
+    return (
+        toks.where(F.col("_n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - 2),
+                    lambda i: F.struct(
+                        F.get(F.col("_ts"), i).alias("w1"),
+                        F.get(F.col("_ts"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_b"),
+        )
+        .groupBy("doc_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Stupid Backoff bigram cross-entropy.
+
+    Trains bigram/unigram counts on ``train_docs`` (default: ``docs``
+    itself — but pass a held-out reference corpus so the backoff path is
+    actually exercised; CCNet trains on target-domain text and scores
+    the crawl). Score per doc: ``nll = -(1/T) Σ log10 S(w_i | w_{i-1})``
+    over the T = n−1 bigram positions, where
+
+        S(w2|w1) = count(w1 w2) / count(w1)        if the bigram was seen
+                 = alpha · count(w2) / N           otherwise (backoff)
+
+    with unseen-unigram ``count(w2)`` coalesced to 1 (an OOV
+    pseudo-count, documented deviation — Brants et al. leave OOV to the
+    decoder). Docs with fewer than 2 tokens are dropped (no bigram
+    evidence). Returns (doc_id, t, nll) with nll rounded to 6 dp.
+
+    100 TB shape: counts are two map-side-combined aggregates over the
+    TRAIN corpus; scoring builds per-doc DISTINCT bigram rows (position
+    multiplicity pre-aggregated, so join traffic is distinct-grams not
+    positions), scores each distinct scoring-set bigram ONCE against the
+    count tables (term-keyed joins — AQE handles Zipf-head skew; the
+    model table is vocab-bounded, not corpus-bounded), then one
+    doc-keyed aggregate folds contributions in sorted order. No global
+    window anywhere.
+    """
+    if train_docs is None:
+        train_docs = docs
+    ttoks = _tokens(train_docs, id_col, text_col)
+    stoks = _tokens(docs, id_col, text_col)
+
+    # model counts (train corpus only)
+    cb = (
+        _bigram_rows(ttoks)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").alias("cb"))
+    )
+    uni = ttoks.select(F.explode("_ts").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    n_tok = uni.agg(F.count(F.lit(1)).cast("double").alias("n_tok"))
+
+    # score each DISTINCT scoring-set bigram once against the model
+    db = _bigram_rows(stoks)
+    sb = db.select("w1", "w2").distinct()
+    cu1 = cu.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+    cu2 = cu.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    model = (
+        sb.join(cb, ["w1", "w2"], "left")
+        .join(cu1, "w1", "left")
+        .join(cu2, "w2", "left")
+        .crossJoin(n_tok)  # 1-row stats — broadcast by construction
+        .select(
+            "w1",
+            "w2",
+            F.when(
+                F.col("cb").isNotNull(),
+                F.col("cb").cast("double") / F.col("cu1").cast("double"),
+            )
+            .otherwise(
+                F.lit(alpha)
+                * F.coalesce(F.col("cu2"), F.lit(1)).cast("double")
+                / F.col("n_tok")
+            )
+            .alias("s"),
+        )
+    )
+    contrib = db.join(model, ["w1", "w2"]).select(
+        "doc_id", "c", (F.col("c").cast("double") * F.log10("s")).alias("v")
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("t"),
+        F.round(-_sorted_sum(F.col("v")) / F.sum("c").cast("double"), 6).alias("nll"),
+    )
+
+
+def ccnet_bucket(
+    scored: DataFrame, cutoffs: tuple[float, float], score_col: str = "nll"
+) -> DataFrame:
+    """CCNet head/middle/tail assignment from FIXED cutoffs (Wenzek et
+    al. 2019 §4.3: per-language thresholds are percentiles of a sample's
+    perplexity distribution, computed offline once, then applied as
+    constants — so this pass is a pure row-local projection, no global
+    sort/window at scale). head = best (lowest) scores."""
+    lo, hi = cutoffs
+    s = F.col(score_col)
+    return scored.withColumn(
+        "bucket",
+        F.when(s < F.lit(lo), F.lit("head"))
+        .when(s < F.lit(hi), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def _hash_bucket(col: Column, num_buckets: int) -> Column:
+    """Cross-engine stable feature hash: 60-bit integer from the md5 hex
+    prefix (sign-safe in both engines), mod B. DuckDB replays it as
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT % B``."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
+        F.lit(num_buckets),
+    )
+
+
+def _feature_rows(
+    toks: DataFrame, num_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket, c) hashed unigram+bigram bag-of-features counts.
+    Bigram feature strings are '_'-joined so the oracle can rebuild them
+    with list comprehensions."""
+    uni = toks.select("doc_id", F.explode("_ts").alias("f"))
+    big = (
+        toks.where(F.col("_n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - 2),
+                    lambda i: F.concat_ws(
+                        "_", F.get(F.col("_ts"), i), F.get(F.col("_ts"), i + 1)
+                    ),
+                )
+            ).alias("f"),
+        )
+    )
+    return (
+        uni.unionByName(big)
+        .select("doc_id", _hash_bucket(F.col("f"), num_buckets).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    num_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc DSIR importance log-weight (Xie et al. 2023 §3): hashed
+    unigram+bigram features, weight = Σ_f n_f · (ln p̂_target(f) −
+    ln p̂_raw(f)) with Laplace-smoothed bucket multinomials
+    p̂(f) = (cnt_f + 1)/(total + B). ``target_pred`` is a boolean Column
+    over ``docs`` selecting the target-domain sample; the raw
+    distribution is the whole corpus (the paper's setup: raw = the big
+    crawl the target sample is drawn against).
+
+    Returns (doc_id, w) with w rounded to 6 dp. 100 TB shape: feature
+    counts are map-side-combined aggregates; the log-ratio model is
+    EXACTLY ``num_buckets`` rows → broadcast; per-doc weight is one
+    doc-keyed sorted-fold aggregate. Nothing corpus-sized ever sits on
+    one node."""
+    toks = _tokens(docs, id_col, text_col)
+    # doc→target flag, joined onto the hashed feature counts (doc-keyed,
+    # co-partitioned with the groupBy output)
+    flagged = docs.select(
+        F.col(id_col).alias("doc_id"), target_pred.alias("_is_t")
+    )
+    feats = _feature_rows(toks, num_buckets).join(flagged, "doc_id")
+
+    totals = feats.groupBy("bucket").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(F.lit(0))).alias("c_tgt"),
+    )
+    grand = totals.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    b = float(num_buckets)
+    ratios = (
+        totals.crossJoin(grand)  # 1-row grand totals — broadcast
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("c_tgt") + F.lit(1)).cast("double")
+                    / (F.col("n_tgt") + F.lit(b)).cast("double")
+                )
+                - F.log(
+                    (F.col("c_raw") + F.lit(1)).cast("double")
+                    / (F.col("n_raw") + F.lit(b)).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    contrib = feats.join(F.broadcast(ratios), "bucket").select(
+        "doc_id", (F.col("c").cast("double") * F.col("lr")).alias("v")
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.round(_sorted_sum(F.col("v")), 6).alias("w")
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: Column,
+    k: int,
+    num_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k DSIR selection: rank by (w DESC, doc_id) — the doc_id
+    tiebreak makes the cut deterministic across engines. The global
+    top-k is a TakeOrdered (per-partition heads + driver merge of k·P
+    rows), not a full sort."""
+    w = dsir_weights(docs, target_pred, num_buckets, id_col, text_col)
+    return w.orderBy(F.desc("w"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,109 @@
+"""Distributed n-gram LM scoring (Stupid Backoff / CCNet) and DSIR."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.functions.lm import (
+    ccnet_bucket,
+    dsir_select,
+    dsir_weights,
+    ngram_lm_score,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stupid_backoff_seen_and_backoff_paths(spark):
+    # train: "a b a b" → cb(a,b)=2 cb(b,a)=1; cu a=2 b=2; N=4
+    train = _docs(spark, [(1, "a b a b")])
+    # score: "a b c" → (a,b) seen: S=2/2=1 → log 0; (b,c) unseen,
+    # c unseen unigram → S = 0.4 * 1/4 = 0.1 → log10 = -1
+    score = _docs(spark, [(9, "a b c")])
+    row = ngram_lm_score(score, train_docs=train).first()
+    assert row["t"] == 2
+    # nll = -(0 + (-1))/2 = 0.5
+    assert row["nll"] == 0.5
+
+
+def test_backoff_uses_seen_unigram_count(spark):
+    # train: "a b c c" → cu c=2, N=4; (x,c) unseen bigram but c seen:
+    # S = 0.4 * 2/4 = 0.2
+    train = _docs(spark, [(1, "a b c c")])
+    score = _docs(spark, [(9, "x c")])
+    row = ngram_lm_score(score, train_docs=train).first()
+    assert row["t"] == 1
+    assert row["nll"] == round(-math.log10(0.2), 6)
+
+
+def test_short_and_null_docs_dropped(spark):
+    train = _docs(spark, [(1, "a b")])
+    score = _docs(spark, [(2, "a"), (3, None), (4, "a b")])
+    got = {r["doc_id"] for r in ngram_lm_score(score, train_docs=train).collect()}
+    assert got == {4}  # 1-token and NULL (→ [""] 1 token) docs have no bigram
+
+
+def test_ccnet_bucket_boundaries(spark):
+    scored = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 2.5)], "doc_id long, nll double"
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_bucket(scored, cutoffs=(2.0, 2.5)).collect()
+    }
+    # [lo, hi) half-open on the left: lo itself is middle, hi itself tail
+    assert got == {1: "head", 2: "middle", 3: "tail", 4: "tail"}
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    # target docs are all "x y"; raw mixes in "p q". A new doc made of
+    # target features must out-weigh one made of raw-only features.
+    docs = spark.createDataFrame(
+        [(1, "x y x y", "t"), (2, "x y", "t"), (3, "p q p q", "r"),
+         (4, "x y", "r"), (5, "p q", "r")],
+        "doc_id long, text string, source string",
+    )
+    w = {
+        r["doc_id"]: r["w"]
+        for r in dsir_weights(docs, F.col("source") == "t", num_buckets=64).collect()
+    }
+    # absolute signs shift with the Laplace denominators (B ≫ counts on a
+    # toy corpus); resampling uses the ORDER, which must favor target-like
+    assert w[4] > w[5]  # same length, target-featured doc wins
+    assert w[1] > w[3]
+    assert min(w[1], w[2], w[4]) > max(w[3], w[5])
+
+
+def test_dsir_select_topk_deterministic_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(i, "x y" if i % 2 == 0 else "p q", "t" if i == 0 else "r")
+         for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    top = dsir_select(docs, F.col("source") == "t", k=3, num_buckets=64).collect()
+    # all even docs share identical features/weights → doc_id breaks ties
+    assert [r["doc_id"] for r in top] == [0, 2, 4]
+
+
+def test_lm_plan_stays_jvm_side(spark):
+    docs = _docs(spark, [(i, "a b c a") for i in range(8)])
+    plan = ngram_lm_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    plan2 = (
+        dsir_weights(docs.withColumn("source", F.lit("t")), F.lit(True))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    docs = _docs(spark, [(i, "a b") for i in range(8)]).withColumn(
+        "source", F.lit("t")
+    )
+    plan = (
+        dsir_weights(docs, F.col("source") == "t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan  # the B-row log-ratio model
