@@ -5410,6 +5410,41 @@ def mixture_sample_q(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@register("bm25_postings_incremental", _BM25_MULTI_ORACLE)
+def bm25_postings_incremental_q(spark, sf_dir):
+    """The INCREMENTAL lexical-index tier (functions/text.py:
+    bm25_postings): postings built from the doc_id%5≠0 base corpus plus
+    a separately-built delta batch (doc_id%5=0), composed by UNION —
+    posting rows are deterministic per document and ROW-LOCAL, so
+    appending a delta batch IS index maintenance (no read-modify-write,
+    no re-tokenizing the base corpus; corpus-level stats N/avgdl/df are
+    recovered from the combined postings at query time, so they are
+    always current). Registered against the SAME oracle as
+    bm25_search_multi/bm25_search_postings — the driver hash gate proves
+    index+delta ≡ one-shot batch bit-for-bit, completing the incremental
+    symmetry across all three index families (exact/minhash/embedding
+    dedup, IVF dense, and now the BM25 lexical tier). In production the
+    delta lands via write_bm25_postings(mode='append') into the
+    term-bucketed table; the append path is pinned by
+    tests/test_text.py::test_bm25_postings_append_is_incremental."""
+    from kafka_streams_demo_spark.functions.text import (
+        bm25_postings,
+        bm25_search_queries,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = bm25_postings(docs.where(F.col("doc_id") % 5 != 0))
+    delta = bm25_postings(docs.where(F.col("doc_id") % 5 == 0))
+    qdf = spark.createDataFrame(
+        [(1, "table scan fast"), (2, "stream join window"),
+         (3, "vector hash merge")],
+        "query_id long, query_text string",
+    )
+    return bm25_search_queries(
+        None, qdf, k=10, postings=base.unionByName(delta)
+    )
+
+
 @register(
     "ccnet_perplexity",
     """

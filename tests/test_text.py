@@ -292,6 +292,54 @@ def test_bm25_postings_path_matches_direct_and_buckets_help(spark):
         bm25_search_queries(None, qdf)
 
 
+def test_bm25_postings_append_is_incremental(spark):
+    """Index maintenance = append: base postings written once, a delta
+    batch appended with mode='append', and search over the re-read table
+    returns exactly the one-shot batch results (N/avgdl/df recovered
+    from the combined postings are always current — no stats table to
+    invalidate). Lazy UNION composition (the catalog's
+    bm25_postings_incremental path) matches too."""
+    from kafka_streams_demo_spark.functions.text import (
+        bm25_postings,
+        bm25_search_queries,
+        write_bm25_postings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "table scan fast table"), (2, "slow row merge"),
+         (3, "fast fast fast scan"), (4, ""), (5, "window agg join")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "table scan fast"), (2, "merge row")],
+        "query_id long, query_text string",
+    )
+    batch = sorted(tuple(r) for r in bm25_search_queries(df, qdf, k=3).collect())
+
+    base, delta = df.where("doc_id <= 3"), df.where("doc_id > 3")
+    via_union = sorted(
+        tuple(r) for r in bm25_search_queries(
+            None, qdf, k=3,
+            postings=bm25_postings(base).unionByName(bm25_postings(delta)),
+        ).collect()
+    )
+    assert via_union == batch
+
+    write_bm25_postings(bm25_postings(base), "bm25_incr_test", num_buckets=4)
+    try:
+        write_bm25_postings(
+            bm25_postings(delta), "bm25_incr_test", num_buckets=4, mode="append"
+        )
+        via_table = sorted(
+            tuple(r) for r in bm25_search_queries(
+                None, qdf, k=3, postings=spark.table("bm25_incr_test")
+            ).collect()
+        )
+        assert via_table == batch
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_incr_test")
+
+
 def test_gopher_quality_rules_fire_individually(spark):
     """Each Gopher rule (Rae et al. 2021 Appendix A) kills exactly the doc
     built to violate it; a well-formed doc passes everything."""
