@@ -5410,6 +5410,33 @@ def mixture_sample_q(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@register(
+    "fuzzy_pairs_part_names",
+    """
+    WITH p AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+    pb AS (SELECT name, string_split(name, ' ')[1] AS blk FROM p)
+    SELECT a.name AS a_name, b.name AS b_name,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM pb a JOIN pb b ON a.blk = b.blk AND a.name < b.name
+    WHERE abs(length(a.name) - length(b.name)) <= 3
+      AND levenshtein(a.name, b.name) <= 3
+    """,
+)
+def fuzzy_pairs_part_names_q(spark, sf_dir):
+    """Blocked fuzzy self-linkage (functions/linkage.py:fuzzy_pairs;
+    Christen 2012 blocking) — near-duplicate part names within edit
+    distance 3, first-token blocks. The record-linkage primitive exact
+    joins can't express, WITHOUT a cartesian product: distinct-value
+    dictionary first (the 100 TB trick — linkage on values, hash-join
+    back for rows), equi-join on the block key, length-band prefilter,
+    then Spark's THRESHOLDED levenshtein (banded O(d·L) DP). The oracle
+    replays blocking + full levenshtein — identical survivors, proving
+    the banded threshold DP is a pure optimization."""
+    from kafka_streams_demo_spark.functions.linkage import fuzzy_pairs
+
+    return fuzzy_pairs(load_table(spark, "part", sf_dir), "p_name", max_dist=3)
+
+
 @register("bm25_postings_incremental", _BM25_MULTI_ORACLE)
 def bm25_postings_incremental_q(spark, sf_dir):
     """The INCREMENTAL lexical-index tier (functions/text.py:
