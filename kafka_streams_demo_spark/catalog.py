@@ -5410,6 +5410,50 @@ def mixture_sample_q(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _zorder_oracle() -> str:
+    from kafka_streams_demo_spark.functions.layout import zorder_oracle_terms
+
+    return f"""
+    WITH v AS (SELECT o_orderkey, o_custkey AS v0,
+                      CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS v1
+               FROM orders),
+    s AS (SELECT min(v0) AS mn0, max(v0) AS mx0,
+                 min(v1) AS mn1, max(v1) AS mx1 FROM v),
+    b AS (SELECT o_orderkey,
+            ((v0 - mn0) * 256) // (mx0 - mn0 + 1) AS b0,
+            ((v1 - mn1) * 256) // (mx1 - mn1 + 1) AS b1
+          FROM v CROSS JOIN s),
+    z AS (SELECT o_orderkey,
+                 CAST({zorder_oracle_terms(2, 8)} AS BIGINT) AS zval
+          FROM b)
+    SELECT o_orderkey, zval, CAST(zval // 1024 AS BIGINT) AS file_id FROM z
+    """
+
+
+@register("zorder_layout", _zorder_oracle())
+def zorder_layout_q(spark, sf_dir):
+    """Z-order (Morton) clustering keys over orders(o_custkey,
+    o_orderdate) — functions/layout.py:zorder_key, the math behind
+    Delta/Iceberg OPTIMIZE ZORDER: 8-bit range buckets from a broadcast
+    one-row min/max aggregate (exact integer DIV — never long/long
+    double division), unrolled bit interleave, file_id = top 6 bits
+    (64 files ≡ the 8×8 grid cell). Sorting by this ONE key co-locates
+    rows close in BOTH dimensions, so parquet min/max stats prune
+    two-dimensional predicates; the bounded per-file bounding-box
+    property is pinned in tests/test_layout.py. The oracle replays the
+    identical bucket + interleave arithmetic (zorder_oracle_terms keeps
+    the two unrolls side by side)."""
+    from kafka_streams_demo_spark.functions.layout import zorder_key
+
+    orders = load_table(spark, "orders", sf_dir)
+    return zorder_key(
+        orders,
+        [F.col("o_custkey"), F.unix_date(F.col("o_orderdate").cast("date")).cast("long")],
+        bits=8,
+        num_files=64,
+    ).select("o_orderkey", "zval", "file_id")
+
+
 @register(
     "fuzzy_pairs_part_names",
     """
