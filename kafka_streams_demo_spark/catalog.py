@@ -5410,6 +5410,51 @@ def mixture_sample_q(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+_SUBSTRING_ORACLE = """
+WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+pos AS (SELECT doc_id, i AS start
+        FROM d, UNNEST(range(0, length(s) - 10 + 1)) AS g(i)
+        WHERE substr(s, i + 1, 10) = 'table scan')
+SELECT doc_id, CAST(start AS BIGINT) AS start FROM pos
+"""
+
+
+@register("substring_search_index", _SUBSTRING_ORACLE)
+def substring_search_index_q(spark, sf_dir):
+    """Exact substring search over a positional char-4-gram inverted
+    index (functions/text.py:char_gram_index + substring_find) — every
+    occurrence of 'table scan', found WITHOUT scanning document text at
+    query time (the code-search primitive). Stride-offset query grams
+    cover every query character, so the count-equality groupBy — the
+    only shuffle, keyed (doc, start) — yields occurrences with zero
+    false positives by construction; no verify pass. The oracle is an
+    INDEPENDENT formulation (brute-force position scan with substr
+    equality), so the hash gate cross-proves the index algebra, not a
+    replay of it. Index rows persist bucketed by gram and compose by
+    append like the other index tiers."""
+    from kafka_streams_demo_spark.functions.text import substring_find
+
+    return substring_find(
+        load_table(spark, "documents", sf_dir), "table scan", n=4
+    )
+
+
+@register("substring_search_rarest", _SUBSTRING_ORACLE)
+def substring_search_rarest_q(spark, sf_dir):
+    """The hot-gram production mode of substring_find: candidates from
+    only the 2 RAREST stride grams (df from the index itself — the
+    selective-trigram trick real code search uses to bound join traffic
+    under Zipf gram skew), then a row-local substr-equality verify
+    eliminates the false positives coverage no longer excludes. SAME
+    oracle as substring_search_index — the driver hash gate proves
+    rare-gram+verify ≡ full-stride bit-for-bit."""
+    from kafka_streams_demo_spark.functions.text import substring_find
+
+    return substring_find(
+        load_table(spark, "documents", sf_dir), "table scan", n=4, rarest_k=2
+    )
+
+
 def _zorder_oracle() -> str:
     from kafka_streams_demo_spark.functions.layout import zorder_oracle_terms
 

@@ -913,3 +913,107 @@ def gopher_repetition(
     # (observed: a 300-char-doc corpus hangs). Scan-level pushdown on
     # the gopher output is worthless anyway (it reads every doc's text).
     return out.withColumn("keep", pushdown_barrier(keep))
+
+
+def char_gram_index(
+    docs, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Positional character n-gram index: (doc_id, gram, pos) — one row
+    per character position, the code-search-style inverted index for
+    EXACT SUBSTRING queries over a corpus too big to scan. Row-local
+    construction (bound-attribute ``substr`` over a position sequence —
+    the HOF contract); persist it bucketed by ``gram`` like
+    write_bm25_postings so query joins read their distribution from
+    storage. Deterministic per doc → delta batches compose by append,
+    the same incremental contract as the BM25/minhash/IVF tiers."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_s"),
+    ).select("doc_id", "_s", F.length("_s").alias("_len"))
+    return (
+        d.where(F.col("_len") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_len") - n),
+                    lambda i: F.struct(
+                        F.col("_s").substr(i + 1, F.lit(n)).alias("gram"),
+                        i.cast("long").alias("pos"),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select("doc_id", F.col("_g.gram").alias("gram"), F.col("_g.pos").alias("pos"))
+    )
+
+
+def substring_find(
+    docs,
+    query: str,
+    n: int = 4,
+    index=None,
+    rarest_k: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Every occurrence of ``query`` (lowercased, len ≥ n) across the
+    corpus: (doc_id, start), 0-based — WITHOUT scanning documents at
+    query time when ``index`` (a persisted ``char_gram_index``) is given.
+
+    Candidate generation joins the query's n-grams at stride-n offsets
+    (plus the tail gram at len−n): those windows COVER every query
+    character, so a (doc, start) matching ALL of them IS an occurrence —
+    no verification pass, zero false positives by construction. The
+    count-equality groupBy is the only shuffle, keyed on (doc, start).
+
+    ``rarest_k``: production mode for hot-gram skew — generate
+    candidates from only the k lowest-df stride grams (df computed from
+    the index itself — rare grams bound join traffic the way real code
+    search picks selective trigrams), then VERIFY each candidate against
+    the doc text (coverage no longer proven, so a row-local substr
+    equality re-join eliminates false positives). Parity with full-
+    stride mode is pinned in tests."""
+    q = query.lower()
+    L = len(q)
+    if L < n:
+        raise ValueError(f"query shorter than gram size {n}")
+    if rarest_k is not None and docs is None:
+        raise ValueError("rarest_k mode verifies against docs — pass docs")
+    if index is None:
+        index = char_gram_index(docs, n, id_col, text_col)
+    offs = sorted(set(range(0, L - n + 1, n)) | {L - n})
+    grams = [(q[o : o + n], o) for o in offs]
+    if rarest_k is not None:
+        gdf = (
+            index.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("gram").isin([g for g, _ in grams]))
+        )
+        dfs = {r["gram"]: r["_df"] for r in gdf.collect()}  # ≤ L/n rows
+        grams = sorted(grams, key=lambda go: (dfs.get(go[0], 0), go[1]))[:rarest_k]
+    gram_tbl = F.broadcast(
+        docs.sparkSession.createDataFrame(grams, "gram string, off long")
+        if docs is not None
+        else index.sparkSession.createDataFrame(grams, "gram string, off long")
+    )
+    cand = (
+        index.join(gram_tbl, "gram")
+        .where(F.col("pos") >= F.col("off"))
+        .select("doc_id", (F.col("pos") - F.col("off")).alias("start"))
+        .groupBy("doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .where(F.col("_hits") == len(grams))
+        .select("doc_id", "start")
+    )
+    if rarest_k is None:
+        return cand
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_s"),
+    )
+    return (
+        cand.join(d, "doc_id")
+        .where(F.col("_s").substr(F.col("start") + 1, F.lit(L)) == q)
+        .select("doc_id", "start")
+    )

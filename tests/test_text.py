@@ -564,3 +564,69 @@ def test_gopher_repetition_impls_are_bit_identical(spark):
     n = {r["doc_id"]: tuple(r) for r in gopher_repetition(docs, impl="native").collect()}
     assert a == n
     assert len(a) == len(rows)
+
+
+def test_char_gram_index_positions(spark):
+    from kafka_streams_demo_spark.functions.text import char_gram_index
+
+    df = spark.createDataFrame([(1, "abcde"), (2, "abc"), (3, "ab"), (4, None)],
+                               "doc_id long, text string")
+    rows = {(r["doc_id"], r["gram"], r["pos"])
+            for r in char_gram_index(df, n=3).collect()}
+    # doc 1: abc@0 bcd@1 cde@2; doc 2: abc@0; docs 3/4 too short → absent
+    assert rows == {(1, "abc", 0), (1, "bcd", 1), (1, "cde", 2), (2, "abc", 0)}
+
+
+def test_substring_find_all_occurrences(spark):
+    from kafka_streams_demo_spark.functions.text import substring_find
+
+    df = spark.createDataFrame(
+        [(1, "xx table scan yy table scan"), (2, "TABLE SCAN"), (3, "table sc")],
+        "doc_id long, text string",
+    )
+    got = sorted((r["doc_id"], r["start"])
+                 for r in substring_find(df, "table scan", n=4).collect())
+    assert got == [(1, 3), (1, 17), (2, 0)]  # case-folded; partial no match
+
+
+def test_substring_find_overlapping_and_boundary(spark):
+    from kafka_streams_demo_spark.functions.text import substring_find
+
+    df = spark.createDataFrame([(1, "aaaaaa")], "doc_id long, text string")
+    got = sorted(r["start"] for r in substring_find(df, "aaaa", n=4).collect())
+    assert got == [0, 1, 2]  # overlapping matches all found
+
+
+def test_substring_find_rarest_mode_matches_full(spark):
+    from kafka_streams_demo_spark.functions.text import substring_find
+
+    df = spark.createDataFrame(
+        [(i, f"prefix{i} the rare needle here and the common the the")
+         for i in range(10)] + [(99, "no match at all")],
+        "doc_id long, text string",
+    )
+    full = sorted((r["doc_id"], r["start"])
+                  for r in substring_find(df, "rare needle", n=4).collect())
+    rare = sorted((r["doc_id"], r["start"])
+                  for r in substring_find(df, "rare needle", n=4, rarest_k=2).collect())
+    assert full == rare and len(full) == 10
+
+
+def test_substring_find_via_persisted_index(spark):
+    from kafka_streams_demo_spark.functions.text import (
+        char_gram_index,
+        substring_find,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "find the pattern in here")], "doc_id long, text string"
+    )
+    idx = char_gram_index(df, n=4)
+    got = substring_find(None, "pattern", n=4, index=idx).collect()
+    assert [(r["doc_id"], r["start"]) for r in got] == [(1, 9)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pass docs"):
+        substring_find(None, "pattern", n=4, index=idx, rarest_k=1)
+    with _pytest.raises(ValueError, match="shorter"):
+        substring_find(df, "ab", n=4)
