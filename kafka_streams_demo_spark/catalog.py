@@ -5410,6 +5410,77 @@ def mixture_sample_q(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@register(
+    "domain_cap_sample",
+    """
+    WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY md5(text), doc_id) AS rn
+               FROM documents)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 15
+    """,
+)
+def domain_cap_sample_q(spark, sf_dir):
+    """Per-domain contribution caps (RefinedWeb, Penedo et al. 2023 —
+    bound any one domain's share of the training mix): keep ≤ 15 docs
+    per source (the sf0.01 fixture holds 25/source, so the cap BINDS), elected by deterministic content-hash order (md5(text),
+    doc_id tiebreak — reproducible across engines/partitionings, no
+    RNG). Runs through salted_topk_per_key (functions/skew.py): rank
+    within (source, salt) first so a megadomain spreads over 16 tasks,
+    then re-rank the ≤ k·16 survivors — the oracle's plain one-window
+    formulation proves the hot-key-parallel plan bit-equal (the
+    same-oracle pattern)."""
+    from kafka_streams_demo_spark.functions.skew import salted_topk_per_key
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.md5("text").alias("_h")
+    )
+    return salted_topk_per_key(
+        docs, "source", ["_h", "doc_id"], k=15
+    ).select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+
+
+@register(
+    "token_drift_kl",
+    """
+    WITH ta AS (SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS token
+                FROM documents WHERE source = 'src0'),
+    tb AS (SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS token
+           FROM documents WHERE source = 'src1'),
+    ca AS (SELECT token, count(*) AS c_a FROM ta GROUP BY 1),
+    cb AS (SELECT token, count(*) AS c_b FROM tb GROUP BY 1),
+    j AS (SELECT coalesce(ca.token, cb.token) AS token,
+                 coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+          FROM ca FULL OUTER JOIN cb USING (token)),
+    s AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b, COUNT(*) AS v FROM j),
+    t AS (SELECT token, c_a, c_b,
+                 ROUND((CAST(c_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE))
+                       * ln((CAST(c_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE))
+                            / (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + v AS DOUBLE))),
+                       6) AS kl_term
+          FROM j CROSS JOIN s)
+    SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b, kl_term
+    FROM t ORDER BY kl_term DESC, token LIMIT 20
+    """,
+)
+def token_drift_kl_q(spark, sf_dir):
+    """Corpus drift monitoring (functions/text.py:token_drift_kl): top-20
+    per-token contributions to KL(src0 ‖ src1) between the two sources'
+    Laplace-smoothed unigram distributions — the tokens newly
+    over-represented in one snapshot, the first signal when an ingest
+    source goes bad. Two map-side-combined counts, one term-keyed
+    full-outer join, vocab-bounded totals broadcast back, TakeOrdered
+    top-k: nothing corpus-sized moves."""
+    from kafka_streams_demo_spark.functions.text import token_drift_kl
+
+    docs = load_table(spark, "documents", sf_dir)
+    return token_drift_kl(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") == "src1"),
+        k=20,
+    )
+
+
 _SUBSTRING_ORACLE = """
 WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
 pos AS (SELECT doc_id, i AS start

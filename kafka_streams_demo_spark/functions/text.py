@@ -1017,3 +1017,55 @@ def substring_find(
         .where(F.col("_s").substr(F.col("start") + 1, F.lit(L)) == q)
         .select("doc_id", "start")
     )
+
+
+def token_drift_kl(docs_a, docs_b, text_col: str = "text", k: int = 20):
+    """Corpus drift monitor: per-token contribution to KL(A ‖ B) between
+    two snapshots' unigram distributions (Laplace-smoothed over the
+    joint vocabulary), top-k positive contributors — the tokens newly
+    OVER-represented in A, the first thing a data-quality dashboard
+    shows when an ingest source goes bad. Output: (token, c_a, c_b,
+    kl_term) with kl_term rounded to 6 dp, ordered (kl_term DESC,
+    token).
+
+    100 TB shape: two map-side-combined count aggregates, one term-keyed
+    full-outer join, totals from ONE more aggregate over the vocab-sized
+    join output (broadcast back), top-k as TakeOrdered. Nothing
+    corpus-sized moves; everything downstream of the counts is
+    vocab-bounded."""
+    def counts(d, name):
+        return (
+            d.select(
+                F.explode(
+                    F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+                ).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    joined = (
+        counts(docs_a, "c_a")
+        .join(counts(docs_b, "c_b"), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    stats = joined.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("c_a") + 1).cast("double") / (F.col("n_a") + F.col("v")).cast("double")
+    q = (F.col("c_b") + 1).cast("double") / (F.col("n_b") + F.col("v")).cast("double")
+    return (
+        joined.crossJoin(F.broadcast(stats))  # 1-row totals
+        .select(
+            "token", "c_a", "c_b",
+            F.round(p * F.log(p / q), 6).alias("kl_term"),
+        )
+        .orderBy(F.desc("kl_term"), F.asc("token"))
+        .limit(k)
+    )

@@ -630,3 +630,28 @@ def test_substring_find_via_persisted_index(spark):
         substring_find(None, "pattern", n=4, index=idx, rarest_k=1)
     with _pytest.raises(ValueError, match="shorter"):
         substring_find(df, "ab", n=4)
+
+
+def test_token_drift_kl_flags_new_token(spark):
+    from kafka_streams_demo_spark.functions.text import token_drift_kl
+
+    a = spark.createDataFrame(
+        [(1, "spam spam spam common"), (2, "spam common word")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "common word here"), (4, "common word")],
+        "doc_id long, text string",
+    )
+    rows = token_drift_kl(a, b, k=3).collect()
+    assert rows[0]["token"] == "spam"  # the A-only token dominates KL(A||B)
+    assert rows[0]["c_a"] == 4 and rows[0]["c_b"] == 0
+    assert rows[0]["kl_term"] > 0
+
+
+def test_token_drift_kl_symmetric_corpora_near_zero(spark):
+    from kafka_streams_demo_spark.functions.text import token_drift_kl
+
+    a = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    rows = token_drift_kl(a, a, k=10).collect()
+    assert all(r["kl_term"] == 0.0 for r in rows)  # identical dists → 0
