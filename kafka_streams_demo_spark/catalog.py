@@ -5411,6 +5411,101 @@ def mixture_sample_q(spark, sf_dir):
 
 
 @register(
+    "pipeline_quality_curation",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts
+                  FROM documents),
+    tr AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+    tbig AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+             FROM tr, UNNEST(range(1, len(ts))) AS g(i) WHERE len(ts) >= 2),
+    cbm AS (SELECT w1, w2, count(*) AS cb FROM tbig GROUP BY 1, 2),
+    tuni AS (SELECT unnest(ts) AS w FROM tr),
+    cum AS (SELECT w, count(*) AS cu FROM tuni GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM tuni),
+    sbig AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+             FROM toks, UNNEST(range(1, len(ts))) AS g(i) WHERE len(ts) >= 2),
+    db AS (SELECT doc_id, w1, w2, count(*) AS c FROM sbig GROUP BY 1, 2, 3),
+    contrib AS (SELECT db.doc_id, db.c,
+        CAST(db.c AS DOUBLE) * log10(
+          CASE WHEN cbm.cb IS NOT NULL
+               THEN CAST(cbm.cb AS DOUBLE) / CAST(cu1.cu AS DOUBLE)
+               ELSE 0.4 * CAST(coalesce(cu2.cu, 1) AS DOUBLE) / nt.n_tok END) AS v
+      FROM db LEFT JOIN cbm USING (w1, w2)
+      LEFT JOIN cum cu1 ON db.w1 = cu1.w
+      LEFT JOIN cum cu2 ON db.w2 = cu2.w
+      CROSS JOIN nt),
+    sc AS (SELECT doc_id,
+                  ROUND(-list_sum(list_sort(list(v))) / CAST(SUM(c) AS DOUBLE), 6) AS nll
+           FROM contrib GROUP BY 1),
+    surv AS (SELECT d.doc_id, d.source, sc.nll
+             FROM documents d JOIN sc USING (doc_id)
+             WHERE sc.nll < 1.4861),
+    stoks AS (SELECT t.doc_id, t.ts FROM toks t JOIN surv USING (doc_id)),
+    uni AS (SELECT doc_id, unnest(ts) AS f FROM stoks),
+    big AS (SELECT doc_id, ts[i] || '_' || ts[i+1] AS f
+            FROM stoks, UNNEST(range(1, len(ts))) AS g(i) WHERE len(ts) >= 2),
+    allf AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS bucket
+             FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+    feats AS (SELECT doc_id, bucket, count(*) AS c FROM allf GROUP BY 1, 2),
+    flg AS (SELECT doc_id, source = 'src0' AS is_t FROM surv),
+    tot AS (SELECT bucket, SUM(c) AS c_raw,
+                   SUM(CASE WHEN is_t THEN c ELSE 0 END) AS c_tgt
+            FROM feats JOIN flg USING (doc_id) GROUP BY 1),
+    gr AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM tot),
+    lr AS (SELECT bucket,
+                  ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + 256 AS DOUBLE))
+                - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + 256 AS DOUBLE)) AS lr
+           FROM tot CROSS JOIN gr),
+    dcontrib AS (SELECT doc_id, CAST(c AS DOUBLE) * lr AS v
+                 FROM feats JOIN lr USING (bucket)),
+    wts AS (SELECT doc_id, ROUND(list_sum(list_sort(list(v))), 6) AS w
+            FROM dcontrib GROUP BY 1),
+    ranked AS (SELECT s.doc_id, s.source, s.nll, wts.w,
+                      row_number() OVER (PARTITION BY s.source
+                                         ORDER BY wts.w DESC, s.doc_id) AS rn
+               FROM surv s JOIN wts USING (doc_id))
+    SELECT doc_id, source, nll, w, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def pipeline_quality_curation_q(spark, sf_dir):
+    """The QUALITY-CURATION pipeline composing this round's stages into
+    one lazy plan — the CCNet→DSIR→cap recipe a pretraining data team
+    actually runs: (1) Stupid-Backoff LM perplexity scores every doc
+    (train split doc_id%5≠0), dropping the 'tail' bucket (fixed CCNet
+    cutoff); (2) DSIR importance weights computed OVER THE SURVIVORS
+    (both multinomials re-estimated post-filter — the stages genuinely
+    feed each other, target = src0); (3) per-domain cap keeps the top-10
+    docs per source by (w DESC, doc_id) through the hot-key-parallel
+    salted top-k. Output (doc_id, source, nll, w, rn). Each stage is an
+    already-oracled op (ccnet_perplexity / dsir_select /
+    domain_cap_sample); the full recursive oracle replays the chain so
+    the hash gate proves the COMPOSITION, not just the parts. Scale: LM
+    joins are term-keyed, the DSIR model is B broadcast rows, the cap
+    never funnels a megadomain into one task."""
+    from kafka_streams_demo_spark.functions.lm import (
+        ccnet_bucket,
+        dsir_weights,
+        ngram_lm_score,
+    )
+    from kafka_streams_demo_spark.functions.skew import salted_topk_per_key
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = ccnet_bucket(
+        ngram_lm_score(docs, train_docs=docs.where(F.col("doc_id") % 5 != 0)),
+        cutoffs=(1.4722, 1.4861),
+    )
+    surv = docs.join(
+        scored.where(F.col("bucket") != "tail").select("doc_id", "nll"), "doc_id"
+    )
+    wts = dsir_weights(surv, F.col("source") == "src0")
+    ranked = surv.select("doc_id", "source", "nll").join(wts, "doc_id")
+    return salted_topk_per_key(
+        ranked, "source", [F.desc("w"), "doc_id"], k=10, salt_cols=["doc_id"]
+    ).select("doc_id", "source", "nll", "w", F.col("rn").cast("long").alias("rn"))
+
+
+@register(
     "domain_cap_sample",
     """
     WITH r AS (SELECT doc_id, source,
