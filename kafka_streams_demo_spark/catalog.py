@@ -5727,9 +5727,7 @@ def bm25_postings_incremental_q(spark, sf_dir):
     )
 
 
-@register(
-    "ccnet_perplexity",
-    """
+_CCNET_ORACLE = """
     WITH toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts
                   FROM documents),
     tr AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
@@ -5759,8 +5757,10 @@ def bm25_postings_incremental_q(spark, sf_dir):
                 WHEN nll < 1.4861 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM sc
-    """,
-)
+"""
+
+
+@register("ccnet_perplexity", _CCNET_ORACLE)
 def ccnet_perplexity_q(spark, sf_dir):
     """CCNet-style LM quality bucketing (functions/lm.py:ngram_lm_score +
     ccnet_bucket; Wenzek et al. 2019 §4.3, Brants et al. 2007 Stupid
@@ -5779,6 +5779,34 @@ def ccnet_perplexity_q(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     scored = ngram_lm_score(docs, train_docs=docs.where(F.col("doc_id") % 5 != 0))
     return ccnet_bucket(scored, cutoffs=(1.4722, 1.4861))
+
+
+@register("ccnet_perplexity_incremental", _CCNET_ORACLE)
+def ccnet_perplexity_incremental_q(spark, sf_dir):
+    """The INCREMENTAL LM-model tier (functions/lm.py:lm_counts +
+    merge_lm_counts): Stupid Backoff counts are ADDITIVE — the train
+    split arrives as two delta batches (doc_id%5∈{1,2} and {3,4}),
+    each counted independently, merged by union+re-sum, then every doc
+    is scored against the merged model WITHOUT re-tokenizing either
+    batch (N recovered as Σcu). Registered against the SAME oracle as
+    ccnet_perplexity, so the driver hash gate proves index+delta ≡
+    one-shot retrain bit-for-bit — the additivity that made Brants et
+    al. 2007 the MapReduce-era LM recipe, now the maintenance story for
+    a persisted count table (append delta counts, compact by re-sum)."""
+    from kafka_streams_demo_spark.functions.lm import (
+        ccnet_bucket,
+        lm_counts,
+        merge_lm_counts,
+        ngram_lm_score,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch1 = lm_counts(docs.where(F.pmod(F.col("doc_id"), F.lit(5)).isin(1, 2)))
+    batch2 = lm_counts(docs.where(F.pmod(F.col("doc_id"), F.lit(5)).isin(3, 4)))
+    merged = merge_lm_counts([batch1, batch2])
+    return ccnet_bucket(
+        ngram_lm_score(docs, counts=merged), cutoffs=(1.4722, 1.4861)
+    )
 
 
 @register(

@@ -35,7 +35,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["ngram_lm_score", "ccnet_bucket", "dsir_weights", "dsir_select"]
+__all__ = [
+    "lm_counts",
+    "merge_lm_counts",
+    "ngram_lm_score",
+    "ccnet_bucket",
+    "dsir_weights",
+    "dsir_select",
+]
 
 
 def _sorted_sum(col: Column) -> Column:
@@ -79,19 +86,62 @@ def _bigram_rows(toks: DataFrame) -> DataFrame:
     )
 
 
+def lm_counts(
+    train_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The Stupid Backoff model IS two count tables — (bigram counts
+    (w1, w2, cb), unigram counts (w, cu)); total tokens N = Σ cu. Counts
+    are ADDITIVE, so the persisted-index maintenance story is trivial:
+    union a delta batch's counts with the stored tables and re-sum —
+    index+delta ≡ retrain bit-for-bit (``merge_lm_counts``; same-oracle
+    proven by the ``ccnet_perplexity_incremental`` catalog entry). This
+    additivity is exactly why Brants et al. 2007 chose the scheme for
+    MapReduce-scale training."""
+    ttoks = _tokens(train_docs, id_col, text_col)
+    cb = _bigram_rows(ttoks).groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    cu = (
+        ttoks.select(F.explode("_ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    return cb, cu
+
+
+def merge_lm_counts(
+    parts: list[tuple[DataFrame, DataFrame]]
+) -> tuple[DataFrame, DataFrame]:
+    """Additive merge of ``lm_counts`` partial tables (stored index +
+    delta batches): union then re-sum — one map-side-combined aggregate
+    per table, never a re-tokenize of the base corpus."""
+    cbs, cus = zip(*parts)
+    cb = cbs[0]
+    for other in cbs[1:]:
+        cb = cb.unionByName(other)
+    cu = cus[0]
+    for other in cus[1:]:
+        cu = cu.unionByName(other)
+    return (
+        cb.groupBy("w1", "w2").agg(F.sum("cb").alias("cb")),
+        cu.groupBy("w").agg(F.sum("cu").alias("cu")),
+    )
+
+
 def ngram_lm_score(
     docs: DataFrame,
     train_docs: DataFrame | None = None,
     alpha: float = 0.4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document Stupid Backoff bigram cross-entropy.
 
     Trains bigram/unigram counts on ``train_docs`` (default: ``docs``
     itself — but pass a held-out reference corpus so the backoff path is
     actually exercised; CCNet trains on target-domain text and scores
-    the crawl). Score per doc: ``nll = -(1/T) Σ log10 S(w_i | w_{i-1})``
+    the crawl). Or pass ``counts`` — (cb, cu) tables from ``lm_counts``
+    / ``merge_lm_counts`` — to score against a persisted model without
+    re-tokenizing the training corpus (N is recovered as Σcu). Score per doc: ``nll = -(1/T) Σ log10 S(w_i | w_{i-1})``
     over the T = n−1 bigram positions, where
 
         S(w2|w1) = count(w1 w2) / count(w1)        if the bigram was seen
@@ -111,20 +161,16 @@ def ngram_lm_score(
     doc-keyed aggregate folds contributions in sorted order. No global
     window anywhere.
     """
-    if train_docs is None:
-        train_docs = docs
-    ttoks = _tokens(train_docs, id_col, text_col)
+    if counts is not None:
+        cb, cu = counts
+    else:
+        if train_docs is None:
+            train_docs = docs
+        cb, cu = lm_counts(train_docs, id_col, text_col)
     stoks = _tokens(docs, id_col, text_col)
-
-    # model counts (train corpus only)
-    cb = (
-        _bigram_rows(ttoks)
-        .groupBy("w1", "w2")
-        .agg(F.sum("c").alias("cb"))
-    )
-    uni = ttoks.select(F.explode("_ts").alias("w"))
-    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    n_tok = uni.agg(F.count(F.lit(1)).cast("double").alias("n_tok"))
+    # N = Σ cu — exact integer identity with counting the exploded
+    # tokens, and derivable from stored counts alone
+    n_tok = cu.agg(F.sum("cu").cast("double").alias("n_tok"))
 
     # score each DISTINCT scoring-set bigram once against the model
     db = _bigram_rows(stoks)

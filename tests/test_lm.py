@@ -107,3 +107,24 @@ def test_dsir_ratio_table_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastExchange" in plan  # the B-row log-ratio model
+
+
+def test_merge_lm_counts_equals_batch(spark):
+    from kafka_streams_demo_spark.functions.lm import (
+        lm_counts,
+        merge_lm_counts,
+        ngram_lm_score,
+    )
+
+    docs = _docs(spark, [(i, f"a b c a b w{i % 3} end") for i in range(12)])
+    d1, d2 = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    mcb, mcu = merge_lm_counts([lm_counts(d1), lm_counts(d2)])
+    bcb, bcu = lm_counts(docs)
+    assert sorted(map(tuple, mcb.collect())) == sorted(map(tuple, bcb.collect()))
+    assert sorted(map(tuple, mcu.collect())) == sorted(map(tuple, bcu.collect()))
+    # scoring via merged counts ≡ direct train — bit-equal nll
+    via_counts = sorted(
+        map(tuple, ngram_lm_score(docs, counts=(mcb, mcu)).collect())
+    )
+    direct = sorted(map(tuple, ngram_lm_score(docs).collect()))
+    assert via_counts == direct
