@@ -5411,6 +5411,45 @@ def mixture_sample_q(spark, sf_dir):
 
 
 @register(
+    "band_join_error_purchase",
+    """
+    SELECT a.event_id AS err_id, b.event_id AS purch_id,
+           CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS delta_us
+    FROM events a JOIN events b
+      ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+    WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+    """,
+)
+def band_join_error_purchase_q(spark, sf_dir):
+    """UNKEYED band join (functions/rangejoin.py:band_join): every
+    (error, purchase) event pair within ±60 s across ALL users — the
+    incident-correlation query with no equality key, which OSS Catalyst
+    plans as BroadcastNestedLoopJoin, O(|A|·|B|) (range-join rewrites
+    are a Databricks-runtime extra). Bucketed expansion instead: keys
+    quantized into width-60s buckets with exact integer DIV, purchase
+    side expanded to bucket ±1, hash equi-join on the bucket, exact band
+    filter — no false negatives (width-t buckets of values ≤ t apart
+    differ by ≤ 1), each pair produced exactly once (one expansion row
+    matches), linear cost, AQE-skew-safe. The oracle is the plain theta
+    join, so the hash gate proves the bucketed rewrite exact."""
+    from kafka_streams_demo_spark.functions.rangejoin import band_join
+
+    ev = load_table(spark, "events", sf_dir)
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.unix_micros("ts").alias("err_us")
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purch_id"), F.unix_micros("ts").alias("purch_us")
+    )
+    return band_join(
+        err, pur, F.col("err_us"), F.col("purch_us"), 60_000_000
+    ).select(
+        "err_id", "purch_id",
+        (F.col("err_us") - F.col("purch_us")).alias("delta_us"),
+    )
+
+
+@register(
     "pipeline_quality_curation",
     """
     WITH toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts
