@@ -5644,6 +5644,26 @@ def substring_search_index_q(spark, sf_dir):
     )
 
 
+@register("substring_search_incremental", _SUBSTRING_ORACLE)
+def substring_search_incremental_q(spark, sf_dir):
+    """Incremental maintenance of the positional gram index: base
+    (doc_id%5≠0) and delta (doc_id%5=0) indexed separately and composed
+    by UNION — gram rows are row-local and deterministic per doc, so
+    append IS maintenance, same contract as the BM25/minhash/LM tiers.
+    SAME oracle as substring_search_index: the hash gate proves
+    index+delta ≡ one-shot full-corpus indexing bit-for-bit."""
+    from kafka_streams_demo_spark.functions.text import (
+        char_gram_index,
+        substring_find,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    idx = char_gram_index(docs.where(F.col("doc_id") % 5 != 0), n=4).unionByName(
+        char_gram_index(docs.where(F.col("doc_id") % 5 == 0), n=4)
+    )
+    return substring_find(None, "table scan", n=4, index=idx)
+
+
 @register("substring_search_rarest", _SUBSTRING_ORACLE)
 def substring_search_rarest_q(spark, sf_dir):
     """The hot-gram production mode of substring_find: candidates from

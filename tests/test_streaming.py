@@ -1106,3 +1106,74 @@ def test_ivf_delta_ingest_stream_index_grows_once(spark, tmp_path):
     }
     assert got == want
     cents.unpersist()
+
+
+def test_lm_counts_stream_maintenance_exactly_once(spark, tmp_path):
+    """The LM-model maintenance loop through streaming: each availableNow
+    micro-batch contributes its lm_counts partials through the
+    idempotent sink; compacting the committed partials (merge = union +
+    re-sum) reproduces the one-shot model over everything ingested,
+    BIT-EQUAL — and a checkpoint rerun adds nothing. The streaming
+    sibling of ccnet_perplexity_incremental's same-oracle proof."""
+    import os
+
+    from kafka_streams_demo_spark.functions.lm import lm_counts, merge_lm_counts
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    cb_dir = str(tmp_path / "cb")
+    cu_dir = str(tmp_path / "cu")
+    os.makedirs(cb_dir)
+    os.makedirs(cu_dir)
+    schema = "doc_id long, text string"
+    cb_sink = idempotent_parquet_sink(cb_dir)
+    cu_sink = idempotent_parquet_sink(cu_dir)
+
+    def ingest(batch, batch_id):
+        cb, cu = lm_counts(batch)
+        cb_sink(cb, batch_id)
+        cu_sink(cu, batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame([(1, "a b a b"), (2, "b c")], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # rerun on the same checkpoint: nothing new committed
+    b2 = spark.createDataFrame([(3, "a b x y")], schema)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    def compact():
+        cb = read_committed(spark, cb_dir).groupBy("w1", "w2").agg(
+            F.sum("cb").alias("cb")
+        )
+        cu = read_committed(spark, cu_dir).groupBy("w").agg(
+            F.sum("cu").alias("cu")
+        )
+        return cb, cu
+
+    got_cb, got_cu = compact()
+    want_cb, want_cu = lm_counts(b1.unionByName(b2))
+    assert sorted(map(tuple, got_cb.select("w1", "w2", "cb").collect())) == \
+        sorted(map(tuple, want_cb.select("w1", "w2", "cb").collect()))
+    assert sorted(map(tuple, got_cu.select("w", "cu").collect())) == \
+        sorted(map(tuple, want_cu.select("w", "cu").collect()))
+    # two non-empty source batches → exactly two committed partials each
+    assert len([d for d in os.listdir(cb_dir) if d.startswith("batch_id=")]) == 2
+    # merge_lm_counts over the committed partials is the same compaction
+    parts = [compact(), (want_cb.limit(0), want_cu.limit(0))]
+    mcb, mcu = merge_lm_counts(parts)
+    assert mcb.count() == want_cb.count() and mcu.count() == want_cu.count()
