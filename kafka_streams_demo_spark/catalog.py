@@ -857,6 +857,171 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+def _hll_users_oracle() -> str:
+    from kafka_streams_demo_spark.functions.sketches import hll_registers_sql
+
+    return hll_registers_sql(
+        "user_id::VARCHAR", "FROM events WHERE user_id IS NOT NULL", p=9, seed=42
+    )
+
+
+_HLL_REGS_ORACLE: str
+_CMS_USERS_ORACLE: str
+
+
+@register("hll_registers_users", None)  # oracle attached below (shared string)
+def hll_registers_users(spark, sf_dir):
+    """Deterministic HyperLogLog register build (functions/sketches.py) —
+    the hash-gated sibling of the rows-only `approx_distinct_users`:
+    every hash is the repo's 60-bit md5 integer, so the 512-register
+    table is bit-equal between Spark and DuckDB and the FULL value hash
+    gate applies (Spark's own HLL++ sketch is engine-private). Scale: one
+    groupBy over <= 512 keys, max() map-side combined — reducer state is
+    O(registers) no matter how many rows scan in."""
+    from kafka_streams_demo_spark.functions.sketches import hll_registers
+
+    ev = load_table(spark, "events", sf_dir)
+    return hll_registers(ev, "user_id", p=9, seed=42)
+
+
+@register("hll_merge_incremental", None)  # SAME oracle as hll_registers_users
+def hll_merge_incremental(spark, sf_dir):
+    """Mergeable-sketch identity under the external hash gate: build HLL
+    registers over two disjoint halves of events (even / odd event_id —
+    yesterday's sketch and today's delta), merge with per-bucket max, and
+    register against the SAME oracle as `hll_registers_users` — a driver
+    green PROVES merge(old, delta) == rebuild(all) bit-for-bit. This is
+    the sketch-family member of the index+delta contract (minhash_index,
+    bm25_postings_incremental, ann_ivf_assign_incremental): at 100 TB the
+    nightly job merges O(registers)-sized state instead of rescanning the
+    corpus."""
+    from kafka_streams_demo_spark.functions.sketches import hll_merge, hll_registers
+
+    ev = load_table(spark, "events", sf_dir)
+    old = hll_registers(ev.filter(F.col("event_id") % 2 == 0), "user_id", p=9, seed=42)
+    delta = hll_registers(ev.filter(F.col("event_id") % 2 == 1), "user_id", p=9, seed=42)
+    return hll_merge(old, delta)
+
+
+@register("hll_distinct_users", None)  # oracle attached below (derived string)
+def hll_distinct_users(spark, sf_dir):
+    """HLL cardinality estimate from the register table — the full
+    Flajolet bias-corrected harmonic mean with the small-range
+    linear-counting correction, all replayed by the oracle: the 2^-M_j
+    terms fold in sorted order (the cross-engine float-sum rule), empty
+    buckets contribute (m - nonzero) exactly, alpha is the same literal
+    arithmetic both sides. One row out of a 100 TB scan."""
+    from kafka_streams_demo_spark.functions.sketches import hll_estimate, hll_registers
+
+    ev = load_table(spark, "events", sf_dir)
+    return hll_estimate(hll_registers(ev, "user_id", p=9, seed=42), p=9)
+
+
+def _cms_users_oracle() -> str:
+    from kafka_streams_demo_spark.functions.sketches import cms_sketch_sql
+
+    return cms_sketch_sql(
+        "user_id", "FROM events WHERE user_id IS NOT NULL", depth=3, width=128, seed=42
+    )
+
+
+@register("cms_sketch_users", None)  # oracle attached below (shared string)
+def cms_sketch_users(spark, sf_dir):
+    """Count-min sketch build (functions/sketches.py, Cormode &
+    Muthukrishnan 2005) over events.user_id, depth 3 x width 128 — the
+    frequency sketch whose cell table is the whole contract: md5-derived
+    row hashes make it bit-equal across engines. Build counts per VALUE
+    first (one map-side-combined shuffle), then expands depth rows per
+    DISTINCT value — the d-fold blowup prices on |distinct|, never on the
+    100 TB row count."""
+    from kafka_streams_demo_spark.functions.sketches import cms_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    return cms_sketch(ev, "user_id", depth=3, width=128, seed=42)
+
+
+@register("cms_merge_incremental", None)  # SAME oracle as cms_sketch_users
+def cms_merge_incremental(spark, sf_dir):
+    """CMS mergeability under the hash gate: sketches of the even / odd
+    event halves merged by per-cell SUM (counters are linear), registered
+    against the SAME oracle as `cms_sketch_users` — the driver green
+    proves merge(old, delta) == rebuild(all) exactly, the count-min half
+    of the mergeable-sketch contract."""
+    from kafka_streams_demo_spark.functions.sketches import cms_merge, cms_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    old = cms_sketch(ev.filter(F.col("event_id") % 2 == 0), "user_id", 3, 128, 42)
+    delta = cms_sketch(ev.filter(F.col("event_id") % 2 == 1), "user_id", 3, 128, 42)
+    return cms_merge(old, delta)
+
+
+@register(
+    "cms_point_queries",
+    """
+WITH sk AS ({CMS_SKETCH}),
+items AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+probes AS (SELECT user_id, r.r,
+                  ('0x' || substr(md5(':' || '42' || '.' || r.r || ':' || user_id),
+                                  1, 15))::BIGINT % 128 AS bucket
+           FROM items CROSS JOIN (SELECT unnest(range(0, 3)) AS r) r),
+cells AS (SELECT p.user_id, coalesce(sk.cnt, 0) AS cell
+          FROM probes p LEFT JOIN sk ON p.r = sk.row AND p.bucket = sk.bucket),
+est AS (SELECT user_id, CAST(min(cell) AS BIGINT) AS cms_count
+        FROM cells GROUP BY 1),
+exact AS (SELECT user_id, count(*) AS exact_count
+          FROM events WHERE user_id % 13 = 0 GROUP BY 1)
+SELECT est.user_id, est.cms_count, exact.exact_count
+FROM est JOIN exact USING (user_id)
+""",
+)
+def cms_point_queries(spark, sf_dir):
+    """CMS point queries with the exact counts alongside: est = min over
+    the 3 rows of the item's cell (missing cell = 0), always >= exact —
+    the classic (eps, delta) overestimate bound, here VISIBLE in the
+    gated output. Scale: the probe side joins the <= 384-cell sketch
+    (broadcast-sized residue of the corpus); the exact column is one
+    combined groupBy for demonstration — production keeps only the
+    sketch probe."""
+    from kafka_streams_demo_spark.functions.sketches import cms_estimate, cms_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    sketch = cms_sketch(ev, "user_id", 3, 128, 42)
+    items = ev.select("user_id").filter(F.col("user_id") % 13 == 0).distinct()
+    est = cms_estimate(sketch, items, "user_id", 3, 128, 42).select(
+        F.col("item").alias("user_id"), "cms_count"
+    )
+    exact = (
+        ev.filter(F.col("user_id") % 13 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "user_id")
+
+
+# Shared / derived oracle strings for the sketch family: the two
+# incremental entries register the SAME string as their full-build
+# sibling (same-oracle bit-equality pattern), and the estimate derives
+# from the registers string.
+_HLL_REGS_ORACLE = _hll_users_oracle()
+_CMS_USERS_ORACLE = _cms_users_oracle()
+ORACLES["hll_registers_users"] = _HLL_REGS_ORACLE
+ORACLES["hll_merge_incremental"] = _HLL_REGS_ORACLE
+ORACLES["cms_sketch_users"] = _CMS_USERS_ORACLE
+ORACLES["cms_merge_incremental"] = _CMS_USERS_ORACLE
+ORACLES["cms_point_queries"] = ORACLES["cms_point_queries"].replace(
+    "{CMS_SKETCH}", _CMS_USERS_ORACLE
+)
+
+
+def _hll_estimate_oracle() -> str:
+    from kafka_streams_demo_spark.functions.sketches import hll_estimate_sql
+
+    return hll_estimate_sql(_HLL_REGS_ORACLE, p=9)
+
+
+ORACLES["hll_distinct_users"] = _hll_estimate_oracle()
+
+
 @register(
     "top_k_spenders",
     "SELECT user_id AS key, SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS total_c "

@@ -1,0 +1,313 @@
+"""Deterministic, oracle-replayable streaming sketches: HyperLogLog and
+count-min.
+
+Approximate-distinct and approximate-frequency already exist in the
+catalog as rows-only entries over Spark's built-ins
+(``approx_count_distinct`` / ``approx_percentile`` — their internal
+hashing is engine-private, so no SQL oracle can replay them). These
+implementations make the sketch itself the contract: every hash is the
+repo's standard 60-bit md5 integer (``('0x' || substr(md5(s),1,15))::
+BIGINT`` in DuckDB), so the register/counter TABLES are bit-equal across
+engines and the estimates land under the full hash gate.
+
+Reference parity: the reference's demo topology counts distinct-ish
+aggregates with Kafka Streams state stores
+(src/main/java/com/github/hosnimed/WordCountDemo.java:35); these are the
+mergeable-sketch upgrades a 100 TB corpus needs when exact per-key state
+no longer fits.
+
+Why "the sketch is a table" matters at scale: a register table is
+MERGEABLE state — union two register tables and take per-bucket max (HLL)
+or per-cell sum (CMS) and you get exactly the sketch of the unioned
+inputs. That is the index+delta contract the dedup/BM25/IVF tiers
+already follow, and here it is PROVABLE bit-for-bit: the incremental
+catalog entries register against the SAME oracle as the full build, so a
+driver green on the merged sketch externally proves merge(old, delta) ≡
+rebuild(all).
+
+Scale shape (both sketches):
+- one shuffle, keyed by a few hundred sketch cells, with map-side
+  combine (max / sum are partial-aggregatable) — reducer state is O(m),
+  never O(distinct values);
+- CMS builds count per VALUE first (one combined shuffle), then expands
+  d rows per distinct value — the d× blowup prices on |distinct|, not
+  |rows|;
+- estimates fold per-bucket doubles in sorted order (the cross-engine
+  float-sum determinism rule), so the final double is identical in Spark
+  and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash60(col: Column, seed: int | str) -> Column:
+    """60-bit cross-engine hash: first 15 md5 hex digits of 'seed:value'.
+    Non-negative (< 2^60), so &, >>, and % agree between engines."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(str(seed)), col.cast("string")).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _hash60_sql(expr: str, seed: int | str) -> str:
+    """DuckDB replay of :func:`_hash60` for oracle authoring."""
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+HLL_HASH_BITS = 60
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 9,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the HLL register table: (bucket, register) for every
+    non-empty bucket of an m = 2**p register sketch.
+
+    bucket = low p bits of the 60-bit hash; rho = position of the first
+    set bit in the remaining w = 60-p bits (w+1 if they are all zero);
+    register = max(rho) per bucket. Bit length comes from
+    ``length(bin(x))`` — minimal-length binary rendering in BOTH engines,
+    so the oracle replays it exactly.
+
+    Scale: one groupBy on <= m keys, max is map-side combined; reducer
+    state is O(m). The output IS the mergeable sketch — see
+    :func:`hll_merge`."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    w = HLL_HASH_BITS - p
+    h = _hash60(F.col(col), seed)
+    src = df.filter(F.col(col).isNotNull()).select(h.alias("_h"))
+    suffix = F.shiftright(F.col("_h"), p)
+    rho = F.when(suffix == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(suffix))
+    )
+    return (
+        src.select(
+            F.col("_h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("_rho").cast("int").alias("register"))
+    )
+
+
+def hll_registers_sql(expr: str, from_clause: str, p: int = 9, seed: int = 42) -> str:
+    """DuckDB oracle for :func:`hll_registers` (same hash, same rho)."""
+    m = 1 << p
+    w = HLL_HASH_BITS - p
+    hv = _hash60_sql(expr, seed)
+    return f"""
+WITH hsh AS (SELECT {hv} AS hv {from_clause}),
+parts AS (SELECT hv & {m - 1} AS bucket, hv >> {p} AS suffix FROM hsh),
+rho AS (SELECT bucket,
+               CASE WHEN suffix = 0 THEN {w + 1}
+                    ELSE {w + 1} - length(bin(suffix)) END AS r
+        FROM parts)
+SELECT bucket, CAST(max(r) AS INT) AS register FROM rho GROUP BY bucket
+"""
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge HLL sketches: union register tables, keep per-bucket max.
+    merge(hll(A), hll(B)) == hll(A UNION ALL B) exactly — the lossless
+    mergeability that makes HLL the standard distributed-distinct sketch.
+    The incremental catalog entry registers this against the full-build
+    oracle, so the hash gate proves the identity externally."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("register").cast("int").alias("register"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+    """One-row estimate from a register table: (m, nonzero_buckets,
+    estimate). Standard bias-corrected harmonic mean with the
+    small-range linear-counting correction (E <= 2.5m and empty buckets
+    exist -> m * ln(m / V)).
+
+    Cross-engine determinism: the 2^-register terms fold in sorted order
+    (``F.aggregate(F.array_sort(F.collect_list(...)))`` ≡ DuckDB
+    ``list_sum(list_sort(list(...)))``); empty buckets contribute
+    exactly (m - nonzero) * 1.0; alpha is spelled as the same literal
+    arithmetic in both engines."""
+    m = 1 << p
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("nonzero_buckets"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.pow(F.lit(2.0), -F.col("register")))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("_present"),
+    )
+    zeros = F.lit(m) - F.col("nonzero_buckets")
+    ssum = zeros.cast("double") + F.col("_present")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) / ssum
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("nonzero_buckets").cast("long").alias("nonzero_buckets"),
+        F.round(est, 6).alias("estimate"),
+    )
+
+
+def hll_estimate_sql(registers_sql: str, p: int = 9) -> str:
+    """DuckDB oracle for :func:`hll_estimate` over a registers subquery."""
+    m = 1 << p
+    return f"""
+WITH regs AS ({registers_sql}),
+acc AS (SELECT count(*) AS nz,
+               coalesce(list_sum(list_sort(list(pow(2.0, -register)))), 0.0)
+                   AS present
+        FROM regs),
+terms AS (SELECT nz, ({m} - nz) AS zeros,
+                 CAST({m} - nz AS DOUBLE) + present AS ssum
+          FROM acc),
+est AS (SELECT nz, zeros,
+               (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)} * {float(m)}
+                   / ssum AS raw
+        FROM terms)
+SELECT CAST({m} AS BIGINT) AS m,
+       CAST(nz AS BIGINT) AS nonzero_buckets,
+       ROUND(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS estimate
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """Build a count-min sketch table: (row, bucket, cnt) for every
+    non-empty cell of a depth x width grid. Row r hashes value v to
+    bucket ``hash60('seed.r:v') % width`` and adds v's count.
+
+    Build order matters at scale: count per VALUE first (one shuffle,
+    fully map-side combined), THEN expand d rows per distinct value and
+    re-aggregate to <= d*width cells. The d-fold blowup prices on
+    |distinct values|, not |input rows| — exploding first would triple a
+    100 TB scan's shuffle for no reason."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    per_value = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    expanded = per_value.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        "_v",
+        "_c",
+    )
+    return (
+        expanded.select(
+            F.col("row").cast("int").alias("row"),
+            _cms_bucket(F.col("row"), F.col("_v"), width, seed).alias("bucket"),
+            "_c",
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("_c").alias("cnt"))
+    )
+
+
+def _cms_bucket(row: Column, value: Column, width: int, seed: int) -> Column:
+    """Cell hash for CMS row r: hash60 of ':<seed>.<r>:<value>' mod width
+    (the leading ':' is _hash60's empty-seed prefix; the oracle replays
+    the exact same string)."""
+    label = F.concat_ws(".", F.lit(str(seed)), row)
+    return F.pmod(
+        _hash60(F.concat_ws(":", label, value.cast("string")), seed=""),
+        F.lit(width),
+    )
+
+
+def cms_sketch_sql(
+    expr: str, from_clause: str, depth: int = 3, width: int = 128, seed: int = 42
+) -> str:
+    """DuckDB oracle for :func:`cms_sketch` (same label string, same hash)."""
+    hv = f"('0x' || substr(md5(':' || '{seed}' || '.' || r || ':' || v), 1, 15))::BIGINT"
+    return f"""
+WITH per_value AS (SELECT CAST({expr} AS VARCHAR) AS v, count(*) AS c
+                   {from_clause} GROUP BY 1),
+expanded AS (SELECT r.r, v, c
+             FROM per_value CROSS JOIN (SELECT unnest(range(0, {depth})) AS r) r),
+cells AS (SELECT r, {hv} % {width} AS bucket, c FROM expanded)
+SELECT CAST(r AS INT) AS row, bucket, SUM(c) AS cnt
+FROM cells GROUP BY 1, 2
+"""
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches: per-cell sum. merge(cms(A), cms(B)) ==
+    cms(A UNION ALL B) exactly (counters are linear), the CMS half of the
+    mergeable-sketch contract. Registered against the full-build oracle
+    so the identity is externally hash-proven."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-query the sketch for each item: est = min over the d rows of
+    the item's cell count (missing cell = 0). Overestimates only, by the
+    classic (eps, delta) bound.
+
+    Scale: items expand d rows each and join the <= d*width-cell sketch —
+    broadcast-sized by construction, so the probe never shuffles the
+    corpus side (the sketch is the corpus's only residue)."""
+    probes = items.filter(F.col(col).isNotNull()).select(
+        F.col(col).alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    probes = probes.select(
+        "item",
+        F.col("row").cast("int").alias("row"),
+        _cms_bucket(F.col("row"), F.col("item"), width, seed).alias("bucket"),
+    )
+    joined = probes.join(sketch, ["row", "bucket"], "left").select(
+        "item", F.coalesce(F.col("cnt"), F.lit(0)).alias("_cell")
+    )
+    return joined.groupBy("item").agg(F.min("_cell").cast("long").alias("cms_count"))

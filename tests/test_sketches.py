@@ -1,0 +1,140 @@
+"""Deterministic HLL / count-min sketches (functions/sketches.py).
+
+Catalog entries carry the cross-engine hash gate (tools/check_oracle.py);
+these tests pin the sketch guarantees themselves: estimate error bounds,
+exact mergeability, the overestimate-only CMS contract, and input
+validation."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.functions.sketches import (
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _values_df(spark, values):
+    return spark.createDataFrame([Row(v=v) for v in values])
+
+
+def test_hll_estimate_error_bound(spark):
+    # 2000 distinct values at p=9 (m=512): rsd ~ 1.04/sqrt(512) ~ 4.6%;
+    # assert within 4 sigma.
+    n = 2000
+    df = _values_df(spark, [f"user-{i}" for i in range(n)])
+    est = hll_estimate(hll_registers(df, "v", p=9), p=9).collect()[0]["estimate"]
+    assert abs(est - n) / n < 4 * 1.04 / (512**0.5)
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 20 distinct << m: the linear-counting branch should be near-exact.
+    df = _values_df(spark, [f"u{i}" for i in range(20)])
+    est = hll_estimate(hll_registers(df, "v", p=9), p=9).collect()[0]["estimate"]
+    assert abs(est - 20) <= 2
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    once = _values_df(spark, [f"x{i}" for i in range(100)])
+    thrice = _values_df(spark, [f"x{i % 100}" for i in range(300)])
+    r1 = sorted(map(tuple, hll_registers(once, "v", p=9).collect()))
+    r3 = sorted(map(tuple, hll_registers(thrice, "v", p=9).collect()))
+    assert r1 == r3
+
+
+def test_hll_merge_equals_rebuild(spark):
+    a = _values_df(spark, [f"a{i}" for i in range(150)])
+    b = _values_df(spark, [f"a{i}" for i in range(100, 250)])  # overlap
+    merged = sorted(
+        map(
+            tuple,
+            hll_merge(
+                hll_registers(a, "v", p=7), hll_registers(b, "v", p=7)
+            ).collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            hll_registers(a.unionByName(b), "v", p=7).collect(),
+        )
+    )
+    assert merged == full
+
+
+def test_hll_null_inputs_ignored(spark):
+    df = spark.createDataFrame([Row(v="a"), Row(v=None), Row(v="b")])
+    regs = hll_registers(df, "v", p=9)
+    est = hll_estimate(regs, p=9).collect()[0]["estimate"]
+    assert abs(est - 2) <= 1
+
+
+def test_hll_p_validation():
+    with pytest.raises(ValueError):
+        hll_registers(None, "v", p=3)
+
+
+def test_cms_overestimates_only_and_exact_when_sparse(spark):
+    vals = [f"k{i % 50}" for i in range(500)]  # each key 10x
+    df = _values_df(spark, vals)
+    sk = cms_sketch(df, "v", depth=3, width=256)
+    items = df.distinct()
+    est = {
+        r["item"]: r["cms_count"]
+        for r in cms_estimate(sk, items, "v", depth=3, width=256).collect()
+    }
+    assert all(est[f"k{i}"] >= 10 for i in range(50))
+    # 50 distinct into 256 buckets x 3 rows: min-over-rows should be exact
+    # for nearly all keys; assert the total overshoot is tiny.
+    assert sum(est[f"k{i}"] - 10 for i in range(50)) <= 20
+
+
+def test_cms_merge_equals_rebuild(spark):
+    a = _values_df(spark, [f"m{i % 7}" for i in range(70)])
+    b = _values_df(spark, [f"m{i % 11}" for i in range(110)])
+    merged = sorted(
+        map(
+            tuple,
+            cms_merge(
+                cms_sketch(a, "v", 3, 64), cms_sketch(b, "v", 3, 64)
+            ).collect(),
+        )
+    )
+    full = sorted(map(tuple, cms_sketch(a.unionByName(b), "v", 3, 64).collect()))
+    assert merged == full
+
+
+def test_cms_missing_item_estimates_small(spark):
+    df = _values_df(spark, [f"p{i}" for i in range(20)])
+    sk = cms_sketch(df, "v", depth=3, width=128)
+    items = _values_df(spark, ["never-seen"])
+    est = cms_estimate(sk, items, "v", depth=3, width=128).collect()[0]["cms_count"]
+    # unseen key: min over 3 rows of mostly-empty cells — bounded by the
+    # worst single-cell collision mass (each cell holds <= a few of the
+    # 20 singleton counts).
+    assert 0 <= est <= 3
+
+
+def test_cms_validation():
+    with pytest.raises(ValueError):
+        cms_sketch(None, "v", depth=0, width=128)
+    with pytest.raises(ValueError):
+        cms_merge()
+    with pytest.raises(ValueError):
+        hll_merge()
+
+
+def test_cms_build_counts_values_before_expanding(spark):
+    # the depth-fold expansion must sit ABOVE a per-value aggregate:
+    # the explode's child plan contains the combined count, so the
+    # d-fold blowup prices on |distinct|, not |rows|.
+    df = _values_df(spark, [f"k{i % 5}" for i in range(100)])
+    plan = cms_sketch(df, "v", 3, 64)._jdf.queryExecution().optimizedPlan().toString()
+    gen_pos = plan.find("Generate")
+    agg_below = plan.find("Aggregate", gen_pos + 1)
+    assert gen_pos != -1 and agg_below != -1, plan
