@@ -238,6 +238,85 @@ def ktable_latest(spark, sf_dir):
     return _events_stream(spark, sf_dir, value="event_type").to_table().to_df().select("key", "value")
 
 
+_SCD2_ORACLE = """
+SELECT user_id, event_type,
+       CAST(ROUND(value*100, 0) AS BIGINT) AS value_cents,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to_us
+FROM events
+"""
+
+
+@register("scd2_user_history", _SCD2_ORACLE)
+def scd2_user_history(spark, sf_dir):
+    """SCD2 version history (functions/scd.py) — the other half of the
+    reference's `builder.table` latest-view (StreamToTableJoinDemo.
+    java:41): every change becomes a validity interval
+    [valid_from_us, valid_to_us), open row NULL-terminated. One window
+    shuffle on the key; lead() streams, no buffering. This is the
+    lakehouse SCD2 dimension-table shape a warehouse derives from the
+    same changelog the KTable consumes."""
+    from kafka_streams_demo_spark.functions.scd import scd2_snapshot
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", cents(F.col("value")).alias("value_cents"),
+        "ts", "event_id",
+    )
+    return scd2_snapshot(
+        ev, ["user_id"], ["event_type", "value_cents"], ts="ts", tiebreak="event_id"
+    )
+
+
+@register("scd2_merge_incremental", _SCD2_ORACLE)  # SAME oracle: merge ≡ rebuild
+def scd2_merge_incremental(spark, sf_dir):
+    """Incremental SCD2 MERGE under the external hash gate: the table as
+    of Jan 21 plays the existing dimension, the later events play the
+    change batch. Closed history passes through untouched; open rows of
+    unaffected keys pass through via a delta-sized anti-join; only
+    (touched open rows ∪ batch) re-window. Registered against the SAME
+    oracle as `scd2_user_history`, so a driver green proves
+    merge(scd2(old), batch) == scd2(all) bit-for-bit — the lakehouse
+    MERGE priced on |batch|, never on accumulated history."""
+    from kafka_streams_demo_spark.functions.scd import scd2_merge, scd2_snapshot
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", cents(F.col("value")).alias("value_cents"),
+        "ts", "event_id",
+    )
+    split = F.lit("2024-01-21").cast("timestamp")
+    current = scd2_snapshot(
+        ev.filter(F.col("ts") < split),
+        ["user_id"], ["event_type", "value_cents"], ts="ts", tiebreak="event_id",
+    )
+    return scd2_merge(
+        current, ev.filter(F.col("ts") >= split),
+        ["user_id"], ["event_type", "value_cents"], ts="ts", tiebreak="event_id",
+    )
+
+
+@register(
+    "scd2_current_view",
+    f"SELECT user_id, event_type, value_cents, valid_from_us "
+    f"FROM ({_SCD2_ORACLE}) v WHERE valid_to_us IS NULL",
+)
+def scd2_current_view(spark, sf_dir):
+    """Latest view recovered FROM the history table — `scd2_current` is a
+    filter on the open rows (zero shuffle), closing the loop with
+    `ktable_latest`: changelog → SCD2 history → current dimension, each
+    stage a catalog op."""
+    from kafka_streams_demo_spark.functions.scd import scd2_current, scd2_snapshot
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", cents(F.col("value")).alias("value_cents"),
+        "ts", "event_id",
+    )
+    hist = scd2_snapshot(
+        ev, ["user_id"], ["event_type", "value_cents"], ts="ts", tiebreak="event_id"
+    )
+    return scd2_current(hist)
+
+
 @register(
     "ktable_groupby_count",
     "SELECT value AS key, count(*) AS value FROM ("

@@ -1,0 +1,96 @@
+"""SCD2 snapshot / incremental merge (functions/scd.py).
+
+The catalog pins merge ≡ rebuild externally (same-oracle hash gate);
+these tests pin the semantics at unit scale: interval chaining, tie
+resolution, the watermark-merge identity across several split points,
+new-key handling, and the delta-priced plan shape."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_streams_demo_spark.functions.scd import (
+    scd2_current,
+    scd2_merge,
+    scd2_snapshot,
+)
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, v=v, ts=dt.datetime(2024, 1, d, h), eid=e)
+         for (k, v, d, h, e) in rows]
+    )
+
+
+def _us(d, h=0):
+    return int(dt.datetime(2024, 1, d, h, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def test_snapshot_intervals_chain(spark):
+    hist = scd2_snapshot(
+        _chg(spark, [("a", 1, 1, 0, 1), ("a", 2, 5, 0, 2), ("a", 3, 9, 0, 3)]),
+        ["k"], ["v"], ts="ts", tiebreak="eid",
+    ).orderBy("valid_from_us").collect()
+    assert [(r["v"], r["valid_from_us"], r["valid_to_us"]) for r in hist] == [
+        (1, _us(1), _us(5)),
+        (2, _us(5), _us(9)),
+        (3, _us(9), None),
+    ]
+
+
+def test_snapshot_tiebreak_orders_equal_timestamps(spark):
+    hist = scd2_snapshot(
+        _chg(spark, [("a", 20, 3, 0, 2), ("a", 10, 3, 0, 1)]),
+        ["k"], ["v"], ts="ts", tiebreak="eid",
+    ).collect()
+    # equal ts: eid=1 version closes, eid=2 stays open
+    open_rows = [r for r in hist if r["valid_to_us"] is None]
+    assert len(open_rows) == 1 and open_rows[0]["v"] == 20
+
+
+def test_merge_equals_rebuild_across_splits(spark):
+    rows = [
+        ("a", 1, 1, 0, 1), ("a", 2, 6, 0, 2), ("a", 3, 12, 0, 3),
+        ("b", 7, 2, 0, 4), ("b", 8, 20, 0, 5),
+        ("c", 9, 25, 0, 6),  # key born after most splits
+    ]
+    chg = _chg(spark, rows)
+    full = sorted(
+        map(tuple, scd2_snapshot(chg, ["k"], ["v"], "ts", "eid").collect())
+    )
+    for split_day in (4, 10, 15, 24):
+        cut = F.lit(f"2024-01-{split_day:02d}").cast("timestamp")
+        cur = scd2_snapshot(chg.filter(F.col("ts") < cut), ["k"], ["v"], "ts", "eid")
+        merged = scd2_merge(
+            cur, chg.filter(F.col("ts") >= cut), ["k"], ["v"], "ts", "eid"
+        )
+        assert sorted(map(tuple, merged.collect())) == full, split_day
+
+
+def test_merge_empty_batch_is_identity(spark):
+    chg = _chg(spark, [("a", 1, 1, 0, 1), ("a", 2, 5, 0, 2)])
+    cur = scd2_snapshot(chg, ["k"], ["v"], "ts", "eid")
+    merged = scd2_merge(cur, chg.filter(F.lit(False)), ["k"], ["v"], "ts", "eid")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, cur.collect()))
+
+
+def test_merge_only_touched_keys_rewindow(spark):
+    # the window recompute input must be semi-joined to batch keys:
+    # untouched key 'b' flows through the anti-join branch only.
+    chg = _chg(spark, [("a", 1, 1, 0, 1), ("b", 2, 1, 0, 2)])
+    cur = scd2_snapshot(chg, ["k"], ["v"], "ts", "eid")
+    batch = _chg(spark, [("a", 5, 10, 0, 3)])
+    plan = scd2_merge(cur, batch, ["k"], ["v"], "ts", "eid")
+    opt = plan._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in opt and "LeftSemi" in opt
+    got = {(r["k"], r["v"], r["valid_to_us"] is None) for r in plan.collect()}
+    assert got == {("a", 1, False), ("a", 5, True), ("b", 2, True)}
+
+
+def test_current_view_is_open_rows(spark):
+    chg = _chg(spark, [("a", 1, 1, 0, 1), ("a", 2, 5, 0, 2), ("b", 3, 2, 0, 3)])
+    cur = scd2_current(scd2_snapshot(chg, ["k"], ["v"], "ts", "eid"))
+    assert {(r["k"], r["v"]) for r in cur.collect()} == {("a", 2), ("b", 3)}
+    assert "valid_to_us" not in cur.columns
