@@ -1101,6 +1101,99 @@ def _hll_estimate_oracle() -> str:
 ORACLES["hll_distinct_users"] = _hll_estimate_oracle()
 
 
+_PR_EDGES_CTE = """
+SELECT src, dst FROM (
+  WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+  SELECT 'c:' || c AS src, 's:' || s AS dst FROM cs
+  UNION ALL
+  SELECT 's:' || s AS src, 'c:' || c AS dst FROM cs
+) bidir
+"""
+
+
+def _pagerank_oracle() -> str:
+    from kafka_streams_demo_spark.functions.graph import pagerank_sql
+
+    return pagerank_sql(_PR_EDGES_CTE, iterations=3, damping=0.85)
+
+
+@register("pagerank_cust_supp", None)  # oracle attached below (generated)
+def pagerank_cust_supp(spark, sf_dir):
+    """Fixed-iteration PageRank (functions/graph.py) over the
+    customer↔supplier interaction graph (distinct trade pairs from
+    orders⋈lineitem, both directions so no node dangles) — an ITERATIVE
+    double-valued algorithm under the full hash gate: the oracle unrolls
+    the same 3 iterations as CTE stages, contribution sums fold in
+    sorted order on both engines, and damping constants are shared
+    literals (0.15, never 1-0.85). Per iteration: one edge join + one
+    groupBy(dst) shuffle. The sorted collect_list fold exists FOR the
+    cross-engine gate; a production run on a power-law graph swaps in
+    plain F.sum (order-free, no hot-node list) — same plan shape, and
+    the gate has already proven the iteration logic."""
+    from kafka_streams_demo_spark.functions.graph import pagerank
+
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=3, damping=0.85)
+
+
+ORACLES["pagerank_cust_supp"] = _pagerank_oracle()
+
+
+_TRI_EDGES_CTE = """
+SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+FROM lineitem l1
+JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                AND l1.l_partkey < l2.l_partkey
+"""
+
+
+def _tri_oracle() -> str:
+    from kafka_streams_demo_spark.functions.graph import triangle_counts_sql
+
+    return triangle_counts_sql(_TRI_EDGES_CTE)
+
+
+@register("triangle_counts_coorder", None)  # oracle attached below (generated)
+def triangle_counts_coorder(spark, sf_dir):
+    """Degree-oriented triangle counting (functions/graph.py, Suri &
+    Vassilvitskii WWW'11) over the part co-order graph (parts bought in
+    the same order). Orienting every edge from its lower-(degree, id)
+    endpoint bounds each out-neighborhood at O(sqrt(m)), so the wedge
+    shuffle is m^1.5 worst-case instead of sum(deg^2) — on a power-law
+    co-occurrence graph at 100 TB that is the difference between a big
+    join and an impossible one. Within-order pair expansion is bounded
+    by order size (~7 lineitems in TPC-H). Pure integer math: the oracle
+    replays orientation, wedges, and closure exactly."""
+    from kafka_streams_demo_spark.functions.graph import triangle_counts
+
+    li = load_table(spark, "lineitem", sf_dir)
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    und = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_counts(und)
+
+
+ORACLES["triangle_counts_coorder"] = _tri_oracle()
+
+
 @register(
     "top_k_spenders",
     "SELECT user_id AS key, SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS total_c "
