@@ -1194,6 +1194,42 @@ def triangle_counts_coorder(spark, sf_dir):
 ORACLES["triangle_counts_coorder"] = _tri_oracle()
 
 
+@register("triangle_counts_incremental", None)  # SAME oracle as batch build
+def triangle_counts_incremental_q(spark, sf_dir):
+    """Index+delta triangle maintenance (functions/graph.py): lineitems
+    shipped before mid-1995 play the indexed graph, later shipments add
+    edges. New triangles are found by probing the union adjacency from
+    DELTA edges only (every gained triangle holds >= 1 new edge), deduped
+    by canonical triple, and added to the old counts. Registered against
+    the SAME oracle as `triangle_counts_coorder`, so a driver green
+    proves old + delta == rebuild exactly — the graph-analytics member
+    of the index+delta contract. Cost prices on delta-edge degree sums,
+    never the union wedge space."""
+    from kafka_streams_demo_spark.functions.graph import (
+        triangle_counts_incremental,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def pairs(df):
+        l1 = df.select("l_orderkey", F.col("l_partkey").alias("a"))
+        l2 = df.select("l_orderkey", F.col("l_partkey").alias("b"))
+        return (
+            l1.join(l2, "l_orderkey")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+
+    old_und = pairs(li.filter(F.col("l_shipdate") < F.lit("1995-06-01")))
+    all_und = pairs(li)
+    delta_und = all_und.join(old_und, ["a", "b"], "left_anti")
+    return triangle_counts_incremental(old_und, delta_und)
+
+
+ORACLES["triangle_counts_incremental"] = _tri_oracle()
+
+
 @register(
     "top_k_spenders",
     "SELECT user_id AS key, SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS total_c "
@@ -3469,6 +3505,27 @@ def approx_percentile_value(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_percentile(cents(F.col("value")), F.lit(0.5), F.lit(10000)).alias("p50_c"),
         F.approx_percentile(cents(F.col("value")), F.lit(0.95), F.lit(10000)).alias("p95_c"),
+    )
+
+
+@register(
+    "exact_percentiles_value",
+    "SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50, "
+    "ROUND(quantile_cont(value, 0.95), 6) AS p95 FROM events GROUP BY 1",
+)
+def exact_percentiles_value(spark, sf_dir):
+    """EXACT percentiles under the hash gate — the deterministic sibling
+    of the rows-only `approx_percentile_value`: Spark's `percentile`
+    aggregate uses the same linear interpolation as DuckDB's
+    quantile_cont, so the doubles match to the 6dp gate with no sketch
+    in the loop. Scale contract is the inverse of the approx entry:
+    exact percentile buffers each group's values (fine at bounded group
+    cardinality like per-event-type stats); unbounded groups at 100 TB
+    take the approx_percentile sketch path this entry validates."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
     )
 
 

@@ -172,6 +172,62 @@ def triangle_counts(undirected: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
 
 
+def triangle_counts_incremental(
+    old_und: DataFrame, delta_und: DataFrame
+) -> DataFrame:
+    """Index+delta triangle maintenance: per-node counts over
+    old ∪ delta edges, priced on the delta.
+
+    Contract: ``delta_und`` contains only edges NOT in ``old_und`` (the
+    caller anti-joins; edges are only ever added). Every triangle gained
+    by the delta contains >= 1 delta edge, so it is found by probing the
+    union adjacency from delta edges only: for delta edge (a, b), each
+    union-neighbor c of a with union-edge (b, c) closes a triangle. A
+    triangle with k delta edges (k = 1..3) surfaces k times — the
+    canonical sorted triple distinct() collapses them — so
+    old_counts + new_corner_counts == rebuild exactly (the catalog
+    registers this against the SAME oracle as the batch build).
+
+    Cost: sum over delta edges of deg_union(a) probe rows + the old
+    batch count — never a rebuild over the union's wedge space."""
+    union = old_und.unionByName(delta_und)
+    adj = union.select(F.col("a").alias("p"), F.col("b").alias("q")).unionByName(
+        union.select(F.col("b").alias("p"), F.col("a").alias("q"))
+    )
+    cand = (
+        delta_und.join(adj, delta_und["a"] == adj["p"])
+        .filter(F.col("q") != F.col("b"))
+        .select("a", "b", F.col("q").alias("c"))
+    )
+    closing = union.select(
+        F.least("a", "b").alias("_lo"), F.greatest("a", "b").alias("_hi")
+    )
+    tri = cand.join(
+        closing,
+        (F.least("b", "c") == F.col("_lo")) & (F.greatest("b", "c") == F.col("_hi")),
+        "left_semi",
+    )
+    triples = tri.select(
+        F.array_sort(F.array("a", "b", "c")).alias("t")
+    ).distinct()
+    new_corners = (
+        triples.select(F.explode("t").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_new"))
+    )
+    old_counts = triangle_counts(old_und).withColumnRenamed("triangles", "_old")
+    return (
+        old_counts.join(new_corners, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce(F.col("_old"), F.lit(0))
+                + F.coalesce(F.col("_new"), F.lit(0))
+            ).alias("triangles"),
+        )
+    )
+
+
 def triangle_counts_sql(edges_cte: str) -> str:
     """DuckDB oracle replaying :func:`triangle_counts` step for step.
     ``edges_cte`` yields (a, b), each undirected edge once."""

@@ -78,3 +78,30 @@ def test_triangles_counted_once(spark):
     got = {r["node"]: r["triangles"]
            for r in triangle_counts(_edges(spark, und, cols=("a", "b"))).collect()}
     assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_incremental_equals_rebuild(spark):
+    import random
+
+    from kafka_streams_demo_spark.functions.graph import triangle_counts_incremental
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    all_edges = sorted(
+        {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.35}
+    )
+    for frac in (0.0, 0.4, 0.8, 1.0):
+        cut = int(len(all_edges) * frac)
+        old = _edges(spark, all_edges[:cut] or [(-1, -2)], cols=("a", "b"))
+        if not all_edges[:cut]:
+            old = old.filter("a > 0")  # empty old graph
+        delta = _edges(spark, all_edges[cut:] or [(-1, -2)], cols=("a", "b"))
+        if not all_edges[cut:]:
+            delta = delta.filter("a > 0")
+        inc = sorted(
+            map(tuple, triangle_counts_incremental(old, delta).filter("triangles > 0").collect())
+        )
+        full = sorted(
+            map(tuple, triangle_counts(_edges(spark, all_edges, cols=("a", "b"))).collect())
+        )
+        assert inc == full, frac
