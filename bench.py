@@ -64,6 +64,12 @@ HEADLINE = [
     "gopher_repetition_filter",
     "pipeline_clean_corpus",
     "shuffle_shards",
+    # round 7 late additions: mergeable sketches, SCD2 merge, graph
+    "hll_merge_incremental",
+    "cms_point_queries",
+    "scd2_merge_incremental",
+    "pagerank_cust_supp",
+    "triangle_counts_coorder",
 ]
 
 

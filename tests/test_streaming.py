@@ -1177,3 +1177,120 @@ def test_lm_counts_stream_maintenance_exactly_once(spark, tmp_path):
     parts = [compact(), (want_cb.limit(0), want_cu.limit(0))]
     mcb, mcu = merge_lm_counts(parts)
     assert mcb.count() == want_cb.count() and mcu.count() == want_cu.count()
+
+
+def test_hll_registers_stream_maintenance_exactly_once(spark, tmp_path):
+    """Mergeable-sketch maintenance through streaming: each availableNow
+    micro-batch commits its HLL register partial through the idempotent
+    sink; hll_merge over the committed partials reproduces the one-shot
+    registers over everything ingested BIT-EQUAL (the streaming sibling
+    of hll_merge_incremental's same-oracle proof), and a checkpoint
+    rerun adds nothing."""
+    import os
+
+    from kafka_streams_demo_spark.functions.sketches import hll_merge, hll_registers
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "regs")
+    os.makedirs(out_dir)
+    schema = "user_id long"
+    sink = idempotent_parquet_sink(out_dir)
+
+    def ingest(batch, batch_id):
+        sink(hll_registers(batch, "user_id", p=7), batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame([(i,) for i in range(60)], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: no new partial
+    b2 = spark.createDataFrame([(i,) for i in range(40, 120)], schema)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    merged = hll_merge(read_committed(spark, out_dir).select("bucket", "register"))
+    want = hll_registers(b1.unionByName(b2), "user_id", p=7)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+    assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
+
+
+def test_scd2_merge_stream_versions(spark, tmp_path):
+    """SCD2 dimension maintenance through streaming: each availableNow
+    batch folds into the current dimension via scd2_merge and commits a
+    VERSIONED table (v<batch_id> — rerunning a batch overwrites the same
+    version with the same content, so replays are idempotent). The final
+    version equals scd2_snapshot over every change ingested, proving the
+    merge loop end-to-end; the same-oracle catalog entry
+    (scd2_merge_incremental) proves one fold externally."""
+    import datetime as dt
+    import os
+
+    from kafka_streams_demo_spark.functions.scd import scd2_merge, scd2_snapshot
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    dim_root = str(tmp_path / "dim")
+    os.makedirs(dim_root)
+    schema = "k string, v long, ts timestamp, eid long"
+
+    def current_version():
+        vs = sorted(
+            int(d[1:]) for d in os.listdir(dim_root) if d.startswith("v")
+        )
+        return vs[-1] if vs else None
+
+    def ingest(batch, batch_id):
+        cur_v = current_version()
+        # only versions from EARLIER batches are inputs (rerun safety)
+        cur_v = max((v for v in [cur_v] if v is not None and v < batch_id), default=None)
+        if cur_v is None:
+            merged = scd2_snapshot(batch, ["k"], ["v"], "ts", "eid")
+        else:
+            cur = spark.read.parquet(f"{dim_root}/v{cur_v}")
+            merged = scd2_merge(cur, batch, ["k"], ["v"], "ts", "eid")
+        merged.write.mode("overwrite").parquet(f"{dim_root}/v{batch_id}")
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def day(d):
+        return dt.datetime(2024, 1, d)
+
+    b1 = spark.createDataFrame(
+        [("a", 1, day(1), 1), ("b", 5, day(2), 2), ("a", 2, day(3), 3)], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    b2 = spark.createDataFrame(
+        [("a", 3, day(10), 4), ("c", 9, day(11), 5)], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # rerun: no new version directories beyond the committed ones
+
+    final = spark.read.parquet(f"{dim_root}/v{current_version()}")
+    want = scd2_snapshot(
+        b1.unionByName(b2), ["k"], ["v"], "ts", "eid"
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
