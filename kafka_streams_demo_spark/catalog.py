@@ -3028,6 +3028,39 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
 @register(
+    "unpivot_charge_components",
+    "WITH agg AS (SELECT l_returnflag, "
+    "  SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS price_c, "
+    "  SUM(CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS discount_c, "
+    "  SUM(CAST(ROUND(l_tax*100, 0) AS BIGINT)) AS tax_c "
+    "  FROM lineitem GROUP BY 1) "
+    "SELECT l_returnflag, 'price_c' AS component, price_c AS amount_c FROM agg "
+    "UNION ALL SELECT l_returnflag, 'discount_c', discount_c FROM agg "
+    "UNION ALL SELECT l_returnflag, 'tax_c', tax_c FROM agg",
+)
+def unpivot_charge_components(spark, sf_dir):
+    """Unpivot / melt (wide→long) — the inverse of
+    `pivot_priority_by_nation`, completing the reshape pair: per-flag
+    charge components unpivoted into (component, amount) rows via
+    Spark's native `unpivot` (Expand node — row-local, zero extra
+    shuffle beyond the aggregate; the oracle is the UNION ALL it
+    replaces, which would SCAN THE AGGREGATE THREE TIMES if written
+    naively over a 100 TB fact table)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(cents(F.col("l_extendedprice"))).alias("price_c"),
+        F.sum(cents(F.col("l_discount"))).alias("discount_c"),
+        F.sum(cents(F.col("l_tax"))).alias("tax_c"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["price_c", "discount_c", "tax_c"],
+        "component",
+        "amount_c",
+    )
+
+
+@register(
     "pivot_priority_by_nation",
     "SELECT n.n_name, "
     + ", ".join(
