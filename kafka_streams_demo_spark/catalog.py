@@ -6571,36 +6571,69 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # (bpe_train_merges / bpe_token_counts — worked-example + reference-
 # trainer pinned). Keep the standing rule: no family loses its
 # last green representative; document every swap here.
+#
+# Late-round-7 swaps for the sketch / SCD2 / graph additions (every
+# incoming entry individually hash-verified at sf0.01 before the swap;
+# the whole 50-name window re-verified with check_oracle after it).
+# Eight demotions, each with its family anchor staying green in-window:
+# q18_large_orders (r6 green; TPC-H keeps q1 green + q3/q5 incoming),
+# tumbling_window_count (r1-r6 green; windows keep
+# sliding_window_full_count green + hopping_window_sum_cents incoming),
+# ktable_reduce_sum (r6 green; KTable family keeps ktable_latest +
+# ktable_fk_join green), dedup_clusters (r6 green; its SAME-ORACLE
+# sibling dedup_clusters_incremental stays in-window, so the cluster
+# logic still earns an external row), hybrid_rrf_fusion (r6 green;
+# retrieval keeps bm25_search_multi green), cogroup_user_metrics (r6
+# green; agg family keeps word_count + aggregate_sum_cents green),
+# ngram_span_dedup_hashed (never-checked; plain ngram_span_dedup stays
+# — the md5-keyed pair proof rotates back r8), vocab_token_freq
+# (never-checked; text-analysis keeps tfidf_top_terms + corpus_profile
+# incoming, lang_id/char_entropy green on record). Eight additions:
+# the HLL pair (hll_registers_users + hll_merge_incremental — shared
+# oracle, a green on both proves merge == rebuild externally),
+# cms_merge_incremental (same-oracle vs cms_sketch_users, which stays
+# local this round), the SCD2 pair (scd2_user_history +
+# scd2_merge_incremental — shared oracle, lakehouse MERGE ≡ rebuild),
+# the triangle pair (triangle_counts_coorder +
+# triangle_counts_incremental — shared oracle, index+delta graph
+# maintenance), and pagerank_cust_supp (iterative double-valued
+# algorithm under the unrolled-CTE hash gate).
 DRIVER_PRIORITY: list[str] = [
     # core DSL / streaming keepers (driver-green r6, families anchored)
     "branch_c", "word_count", "aggregate_sum_cents",
     "ktable_latest", "processor_running_count", "json_extract_sum",
-    "tumbling_window_count", "sliding_window_full_count",
+    "sliding_window_full_count",
     "stream_stream_join_asymmetric", "stream_table_join_segment",
-    "ktable_fk_join", "event_time_extract", "ktable_reduce_sum",
+    "ktable_fk_join", "event_time_extract",
     "avro_wire_roundtrip",
-    "q1_pricing_summary", "q18_large_orders",
+    "q1_pricing_summary",
     # incoming: last two never-driver-checked TPC-H shapes
     "q3_shipping_priority", "q5_regional_revenue",
     # dedup / ingest keepers + incoming incremental families
-    "dedup_clusters", "pipeline_ingest_incremental",
+    "pipeline_ingest_incremental",
     "dedup_clusters_incremental",
     "ngram_jaccard_incremental", "dedup_embedding_cosine_incremental",
-    "ngram_span_dedup", "ngram_span_dedup_hashed",
+    "ngram_span_dedup",
     # cleaning bundles (incoming) + the composed trainer-shard pipeline
     "gopher_quality_filter", "gopher_repetition_filter",
     "c4_line_clean", "pipeline_training_data",
     # retrieval / ANN: keepers + the persisted-IVF pair
-    "bm25_search_multi", "hybrid_rrf_fusion",
+    "bm25_search_multi",
     "ann_ivf_topk", "ann_ivf_index_topk", "ann_ivf_assign_incremental",
     # text analysis (incoming)
-    "tfidf_top_terms", "corpus_profile", "vocab_token_freq",
+    "tfidf_top_terms", "corpus_profile",
     "winnow_fingerprints",
     # packing / sharding / analytics
     "pack_sequences_strid", "shuffle_shards",
     "funnel_conversion", "retention_cohorts",
-    "asof_join_purchase", "cogroup_user_metrics",
+    "asof_join_purchase",
     "salted_count_skew", "hopping_window_sum_cents",
+    # mergeable sketches / SCD2 / graph (late r7 — same-oracle pairs)
+    "hll_registers_users", "hll_merge_incremental",
+    "cms_merge_incremental",
+    "scd2_user_history", "scd2_merge_incremental",
+    "triangle_counts_coorder", "triangle_counts_incremental",
+    "pagerank_cust_supp",
     # codecs
     "jpeg_decode_subsampled", "jpeg_meta_progressive",
     "jpeg_decode_restart", "gif_frames_meta",
