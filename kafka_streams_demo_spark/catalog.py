@@ -4957,6 +4957,54 @@ def sample_per_source(spark, sf_dir):
 
 
 @register(
+    "weighted_sample_quality",
+    "WITH kd AS (SELECT doc_id, n_chars, "
+    "pow((('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT + 1) "
+    "    / 1152921504606846976.0, "
+    "    1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS k "
+    "FROM documents WHERE n_chars IS NOT NULL) "
+    "SELECT doc_id, n_chars FROM kd ORDER BY k DESC, doc_id LIMIT 50",
+)
+def weighted_sample_quality(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (functions/packing.py:weighted_sample, Efraimidis & Spirakis 2006):
+    longer documents are proportionally likelier — key = u^(1/w) with a
+    hash-derived uniform, top-k by key. The uniform sibling of
+    `sample_per_source` for quality/length-weighted data selection; the
+    oracle replays the identical doubles, so the SAMPLED SET ITSELF is
+    hash-gated, not just its size. Global top-k compiles to
+    TakeOrderedAndProject: per-partition heaps, never a full sort."""
+    from kafka_streams_demo_spark.functions.packing import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_sample(docs, 50, "n_chars").select("doc_id", "n_chars")
+
+
+@register(
+    "weighted_sample_per_source",
+    "WITH kd AS (SELECT doc_id, source, "
+    "pow((('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT + 1) "
+    "    / 1152921504606846976.0, "
+    "    1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS k "
+    "FROM documents WHERE n_chars IS NOT NULL), "
+    "ranked AS (SELECT doc_id, source, "
+    "row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn "
+    "FROM kd) SELECT doc_id, source FROM ranked WHERE rn <= 10",
+)
+def weighted_sample_per_source(spark, sf_dir):
+    """Stratified weighted sampling: 10 length-weighted picks per source
+    (the `by=` path — one window shuffle on the stratum; WindowGroupLimit
+    keeps it a bounded heap per group). Composes the balanced
+    `sample_per_source` contract with Efraimidis-Spirakis weights."""
+    from kafka_streams_demo_spark.functions.packing import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_sample(docs, 10, "n_chars", by="source").select(
+        "doc_id", "source"
+    )
+
+
+@register(
     "vocab_token_freq",
     "WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents), "
     "freq AS (SELECT token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1) "

@@ -353,3 +353,53 @@ def shuffle_shards(
     return based.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis 2006): key_i = u_i^(1/w_i) with u_i a
+    hash-derived uniform in (0,1], take the k largest keys — exactly a
+    weighted sample, reproducible on every engine and partitioning
+    (the same argument as mixture_sample / shuffle_shards: rand() does
+    not survive a retry). The uniform is (hash60(seed:id)+1) / 2^60, so
+    the oracle replays the identical doubles.
+
+    ``by=None``: global top-k — compiles to TakeOrderedAndProject
+    (per-partition heaps, no full sort). ``by=col``: k per group via one
+    window shuffle. Weights clamp to >= 1 (a zero weight would make the
+    exponent infinite); rows with NULL weight are dropped."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(1 << 60))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    keyed = docs.filter(F.col(weight_col).isNotNull()).withColumn(
+        "_k", F.pow(u, F.lit(1.0) / w)
+    )
+    if by is None:
+        return keyed.orderBy(F.desc("_k"), F.col(id_col)).limit(k).drop("_k")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(by).orderBy(F.desc("_k"), F.col(id_col))
+    return (
+        keyed.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_k", "_rn")
+    )

@@ -379,3 +379,62 @@ def test_shuffle_shards_deterministic_uniform_and_seeded(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_shards"):
         shuffle_shards(docs, n_shards=0)
+
+
+def test_weighted_sample_biased_toward_heavy(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_demo_spark.functions.packing import weighted_sample
+
+    # 100 light docs (w=1) vs 100 heavy (w=100): across 20 seeds, the
+    # heavy stratum must dominate the k=20 sample on average.
+    rows = [Row(doc_id=i, w=1) for i in range(100)] + [
+        Row(doc_id=100 + i, w=100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    heavy = 0
+    for seed in range(20):
+        got = weighted_sample(df, 20, "w", seed=seed).collect()
+        assert len(got) == 20
+        heavy += sum(1 for r in got if r["doc_id"] >= 100)
+    assert heavy / (20 * 20) > 0.8  # E[heavy share] ≈ 0.99
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_demo_spark.functions.packing import weighted_sample
+
+    rows = [Row(doc_id=i, w=(i % 7) + 1, g=str(i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    a = sorted(r["doc_id"] for r in weighted_sample(df, 15, "w").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13, "g"), 15, "w").collect()
+    )
+    assert a == b
+    ga = sorted(
+        map(tuple, weighted_sample(df, 5, "w", by="g").select("g", "doc_id").collect())
+    )
+    gb = sorted(
+        map(
+            tuple,
+            weighted_sample(df.coalesce(1), 5, "w", by="g")
+            .select("g", "doc_id")
+            .collect(),
+        )
+    )
+    assert ga == gb and len(ga) == 15
+
+
+def test_weighted_sample_validation_and_nulls(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from kafka_streams_demo_spark.functions.packing import weighted_sample
+
+    df = spark.createDataFrame([Row(doc_id=1, w=5), Row(doc_id=2, w=None)])
+    got = weighted_sample(df, 10, "w").collect()
+    assert [r["doc_id"] for r in got] == [1]  # NULL weight dropped
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, 0, "w")
