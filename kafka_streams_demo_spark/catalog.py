@@ -4392,6 +4392,42 @@ def gopher_quality_filter_q(spark, sf_dir):
 
 
 @register(
+    "tfidf_doc_pairs",
+    """
+WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+toks AS (SELECT doc_id AS d, unnest(string_split(lower(coalesce(text,'')), ' ')) AS t
+         FROM documents),
+tf AS (SELECT d, t, CAST(count(*) AS DOUBLE) AS tf FROM toks WHERE t <> '' GROUP BY 1,2),
+dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY 1
+          HAVING count(*) <= 100),
+w AS (SELECT d, tf.t, tf.tf * (ln((1.0 + (SELECT n FROM nn)) / (1.0 + dft)) + 1.0) AS w
+      FROM tf JOIN dfreq ON tf.t = dfreq.t),
+norms AS (SELECT d, sqrt(list_sum(list_sort(list(w*w)))) AS nrm FROM w GROUP BY 1),
+dots AS (SELECT a.d AS i, b.d AS j, list_sum(list_sort(list(a.w*b.w))) AS dot
+         FROM w a JOIN w b ON a.t = b.t AND a.d < b.d GROUP BY 1,2)
+SELECT i, j, ROUND(dot / (ni.nrm * nj.nrm), 6) AS cosine
+FROM dots JOIN norms ni ON dots.i = ni.d JOIN norms nj ON dots.j = nj.d
+WHERE ROUND(dot / (ni.nrm * nj.nrm), 6) >= 0.3
+""",
+)
+def tfidf_doc_pairs_q(spark, sf_dir):
+    """Sparse tf-idf document cosine (functions/text.py:tfidf_doc_pairs)
+    — the LEXICAL member of the near-dup pair family (exact Jaccard,
+    minhash, simhash, embedding cosine): docs as sparse term vectors,
+    candidate pairs from the inverted-index self-join, every float
+    reduction (norms, dots) folded in sorted order so the cosines are
+    bit-equal under the gate. max_doc_freq=100 drops ubiquitous terms
+    from the term space itself (norms AND dots — still a true cosine in
+    the reduced space, replayed by the oracle): the same hot-key guard
+    as the shingle tiers, because a stop-word's postings self-join is
+    df^2 rows for ~zero idf weight."""
+    from kafka_streams_demo_spark.functions.text import tfidf_doc_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_doc_pairs(docs, threshold=0.3, max_doc_freq=100)
+
+
+@register(
     "tfidf_top_terms",
     "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
     "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "

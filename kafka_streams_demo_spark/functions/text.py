@@ -1069,3 +1069,90 @@ def token_drift_kl(docs_a, docs_b, text_col: str = "text", k: int = 20):
         .orderBy(F.desc("kl_term"), F.asc("token"))
         .limit(k)
     )
+
+
+def tfidf_doc_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse tf-idf cosine similarity between documents — the LEXICAL
+    sibling of embedding_cosine_pairs: docs are sparse vectors in term
+    space, pairs generated by the inverted index (postings self-join on
+    term), cosine folded exactly. Returns (i, j, cosine) with i < j and
+    cosine >= threshold, 6dp.
+
+    Determinism for the hash gate: idf = ln((1+N)/(1+df_t)) + 1
+    (sklearn-smooth; identical literal arithmetic in the oracle), and
+    every float reduction — the norm's sum of squares and the pair dot
+    product — folds in SORTED order (cross-engine float-sum rule).
+
+    Scale: the term self-join is the classic df_t^2 blowup;
+    ``max_doc_freq`` drops terms with df_t above the cap from the TERM
+    SPACE ITSELF (norms and dots both — the cosine stays a true cosine
+    in the reduced space, and the oracle replays the same cap). This is
+    the same hot-key guard as the shingle/minhash tiers: ubiquitous
+    terms carry ~zero idf weight but quadratic join cost."""
+    N_row = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("t"),
+    ).filter(F.col("t") != "")
+    tf = toks.groupBy("d", "t").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("dft"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("dft") <= F.lit(float(max_doc_freq)))
+    w = (
+        tf.join(dfreq, "t")
+        .crossJoin(N_row)
+        .select(
+            "d",
+            "t",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("dft")))
+                    + F.lit(1.0)
+                )
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("d").agg(
+        F.sqrt(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.col("w") * F.col("w"))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm")
+    )
+    a = w.select(F.col("d").alias("i"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("d").alias("j"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.col("wa") * F.col("wb"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dot")
+        )
+    )
+    ni = norms.withColumnsRenamed({"d": "i", "nrm": "ni"})
+    nj = norms.withColumnsRenamed({"d": "j", "nrm": "nj"})
+    out = (
+        dots.join(ni, "i")
+        .join(nj, "j")
+        .select(
+            "i",
+            "j",
+            F.round(F.col("dot") / (F.col("ni") * F.col("nj")), 6).alias("cosine"),
+        )
+    )
+    return out.filter(F.col("cosine") >= F.lit(threshold))

@@ -655,3 +655,55 @@ def test_token_drift_kl_symmetric_corpora_near_zero(spark):
     a = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
     rows = token_drift_kl(a, a, k=10).collect()
     assert all(r["kl_term"] == 0.0 for r in rows)  # identical dists → 0
+
+
+def test_tfidf_doc_pairs_identical_docs_cosine_one(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_demo_spark.functions.text import tfidf_doc_pairs
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text="alpha beta gamma"),
+            Row(doc_id=3, text="delta epsilon zeta"),
+        ]
+    )
+    got = {(r["i"], r["j"]): r["cosine"]
+           for r in tfidf_doc_pairs(df, threshold=0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got and (2, 3) not in got  # orthogonal: no shared term
+
+
+def test_tfidf_doc_pairs_cap_drops_hot_terms(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_demo_spark.functions.text import tfidf_doc_pairs
+
+    # 'the' appears in all 4 docs; with cap=3 it leaves the term space,
+    # making docs 1/2 orthogonal (their only shared term was 'the').
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the apple"),
+            Row(doc_id=2, text="the orange"),
+            Row(doc_id=3, text="the pear kiwi"),
+            Row(doc_id=4, text="the pear kiwi"),
+        ]
+    )
+    uncapped = {(r["i"], r["j"]) for r in tfidf_doc_pairs(df, 0.0).collect()}
+    capped = {(r["i"], r["j"])
+              for r in tfidf_doc_pairs(df, 0.0, max_doc_freq=3).collect()}
+    assert (1, 2) in uncapped and (1, 2) not in capped
+    assert (3, 4) in capped  # still share 'pear kiwi'
+
+
+def test_tfidf_doc_pairs_null_text_no_rows(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_demo_spark.functions.text import tfidf_doc_pairs
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="a b"), Row(doc_id=3, text="a c")]
+    )
+    got = {(r["i"], r["j"]) for r in tfidf_doc_pairs(df, threshold=0.0).collect()}
+    assert got == {(2, 3)}
