@@ -6653,7 +6653,21 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # jpeg_decode_subsampled's coverage), pipeline_training_data's
 # front-half sibling pipeline_clean_corpus, and the rows-only BPE pair
 # (bpe_train_merges / bpe_token_counts — worked-example + reference-
-# trainer pinned). Keep the standing rule: no family loses its
+# trainer pinned). Additional round-8 candidates from the final r7
+# session (each hash-verified at sf0.01 on landing): the LM/curation
+# tier (ccnet_perplexity + _incremental, dsir_select,
+# domain_cap_sample, token_drift_kl, pipeline_quality_curation), the
+# linkage/layout/range tier (fuzzy_pairs_part_names, zorder_layout,
+# band_join_error_purchase), the substring-search trio
+# (substring_search_index / _incremental / _rarest),
+# bm25_postings_incremental, and the newest additions whose family
+# siblings hold this round's window slots: cms_sketch_users +
+# cms_point_queries + hll_distinct_users (sketch estimates),
+# scd2_current_view, exact_percentiles_value,
+# unpivot_charge_components, weighted_sample_quality +
+# weighted_sample_per_source, tfidf_doc_pairs, plus
+# ngram_span_dedup_hashed and vocab_token_freq rotating back in.
+# Keep the standing rule: no family loses its
 # last green representative; document every swap here.
 #
 # Late-round-7 swaps for the sketch / SCD2 / graph additions (every
