@@ -6438,6 +6438,9 @@ def dsir_select_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 ORACLE_CASTS: dict[str, dict[str, str]] = {
+    "cms_sketch_users": {"cnt": "BIGINT"},
+    "cms_merge_incremental": {"cnt": "BIGINT"},
+    "unpivot_charge_components": {"amount_c": "BIGINT"},
     "aggregate_sum_cents": {"value": "BIGINT"},
     "json_extract_sum": {"value": "BIGINT"},
     "stream_table_join_segment": {"value": "BIGINT"},
