@@ -57,10 +57,19 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select("src", "dst")
+    # Materialize the loop-invariant inputs ONCE: edges feed every
+    # iteration's join, deg every division, n_row every damping term —
+    # left lazy, Catalyst re-derives the whole upstream plan (scan +
+    # distinct + joins) per iteration per branch, which at sf0.1 made
+    # the 3-iteration loop ~4x slower than the iteration math itself.
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("node")).distinct()
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("_od"))
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("_od"))
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.crossJoin(n_row).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
@@ -118,6 +127,10 @@ def orient_edges(undirected: DataFrame) -> DataFrame:
     endpoint to the higher: returns (src, dst, src_deg, dst_deg). The
     orientation is a total order, so each edge appears exactly once and
     every out-neighborhood is O(sqrt(m))."""
+    # one materialization: the edge list feeds the degree count AND both
+    # endpoint joins below — lazy, the upstream (often a distinct over a
+    # pair-expansion join) would run three times
+    undirected = undirected.select("a", "b").localCheckpoint(eager=True)
     both = undirected.select(F.col("a").alias("node"), F.col("b").alias("other")).unionByName(
         undirected.select(F.col("b").alias("node"), F.col("a").alias("other"))
     )
@@ -137,7 +150,11 @@ def orient_edges(undirected: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(undirected: DataFrame) -> DataFrame:
+def triangle_counts(
+    undirected: DataFrame,
+    bloom_prefilter: bool = False,
+    bloom_num_bits: int = 1 << 22,
+) -> DataFrame:
     """Per-node triangle counts over an undirected edge list (a, b) with
     a != b and each edge listed once. Returns (node, triangles) for
     nodes in >= 1 triangle.
@@ -145,9 +162,25 @@ def triangle_counts(undirected: DataFrame) -> DataFrame:
     Degree-oriented: wedges enumerate only out-edge pairs of each node
     (ordered by the same (degree, id) total order, so each triangle is
     generated exactly once as its lowest-ordered vertex's wedge) and
-    close against the oriented edge set. Three shuffles total: degree
-    count, wedge build (self-join on src), closing join on (b, c)."""
-    oe = orient_edges(undirected)
+    close against the oriented edge set.
+
+    The closing join is the dominant shuffle — O(m^1.5) wedge rows move
+    to meet m edges. ``bloom_prefilter`` fronts it with the repo's
+    broadcast bloom (functions/bloom.py) over the oriented edge keys so
+    only closing candidates enter the exchange. It is OFF by default on
+    measurement: the TPC-H co-purchase graph closes most wedges (dense
+    overlapping orders), so at sf0.1 the per-wedge probe cost (string
+    key + 5 hashes x 18M wedges) more than doubled the runtime while
+    filtering little. Turn it on for SPARSE closure rates — social /
+    web graphs where wedges outnumber triangles 100:1 — where the same
+    trade runs the other way (the contamination_check_bloom lesson:
+    a bloom pays when the probe side vastly exceeds the hit set).
+    Results are IDENTICAL either way (false negatives impossible;
+    positives removed by the exact join) — the parity test pins it."""
+    # oriented edges feed three branches (two wedge sides + the closing
+    # join) — materialize once instead of re-deriving the orientation
+    # joins per branch
+    oe = orient_edges(undirected).localCheckpoint(eager=True)
     e1 = oe.select(
         F.col("src").alias("a"),
         F.col("dst").alias("b"),
@@ -162,6 +195,25 @@ def triangle_counts(undirected: DataFrame) -> DataFrame:
         (F.col("bd") < F.col("cd"))
         | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
     )
+    if bloom_prefilter:
+        from kafka_streams_demo_spark.functions.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        bitmap = bloom_build(
+            oe.select(
+                F.concat_ws("|", F.col("src").cast("string"), F.col("dst").cast("string")).alias("k")
+            ),
+            "k",
+            num_bits=bloom_num_bits,
+        )
+        wedges = wedges.filter(
+            bloom_might_contain(
+                bitmap,
+                F.concat_ws("|", F.col("b").cast("string"), F.col("c").cast("string")),
+            )
+        )
     closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
     corners = (
@@ -190,7 +242,7 @@ def triangle_counts_incremental(
 
     Cost: sum over delta edges of deg_union(a) probe rows + the old
     batch count — never a rebuild over the union's wedge space."""
-    union = old_und.unionByName(delta_und)
+    union = old_und.unionByName(delta_und).localCheckpoint(eager=True)
     adj = union.select(F.col("a").alias("p"), F.col("b").alias("q")).unionByName(
         union.select(F.col("b").alias("p"), F.col("a").alias("q"))
     )

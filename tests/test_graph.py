@@ -105,3 +105,17 @@ def test_triangle_incremental_equals_rebuild(spark):
             map(tuple, triangle_counts(_edges(spark, all_edges, cols=("a", "b"))).collect())
         )
         assert inc == full, frac
+
+
+def test_triangles_bloom_prefilter_parity(spark):
+    import random
+
+    from kafka_streams_demo_spark.functions.graph import triangle_counts as tc
+
+    rng = random.Random(11)
+    und = sorted({(a, b) for a in range(15) for b in range(15)
+                  if a < b and rng.random() < 0.3})
+    df = _edges(spark, und, cols=("a", "b"))
+    plain = sorted(map(tuple, tc(df, bloom_prefilter=False).collect()))
+    bloomed = sorted(map(tuple, tc(df, bloom_prefilter=True).collect()))
+    assert plain == bloomed and plain
