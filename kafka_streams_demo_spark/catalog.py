@@ -1101,6 +1101,49 @@ def _hll_estimate_oracle() -> str:
 ORACLES["hll_distinct_users"] = _hll_estimate_oracle()
 
 
+@register(
+    "hll_distinct_by_type",
+    """
+WITH hsh AS (SELECT event_type AS key,
+                    ('0x' || substr(md5('42:' || user_id), 1, 15))::BIGINT AS hv
+             FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+parts AS (SELECT key, hv & 511 AS bucket, hv >> 9 AS suffix FROM hsh),
+rho AS (SELECT key, bucket,
+               CASE WHEN suffix = 0 THEN 52 ELSE 52 - length(bin(suffix)) END AS r
+        FROM parts),
+regs AS (SELECT key, bucket, max(r) AS register FROM rho GROUP BY 1, 2),
+acc AS (SELECT key, count(*) AS nz,
+               list_sum(list_sort(list(pow(2.0, -register)))) AS present
+        FROM regs GROUP BY 1),
+est AS (SELECT key, nz, (512 - nz) AS zeros,
+               (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                   / (CAST(512 - nz AS DOUBLE) + present) AS raw
+        FROM acc)
+SELECT key, CAST(nz AS BIGINT) AS nonzero_buckets,
+       ROUND(CASE WHEN raw <= 1280.0 AND zeros > 0
+                  THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS estimate
+FROM est
+""",
+)
+def hll_distinct_by_type(spark, sf_dir):
+    """Per-key HLL distinct estimates (functions/sketches.py:
+    hll_registers_grouped) — the HASH-GATED upgrade of the rows-only
+    `approx_distinct_users` (same query shape: distinct users per
+    event_type, but the sketch hashing is the repo's own md5 math, so
+    the estimates themselves replay in SQL). One groupBy on
+    (key, bucket) — reducer state O(groups x 512) regardless of row
+    count — then a per-key sorted fold for the estimate."""
+    from kafka_streams_demo_spark.functions.sketches import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    regs = hll_registers_grouped(ev, "event_type", "user_id", p=9, seed=42)
+    return hll_estimate_grouped(regs, p=9)
+
+
 _PR_EDGES_CTE = """
 SELECT src, dst FROM (
   WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -1228,6 +1271,68 @@ def triangle_counts_incremental_q(spark, sf_dir):
 
 
 ORACLES["triangle_counts_incremental"] = _tri_oracle()
+
+
+def _cc_oracle() -> str:
+    from kafka_streams_demo_spark.functions.graph import triangle_counts_sql
+
+    return f"""
+WITH und AS ({_TRI_EDGES_CTE}),
+bd AS (SELECT node, count(*) AS dg FROM
+       (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+tri AS ({triangle_counts_sql(_TRI_EDGES_CTE)})
+SELECT bd.node, CAST(bd.dg AS BIGINT) AS degree,
+       CAST(coalesce(tri.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(2.0 * coalesce(tri.triangles, 0)
+             / (bd.dg * (bd.dg - 1)), 6) AS coefficient
+FROM bd LEFT JOIN tri ON bd.node = tri.node
+WHERE bd.dg >= 2
+"""
+
+
+@register("clustering_coefficient", None)  # oracle attached below (generated)
+def clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient — 2T(v) / (deg(v)(deg(v)-1)) for
+    deg >= 2 — composed from `triangle_counts` and the degree count, the
+    cohesion metric the triangle census exists to feed. Same scale shape
+    as the census (the wedge join dominates); the ratio is pure column
+    math over the two aggregates."""
+    from kafka_streams_demo_spark.functions.graph import triangle_counts
+
+    li = load_table(spark, "lineitem", sf_dir)
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    und = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(und)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ).alias("coefficient"),
+        )
+    )
+
+
+ORACLES["clustering_coefficient"] = _cc_oracle()
 
 
 @register(

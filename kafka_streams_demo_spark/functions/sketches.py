@@ -311,3 +311,68 @@ def cms_estimate(
         "item", F.coalesce(F.col("cnt"), F.lit(0)).alias("_cell")
     )
     return joined.groupBy("item").agg(F.min("_cell").cast("long").alias("cms_count"))
+
+
+def hll_registers_grouped(
+    df: DataFrame,
+    key_col: str,
+    col: str,
+    p: int = 9,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-key HLL register tables: (key, bucket, register) — one
+    mergeable distinct-sketch PER GROUP (the shape Kafka Streams keeps
+    in a per-key state store, and what approx_count_distinct(col) GROUP
+    BY key maintains internally with an engine-private hash). One
+    groupBy on (key, bucket) with map-side-combined max; reducer state
+    is O(groups x m)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    w = HLL_HASH_BITS - p
+    h = _hash60(F.col(col), seed)
+    src = df.filter(F.col(col).isNotNull() & F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("key"), h.alias("_h")
+    )
+    suffix = F.shiftright(F.col("_h"), p)
+    rho = F.when(suffix == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(suffix))
+    )
+    return (
+        src.select(
+            "key",
+            F.col("_h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.max("_rho").cast("int").alias("register"))
+    )
+
+
+def hll_estimate_grouped(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Per-key estimates from a grouped register table: (key,
+    nonzero_buckets, estimate) — the same bias-corrected harmonic mean
+    + linear-counting correction as :func:`hll_estimate`, folded in
+    sorted order per key."""
+    m = 1 << p
+    agg = registers.groupBy("key").agg(
+        F.count(F.lit(1)).alias("nonzero_buckets"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.pow(F.lit(2.0), -F.col("register")))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("_present"),
+    )
+    zeros = F.lit(m) - F.col("nonzero_buckets")
+    ssum = zeros.cast("double") + F.col("_present")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) / ssum
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "key",
+        F.col("nonzero_buckets").cast("long").alias("nonzero_buckets"),
+        F.round(est, 6).alias("estimate"),
+    )

@@ -138,3 +138,29 @@ def test_cms_build_counts_values_before_expanding(spark):
     gen_pos = plan.find("Generate")
     agg_below = plan.find("Aggregate", gen_pos + 1)
     assert gen_pos != -1 and agg_below != -1, plan
+
+
+def test_hll_grouped_matches_per_group_build(spark):
+    from kafka_streams_demo_spark.functions.sketches import (
+        hll_estimate_grouped,
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    rows = [Row(g="a", v=f"x{i}") for i in range(80)] + [
+        Row(g="b", v=f"y{i}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    grouped = hll_registers_grouped(df, "g", "v", p=8)
+    for g in ("a", "b"):
+        solo = sorted(
+            map(tuple, hll_registers(df.filter(F.col("g") == g), "v", p=8).collect())
+        )
+        sub = sorted(
+            (r["bucket"], r["register"])
+            for r in grouped.filter(F.col("key") == g).collect()
+        )
+        assert solo == sub, g
+    ests = {r["key"]: r["estimate"]
+            for r in hll_estimate_grouped(grouped, p=8).collect()}
+    assert abs(ests["a"] - 80) / 80 < 0.3 and abs(ests["b"] - 30) / 30 < 0.3
