@@ -318,6 +318,61 @@ def scd2_current_view(spark, sf_dir):
 
 
 @register(
+    "scd2_asof_enrich",
+    """
+WITH dim AS (SELECT user_id, CAST(ROUND(value*100, 0) AS BIGINT) AS dim_value_c,
+                    epoch_us(ts) AS valid_from_us,
+                    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS valid_to_us
+             FROM events WHERE event_type = 'click'),
+f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value*100, 0) AS BIGINT) AS purchase_c
+      FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.purchase_c, dim.dim_value_c, dim.valid_from_us
+FROM f LEFT JOIN dim ON f.user_id = dim.user_id
+   AND dim.valid_from_us <= f.ts_us
+   AND (dim.valid_to_us IS NULL OR f.ts_us < dim.valid_to_us)
+""",
+)
+def scd2_asof_enrich(spark, sf_dir):
+    """Point-in-time dimension lookup — the query an SCD2 table exists
+    to serve: each purchase enriched with the user's click-state AT
+    PURCHASE TIME by joining the validity interval that contains the
+    fact's timestamp (left join: purchases before any click keep NULLs).
+    Every fact matches <= 1 version because the intervals partition each
+    key's timeline — the interval-join formulation of `asof_join_
+    purchase` (KIP-889 versioned-KTable semantics), here served from a
+    PERSISTED history table instead of a windowed buffer. Scale: an
+    equi-join on the key with the range predicate evaluated post-match;
+    skewed dimension keys fall back to the asof/band-join playbook."""
+    from kafka_streams_demo_spark.functions.scd import scd2_snapshot
+
+    ev = load_table(spark, "events", sf_dir)
+    dim = scd2_snapshot(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", cents(F.col("value")).alias("dim_value_c"), "ts", "event_id"
+        ),
+        ["user_id"], ["dim_value_c"], ts="ts", tiebreak="event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        cents(F.col("value")).alias("purchase_c"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["user_id"])
+        & (dim["valid_from_us"] <= facts["ts_us"])
+        & (dim["valid_to_us"].isNull() | (facts["ts_us"] < dim["valid_to_us"])),
+        "left",
+    )
+    return joined.select(
+        facts["event_id"], facts["user_id"], "purchase_c",
+        "dim_value_c", "valid_from_us",
+    )
+
+
+@register(
     "ktable_groupby_count",
     "SELECT value AS key, count(*) AS value FROM ("
     "  SELECT event_type AS value, "

@@ -119,3 +119,18 @@ def test_triangles_bloom_prefilter_parity(spark):
     plain = sorted(map(tuple, tc(df, bloom_prefilter=False).collect()))
     bloomed = sorted(map(tuple, tc(df, bloom_prefilter=True).collect()))
     assert plain == bloomed and plain
+
+
+def test_pagerank_plain_sum_parity_at_6dp(spark):
+    import random
+
+    rng = random.Random(3)
+    nodes = [f"n{i}" for i in range(30)]
+    pairs = sorted({(a, b) for a in nodes for b in nodes
+                    if a != b and rng.random() < 0.15})
+    # ensure no dangling nodes: add reverse edges
+    pairs = sorted(set(pairs) | {(b, a) for a, b in pairs})
+    df = _edges(spark, pairs)
+    exact = sorted(map(tuple, pagerank(df, 4, exact_folds=True).collect()))
+    plain = sorted(map(tuple, pagerank(df, 4, exact_folds=False).collect()))
+    assert exact == plain  # 6dp rounding absorbs addition-order noise
