@@ -6828,7 +6828,10 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # cms_point_queries + hll_distinct_users (sketch estimates),
 # scd2_current_view, exact_percentiles_value,
 # unpivot_charge_components, weighted_sample_quality +
-# weighted_sample_per_source, tfidf_doc_pairs, plus
+# weighted_sample_per_source, tfidf_doc_pairs, clustering_coefficient
+# (composes the in-window triangle census), hll_distinct_by_type (the
+# grouped-sketch estimate), scd2_asof_enrich (the history-table lookup
+# whose SCD2 build holds a window slot), plus
 # ngram_span_dedup_hashed and vocab_token_freq rotating back in.
 # Keep the standing rule: no family loses its
 # last green representative; document every swap here.

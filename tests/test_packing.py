@@ -438,3 +438,15 @@ def test_weighted_sample_validation_and_nulls(spark):
     assert [r["doc_id"] for r in got] == [1]  # NULL weight dropped
     with _pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, 0, "w")
+
+
+def test_weighted_sample_global_uses_topk_plan(spark):
+    # the global path must compile to TakeOrderedAndProject (per-
+    # partition heaps + driver merge), never a full sort
+    from pyspark.sql import Row
+
+    from kafka_streams_demo_spark.functions.packing import weighted_sample
+
+    df = spark.createDataFrame([Row(doc_id=i, w=i + 1) for i in range(50)])
+    plan = weighted_sample(df, 5, "w")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
