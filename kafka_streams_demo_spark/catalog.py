@@ -1726,6 +1726,97 @@ def shuffle_shards_q(spark, sf_dir):
 
 
 @register(
+    "shard_manifest",
+    "WITH h AS (SELECT doc_id, text, "
+    "('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv "
+    "FROM documents) "
+    "SELECT CAST(hv % 8 AS BIGINT) AS shard, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "bit_xor(('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT) AS content_xor "
+    "FROM h GROUP BY 1",
+)
+def shard_manifest(spark, sf_dir):
+    """Shard integrity manifests — the verification artifact a
+    reproducible shuffle needs downstream: per shard, the row count and
+    an ORDER-INDEPENDENT content checksum (bit_xor of 60-bit content
+    hashes — xor is commutative/associative and cannot overflow, so the
+    aggregate is map-side combined and immune to both shuffle order and
+    ANSI overflow, unlike a SUM of hashes). After copying shards to a
+    training cluster, re-running the manifest detects any lost or
+    corrupted row without comparing data. Composes shuffle_shards'
+    hash (same oracle replay) with the checksum aggregate."""
+    from kafka_streams_demo_spark.functions.packing import shuffle_shards
+
+    docs = load_table(spark, "documents", sf_dir)
+    shards = shuffle_shards(docs, n_shards=8)
+    content = F.conv(
+        F.substring(F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")), 1, 15),
+        16, 10,
+    ).cast("long")
+    joined = shards.join(docs.select("doc_id", content.alias("_ch")), "doc_id")
+    return joined.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor("_ch").alias("content_xor"),
+    )
+
+
+@register(
+    "curriculum_phases",
+    """
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_tok,
+  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS stop_cnt
+FROM t),
+s AS (SELECT doc_id,
+  ROUND(0.5*LEAST(n_chars/500.0, 1.0) + 0.3*(stop_cnt/n_tok) + 0.2*(n_uniq/n_tok), 6) AS score
+FROM c),
+q AS (SELECT ROUND(quantile_cont(score, 0.75), 6) AS p75,
+             ROUND(quantile_cont(score, 0.50), 6) AS p50,
+             ROUND(quantile_cont(score, 0.25), 6) AS p25 FROM s)
+SELECT doc_id, score,
+       CASE WHEN score >= (SELECT p75 FROM q) THEN 1
+            WHEN score >= (SELECT p50 FROM q) THEN 2
+            WHEN score >= (SELECT p25 FROM q) THEN 3
+            ELSE 4 END AS phase
+FROM s
+""",
+)
+def curriculum_phases(spark, sf_dir):
+    """Curriculum ordering for training pipelines: documents assigned to
+    4 quality phases (1 = cleanest quartile, trained first). The
+    SCALE-CORRECT formulation: exact quartile thresholds come from ONE
+    distributed percentile aggregate (broadcast as a 1-row crossJoin),
+    then phase assignment is map-side column math — never a global
+    ntile/rank, which would sort 100 TB in a single window partition.
+    Threshold comparisons happen on 6dp-rounded scores on both engines,
+    so boundary ties resolve identically (quantile_cont == Spark's exact
+    percentile interpolation, proven by exact_percentiles_value)."""
+    from kafka_streams_demo_spark.functions import text as TX
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text"), F.col("n_chars")).alias("score"),
+    )
+    q = scored.agg(
+        F.round(F.expr("percentile(score, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(score, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(score, 0.25)"), 6).alias("p25"),
+    )
+    return scored.crossJoin(q).select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") >= F.col("p75"), 1)
+        .when(F.col("score") >= F.col("p50"), 2)
+        .when(F.col("score") >= F.col("p25"), 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("phase"),
+    )
+
+
+@register(
     "mixture_upsample",
     "WITH d AS (SELECT doc_id, source, "
     "  CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0 ELSE 1 END "
