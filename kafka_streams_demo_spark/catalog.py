@@ -2834,6 +2834,81 @@ def asof_join_purchase_1h(spark, sf_dir):
 
 
 @register(
+    "moving_avg_per_user",
+    "SELECT event_id, user_id, "
+    "ROUND(AVG(CAST(ROUND(value*100, 0) AS BIGINT)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4_c "
+    "FROM events",
+)
+def moving_avg_per_user(spark, sf_dir):
+    """Bounded-frame moving average (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW) — the sliding-frame sibling of `running_sum_per_user`'s
+    unbounded frame: Spark evaluates it with a constant-size ring buffer
+    per key, state O(frame) regardless of history length (the same
+    reason KIP-450 sliding windows bound their buffers). Averaging the
+    integer cents keeps the 4-row mean exact at 6dp on both engines
+    (avg of <=4 BIGINTs — no shuffle-order float folding)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg(cents(F.col("value"))).over(w), 6).alias("ma4_c"),
+    )
+
+
+@register(
+    "robust_zscore_outliers",
+    """
+WITH v AS (SELECT event_id, event_type, CAST(ROUND(value*100, 0) AS BIGINT) AS c
+           FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, ROUND(quantile_cont(c, 0.5), 6) AS med FROM v GROUP BY 1),
+dev AS (SELECT v.event_id, v.event_type, v.c, m.med, ABS(v.c - m.med) AS ad
+        FROM v JOIN med m ON v.event_type = m.event_type),
+mad AS (SELECT event_type, ROUND(quantile_cont(ad, 0.5), 6) AS mad FROM dev GROUP BY 1)
+SELECT d.event_id, d.event_type, d.c,
+       ROUND(0.6745 * (d.c - d.med) / NULLIF(m.mad, 0.0), 6) AS robust_z
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE ABS(0.6745 * (d.c - d.med) / NULLIF(m.mad, 0.0)) > 3.5
+""",
+)
+def robust_zscore_outliers(spark, sf_dir):
+    """Robust outlier detection (median/MAD z-score, Iglewicz-Hoaglin
+    cutoff 3.5): two grouped EXACT-median passes (the parity proven by
+    exact_percentiles_value) broadcast back onto the rows, flagging
+    |0.6745 (x - med) / MAD| > 3.5. Median/MAD instead of mean/stddev
+    because the statistics being used to FIND outliers must not be
+    dragged by them. Scale: per-group medians are bounded-cardinality
+    aggregates (event types); the per-row math is map-side after two
+    small broadcast joins. MAD = 0 groups (constant values) emit no
+    outliers via NULLIF."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    v = ev.select("event_id", "event_type", cents(F.col("value")).alias("c"))
+    med = v.groupBy("event_type").agg(
+        F.round(F.expr("percentile(c, 0.5)"), 6).alias("med")
+    )
+    dev = v.join(med, "event_type").withColumn("ad", F.abs(F.col("c") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col("c") - F.col("med")) / F.nullif(F.col("mad"), F.lit(0.0)),
+        6,
+    )
+    out = dev.join(mad, "event_type").select(
+        "event_id", "event_type", "c", z.alias("robust_z")
+    )
+    return out.filter(F.abs(F.col("robust_z")) > 3.5)
+
+
+@register(
     "running_sum_per_user",
     "SELECT event_id, user_id, "
     "SUM(CAST(ROUND(value*100, 0) AS BIGINT)) OVER "
