@@ -6997,7 +6997,8 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # weighted_sample_per_source, tfidf_doc_pairs, clustering_coefficient
 # (composes the in-window triangle census), hll_distinct_by_type (the
 # grouped-sketch estimate), scd2_asof_enrich (the history-table lookup
-# whose SCD2 build holds a window slot), plus
+# whose SCD2 build holds a window slot), shard_manifest,
+# curriculum_phases, moving_avg_per_user, robust_zscore_outliers, plus
 # ngram_span_dedup_hashed and vocab_token_freq rotating back in.
 # Keep the standing rule: no family loses its
 # last green representative; document every swap here.
