@@ -63,23 +63,20 @@ def pagerank(
     # left lazy, Catalyst re-derives the whole upstream plan (scan +
     # distinct + joins) per iteration per branch, which at sf0.1 made
     # the 3-iteration loop ~4x slower than the iteration math itself.
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # The out-degree is pre-joined INTO the edge table so each iteration
+    # is exactly one (broadcast) rank join + one groupBy(dst) exchange.
+    e0 = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = e0.select(F.col("src").alias("node")).distinct()
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("double").alias("_od"))
-        .localCheckpoint(eager=True)
-    )
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("_od"))
+    e = e0.join(deg, "src").localCheckpoint(eager=True)
 
     ranks = nodes.crossJoin(n_row).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     for i in range(iterations):
-        contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("_od")).alias("_c"))
+        contribs = e.join(ranks, e["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), (F.col("rank") / F.col("_od")).alias("_c")
         )
         # exact_folds: sorted fold — bit-deterministic, what the oracle
         # gate replays. Production (exact_folds=False): plain F.sum —
