@@ -1059,6 +1059,103 @@ def _cms_users_oracle() -> str:
     )
 
 
+_KMV_SKETCH_ORACLE = """
+WITH hs AS (SELECT DISTINCT ('0x' || substr(md5('42:' || user_id), 1, 15))::BIGINT AS hv
+            FROM events WHERE user_id IS NOT NULL)
+SELECT hv FROM hs ORDER BY hv LIMIT 64
+"""
+
+
+@register("kmv_sketch_users", _KMV_SKETCH_ORACLE)
+def kmv_sketch_users(spark, sf_dir):
+    """Bottom-k (KMV) sketch build (functions/sketches.py, Bar-Yossef et
+    al. 2002): the 64 smallest distinct user hashes — the third
+    mergeable-sketch family member (cardinality AND a uniform distinct
+    sample, which HLL/CMS can't give). Distinct is map-side combined;
+    the bottom-k compiles to TakeOrderedAndProject heaps."""
+    from kafka_streams_demo_spark.functions.sketches import kmv_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_sketch(ev, "user_id", k=64, seed=42)
+
+
+@register("kmv_merge_incremental", _KMV_SKETCH_ORACLE)  # SAME oracle: merge == rebuild
+def kmv_merge_incremental(spark, sf_dir):
+    """KMV mergeability under the hash gate: bottom-64 of the even/odd
+    event halves merged (union -> distinct -> bottom-64) equals the
+    one-shot sketch exactly — the k smallest of a union are always
+    within the union of each side's k smallest. Same-oracle
+    registration proves it externally, completing the mergeable-sketch
+    triad (HLL max-merge, CMS sum-merge, KMV bottom-k-merge)."""
+    from kafka_streams_demo_spark.functions.sketches import kmv_merge, kmv_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    a = kmv_sketch(ev.filter(F.col("event_id") % 2 == 0), "user_id", 64, 42)
+    b = kmv_sketch(ev.filter(F.col("event_id") % 2 == 1), "user_id", 64, 42)
+    return kmv_merge(64, a, b)
+
+
+@register(
+    "kmv_distinct_users",
+    """
+WITH sk AS (WITH hs AS (SELECT DISTINCT ('0x' || substr(md5('42:' || user_id), 1, 15))::BIGINT AS hv
+            FROM events WHERE user_id IS NOT NULL)
+SELECT hv FROM hs ORDER BY hv LIMIT 64),
+agg AS (SELECT count(*) AS n, max(hv) AS kth FROM sk)
+SELECT CAST(n AS BIGINT) AS n_hashes,
+       ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END,
+             6) AS estimate
+FROM agg
+""",
+)
+def kmv_distinct_users(spark, sf_dir):
+    """KMV cardinality estimate: (k-1) * HASH_SPACE / kth_minimum (exact
+    when fewer than k distinct values exist). One integer max + one
+    division — the simplest hash-gated distinct estimator, next to the
+    HLL register formulation."""
+    from kafka_streams_demo_spark.functions.sketches import kmv_estimate, kmv_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_estimate(kmv_sketch(ev, "user_id", 64, 42), k=64)
+
+
+@register(
+    "kmv_jaccard_click_purchase",
+    """
+WITH ha AS (SELECT DISTINCT ('0x' || substr(md5('42:' || user_id), 1, 15))::BIGINT AS hv
+            FROM events WHERE user_id IS NOT NULL AND event_type = 'click'),
+sa AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+hb AS (SELECT DISTINCT ('0x' || substr(md5('42:' || user_id), 1, 15))::BIGINT AS hv
+            FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+sb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+uk AS (SELECT hv FROM (SELECT DISTINCT hv FROM (SELECT hv FROM sa UNION ALL SELECT hv FROM sb))
+       ORDER BY hv LIMIT 64),
+ib AS (SELECT uk.hv FROM uk
+       WHERE uk.hv IN (SELECT hv FROM sa) AND uk.hv IN (SELECT hv FROM sb))
+SELECT CAST((SELECT count(*) FROM uk) AS BIGINT) AS sample_size,
+       CAST((SELECT count(*) FROM ib) AS BIGINT) AS in_both,
+       ROUND(CAST((SELECT count(*) FROM ib) AS DOUBLE)
+             / (SELECT count(*) FROM uk), 6) AS jaccard
+""",
+)
+def kmv_jaccard_click_purchase(spark, sf_dir):
+    """Audience-overlap estimation from KMV sketches (Beyer et al.
+    SIGMOD'07): the bottom-k of A UNION B is a uniform sample of the
+    union, so the fraction present in both sketches estimates
+    Jaccard(clickers, purchasers) from O(k) state per side — no
+    distinct-join over the log. The set-overlap capability that
+    motivates bottom-k over HLL."""
+    from kafka_streams_demo_spark.functions.sketches import kmv_jaccard
+
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_jaccard(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id", k=64, seed=42,
+    )
+
+
 @register("cms_sketch_users", None)  # oracle attached below (shared string)
 def cms_sketch_users(spark, sf_dir):
     """Count-min sketch build (functions/sketches.py, Cormode &

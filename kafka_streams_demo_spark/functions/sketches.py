@@ -376,3 +376,91 @@ def hll_estimate_grouped(registers: DataFrame, p: int = 9) -> DataFrame:
         F.col("nonzero_buckets").cast("long").alias("nonzero_buckets"),
         F.round(est, 6).alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07)
+# ---------------------------------------------------------------------------
+
+KMV_HASH_SPACE = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 64, seed: int = 42) -> DataFrame:
+    """Bottom-k (KMV) sketch: the k SMALLEST distinct 60-bit hash values
+    of the column — the third mergeable-sketch family member (HLL
+    estimates cardinality, CMS frequency; KMV gives cardinality AND a
+    uniform DISTINCT SAMPLE, which neither can). Returns (hv) rows,
+    <= k of them.
+
+    Scale: distinct on the hash (map-side combined) then a bottom-k —
+    TakeOrderedAndProject per-partition heaps, never a full sort. The
+    sketch is O(k) state; see :func:`kmv_merge`."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = _hash60(F.col(col), seed)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(h.alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Merge KMV sketches: union, distinct, keep the k smallest.
+    merge(kmv(A), kmv(B)) == kmv(A UNION ALL B) exactly — the k smallest
+    of the union are always within the union of each side's k smallest.
+    Registered same-oracle with the full build, so the identity is
+    externally hash-proven like the HLL/CMS merges."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    return out.distinct().orderBy("hv").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Cardinality from a KMV sketch: (n_hashes, estimate). With fewer
+    than k distinct values the sketch IS the distinct set (estimate
+    exact); at k, estimate = (k-1) * HASH_SPACE / kth_minimum — the
+    classic unbiased bottom-k estimator. Integer max + one division,
+    deterministic across engines."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("hv").alias("_kth")
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_HASH_SPACE) / F.col("_kth").cast("double")
+    )
+    return agg.select(
+        F.col("n_hashes").cast("long").alias("n_hashes"),
+        F.round(est, 6).alias("estimate"),
+    )
+
+
+def kmv_jaccard(
+    df_a: DataFrame, df_b: DataFrame, col: str, k: int = 64, seed: int = 42
+) -> DataFrame:
+    """Jaccard similarity of two value SETS from their KMV sketches
+    (Beyer et al.: the k smallest hashes of A ∪ B are a uniform sample
+    of the union, so the fraction present in both sketches estimates
+    |A ∩ B| / |A ∪ B|). One row: (sample_size, in_both, jaccard).
+
+    This is what bottom-k buys over HLL: set-OVERLAP estimation from
+    O(k) state per side — e.g. audience overlap between event types
+    across a 100 TB log without a distinct-join."""
+    sa = kmv_sketch(df_a, col, k, seed)
+    sb = kmv_sketch(df_b, col, k, seed)
+    union_k = kmv_merge(k, sa, sb)
+    in_both = union_k.join(sa, "hv", "left_semi").join(sb, "hv", "left_semi")
+    counts = union_k.agg(F.count(F.lit(1)).alias("sample_size")).crossJoin(
+        in_both.agg(F.count(F.lit(1)).alias("in_both"))
+    )
+    return counts.select(
+        F.col("sample_size").cast("long").alias("sample_size"),
+        F.col("in_both").cast("long").alias("in_both"),
+        F.round(F.col("in_both") / F.col("sample_size"), 6).alias("jaccard"),
+    )

@@ -164,3 +164,50 @@ def test_hll_grouped_matches_per_group_build(spark):
     ests = {r["key"]: r["estimate"]
             for r in hll_estimate_grouped(grouped, p=8).collect()}
     assert abs(ests["a"] - 80) / 80 < 0.3 and abs(ests["b"] - 30) / 30 < 0.3
+
+
+def test_kmv_estimate_accuracy_and_exact_small(spark):
+    from kafka_streams_demo_spark.functions.sketches import kmv_estimate, kmv_sketch
+
+    small = _values_df(spark, [f"s{i}" for i in range(30)])
+    est = kmv_estimate(kmv_sketch(small, "v", k=64), k=64).collect()[0]
+    assert est["n_hashes"] == 30 and est["estimate"] == 30.0  # exact below k
+    big = _values_df(spark, [f"b{i}" for i in range(5000)])
+    est = kmv_estimate(kmv_sketch(big, "v", k=256), k=256).collect()[0]["estimate"]
+    # rsd ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(est - 5000) / 5000 < 0.25
+
+
+def test_kmv_merge_equals_rebuild(spark):
+    from kafka_streams_demo_spark.functions.sketches import kmv_merge, kmv_sketch
+
+    a = _values_df(spark, [f"u{i}" for i in range(300)])
+    b = _values_df(spark, [f"u{i}" for i in range(200, 500)])
+    merged = sorted(
+        r["hv"]
+        for r in kmv_merge(64, kmv_sketch(a, "v", 64), kmv_sketch(b, "v", 64)).collect()
+    )
+    full = sorted(r["hv"] for r in kmv_sketch(a.unionByName(b), "v", 64).collect())
+    assert merged == full and len(full) == 64
+
+
+def test_kmv_jaccard_estimates_overlap(spark):
+    from kafka_streams_demo_spark.functions.sketches import kmv_jaccard
+
+    # |A|=600, |B|=600, |A∩B|=400, |A∪B|=800 → J = 0.5
+    a = _values_df(spark, [f"x{i}" for i in range(600)])
+    b = _values_df(spark, [f"x{i}" for i in range(200, 800)])
+    got = kmv_jaccard(a, b, "v", k=128).collect()[0]
+    assert got["sample_size"] == 128
+    assert abs(got["jaccard"] - 0.5) < 0.2  # binomial(128, .5): 4+ sigma
+
+
+def test_kmv_validation():
+    import pytest as _pytest
+
+    from kafka_streams_demo_spark.functions.sketches import kmv_merge, kmv_sketch
+
+    with _pytest.raises(ValueError):
+        kmv_sketch(None, "v", k=1)
+    with _pytest.raises(ValueError):
+        kmv_merge(64)
