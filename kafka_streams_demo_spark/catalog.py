@@ -296,6 +296,30 @@ def scd2_merge_incremental(spark, sf_dir):
 
 
 @register(
+    "scd2_compact_retention",
+    f"SELECT * FROM ({_SCD2_ORACLE}) v "
+    f"WHERE valid_to_us IS NULL OR valid_to_us > 1705276800000000",
+)
+def scd2_compact_retention(spark, sf_dir):
+    """Retention compaction (functions/scd.py:scd2_compact): versions
+    fully expired before Jan 15 are dropped; the straddling version
+    stays so as-of queries remain exact for any t >= cutoff. A pure
+    filter — zero shuffle, partition-prunable when history is stored
+    partitioned by valid_to date. merge grows history forward,
+    compact bounds it backward."""
+    from kafka_streams_demo_spark.functions.scd import scd2_compact, scd2_snapshot
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", cents(F.col("value")).alias("value_cents"),
+        "ts", "event_id",
+    )
+    hist = scd2_snapshot(
+        ev, ["user_id"], ["event_type", "value_cents"], ts="ts", tiebreak="event_id"
+    )
+    return scd2_compact(hist, 1705276800000000)
+
+
+@register(
     "scd2_current_view",
     f"SELECT user_id, event_type, value_cents, valid_from_us "
     f"FROM ({_SCD2_ORACLE}) v WHERE valid_to_us IS NULL",

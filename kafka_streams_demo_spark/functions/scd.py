@@ -113,3 +113,17 @@ def scd2_current(scd2: DataFrame) -> DataFrame:
     a filter, no shuffle (the reference's `builder.table` materialized
     view recovered from the history table)."""
     return scd2.filter(F.col("valid_to_us").isNull()).drop("valid_to_us")
+
+
+def scd2_compact(scd2: DataFrame, cutoff_us: int) -> DataFrame:
+    """Retention compaction: drop versions that EXPIRED before the
+    cutoff (valid_to_us <= cutoff), keeping every version alive at or
+    after it — including the one straddling the cutoff, so point-in-time
+    queries remain exact for any t >= cutoff (and only those; that is
+    the retention contract). A pure filter — row-local, zero shuffle,
+    partition-prunable when the table is stored partitioned by
+    valid_to date. The GDPR/retention half of table maintenance:
+    scd2_merge grows history forward, scd2_compact bounds it backward."""
+    return scd2.filter(
+        F.col("valid_to_us").isNull() | (F.col("valid_to_us") > F.lit(cutoff_us))
+    )

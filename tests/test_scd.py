@@ -94,3 +94,22 @@ def test_current_view_is_open_rows(spark):
     cur = scd2_current(scd2_snapshot(chg, ["k"], ["v"], "ts", "eid"))
     assert {(r["k"], r["v"]) for r in cur.collect()} == {("a", 2), ("b", 3)}
     assert "valid_to_us" not in cur.columns
+
+
+def test_compact_preserves_asof_after_cutoff(spark):
+    from kafka_streams_demo_spark.functions.scd import scd2_compact
+
+    chg = _chg(spark, [("a", 1, 1, 0, 1), ("a", 2, 5, 0, 2), ("a", 3, 9, 0, 3),
+                       ("b", 7, 2, 0, 4)])
+    hist = scd2_snapshot(chg, ["k"], ["v"], "ts", "eid")
+    cutoff = _us(6)
+    kept = scd2_compact(hist, cutoff).collect()
+    # v=1 expired at day5 (< cutoff): dropped; v=2 straddles: kept;
+    # v=3 open: kept; b's open row: kept
+    got = {(r["k"], r["v"]) for r in kept}
+    assert got == {("a", 2), ("a", 3), ("b", 7)}
+    # as-of at the cutoff still answers exactly
+    at_cutoff = [r for r in kept
+                 if r["k"] == "a" and r["valid_from_us"] <= cutoff
+                 and (r["valid_to_us"] is None or cutoff < r["valid_to_us"])]
+    assert len(at_cutoff) == 1 and at_cutoff[0]["v"] == 2
