@@ -127,3 +127,29 @@ def scd2_compact(scd2: DataFrame, cutoff_us: int) -> DataFrame:
     return scd2.filter(
         F.col("valid_to_us").isNull() | (F.col("valid_to_us") > F.lit(cutoff_us))
     )
+
+
+def write_scd2_history(
+    scd2: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an SCD2 history as a catalog table BUCKETED on the key —
+    the persisted tier of the dimension family (the minhash/BM25/IVF
+    index convention applied to table maintenance): every maintenance
+    and query op keys on the dimension key — scd2_merge's anti/semi
+    joins, the as-of enrichment join, key-sliced history reads — so
+    bucketing lets EnsureRequirements satisfy their distribution from
+    storage. With the delta-sized batch side broadcast (AQE does this
+    for small batches), the TB-scale history never exchanges: the
+    nightly merge reads buckets, rewrites touched rows, passes the rest
+    through (plan pinned in tests/test_scd.py). Sorted within buckets by
+    (key, valid_from_us) so merge windows and as-of lookups stream."""
+    from kafka_streams_demo_spark.sources.bucketing import write_bucketed
+
+    write_bucketed(
+        scd2, table, keys, num_buckets,
+        sort_cols=[*keys, "valid_from_us"], mode=mode,
+    )

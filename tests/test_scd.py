@@ -113,3 +113,45 @@ def test_compact_preserves_asof_after_cutoff(spark):
                  if r["k"] == "a" and r["valid_from_us"] <= cutoff
                  and (r["valid_to_us"] is None or cutoff < r["valid_to_us"])]
     assert len(at_cutoff) == 1 and at_cutoff[0]["v"] == 2
+
+
+def test_bucketed_history_merge_fewer_exchanges(spark):
+    """scd2_merge against the bucketed history table carries strictly
+    fewer Exchanges than against plain rows, with identical results —
+    the persisted-dimension tier's whole point."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.scd import (
+        scd2_merge,
+        scd2_snapshot,
+        write_scd2_history,
+    )
+    from kafka_streams_demo_spark.plans.explain import audit
+
+    chg = _chg(spark, [("a", 1, 1, 0, 1), ("b", 2, 2, 0, 2), ("c", 3, 3, 0, 3),
+                       ("a", 4, 4, 0, 4)])
+    cur = scd2_snapshot(chg, ["k"], ["v"], "ts", "eid")
+    batch = _chg(spark, [("a", 9, 20, 0, 9), ("d", 8, 21, 0, 10)])
+
+    write_scd2_history(cur, "scd2_hist_test", ["k"], num_buckets=4)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # batch keys stay broadcast (the delta side SHOULD broadcast);
+        # bucketing must remove the history-side exchanges
+        try:
+            plain = scd2_merge(cur, batch, ["k"], ["v"], "ts", "eid")
+            buck = scd2_merge(
+                spark.table("scd2_hist_test"), batch, ["k"], ["v"], "ts", "eid"
+            )
+            a_plain, a_buck = audit(plain), audit(buck)
+            assert a_buck.exchanges < a_plain.exchanges, (
+                f"bucketed {a_buck.exchanges} vs plain {a_plain.exchanges}"
+            )
+            key = lambda df: sorted(map(tuple, df.collect()))
+            assert key(plain) == key(buck)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS scd2_hist_test")
