@@ -153,3 +153,28 @@ def write_scd2_history(
         scd2, table, keys, num_buckets,
         sort_cols=[*keys, "valid_from_us"], mode=mode,
     )
+
+
+def scd2_watermark_violations(
+    current: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+) -> DataFrame:
+    """Audit the merge precondition: scd2_merge assumes every batch row
+    is strictly later than the same key's open version (the changelog
+    watermark). Returns the violating keys with both timestamps —
+    empty means the merge is safe. Run it as a gate in pipelines whose
+    upstream can replay or deliver out of order (Kafka consumers resumed
+    from an old offset, backfills): merging a violating batch silently
+    back-dates history. Cost: one delta-sized aggregate joined to the
+    open rows — the same keys the merge itself touches."""
+    open_rows = current.filter(F.col("valid_to_us").isNull()).select(
+        *keys, F.col("valid_from_us").alias("open_from_us")
+    )
+    batch_min = batch.groupBy(*keys).agg(
+        F.min(F.unix_micros(F.col(ts))).alias("batch_min_us")
+    )
+    return open_rows.join(batch_min, keys).filter(
+        F.col("batch_min_us") <= F.col("open_from_us")
+    )

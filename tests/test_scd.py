@@ -155,3 +155,16 @@ def test_bucketed_history_merge_fewer_exchanges(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS scd2_hist_test")
+
+
+def test_watermark_violations_detected(spark):
+    from kafka_streams_demo_spark.functions.scd import scd2_watermark_violations
+
+    chg = _chg(spark, [("a", 1, 5, 0, 1), ("b", 2, 5, 0, 2)])
+    cur = scd2_snapshot(chg, ["k"], ["v"], "ts", "eid")
+    ok_batch = _chg(spark, [("a", 9, 10, 0, 3)])
+    assert scd2_watermark_violations(cur, ok_batch, ["k"]).count() == 0
+    # a replayed batch at/before the open version must surface
+    bad_batch = _chg(spark, [("a", 9, 5, 0, 4), ("b", 3, 3, 0, 5)])
+    bad = {r["k"] for r in scd2_watermark_violations(cur, bad_batch, ["k"]).collect()}
+    assert bad == {"a", "b"}
