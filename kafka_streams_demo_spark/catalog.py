@@ -1180,6 +1180,45 @@ def kmv_jaccard_click_purchase(spark, sf_dir):
     )
 
 
+@register(
+    "kmv_overlap_event_types",
+    """
+WITH d AS (SELECT DISTINCT event_type AS key,
+                  ('0x' || substr(md5('42:' || user_id), 1, 15))::BIGINT AS hv
+           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+sk AS (SELECT key, hv FROM
+       (SELECT key, hv, row_number() OVER (PARTITION BY key ORDER BY hv) AS rn FROM d)
+       WHERE rn <= 64),
+keys AS (SELECT DISTINCT key FROM sk),
+pairs AS (SELECT a.key AS key_a, b.key AS key_b FROM keys a JOIN keys b ON a.key < b.key),
+ra AS (SELECT p.key_a, p.key_b, s.hv, 1 AS ia, 0 AS ib
+       FROM pairs p JOIN sk s ON s.key = p.key_a),
+rb AS (SELECT p.key_a, p.key_b, s.hv, 0 AS ia, 1 AS ib
+       FROM pairs p JOIN sk s ON s.key = p.key_b),
+m AS (SELECT key_a, key_b, hv, max(ia) AS in_a, max(ib) AS in_b
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1, 2, 3),
+uk AS (SELECT * FROM
+       (SELECT m.*, row_number() OVER (PARTITION BY key_a, key_b ORDER BY hv) AS rn FROM m)
+       WHERE rn <= 64)
+SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS sample_size,
+       CAST(sum(in_a * in_b) AS BIGINT) AS in_both,
+       ROUND(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard
+FROM uk GROUP BY 1, 2
+""",
+)
+def kmv_overlap_event_types(spark, sf_dir):
+    """All-pairs audience-overlap matrix from per-key KMV sketches
+    (functions/sketches.py:kmv_overlap_matrix) — the sketch table as
+    INFRASTRUCTURE: every event-type pair's Jaccard estimated in ONE
+    plan over O(groups x k) sketch rows, where exact answers would cost
+    a distinct-join per pair over the raw log. Bottom-k of each pair's
+    union via per-pair WindowGroupLimit heaps."""
+    from kafka_streams_demo_spark.functions.sketches import kmv_overlap_matrix
+
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_overlap_matrix(ev, "event_type", "user_id", k=64, seed=42)
+
+
 @register("cms_sketch_users", None)  # oracle attached below (shared string)
 def cms_sketch_users(spark, sf_dir):
     """Count-min sketch build (functions/sketches.py, Cormode &

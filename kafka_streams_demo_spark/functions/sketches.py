@@ -464,3 +464,77 @@ def kmv_jaccard(
         F.col("in_both").cast("long").alias("in_both"),
         F.round(F.col("in_both") / F.col("sample_size"), 6).alias("jaccard"),
     )
+
+
+def kmv_sketch_grouped(
+    df: DataFrame, key_col: str, col: str, k: int = 64, seed: int = 42
+) -> DataFrame:
+    """Per-key bottom-k sketches: (key, hv) with <= k rows per key —
+    one distinct + one windowed bottom-k (WindowGroupLimit heaps), the
+    grouped sibling of :func:`kmv_sketch`."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    h = _hash60(F.col(col), seed)
+    distinct = (
+        df.filter(F.col(col).isNotNull() & F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("key"), h.alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy("hv")
+    return (
+        distinct.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_overlap_matrix(
+    df: DataFrame, key_col: str, col: str, k: int = 64, seed: int = 42
+) -> DataFrame:
+    """Pairwise Jaccard matrix between ALL key groups from their KMV
+    sketches, in one plan: for each pair, the bottom-k of the two
+    sketches' union is a uniform union sample; the fraction present in
+    both estimates J. Returns (key_a, key_b, sample_size, in_both,
+    jaccard) for key_a < key_b.
+
+    This is the sketch table paying off as INFRASTRUCTURE: the per-key
+    sketches are O(groups x k) rows total, so the all-pairs comparison
+    — which exact would cost a distinct-join per pair over the raw log —
+    runs entirely on sketch rows. Groups² x k stays tiny for the
+    bounded-cardinality keys this is for (sources, event types,
+    languages)."""
+    sk = kmv_sketch_grouped(df, key_col, col, k, seed)
+    keys = sk.select("key").distinct()
+    pairs = (
+        keys.select(F.col("key").alias("key_a"))
+        .join(keys.select(F.col("key").alias("key_b")))
+        .filter(F.col("key_a") < F.col("key_b"))
+    )
+    rows_a = pairs.join(sk.withColumnsRenamed({"key": "key_a"}), "key_a").select(
+        "key_a", "key_b", "hv", F.lit(1).alias("_a"), F.lit(0).alias("_b")
+    )
+    rows_b = pairs.join(sk.withColumnsRenamed({"key": "key_b"}), "key_b").select(
+        "key_a", "key_b", "hv", F.lit(0).alias("_a"), F.lit(1).alias("_b")
+    )
+    merged = (
+        rows_a.unionByName(rows_b)
+        .groupBy("key_a", "key_b", "hv")
+        .agg(F.max("_a").alias("in_a"), F.max("_b").alias("in_b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key_a", "key_b").orderBy("hv")
+    union_k = merged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return union_k.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).cast("long").alias("sample_size"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("in_both"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("jaccard"),
+    )

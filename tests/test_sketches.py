@@ -211,3 +211,31 @@ def test_kmv_validation():
         kmv_sketch(None, "v", k=1)
     with _pytest.raises(ValueError):
         kmv_merge(64)
+
+
+def test_kmv_overlap_matrix_matches_pairwise(spark):
+    from kafka_streams_demo_spark.functions.sketches import (
+        kmv_jaccard,
+        kmv_overlap_matrix,
+    )
+
+    rows = (
+        [Row(g="a", v=f"x{i}") for i in range(200)]
+        + [Row(g="b", v=f"x{i}") for i in range(100, 300)]
+        + [Row(g="c", v=f"z{i}") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows)
+    mat = {
+        (r["key_a"], r["key_b"]): (r["sample_size"], r["in_both"], r["jaccard"])
+        for r in kmv_overlap_matrix(df, "g", "v", k=64).collect()
+    }
+    assert set(mat) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # pairwise function must agree exactly (same hashes, same k)
+    pair = kmv_jaccard(
+        df.filter(F.col("g") == "a"), df.filter(F.col("g") == "b"), "v", k=64
+    ).collect()[0]
+    assert mat[("a", "b")] == (
+        pair["sample_size"], pair["in_both"], pair["jaccard"]
+    )
+    # disjoint groups: zero overlap
+    assert mat[("a", "c")][1] == 0 and mat[("b", "c")][1] == 0
