@@ -168,3 +168,56 @@ def test_watermark_violations_detected(spark):
     bad_batch = _chg(spark, [("a", 9, 5, 0, 4), ("b", 3, 3, 0, 5)])
     bad = {r["k"] for r in scd2_watermark_violations(cur, bad_batch, ["k"]).collect()}
     assert bad == {"a", "b"}
+
+
+def test_bucketed_history_asof_lookup_fewer_exchanges(spark):
+    """The persisted tier serves READS too: the point-in-time lookup
+    against the bucketed history exchanges strictly less than against
+    plain rows (facts still shuffle; the history side comes sorted and
+    distributed from storage), identical results."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.scd import (
+        scd2_snapshot,
+        write_scd2_history,
+    )
+    from kafka_streams_demo_spark.plans.explain import audit
+
+    chg = _chg(spark, [("a", 1, 1, 0, 1), ("a", 2, 10, 0, 2), ("b", 3, 2, 0, 3)])
+    hist = scd2_snapshot(chg, ["k"], ["v"], "ts", "eid")
+    facts = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 5)), ("a", dt.datetime(2024, 1, 12)),
+         ("b", dt.datetime(2024, 1, 20))],
+        "k string, fts timestamp",
+    ).withColumn("fts_us", F.unix_micros("fts"))
+
+    def lookup(dim):
+        j = facts.join(
+            dim,
+            (facts["k"] == dim["k"])
+            & (dim["valid_from_us"] <= facts["fts_us"])
+            & (dim["valid_to_us"].isNull() | (facts["fts_us"] < dim["valid_to_us"])),
+            "left",
+        )
+        return j.select(facts["k"], "fts_us", "v")
+
+    write_scd2_history(hist, "scd2_hist_asof_test", ["k"], num_buckets=4)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plain, buck = lookup(hist), lookup(spark.table("scd2_hist_asof_test"))
+            a_plain, a_buck = audit(plain), audit(buck)
+            assert a_buck.exchanges < a_plain.exchanges, (
+                f"bucketed {a_buck.exchanges} vs plain {a_plain.exchanges}"
+            )
+            key = lambda df: sorted(map(tuple, df.collect()))
+            assert key(plain) == key(buck)
+            got = {(r["k"], r["fts_us"]): r["v"] for r in buck.collect()}
+            assert list(got.values()).count(1) == 1 and 2 in got.values()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS scd2_hist_asof_test")
