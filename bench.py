@@ -72,7 +72,40 @@ HEADLINE = [
     "hll_merge_incremental",
     "cms_point_queries",
     "scd2_merge_incremental",
-    "pagerank_cust_supp",
+    # round 8: the PRODUCTION PageRank plan (plain map-side-combined sum,
+    # no per-node contribution list — the plan a power-law graph needs;
+    # the sorted-fold gate variant stays registered for the hash oracle,
+    # 6dp parity is test-pinned), plus the curation pipeline now that its
+    # cross-stage recomputation is checkpointed away
+    "pagerank_cust_supp_prod",
+    "pipeline_quality_curation",
+]
+
+# The FIXED round-1 query set (BENCH_r01.json): reported as its own
+# subtotal every round so the driver contract (≤2x the round-1 baseline
+# at the same scale) is checkable from the artifact alone — the full-set
+# total mixes real drift with set growth and reads like a regression
+# until per-queried (VERDICT r7 task 8).
+REFERENCE25 = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "q6_forecast_revenue", "q10_returned_items", "q18_large_orders",
+    "asof_join_purchase", "running_sum_per_user", "word_count",
+    "count_by_key", "aggregate_sum_cents", "ktable_latest",
+    "tumbling_window_count", "session_window_count",
+    "stream_stream_join_window", "stream_table_join_segment",
+    "table_table_join_outer", "dedup_exact", "minhash_lsh_pairs",
+    "simhash_pairs", "contamination_check", "token_counts",
+    "sessionize_gap", "ann_topk_bruteforce", "ann_ivf_topk",
+]
+
+# Measured and reported but NOT in any total: the triangle census pair
+# runs on a degenerately dense synthetic co-purchase graph at sf0.1
+# (~100x a real catalog graph's wedge space — BASELINE.md), so its
+# absolute number would drown the headline total; tracking it in the
+# artifact makes a real regression visible r-over-r (VERDICT r7 task 6).
+SECONDARY = [
+    "triangle_counts_coorder",
+    "triangle_counts_incremental",
 ]
 
 
@@ -108,7 +141,9 @@ def main() -> None:
     # cannot leak into the next pass — every pass re-executes each full
     # pipeline from the parquet scan up. Both raw passes are reported
     # alongside the min so round-over-round comparisons stay honest.
+    sec_names = [n for n in SECONDARY if n in qs]
     passes: list[dict[str, float]] = []
+    sec_passes: list[dict[str, float]] = []
     for _ in range(2):
         spark.catalog.clearCache()
         run: dict[str, float] = {}
@@ -117,9 +152,21 @@ def main() -> None:
             materialize(qs[name](spark, sf_dir))
             run[name] = round(time.monotonic() - t0, 3)
         passes.append(run)
+        # secondary tier last so its long census never warms/penalizes
+        # the headline loop; same clear-cache-per-pass discipline
+        spark.catalog.clearCache()
+        sec_run: dict[str, float] = {}
+        for name in sec_names:
+            t0 = time.monotonic()
+            materialize(qs[name](spark, sf_dir))
+            sec_run[name] = round(time.monotonic() - t0, 3)
+        sec_passes.append(sec_run)
     timings = {n: min(p[n] for p in passes) for n in names}
+    sec_timings = {n: min(p[n] for p in sec_passes) for n in sec_names}
 
     total = round(sum(timings.values()), 3)
+    ref25 = [n for n in REFERENCE25 if n in timings]
+    ref25_total = round(sum(timings[n] for n in ref25), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full detail first (both raw passes — round-over-round honesty),
     # then ONE compact summary line LAST: the driver's tail-capture
@@ -134,6 +181,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "passes": passes,
+                "secondary": sec_timings,
+                "secondary_passes": sec_passes,
                 "sf": sf_val,
             }
         )
@@ -145,6 +194,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "reference25_total_sec": ref25_total,
+                "reference25_n": len(ref25),
+                "secondary_total_sec": round(sum(sec_timings.values()), 3),
                 "sf": sf_val,
             }
         )

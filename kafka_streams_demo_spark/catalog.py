@@ -1410,6 +1410,39 @@ def pagerank_cust_supp(spark, sf_dir):
 ORACLES["pagerank_cust_supp"] = _pagerank_oracle()
 
 
+@register("pagerank_cust_supp_prod", None)  # rows-only BY DESIGN (see below)
+def pagerank_cust_supp_prod(spark, sf_dir):
+    """The PRODUCTION PageRank plan over the same customer↔supplier
+    graph: plain map-side-combined ``F.sum`` per destination
+    (``exact_folds=False``) instead of the sorted ``collect_list`` fold
+    the cross-engine gate replays. No per-node contribution list ever
+    materializes, so a power-law hot node costs a partial-aggregated
+    shuffle, not one reducer holding its full in-degree — the plan a
+    100 TB run must use, and the one the bench measures (VERDICT r7
+    task 2). Deliberately rows-only: a 6dp-rounded shuffle-order
+    ``F.sum`` of doubles is not bit-stable enough to feed the hash gate
+    (boundary values could flip); equivalence to the gated
+    ``pagerank_cust_supp`` is pinned at 6dp by
+    tests/test_graph.py::test_pagerank_plain_sum_parity_at_6dp, and the
+    gated sibling proves the shared iteration logic externally."""
+    from kafka_streams_demo_spark.functions.graph import pagerank
+
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=3, damping=0.85, exact_folds=False)
+
+
 _TRI_EDGES_CTE = """
 SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
 FROM lineitem l1
@@ -6284,7 +6317,7 @@ def session_window_sum_cents(spark, sf_dir):
 
 @register(
     "doc_chunk_overlap",
-    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents), "
     "s AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-8, 1), 24)) AS st FROM t) "
     "SELECT doc_id, CAST((st-1)//24 AS BIGINT) AS chunk_id, CAST(st AS BIGINT) AS start_tok, "
     "CAST(least(32, len(w)-st+1) AS BIGINT) AS n_tokens, "
@@ -6527,13 +6560,21 @@ def pipeline_quality_curation_q(spark, sf_dir):
     from kafka_streams_demo_spark.functions.skew import salted_topk_per_key
 
     docs = load_table(spark, "documents", sf_dir)
+    # Stage boundaries are CHECKPOINTED: Catalyst does not dedupe common
+    # subtrees across branches, so the lazy composition re-ran the whole
+    # LM-scoring plan inside every branch of the DSIR stage and again in
+    # the final rank join — 95 Exchanges, the catalog outlier (VERDICT
+    # r7 task 3). `scored` is doc-count-sized (no text), `surv` is the
+    # curated split the later stages genuinely share; at cluster scale
+    # these become `.checkpoint()`/table writes between stages — exactly
+    # how a production curation run stages its intermediates.
     scored = ccnet_bucket(
         ngram_lm_score(docs, train_docs=docs.where(F.col("doc_id") % 5 != 0)),
         cutoffs=(1.4722, 1.4861),
-    )
+    ).localCheckpoint(eager=True)
     surv = docs.join(
         scored.where(F.col("bucket") != "tail").select("doc_id", "nll"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     wts = dsir_weights(surv, F.col("source") == "src0")
     ranked = surv.select("doc_id", "source", "nll").join(wts, "doc_id")
     return salted_topk_per_key(
@@ -6687,8 +6728,8 @@ def _zorder_oracle() -> str:
     s AS (SELECT min(v0) AS mn0, max(v0) AS mx0,
                  min(v1) AS mn1, max(v1) AS mx1 FROM v),
     b AS (SELECT o_orderkey,
-            ((v0 - mn0) * 256) // (mx0 - mn0 + 1) AS b0,
-            ((v1 - mn1) * 256) // (mx1 - mn1 + 1) AS b1
+            (v0 - mn0) // ((mx0 - mn0) // 256 + 1) AS b0,
+            (v1 - mn1) // ((mx1 - mn1) // 256 + 1) AS b1
           FROM v CROSS JOIN s),
     z AS (SELECT o_orderkey,
                  CAST({zorder_oracle_terms(2, 8)} AS BIGINT) AS zval
@@ -7189,45 +7230,79 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # triangle_counts_incremental — shared oracle, index+delta graph
 # maintenance), and pagerank_cust_supp (iterative double-valued
 # algorithm under the unrolled-CTE hash gate).
+# ROUND-8 ROTATION (the big never-checked sweep): VERDICT r7 task 1
+# asks that the ~25 late-r7 entries that have never earned an external
+# CORRECTNESS row rotate in. 31 demotions — every one driver-green in
+# CORRECTNESS_r07.json, so every demoted family keeps a green ON RECORD,
+# and each §2 family keeps an in-window anchor: aggregate_sum_cents /
+# hopping_window_sum_cents / stream_stream_join_asymmetric /
+# ktable_fk_join / event_time_extract / q3+q5 / cogroup-tier (word_count
+# + q1 + sliding_window_full_count + stream_table_join_segment +
+# asof_join_purchase stay), dedup incrementals (pipeline_ingest_
+# incremental + ngram_span_dedup stay; _hashed pair-proof rotates IN),
+# cleaning bundles (the LM/curation tier rotates IN: ccnet_perplexity
+# (+_incremental), dsir_select, domain_cap_sample, token_drift_kl,
+# pipeline_quality_curation), retrieval (bm25_search_multi stays;
+# bm25_postings_incremental rotates IN), ANN (ann_ivf_topk stays),
+# text-analysis (token_drift_kl in; tfidf_top_terms/corpus_profile/
+# winnow_fingerprints green r7 on record), packing/sharding
+# (shard_manifest + curriculum_phases + weighted_sample pair rotate IN
+# for pack_sequences_strid/shuffle_shards), analytics (moving_avg_per_
+# user + robust_zscore_outliers + unpivot_charge_components +
+# event_paths_topk rotate IN for funnel/retention/salted), sketches
+# (hll_registers_users stays; the never-checked KMV triad +
+# kmv_jaccard + hll_distinct_by_type rotate IN for hll/cms_merge_
+# incremental), SCD2 (scd2_user_history + scd2_merge_incremental stay —
+# merge path changed this round, must re-earn green; finishers
+# scd2_asof_enrich / scd2_compact_retention / scd2_current_view rotate
+# IN), graph (triangle_counts_coorder + pagerank_cust_supp stay —
+# pagerank iteration changed this round; clustering_coefficient rotates
+# IN composing the census; scd2_current_view stays out — 50-slot limit,
+# its filter logic is subsumed by the in-window SCD2 oracles and it is
+# green in the full local sweep), linkage/layout/range tier rotates IN
+# (fuzzy_pairs_part_names, zorder_layout — bucket formula changed this
+# round, band_join_error_purchase), substring-search trio rotates IN,
+# codecs (jpeg_decode_subsampled anchors; progressive/restart/gif green
+# r7 on record). Whole 50-name window re-verified with check_oracle at
+# sf0.01 before commit (standing rule).
 DRIVER_PRIORITY: list[str] = [
-    # core DSL / streaming keepers (driver-green r6, families anchored)
-    "branch_c", "word_count", "aggregate_sum_cents",
+    # §2 anchors (driver-green r7, families stay represented)
+    "branch_c", "word_count",
     "ktable_latest", "processor_running_count", "json_extract_sum",
-    "sliding_window_full_count",
-    "stream_stream_join_asymmetric", "stream_table_join_segment",
-    "ktable_fk_join", "event_time_extract",
-    "avro_wire_roundtrip",
-    "q1_pricing_summary",
-    # incoming: last two never-driver-checked TPC-H shapes
-    "q3_shipping_priority", "q5_regional_revenue",
-    # dedup / ingest keepers + incoming incremental families
-    "pipeline_ingest_incremental",
-    "dedup_clusters_incremental",
-    "ngram_jaccard_incremental", "dedup_embedding_cosine_incremental",
-    "ngram_span_dedup",
-    # cleaning bundles (incoming) + the composed trainer-shard pipeline
-    "gopher_quality_filter", "gopher_repetition_filter",
-    "c4_line_clean", "pipeline_training_data",
-    # retrieval / ANN: keepers + the persisted-IVF pair
-    "bm25_search_multi",
-    "ann_ivf_topk", "ann_ivf_index_topk", "ann_ivf_assign_incremental",
-    # text analysis (incoming)
-    "tfidf_top_terms", "corpus_profile",
-    "winnow_fingerprints",
-    # packing / sharding / analytics
-    "pack_sequences_strid", "shuffle_shards",
-    "funnel_conversion", "retention_cohorts",
-    "asof_join_purchase",
-    "salted_count_skew", "hopping_window_sum_cents",
-    # mergeable sketches / SCD2 / graph (late r7 — same-oracle pairs)
-    "hll_registers_users", "hll_merge_incremental",
-    "cms_merge_incremental",
+    "sliding_window_full_count", "stream_table_join_segment",
+    "asof_join_purchase", "q1_pricing_summary", "avro_wire_roundtrip",
+    # dedup / ingest anchors + the md5-keyed span pair proof (incoming)
+    "pipeline_ingest_incremental", "ngram_span_dedup",
+    "ngram_span_dedup_hashed",
+    # retrieval / ANN anchors + incoming postings maintenance
+    "bm25_search_multi", "ann_ivf_topk", "bm25_postings_incremental",
+    # substring-search trio (incoming, never driver-checked)
+    "substring_search_index", "substring_search_incremental",
+    "substring_search_rarest",
+    # LM / curation stack (incoming)
+    "ccnet_perplexity", "ccnet_perplexity_incremental",
+    "dsir_select", "domain_cap_sample", "token_drift_kl",
+    "pipeline_quality_curation",
+    # sampling / sharding / mixture (incoming)
+    "weighted_sample_quality", "weighted_sample_per_source",
+    "shard_manifest", "curriculum_phases",
+    # KMV triad + grouped sketches (incoming; hll anchor stays)
+    "hll_registers_users",
+    "kmv_sketch_users", "kmv_distinct_users", "kmv_merge_incremental",
+    "kmv_jaccard_click_purchase", "hll_distinct_by_type",
+    # SCD2: anchors re-earn green post-merge-fix + incoming finishers
     "scd2_user_history", "scd2_merge_incremental",
-    "triangle_counts_coorder", "triangle_counts_incremental",
-    "pagerank_cust_supp",
-    # codecs
-    "jpeg_decode_subsampled", "jpeg_meta_progressive",
-    "jpeg_decode_restart", "gif_frames_meta",
+    "scd2_asof_enrich", "scd2_compact_retention",
+    # graph: anchors re-earn green post-pagerank-fix + incoming
+    "triangle_counts_coorder", "pagerank_cust_supp",
+    "clustering_coefficient", "event_paths_topk",
+    # linkage / layout / range tier (incoming; zorder re-earns post-fix)
+    "fuzzy_pairs_part_names", "zorder_layout", "band_join_error_purchase",
+    # analytics tier (incoming)
+    "moving_avg_per_user", "robust_zscore_outliers",
+    "unpivot_charge_components",
+    # codecs anchor
+    "jpeg_decode_subsampled",
 ]
 
 

@@ -48,11 +48,15 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst).
 
-    Every node must appear as a source (no dangling nodes) — callers
-    with dangling nodes add reverse edges or self-loops first; the
-    catalog entry uses a bidirectional bipartite graph where this holds
-    by construction. Returns (node, rank) with rank rounded to 6dp at
-    the END only (full precision flows through iterations).
+    Every node must appear as a source (out-degree must be defined —
+    callers with sink-only nodes add reverse edges or self-loops first;
+    the catalog entry uses a bidirectional bipartite graph where this
+    holds by construction). Nodes with NO in-edges are fine: each
+    iteration rebuilds ranks over the full node set, coalescing a
+    missing contribution sum to 0, so such nodes hold the teleport
+    floor 0.15/N and keep distributing their mass. Returns (node, rank)
+    with rank rounded to 6dp at the END only (full precision flows
+    through iterations).
 
     rank_{t+1}(v) = 0.15/N + 0.85 * sum_{u->v} rank_t(u)/outdeg(u)
     """
@@ -91,9 +95,18 @@ def pagerank(
             )
         else:
             summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = summed.crossJoin(n_row).select(
+        # Rebuild ranks over the FULL node set, not just groupBy(dst)
+        # output: a node with out-edges but no in-edges (allowed by the
+        # precondition) would otherwise vanish after iteration 1 and
+        # take its outgoing rank mass with it. Missing sum ⇒ 0, so its
+        # rank settles at the teleport floor 0.15/N. For nodes with
+        # in-edges the math is bit-identical (coalesce never fires).
+        ranks = nodes.join(summed, "node", "left").crossJoin(n_row).select(
             "node",
-            (F.lit(0.15) / F.col("_n") + F.lit(damping) * F.col("_s")).alias("rank"),
+            (
+                F.lit(0.15) / F.col("_n")
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
@@ -121,8 +134,9 @@ def pagerank_sql(
             f"JOIN deg d ON e.src = d.src GROUP BY 1)"
         )
         parts.append(
-            f"r{i + 1} AS (SELECT node, "
-            f"(SELECT 0.15/n FROM nn) + {damping} * s AS rank FROM c{i + 1})"
+            f"r{i + 1} AS (SELECT nd.node, "
+            f"(SELECT 0.15/n FROM nn) + {damping} * COALESCE(c.s, 0.0) AS rank "
+            f"FROM nodes nd LEFT JOIN c{i + 1} c ON nd.node = c.node)"
         )
     body = ",\n".join(parts)
     return f"{body}\nSELECT node, ROUND(rank, 6) AS rank FROM r{iterations}"

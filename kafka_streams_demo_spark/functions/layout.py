@@ -48,12 +48,17 @@ def zorder_key(
         *[F.max(f"_zv{i}").alias(f"_mx{i}") for i in range(nd)],
     )
     j = vals.crossJoin(F.broadcast(stats))
-    # exact integer bucketing: ((v - mn) * nb) DIV (mx - mn + 1) ∈ [0, nb)
+    # exact integer bucketing, multiply-free: (v - mn) DIV ((mx - mn) DIV
+    # nb + 1) ∈ [0, nb). The multiply form ((v-mn)*nb) DIV (mx-mn+1)
+    # overflows long once the span exceeds 2^63/nb — the very 62-bit
+    # regime this module targets; the DIV form supports any span
+    # representable in int64 (span = mx - mn must fit, the hard bound
+    # for ANY int64 bucketing — documented, not silently violated).
     bucketed = j.select(
         "*",
         *[
             F.expr(
-                f"((_zv{i} - _mn{i}) * {nb}) DIV (_mx{i} - _mn{i} + 1)"
+                f"(_zv{i} - _mn{i}) DIV ((_mx{i} - _mn{i}) DIV {nb} + 1)"
             ).alias(f"_zb{i}")
             for i in range(nd)
         ],

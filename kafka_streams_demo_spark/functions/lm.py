@@ -289,7 +289,19 @@ def dsir_weights(
     flagged = docs.select(
         F.col(id_col).alias("doc_id"), target_pred.alias("_is_t")
     )
-    feats = _feature_rows(toks, num_buckets).join(flagged, "doc_id")
+    # feats feeds BOTH the bucket-totals model estimate and the per-doc
+    # contribution join; Catalyst does not dedupe common subtrees across
+    # branches, so left lazy the whole upstream (tokenize + hash +
+    # count, plus whatever plan produced ``docs``) runs twice — the main
+    # driver of pipeline_quality_curation's 95-Exchange plan (VERDICT r7
+    # task 3). One doc×bucket-sized materialization caps it; at cluster
+    # scale this is `.checkpoint()` to durable storage, locally the
+    # executor-block variant suffices.
+    feats = (
+        _feature_rows(toks, num_buckets)
+        .join(flagged, "doc_id")
+        .localCheckpoint(eager=True)
+    )
 
     totals = feats.groupBy("bucket").agg(
         F.sum("c").alias("c_raw"),

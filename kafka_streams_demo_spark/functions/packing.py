@@ -48,7 +48,11 @@ def chunk_documents(
     if stride <= 0:
         raise ValueError("chunk_size must exceed overlap")
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        # NULL text ⇒ '' (split(NULL) is NULL: sequence/explode would
+        # silently drop the row, contradicting the one-chunk-minimum
+        # contract and the sibling operators' NULL→'' convention)
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_toks"),
     ).select("doc_id", "_toks", F.size("_toks").alias("_n"))
     started = toks.select(
         "doc_id",

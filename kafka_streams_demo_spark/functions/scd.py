@@ -86,17 +86,22 @@ def scd2_merge(
     open_rows = current.filter(F.col("valid_to_us").isNull())
     untouched = open_rows.join(batch_keys, keys, "left_anti")
 
+    # The tiebreak keeps its NATIVE type end-to-end (the replayed rows
+    # carry a typed NULL matching the batch column) — a cast to long
+    # would NULL out string tiebreaks and break the merge ≡ rebuild
+    # identity scd2_snapshot guarantees (it orders by the raw column).
+    tb_type = batch.schema[tiebreak].dataType if tiebreak else None
     replayed = open_rows.join(batch_keys, keys, "left_semi").select(
         *keys,
         *values,
         F.col("valid_from_us"),
-        *([F.lit(None).cast("long").alias("_tb")] if tiebreak else []),
+        *([F.lit(None).cast(tb_type).alias("_tb")] if tiebreak else []),
     )
     batch_rows = batch.select(
         *keys,
         *values,
         F.unix_micros(F.col(ts)).alias("valid_from_us"),
-        *([F.col(tiebreak).cast("long").alias("_tb")] if tiebreak else []),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
     )
     order = [F.col("valid_from_us")] + ([F.col("_tb")] if tiebreak else [])
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)

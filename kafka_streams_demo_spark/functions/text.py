@@ -145,7 +145,12 @@ def run_starts(s: Column) -> Column:
         F.size(s) > 0,
         F.filter(
             F.sequence(F.lit(0), F.size(s) - 1),
-            lambda i: (i == F.lit(0)) | (F.get(s, i) != F.get(s, i - 1)),
+            # null-safe inequality: a run of NULL elements starts its own
+            # run instead of merging into the preceding one (plain != is
+            # NULL, not true, when either element is NULL); the i==0
+            # disjunct still anchors the first run even when s[0] IS NULL
+            # (eqNullSafe(NULL, NULL) would be true for the wrapped get).
+            lambda i: (i == F.lit(0)) | ~F.get(s, i).eqNullSafe(F.get(s, i - 1)),
         ),
     ).otherwise(F.array().cast("array<int>"))
 

@@ -134,3 +134,54 @@ def test_pagerank_plain_sum_parity_at_6dp(spark):
     exact = sorted(map(tuple, pagerank(df, 4, exact_folds=True).collect()))
     plain = sorted(map(tuple, pagerank(df, 4, exact_folds=False).collect()))
     assert exact == plain  # 6dp rounding absorbs addition-order noise
+
+
+def test_pagerank_source_only_node_retained(spark):
+    """A node with out-edges but no in-edges (allowed by the precondition)
+    must survive every iteration at the teleport floor 0.15/N and keep
+    distributing its mass — the pre-fix rebuild from groupBy(dst) output
+    dropped it after iteration 1, losing its outgoing rank mass and
+    corrupting all downstream ranks (ADVICE r7). Pinned against a plain
+    Python replay, on both fold paths."""
+    pairs = [("s", "a"), ("a", "b"), ("b", "a")]
+
+    def ref(iters):
+        nodes = ["s", "a", "b"]
+        out = {"s": ["a"], "a": ["b"], "b": ["a"]}
+        r = {n: 1 / 3 for n in nodes}
+        for _ in range(iters):
+            c = {n: 0.0 for n in nodes}
+            for u in nodes:
+                for v in out[u]:
+                    c[v] += r[u] / len(out[u])
+            r = {n: 0.15 / 3 + 0.85 * c[n] for n in nodes}
+        return r
+
+    expected = ref(3)
+    for exact in (True, False):
+        got = {r["node"]: r["rank"]
+               for r in pagerank(_edges(spark, pairs), 3, exact_folds=exact).collect()}
+        assert set(got) == {"s", "a", "b"}
+        assert got["s"] == pytest.approx(0.15 / 3, abs=1e-6)
+        for n, v in expected.items():
+            assert got[n] == pytest.approx(v, abs=1e-6)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_plain_sum_no_list_materialization(spark):
+    """The production path (exact_folds=False) must aggregate hot-node
+    contributions with a partial (map-side-combined) sum — never a
+    collect_list that materializes a power-law node's full in-degree on
+    one reducer (VERDICT r7 task 2). Pinned on a skewed star graph: one
+    hub with every other node pointing at it."""
+    n = 200
+    pairs = [(f"n{i}", "hub") for i in range(n)] + [("hub", "n0"), ("n0", "hub")]
+    df = pagerank(_edges(spark, pairs), iterations=2, exact_folds=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    # partial_sum proves the map-side combine half of the aggregate pair
+    assert "partial_sum" in plan
+    # and the gate variant DOES use the sorted fold (the cross-engine
+    # contract) — the two paths are deliberately different plans
+    gated = pagerank(_edges(spark, pairs), iterations=2, exact_folds=True)
+    assert "collect_list" in gated._jdf.queryExecution().executedPlan().toString()

@@ -450,3 +450,18 @@ def test_weighted_sample_global_uses_topk_plan(spark):
     df = spark.createDataFrame([Row(doc_id=i, w=i + 1) for i in range(50)])
     plan = weighted_sample(df, 5, "w")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_chunk_null_text_single_chunk(spark):
+    """NULL text coalesces to '' and yields exactly one (empty-token)
+    chunk — split(NULL) is NULL and the pre-fix sequence/explode silently
+    dropped the row, contradicting the one-chunk-minimum contract
+    (ADVICE r7)."""
+    import hashlib
+
+    docs = _docs(spark, [(1, "s", None), (2, "s", "a b")])
+    out = {r["doc_id"]: r for r in chunk_documents(docs, chunk_size=4, overlap=1).collect()}
+    assert set(out) == {1, 2}
+    r = out[1]
+    assert (r["chunk_id"], r["start_tok"], r["n_tokens"]) == (0, 1, 1)
+    assert r["chunk_md5"] == hashlib.md5(b"").hexdigest()

@@ -221,3 +221,39 @@ def test_bucketed_history_asof_lookup_fewer_exchanges(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS scd2_hist_asof_test")
+
+
+def test_merge_string_tiebreak_preserves_identity(spark):
+    """A non-numeric tiebreak column must keep its native type through
+    the merge path — the pre-fix cast to long NULLed string event ids,
+    making within-batch tie order nondeterministic and breaking
+    merge ≡ rebuild for such schemas (ADVICE r7)."""
+    import datetime as dt
+    from pyspark.sql import Row
+
+    def chg(rows):
+        return spark.createDataFrame(
+            [Row(k=k, v=v, ts=dt.datetime(2024, 1, d, h), eid=e)
+             for (k, v, d, h, e) in rows]
+        )
+
+    rows = [
+        ("a", 1, 1, 0, "ev-01"),
+        ("a", 2, 3, 0, "ev-03"),   # equal-ts tie inside the second batch:
+        ("a", 3, 3, 0, "ev-10"),   # string order ev-03 < ev-10 decides
+        ("b", 7, 2, 0, "ev-02"),
+    ]
+    full = sorted(
+        scd2_snapshot(chg(rows), ["k"], ["v"], ts="ts", tiebreak="eid").collect(),
+        key=lambda r: (r["k"], r["valid_from_us"], r["v"]),
+    )
+    merged = sorted(
+        scd2_merge(
+            scd2_snapshot(chg(rows[:1]), ["k"], ["v"], ts="ts", tiebreak="eid"),
+            chg(rows[1:]), ["k"], ["v"], ts="ts", tiebreak="eid",
+        ).collect(),
+        key=lambda r: (r["k"], r["valid_from_us"], r["v"]),
+    )
+    assert [tuple(r) for r in merged] == [tuple(r) for r in full]
+    open_a = [r for r in merged if r["k"] == "a" and r["valid_to_us"] is None]
+    assert len(open_a) == 1 and open_a[0]["v"] == 3  # ev-10 wins the tie

@@ -707,3 +707,19 @@ def test_tfidf_doc_pairs_null_text_no_rows(spark):
     )
     got = {(r["i"], r["j"]) for r in tfidf_doc_pairs(df, threshold=0.0).collect()}
     assert got == {(2, 3)}
+
+
+def test_run_starts_null_elements_own_run(spark):
+    """NULL elements form their own run instead of merging into the
+    preceding one (plain != evaluates to NULL, not true, at a NULL
+    boundary — ADVICE r7); a leading NULL still anchors index 0."""
+    from kafka_streams_demo_spark.functions.text import run_starts
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b", None, None]), (2, [None, None]), (3, [None, "a"])],
+        "id long, s array<string>",
+    ).select("id", run_starts(F.col("s")).alias("st"))
+    got = {r["id"]: r["st"] for r in df.collect()}
+    assert got[1] == [0, 2, 3]   # pre-fix: [0, 2] — NULL run merged into 'b'
+    assert got[2] == [0]
+    assert got[3] == [0, 1]
