@@ -540,3 +540,74 @@ def test_dedup_clusters_incremental_equals_batch(spark, old_edges, new_edges):
         ).collect()
     )
     assert got == want
+
+
+@given(
+    pairs_per_batch=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+                lambda e: e[0] != e[1]
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=3,
+        max_size=3,
+    )
+)
+@settings(**{**SETTINGS, "max_examples": 3})
+def test_dedup_clusters_incremental_converges_over_batch_chains(
+    spark, pairs_per_batch
+):
+    """Multi-round cluster maintenance == one-shot rebuild, for random
+    BATCH SEQUENCES (VERDICT r7 task 5): the single-delta case is
+    same-oracle proven; this drives chains where batch 2 merges two of
+    batch 1's clusters, batch 3 bridges clusters formed in different
+    earlier rounds, and — because later batches own SMALLER doc ids —
+    a new doc can take over an old cluster's root (the min-label
+    invariant must re-elect it). Assignments round-trip through a
+    collected table between rounds, exactly like the persisted
+    assignment index in production."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+    )
+
+    # batch k owns a DESCENDING id range so new ids undercut old roots
+    owned = [list(range(8, 12)), list(range(4, 8)), list(range(0, 4))]
+    visible: list[int] = []
+    all_pairs: list[tuple[int, int]] = []
+    assignments = None
+    for k, raw_pairs in enumerate(pairs_per_batch):
+        visible = visible + owned[k]
+        # clamp pair endpoints into the ids visible so far (keeps the
+        # generated pairs meaningful without a dependent strategy)
+        pairs = [
+            (visible[i % len(visible)], visible[j % len(visible)])
+            for i, j in raw_pairs
+            if visible[i % len(visible)] != visible[j % len(visible)]
+        ]
+        all_pairs.extend(pairs)
+        new_docs = spark.createDataFrame([(d,) for d in owned[k]], "doc_id long")
+        pdf = (
+            spark.createDataFrame(pairs, "i long, j long")
+            if pairs
+            else spark.createDataFrame([], "i long, j long")
+        )
+        if assignments is None:
+            out = dedup_clusters(new_docs, pdf)
+        else:
+            asg = spark.createDataFrame(assignments, "doc_id long, cluster_id long")
+            out = dedup_clusters_incremental(new_docs, asg, pdf)
+        assignments = [(r["doc_id"], r["cluster_id"]) for r in out.collect()]
+
+    docs = spark.createDataFrame([(d,) for d in visible], "doc_id long")
+    pdf = (
+        spark.createDataFrame(all_pairs, "i long, j long")
+        if all_pairs
+        else spark.createDataFrame([], "i long, j long")
+    )
+    expected = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in dedup_clusters(docs, pdf).collect()
+    )
+    assert sorted(assignments) == expected

