@@ -6951,6 +6951,129 @@ def dsir_select_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (round 8): the ANN memory tier — codes are 32×
+# smaller than the float vectors, so the searchable corpus fits where
+# the raw one can't. The deterministic-sample codebooks (k-means init
+# state, md5-ordered) make encode + ADC fully SQL-replayable — the PQ
+# pipeline sits under the same hash gate as the exact/IVF tiers; the
+# Lloyd-refined codebook entry is rows-only like ivf_train_kmeans.
+# ---------------------------------------------------------------------------
+
+_PQ_CB_CTE = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+hs AS (SELECT vec_id, v,
+              ('0x' || substr(md5('42:' || vec_id), 1, 15))::BIGINT AS h
+       FROM e),
+samp AS (SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+         FROM hs ORDER BY h, vec_id LIMIT 16),
+subs AS (SELECT unnest(range(8)) AS sub),
+cb AS (SELECT subs.sub, samp.code,
+              (samp.v)[subs.sub*8+1 : subs.sub*8+8] AS cvec
+       FROM samp, subs),
+encd AS (SELECT e.vec_id, cb.sub, cb.code,
+           ROUND(SUM(((e.v)[cb.sub*8+g.j] - (cb.cvec)[g.j])
+                   * ((e.v)[cb.sub*8+g.j] - (cb.cvec)[g.j])), 6) AS d2
+         FROM e, cb, generate_series(1, 8) g(j) GROUP BY 1, 2, 3),
+enc AS (SELECT vec_id, sub, code FROM
+          (SELECT vec_id, sub, code,
+                  row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2, code) AS rn
+           FROM encd)
+        WHERE rn = 1)
+"""
+
+
+@register(
+    "pq_encode_corpus",
+    f"WITH {_PQ_CB_CTE} "
+    "SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code FROM enc",
+)
+def pq_encode_corpus(spark, sf_dir):
+    """PQ codes for the whole embedding corpus (functions/pq.py):
+    m=8 subspaces × k=16 deterministic-sample codewords, argmin on
+    round(d2, 6) with smallest-code ties. The encode pass is ROW-LOCAL
+    (codebooks ride as a driver-bounded literal — m·k rows — inside one
+    Project), so the corpus never shuffles: at 100 TB this is a map-only
+    rewrite of 256 B/vector into 8 B/vector. The oracle rebuilds the
+    same codebooks relationally and replays the (round(d2,6), code)
+    argmin — hash gate over the full encode."""
+    from kafka_streams_demo_spark.functions.pq import (
+        pq_encode,
+        pq_sample_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cbs = pq_sample_codebooks(emb, dim=64, m=8, k=16)
+    return pq_encode(emb, cbs, dim=64, m=8, k=16)
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+    WITH {_PQ_CB_CTE},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    dtab AS (SELECT q.q_id, cb.sub, cb.code,
+               SUM(((q.qv)[cb.sub*8+g.j] - (cb.cvec)[g.j])
+                 * ((q.qv)[cb.sub*8+g.j] - (cb.cvec)[g.j])) AS dq
+             FROM q, cb, generate_series(1, 8) g(j) GROUP BY 1, 2, 3),
+    sc AS (SELECT d.q_id, enc.vec_id AS n_id,
+             ROUND(list_sum(list_sort(list(d.dq))), 6) AS adist
+           FROM enc JOIN dtab d ON enc.sub = d.sub AND enc.code = d.code
+           WHERE enc.vec_id <> d.q_id GROUP BY 1, 2),
+    r AS (SELECT q_id, n_id, adist,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY adist, n_id) AS rank
+          FROM sc)
+    SELECT q_id, n_id, adist, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def ann_pq_adc_topk_q(spark, sf_dir):
+    """Asymmetric-distance top-10 for the same 5 query vectors the exact
+    ANN entries use, scored against PQ CODES ONLY (functions/pq.py:
+    pq_adc_topk): per query an m·k lookup table is built on the tiny
+    side and broadcast; approx distance folds the m selected entries in
+    sorted order (cross-engine double rule) and ranks on round(adist,6)
+    with vec_id ties. The only shuffle is the map-side-combined
+    (q, vec) fold — corpus vectors never move, never even load: this is
+    the plan that searches a 100 TB corpus from its 3 TB code table.
+    Oracle replays codebooks → codes → tables → fold relationally."""
+    from kafka_streams_demo_spark.functions.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_sample_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cbs = pq_sample_codebooks(emb, dim=64, m=8, k=16)
+    codes = pq_encode(emb, cbs, dim=64, m=8, k=16)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = pq_adc_topk(codes, queries_df, cbs, topk=10, dim=64, m=8, k=16)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("pq_codebooks_refined")  # no SQL oracle: iterative (Lloyd); see tests
+def pq_codebooks_refined_q(spark, sf_dir):
+    """Lloyd-refined PQ codebooks (2 iterations over the sampled init —
+    the TPAMI 2011 estimator): assign is the same row-local encode pass,
+    the update is a posexplode partial-agg to m·k·ds mean components,
+    codebooks collected between iterations (driver-bounded — the
+    kmeans_train pattern). Iterative ⇒ rows-only here; the monotone
+    quantization-error property and the no-shuffle encode plan are
+    pinned by tests/test_pq.py."""
+    from kafka_streams_demo_spark.functions.pq import (
+        pq_refine_codebooks,
+        pq_sample_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cbs = pq_sample_codebooks(emb, dim=64, m=8, k=16)
+    return pq_refine_codebooks(emb, cbs, iters=2, dim=64, m=8, k=16)
+
+
+# ---------------------------------------------------------------------------
 # Oracle output-type coercion.
 #
 # DuckDB promotes SUM over integer inputs to HUGEINT (int128) and returns

@@ -1,0 +1,351 @@
+"""Product quantization (PQ) for billion-scale ANN — the memory tier
+below IVF (Jégou, Douze & Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+
+A 100 TB embedding corpus at dim 64/float32 is 256 B per vector; PQ
+stores m=8 one-byte codes instead — 32× smaller, so the searchable
+index fits in a fraction of the executors that the raw vectors need,
+and the ADC scoring pass streams codes, never vectors. The repo's
+ANN ladder becomes: brute-force (exact baseline) → LSH / IVF (prune
+candidates) → PQ-ADC (shrink per-candidate cost and memory).
+
+Three pieces, mapped onto the repo's determinism rules:
+
+- **Codebooks**: per subspace ``s`` of ``ds = dim/m`` consecutive
+  components, ``k`` codewords. ``pq_sample_codebooks`` picks the k
+  corpus subvectors with the smallest (md5-60-bit(vec_id), vec_id) —
+  exactly k-means' deterministic init state, and fully SQL-replayable,
+  so encode/ADC entries sit under the cross-engine hash gate.
+  ``pq_refine_codebooks`` runs Lloyd iterations on top (the paper's
+  estimator) — iterative, so rows-only like ``kmeans_train``, with the
+  quantization-error improvement pinned by unit test instead.
+- **Encode** (``pq_encode``): ROW-LOCAL argmin over the k codewords per
+  subspace — codebooks are driver-bounded (m·k rows), embedded as a
+  nested literal, so encoding is a map-only pass: the corpus NEVER
+  shuffles, the plan is one Project (plan-pinned). Ties on rounded
+  distance break to the smaller code on both engines.
+- **ADC top-k** (``pq_adc_topk``): per query, an m·k distance table
+  (query subvector ↔ codeword, the classic lookup table) is built on
+  the tiny side and broadcast; approximate distance is the SORTED fold
+  of the m table entries a vector's codes select (order-insensitive
+  double determinism — the repo's cross-engine sum rule), rounded to
+  6 dp before ranking with vec_id tie-break (round-then-rank).
+
+All distances are squared L2 in doubles (cast once, up front); for the
+unit-normalized embeddings the fixtures use, L2² = 2 − 2·cos, so the
+ranking agrees with the cosine entries up to quantization error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from kafka_streams_demo_spark.functions.sketches import _hash60
+
+__all__ = [
+    "pq_sample_codebooks",
+    "pq_refine_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_quantization_error",
+]
+
+
+def _subvec_d2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² folded in element order (reproducible; both sides
+    must already be double arrays)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_sample_codebooks(
+    emb: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(sub, code, cvec) deterministic-sample codebooks: the k corpus
+    vectors with the smallest (md5-60-bit(id), id) supply all m
+    subspace codebooks, codes 0..k-1 in that order. This is k-means'
+    init state (see ``pq_refine_codebooks`` for the Lloyd refinement)
+    and — unlike a trained codebook — exactly replayable in SQL, which
+    is what puts the encode/ADC entries under the hash gate."""
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    ds = dim // m
+    samp = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("_h", _hash60(F.col("_id"), seed))
+        .orderBy("_h", "_id")
+        .limit(k)
+    )
+    # k rows: the single-partition window is driver-scale by construction
+    w = Window.orderBy("_h", "_id")
+    coded = samp.select((F.row_number().over(w) - 1).alias("code"), "_v")
+    return coded.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "code", "_v"
+    ).select(
+        "sub",
+        "code",
+        F.slice(F.col("_v"), F.col("sub") * ds + 1, ds).alias("cvec"),
+    )
+
+
+def _codebook_literal(codebooks: DataFrame, m: int, k: int) -> Column:
+    """Collect the (sub, code, cvec) table — driver-bounded at m·k rows —
+    into a nested literal: array[m] of array[≤k] of struct(code, cvec),
+    per-sub codeword order = code order (the argmin fold's tie order)."""
+    rows = codebooks.collect()
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], []).append((r["code"], [float(x) for x in r["cvec"]]))
+    subs = []
+    for s in range(m):
+        cws = sorted(by_sub.get(s, []))
+        if not cws:
+            raise ValueError(f"codebook has no codewords for subspace {s}")
+        subs.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(c)).alias("code"),
+                        F.array(*[F.lit(x) for x in v]).alias("cvec"),
+                    )
+                    for c, v in cws
+                ]
+            )
+        )
+    return F.array(*subs)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub, code) PQ codes — the 32×-smaller searchable corpus.
+
+    ROW-LOCAL: the codebook literal rides inside one Project, the
+    argmin is a fold over the k codewords per subspace, and the only
+    row expansion is the final posexplode of the m-code array — no
+    Exchange anywhere (tests/test_pq.py pins the shuffle-free plan).
+    Argmin compares ROUND(d2, 6) with first-wins (= smallest code) tie
+    order, mirroring the oracle's (ROUND(d2,6), code) row_number."""
+    cb_lit = _codebook_literal(codebooks, m, k)
+    ds = dim // m
+    # subvector arrays bound behind their own select (HOF re-eval rule)
+    sv = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice(F.col("_v"), s * ds + 1, ds),
+        ).alias("_svs"),
+        cb_lit.alias("_cb"),
+    )
+
+    def best_code(s: Column) -> Column:
+        subvec = F.element_at(F.col("_svs"), s + 1)
+        cwords = F.element_at(F.col("_cb"), s + 1)
+        init = F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).alias("code")
+        )
+        folded = F.aggregate(
+            cwords,
+            init,
+            lambda acc, cw: F.when(
+                F.round(_subvec_d2(subvec, cw["cvec"]), 6) < acc["d2"],
+                F.struct(
+                    F.round(_subvec_d2(subvec, cw["cvec"]), 6).alias("d2"),
+                    cw["code"].alias("code"),
+                ),
+            ).otherwise(acc),
+        )
+        return folded["code"]
+
+    coded = sv.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best_code)
+        ).alias("sub", "code"),
+    )
+    return coded.select("vec_id", "sub", "code")
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    topk: int = 10,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """(q_id, n_id, adist, rank) — asymmetric distance computation: the
+    query stays a float vector, the corpus stays codes. Per query the
+    m·k lookup table d(q_sub, codeword) is built on the tiny side and
+    BROADCAST; scoring joins each corpus code row to its table entry
+    and folds the m selected entries per (query, vector) in sorted
+    order (collect_list partial-aggregates map-side, so the only
+    shuffle carries one pre-combined row per (q, v) pair). Rank on
+    round(adist, 6) ascending, vec_id tie-break. Self-matches (n_id ==
+    q_id) are excluded to mirror the exact-ANN entries."""
+    ds = dim // m
+    qsub = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias("_qv"),
+    ).select(
+        "q_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("_qv"),
+    ).select(
+        "q_id", "sub", F.slice(F.col("_qv"), F.col("sub") * ds + 1, ds).alias("_qs")
+    )
+    dtab = (
+        qsub.join(codebooks, "sub")
+        .select("q_id", "sub", "code", _subvec_d2(F.col("_qs"), F.col("cvec")).alias("dq"))
+    )
+    scored = (
+        codes.filter(F.col("vec_id").isNotNull())
+        .join(F.broadcast(dtab), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("dq")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "n_id", "adist", "rank")
+    )
+
+
+def pq_quantization_error(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Total squared reconstruction error Σ_v Σ_s d²(v_s, c[s][code]) —
+    the quantity Lloyd refinement must not increase. Driver-returns one
+    double (test/diagnostic helper, not a catalog entry)."""
+    ds = dim // m
+    cb_lit = _codebook_literal(codebooks, m, k)
+    sv = emb.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice(F.col("_v"), s * ds + 1, ds),
+        ).alias("_svs"),
+        cb_lit.alias("_cb"),
+    )
+
+    def sub_err(s: Column) -> Column:
+        subvec = F.element_at(F.col("_svs"), s + 1)
+        cwords = F.element_at(F.col("_cb"), s + 1)
+        return F.aggregate(
+            cwords,
+            F.lit(float("inf")),
+            lambda acc, cw: F.least(acc, _subvec_d2(subvec, cw["cvec"])),
+        )
+
+    per_vec = sv.select(
+        F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.lit(m - 1)), sub_err),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_e")
+    )
+    return per_vec.agg(F.sum("_e")).collect()[0][0]
+
+
+def pq_refine_codebooks(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    iters: int = 2,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of PQ codebooks (the TPAMI 2011 estimator):
+    assign (= ``pq_encode``, a map-only pass) → per-(sub, code)
+    elementwise subvector means (posexplode partial-agg, reduced
+    map-side to m·k·ds rows) → repeat. The m·k codebook is collected
+    between iterations (driver-bounded, the ``kmeans_train`` pattern —
+    prevents lazy-plan growth across iterations). Codewords that lose
+    every vector keep their previous centroid. Iterative, so rows-only
+    like ``kmeans_train``; the monotone-error property is pinned by
+    tests/test_pq.py instead of an oracle."""
+    spark = emb.sparkSession
+    ds = dim // m
+    sv = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).localCheckpoint(eager=True)
+    cur = codebooks
+    for _ in range(iters):
+        codes = pq_encode(sv, cur, dim=dim, m=m, k=k, id_col="vec_id", vec_col="_v")
+        joined = codes.join(
+            sv.select("vec_id", "_v"), "vec_id"
+        ).select(
+            "sub", "code",
+            F.posexplode(
+                F.slice(F.col("_v"), F.col("sub") * ds + 1, ds)
+            ).alias("pos", "x"),
+        )
+        means = (
+            joined.groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("sub", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm")
+            )
+            .select(
+                "sub", "code", F.transform("pm", lambda e: e["mx"]).alias("cvec")
+            )
+        )
+        prev = cur.select("sub", "code", F.col("cvec").alias("_prev"))
+        rows = (
+            prev.join(means, ["sub", "code"], "left")
+            .select(
+                "sub", "code", F.coalesce(F.col("cvec"), F.col("_prev")).alias("cvec")
+            )
+            .collect()
+        )
+        cur = spark.createDataFrame(
+            [(r["sub"], r["code"], [float(x) for x in r["cvec"]]) for r in rows],
+            "sub int, code int, cvec array<double>",
+        )
+    return cur
