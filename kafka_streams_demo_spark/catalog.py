@@ -7054,6 +7054,70 @@ def ann_pq_adc_topk_q(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "ann_ivf_pq_topk",
+    f"""
+    WITH cent AS (
+      SELECT label AS cell, g.i AS pos, AVG(CAST(embedding[g.i] AS DOUBLE)) AS m
+      FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+    ce AS (
+      SELECT e2.vec_id, c.cell,
+             SUM(CAST(e2.embedding[c.pos] AS DOUBLE) * c.m) AS dp,
+             SUM(CAST(e2.embedding[c.pos] AS DOUBLE)
+               * CAST(e2.embedding[c.pos] AS DOUBLE)) AS qq,
+             SUM(c.m * c.m) AS nn
+      FROM embeddings e2, cent c GROUP BY 1, 2),
+    asg AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, cell) AS crn
+      FROM ce),
+    corpus AS (SELECT vec_id AS n_id, cell FROM asg WHERE crn = 1),
+    probes AS (SELECT vec_id AS q_id, cell FROM asg WHERE crn <= 2 AND vec_id < 5),
+    cand AS (SELECT q_id, n_id FROM probes p JOIN corpus c USING (cell)
+             WHERE n_id <> q_id),
+    {_PQ_CB_CTE},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    dtab AS (SELECT q.q_id, cb.sub, cb.code,
+               SUM(((q.qv)[cb.sub*8+g.j] - (cb.cvec)[g.j])
+                 * ((q.qv)[cb.sub*8+g.j] - (cb.cvec)[g.j])) AS dq
+             FROM q, cb, generate_series(1, 8) g(j) GROUP BY 1, 2, 3),
+    sc AS (SELECT c.q_id, c.n_id,
+             ROUND(list_sum(list_sort(list(d.dq))), 6) AS adist
+           FROM cand c
+           JOIN enc ON enc.vec_id = c.n_id
+           JOIN dtab d ON d.q_id = c.q_id AND d.sub = enc.sub
+                      AND d.code = enc.code
+           GROUP BY 1, 2),
+    r AS (SELECT q_id, n_id, adist,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY adist, n_id) AS rank
+          FROM sc)
+    SELECT q_id, n_id, adist, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def ann_ivf_pq_topk_q(spark, sf_dir):
+    """IVF-PQ (functions/pq.py:ivf_pq_topk) — the production
+    billion-scale composition: the IVF coarse quantizer prunes WHICH
+    vectors are scored (each query probes its 2 nearest cells), PQ
+    codes shrink WHAT is scored (8 bytes per candidate, not 64 floats).
+    Same 5 queries as the other ANN entries; the full chain — label
+    centroids → cosine cell assignment → sampled codebooks → codes →
+    ADC over probed cells — replays relationally in the oracle, so the
+    memory tier's production plan is hash-gated end-to-end like
+    ann_ivf_int8_topk. (No-residual variant; deviation documented in
+    the function docstring.)"""
+    from kafka_streams_demo_spark.functions.pq import ivf_pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_pq_topk(emb, queries_df, topk=10, nprobe=2, dim=64, m=8, k=16)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register("pq_codebooks_refined")  # no SQL oracle: iterative (Lloyd); see tests
 def pq_codebooks_refined_q(spark, sf_dir):
     """Lloyd-refined PQ codebooks (2 iterations over the sampled init —

@@ -47,6 +47,7 @@ __all__ = [
     "pq_refine_codebooks",
     "pq_encode",
     "pq_adc_topk",
+    "ivf_pq_topk",
     "pq_quantization_error",
 ]
 
@@ -187,6 +188,33 @@ def pq_encode(
     return coded.select("vec_id", "sub", "code")
 
 
+def _query_dtab(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """(q_id, sub, code, dq) — the classic per-query ADC lookup table:
+    squared L2 from each query subvector to each codeword. |Q|·m·k rows,
+    built on the tiny side, always broadcast by the callers."""
+    ds = dim // m
+    qsub = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias("_qv"),
+    ).select(
+        "q_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("_qv"),
+    ).select(
+        "q_id", "sub", F.slice(F.col("_qv"), F.col("sub") * ds + 1, ds).alias("_qs")
+    )
+    return qsub.join(codebooks, "sub").select(
+        "q_id", "sub", "code", _subvec_d2(F.col("_qs"), F.col("cvec")).alias("dq")
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -207,25 +235,86 @@ def pq_adc_topk(
     shuffle carries one pre-combined row per (q, v) pair). Rank on
     round(adist, 6) ascending, vec_id tie-break. Self-matches (n_id ==
     q_id) are excluded to mirror the exact-ANN entries."""
-    ds = dim // m
-    qsub = queries.select(
-        F.col(q_id_col).alias("q_id"),
-        F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias("_qv"),
-    ).select(
-        "q_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col("_qv"),
-    ).select(
-        "q_id", "sub", F.slice(F.col("_qv"), F.col("sub") * ds + 1, ds).alias("_qs")
-    )
-    dtab = (
-        qsub.join(codebooks, "sub")
-        .select("q_id", "sub", "code", _subvec_d2(F.col("_qs"), F.col("cvec")).alias("dq"))
-    )
+    dtab = _query_dtab(queries, codebooks, dim, m, q_id_col, q_vec_col)
     scored = (
         codes.filter(F.col("vec_id").isNotNull())
         .join(F.broadcast(dtab), ["sub", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("dq")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "n_id", "adist", "rank")
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    nprobe: int = 2,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-PQ — the production billion-scale formulation (the paper's
+    IVFADC, minus residual encoding; documented deviation below): the
+    IVF coarse quantizer prunes which vectors are scored (nprobe/|cells|
+    of the corpus), PQ codes shrink WHAT is scored (m bytes, not dim
+    floats). Corpus-side work is two map-only passes (cell assignment
+    against broadcast centroids + row-local encode); query-side tables
+    and probe lists are tiny and broadcast; the only shuffle is the
+    map-side-combined (q, v) fold over candidates.
+
+    Deviation from Jégou et al. §IV: codes quantize the RAW vector, not
+    the residual (v − centroid). Residual codebooks need per-cell
+    training (iterative — unoracleable); raw-vector codes keep the whole
+    pipeline under the cross-engine hash gate and reuse one codebook
+    across cells. Recall at equal m is lower; the documented fix at
+    scale is larger m, or `pq_refine_codebooks` for the trained tier.
+
+    Returns (q_id, n_id, adist, rank), rank ≤ topk per query."""
+    from kafka_streams_demo_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    asg = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col)
+    qin = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
+    )
+    probes = ivf_assign(
+        qin, cents, n=nprobe, id_col="q_id", vec_col="q_vec"
+    ).select(F.col("vid").alias("q_id"), "cell")
+
+    cbs = pq_sample_codebooks(emb, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb, cbs, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    cell_codes = codes.join(
+        asg.select(F.col("vid").alias("vec_id"), "cell"), "vec_id"
+    )
+    dtab = _query_dtab(qin, cbs, dim, m)
+    scored = (
+        cell_codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(dtab), ["q_id", "sub", "code"])
         .groupBy("q_id", F.col("vec_id").alias("n_id"))
         .agg(
             F.round(

@@ -135,3 +135,43 @@ def test_validation_errors(spark):
     emb = load_table(spark, "embeddings", SF)
     with pytest.raises(ValueError):
         pq_sample_codebooks(emb, dim=64, m=7)
+
+
+def test_ivf_pq_probes_only_assigned_cells(spark):
+    """IVF-PQ candidates must come only from each query's probed cells,
+    and scores must equal the plain-ADC scores for those (q, v) pairs
+    (cell pruning changes WHICH pairs are scored, never the score)."""
+    from kafka_streams_demo_spark.functions.pq import ivf_pq_topk
+    from kafka_streams_demo_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = ivf_pq_topk(emb, queries, topk=10, nprobe=2).collect()
+    assert {r["q_id"] for r in got} == {0, 1, 2}
+    for q_id in (0, 1, 2):
+        ranks = sorted(r["rank"] for r in got if r["q_id"] == q_id)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+    # cell containment: every returned neighbor sits in a probed cell
+    cents = ivf_centroids(emb)
+    asg = {r["vid"]: r["cell"] for r in ivf_assign(emb, cents, n=1).collect()}
+    probes = {}
+    for r in ivf_assign(queries, cents, n=2, id_col="q_id", vec_col="q_vec").collect():
+        probes.setdefault(r["vid"], set()).add(r["cell"])
+    for r in got:
+        assert asg[r["n_id"]] in probes[r["q_id"]]
+
+    # score identity vs the unpruned ADC path
+    cbs = pq_sample_codebooks(emb)
+    codes = pq_encode(emb, cbs)
+    full = {
+        (r["q_id"], r["n_id"]): r["adist"]
+        for r in pq_adc_topk(codes, queries, cbs, topk=600).collect()
+    }
+    for r in got:
+        assert full[(r["q_id"], r["n_id"])] == r["adist"]
