@@ -7118,6 +7118,35 @@ def ann_ivf_pq_topk_q(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "pq_encode_incremental",
+    f"WITH {_PQ_CB_CTE} "
+    "SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code FROM enc",
+)  # SAME oracle as pq_encode_corpus: append == rebuild
+def pq_encode_incremental(spark, sf_dir):
+    """The PQ index's maintenance story, externally proven: codes are
+    ROW-LOCAL and deterministic per vector (given frozen codebooks), so
+    encoding a delta batch separately and appending IS index
+    maintenance — no read-modify-write, no re-encoding the base corpus.
+    Built here as encode(vec_id%5≠0) ∪ encode(vec_id%5=0) against the
+    SAME oracle as pq_encode_corpus, so the driver hash gate proves
+    append ≡ rebuild bit-for-bit — the same incremental symmetry the
+    exact/minhash/embedding dedup, IVF, BM25, sketch and SCD2 families
+    carry. (Codebooks must stay frozen across appends — retraining
+    invalidates stored codes; the entry shares one sampled codebook
+    build, which is exactly the production contract.)"""
+    from kafka_streams_demo_spark.functions.pq import (
+        pq_encode,
+        pq_sample_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cbs = pq_sample_codebooks(emb, dim=64, m=8, k=16)
+    base = pq_encode(emb.where(F.col("vec_id") % 5 != 0), cbs, dim=64, m=8, k=16)
+    delta = pq_encode(emb.where(F.col("vec_id") % 5 == 0), cbs, dim=64, m=8, k=16)
+    return base.unionByName(delta)
+
+
 @register("pq_codebooks_refined")  # no SQL oracle: iterative (Lloyd); see tests
 def pq_codebooks_refined_q(spark, sf_dir):
     """Lloyd-refined PQ codebooks (2 iterations over the sampled init —

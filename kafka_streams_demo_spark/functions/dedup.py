@@ -486,9 +486,16 @@ def minhash_lsh_pairs_incremental(
     ``release_caches()`` after materializing the result to free it in a
     long-lived driver session."""
     hint = F.broadcast if broadcast_delta else (lambda df: df)
+    # Materialize the delta's band rows ONCE: new_banded feeds the cap
+    # census, the probe side, and its own pair_up branch, and Catalyst
+    # re-runs the whole shingle→Arrow-signature→band pipeline per branch
+    # (no cross-branch subtree dedup — the r7/r8 lesson). Delta-sized,
+    # and in the production loop these rows are about to be APPENDED to
+    # the persisted index anyway, so the materialization is the write
+    # that run performs regardless.
     new_banded = minhash_index(
         new_docs, n, num_hashes, bands, text_col, id_col, signature_impl
-    )
+    ).localCheckpoint(eager=True)
     # the hot-bucket cap counts across index ∪ delta; the union only feeds
     # a partial-combined aggregate, so index ROWS collapse map-side and
     # the exchange carries per-bucket counts

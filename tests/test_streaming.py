@@ -1435,3 +1435,70 @@ def test_bm25_postings_stream_maintenance_exactly_once(spark, tmp_path):
     want = bm25_search_queries(b1.unionByName(b2), qdf, k=3)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
+
+
+def test_pq_codes_stream_maintenance_exactly_once(spark, tmp_path):
+    """PQ-index maintenance through streaming (the newest index family
+    gets the same drive as BM25/KMV/HLL): each availableNow batch
+    encodes ONLY its own vectors against the FROZEN codebooks and
+    appends codes through the idempotent sink; ADC search over the
+    committed codes equals search over a one-shot encode of everything
+    ingested, and a checkpoint rerun appends nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_sample_codebooks,
+    )
+    from kafka_streams_demo_spark.sources import load_table
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").limit(100)
+    emb.persist()
+    cbs = pq_sample_codebooks(emb)
+    cbs.persist().count()  # frozen codebooks — the production contract
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "codes")
+    os.makedirs(out_dir)
+    sink = idempotent_parquet_sink(out_dir)
+
+    def ingest(batch, batch_id):
+        sink(pq_encode(batch, cbs), batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: nothing appended
+    b2 = emb.filter(F.col("vec_id") >= 50).select("vec_id", "embedding")
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    committed = read_committed(spark, out_dir).select("vec_id", "sub", "code")
+    got = pq_adc_topk(committed, queries, cbs, topk=10)
+    want = pq_adc_topk(pq_encode(emb, cbs), queries, cbs, topk=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
+    emb.unpersist()
+    cbs.unpersist()
