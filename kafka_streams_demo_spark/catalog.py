@@ -7147,6 +7147,101 @@ def pq_encode_incremental(spark, sf_dir):
     return base.unionByName(delta)
 
 
+@register(
+    "ann_ivf_pq_residual_topk",
+    """
+    WITH cent AS (
+      SELECT label AS cell, g.i AS pos, AVG(CAST(embedding[g.i] AS DOUBLE)) AS m
+      FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+    ce AS (
+      SELECT e2.vec_id, c.cell,
+             SUM(CAST(e2.embedding[c.pos] AS DOUBLE) * c.m) AS dp,
+             SUM(CAST(e2.embedding[c.pos] AS DOUBLE)
+               * CAST(e2.embedding[c.pos] AS DOUBLE)) AS qq,
+             SUM(c.m * c.m) AS nn
+      FROM embeddings e2, cent c GROUP BY 1, 2),
+    asg AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, cell) AS crn
+      FROM ce),
+    corpus AS (SELECT vec_id AS n_id, cell FROM asg WHERE crn = 1),
+    probes AS (SELECT vec_id AS q_id, cell FROM asg WHERE crn <= 2 AND vec_id < 5),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    rv AS (
+      SELECT e.vec_id, a.cell, list(e.v[c.pos] - c.m ORDER BY c.pos) AS v
+      FROM e JOIN corpus a ON a.n_id = e.vec_id
+      JOIN cent c ON c.cell = a.cell
+      GROUP BY 1, 2),
+    hs_r AS (SELECT vec_id, v,
+                    ('0x' || substr(md5('42:' || vec_id), 1, 15))::BIGINT AS h
+             FROM rv),
+    samp_r AS (SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+               FROM hs_r ORDER BY h, vec_id LIMIT 16),
+    subs AS (SELECT unnest(range(8)) AS sub),
+    cb_r AS (SELECT subs.sub, samp_r.code,
+                    (samp_r.v)[subs.sub*8+1 : subs.sub*8+8] AS cvec
+             FROM samp_r, subs),
+    encd_r AS (SELECT rv.vec_id, cb_r.sub, cb_r.code,
+                 ROUND(SUM(((rv.v)[cb_r.sub*8+g.j] - (cb_r.cvec)[g.j])
+                         * ((rv.v)[cb_r.sub*8+g.j] - (cb_r.cvec)[g.j])), 6) AS d2
+               FROM rv, cb_r, generate_series(1, 8) g(j) GROUP BY 1, 2, 3),
+    enc_r AS (SELECT vec_id, sub, code FROM
+                (SELECT vec_id, sub, code,
+                        row_number() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY d2, code) AS rn
+                 FROM encd_r)
+              WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    qrv AS (
+      SELECT p.q_id, p.cell, list(q.qv[c.pos] - c.m ORDER BY c.pos) AS qv
+      FROM q JOIN probes p USING (q_id)
+      JOIN cent c ON c.cell = p.cell
+      GROUP BY 1, 2),
+    dtab AS (SELECT qrv.q_id, qrv.cell, cb_r.sub, cb_r.code,
+               SUM(((qrv.qv)[cb_r.sub*8+g.j] - (cb_r.cvec)[g.j])
+                 * ((qrv.qv)[cb_r.sub*8+g.j] - (cb_r.cvec)[g.j])) AS dq
+             FROM qrv, cb_r, generate_series(1, 8) g(j) GROUP BY 1, 2, 3, 4),
+    cand AS (SELECT q_id, n_id, cell FROM probes p JOIN corpus c USING (cell)
+             WHERE n_id <> q_id),
+    sc AS (SELECT cand.q_id, cand.n_id,
+             ROUND(list_sum(list_sort(list(d.dq))), 6) AS adist
+           FROM cand
+           JOIN enc_r ON enc_r.vec_id = cand.n_id
+           JOIN dtab d ON d.q_id = cand.q_id AND d.cell = cand.cell
+                      AND d.sub = enc_r.sub AND d.code = enc_r.code
+           GROUP BY 1, 2),
+    r AS (SELECT q_id, n_id, adist,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY adist, n_id) AS rank
+          FROM sc)
+    SELECT q_id, n_id, adist, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def ann_ivf_pq_residual_topk_q(spark, sf_dir):
+    """IVFADC with residual encoding (functions/pq.py:
+    ivf_pq_residual_topk) — the full Jégou et al. §IV scheme, closing
+    ann_ivf_pq_topk's documented deviation: codes quantize
+    v − centroid(cell(v)), and each query is re-centered per probed
+    cell before its ADC lookup table is built. Deterministic label-mean
+    centroids keep residuals row-local and the md5-sampled residual
+    codebooks SQL-replayable, so the paper's production formulation is
+    hash-gated end-to-end — coarse assign → residual → codebooks →
+    codes → per-cell ADC → rank. Same 5 queries as the other ANN
+    entries."""
+    from kafka_streams_demo_spark.functions.pq import ivf_pq_residual_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_pq_residual_topk(
+        emb, queries_df, topk=10, nprobe=2, dim=64, m=8, k=16
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register("pq_codebooks_refined")  # no SQL oracle: iterative (Lloyd); see tests
 def pq_codebooks_refined_q(spark, sf_dir):
     """Lloyd-refined PQ codebooks (2 iterations over the sampled init —

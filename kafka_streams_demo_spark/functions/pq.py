@@ -48,6 +48,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "ivf_pq_residual_topk",
     "pq_quantization_error",
 ]
 
@@ -136,23 +137,31 @@ def pq_encode(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """(vec_id, sub, code) PQ codes — the 32×-smaller searchable corpus.
+    """(vec_id, [keep_cols...,] sub, code) PQ codes — the 32×-smaller
+    searchable corpus.
 
     ROW-LOCAL: the codebook literal rides inside one Project, the
     argmin is a fold over the k codewords per subspace, and the only
     row expansion is the final posexplode of the m-code array — no
     Exchange anywhere (tests/test_pq.py pins the shuffle-free plan).
     Argmin compares ROUND(d2, 6) with first-wins (= smallest code) tie
-    order, mirroring the oracle's (ROUND(d2,6), code) row_number."""
+    order, mirroring the oracle's (ROUND(d2,6), code) row_number.
+    ``keep_cols`` ride through the map-only pass (e.g. the IVF cell
+    label) so callers never pay a corpus-keyed re-join to recover
+    them."""
     cb_lit = _codebook_literal(codebooks, m, k)
     ds = dim // m
+    keep = [F.col(c) for c in keep_cols]
     # subvector arrays bound behind their own select (HOF re-eval rule)
     sv = emb.select(
         F.col(id_col).alias("vec_id"),
+        *keep,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).select(
         "vec_id",
+        *keep,
         F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda s: F.slice(F.col("_v"), s * ds + 1, ds),
@@ -181,11 +190,12 @@ def pq_encode(
 
     coded = sv.select(
         "vec_id",
+        *keep,
         F.posexplode(
             F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best_code)
         ).alias("sub", "code"),
     )
-    return coded.select("vec_id", "sub", "code")
+    return coded.select("vec_id", *keep_cols, "sub", "code")
 
 
 def _query_dtab(
@@ -284,11 +294,11 @@ def ivf_pq_topk(
     map-side-combined (q, v) fold over candidates.
 
     Deviation from Jégou et al. §IV: codes quantize the RAW vector, not
-    the residual (v − centroid). Residual codebooks need per-cell
-    training (iterative — unoracleable); raw-vector codes keep the whole
-    pipeline under the cross-engine hash gate and reuse one codebook
-    across cells. Recall at equal m is lower; the documented fix at
-    scale is larger m, or `pq_refine_codebooks` for the trained tier.
+    the residual (v − centroid) — kept as the simpler tier now that
+    ``ivf_pq_residual_topk`` implements the paper's residual scheme
+    (also hash-gated: sampled residual codebooks stay SQL-replayable).
+    Raw-vector codes reuse one lookup table across cells (m·k rows per
+    query instead of nprobe·m·k), at lower recall for equal m.
 
     Returns (q_id, n_id, adist, rank), rank ≤ topk per query."""
     from kafka_streams_demo_spark.functions.similarity import (
@@ -315,6 +325,123 @@ def ivf_pq_topk(
         cell_codes.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(dtab), ["q_id", "sub", "code"])
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("dq")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "n_id", "adist", "rank")
+    )
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    nprobe: int = 2,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the full Jégou et al. §IV scheme,
+    closing ``ivf_pq_topk``'s documented deviation: codes quantize
+    r = v − centroid(cell(v)), not the raw vector. Because both the
+    query and the candidate share the probed cell's centroid offset,
+    ‖q − y‖ = ‖(q − c) − (y − c)‖ ≈ ‖q_res − pq(v_res)‖ — residual
+    magnitudes are much smaller than raw vectors, so the same m·k
+    codebook budget buys finer quantization (the paper's argument for
+    IVFADC over plain ADC).
+
+    Stays under the cross-engine hash gate — the piece the no-residual
+    variant claimed was impossible only for TRAINED residual codebooks:
+    the coarse centroids are deterministic label means, so residuals
+    are a row-local transform against the broadcast centroid table, and
+    the sampled codebooks over residuals keep the md5-ordered init that
+    makes the whole chain SQL-replayable. (The trained tier is still
+    ``pq_refine_codebooks`` over the residual frame — iterative,
+    rows-only.)
+
+    Shape at scale: residual computation and encode are one map-only
+    pass over the corpus (centroids broadcast, codebook literal,
+    cell rides ``keep_cols`` — the corpus never re-joins itself); the
+    per-(query, probed-cell) distance tables are |Q|·nprobe·m·k rows,
+    broadcast; the only corpus-size shuffle is the map-side-combined
+    (q, v) fold over candidates in probed cells.
+
+    Returns (q_id, n_id, adist, rank), rank ≤ topk per query."""
+    from kafka_streams_demo_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    asg = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col)
+    # corpus residuals: row-local against the broadcast centroid table
+    rv = asg.join(F.broadcast(cents), "cell").select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        F.zip_with(
+            F.transform("vec", lambda x: x.cast("double")),
+            F.col("centroid"),
+            lambda x, c: x - c,
+        ).alias("rvec"),
+    )
+    cbs = pq_sample_codebooks(rv, dim=dim, m=m, k=k, id_col="vec_id", vec_col="rvec")
+    cell_codes = pq_encode(
+        rv, cbs, dim=dim, m=m, k=k, id_col="vec_id", vec_col="rvec",
+        keep_cols=("cell",),
+    )
+
+    qin = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
+    )
+    probes = ivf_assign(qin, cents, n=nprobe, id_col="q_id", vec_col="q_vec")
+    # query residual PER PROBED CELL (each probe has its own offset)
+    qrv = probes.join(F.broadcast(cents), "cell").select(
+        F.col("vid").alias("q_id"),
+        "cell",
+        F.zip_with(
+            F.transform("vec", lambda x: x.cast("double")),
+            F.col("centroid"),
+            lambda x, c: x - c,
+        ).alias("_qr"),
+    )
+    ds = dim // m
+    qsub = qrv.select(
+        "q_id",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("_qr"),
+    ).select(
+        "q_id", "cell", "sub",
+        F.slice(F.col("_qr"), F.col("sub") * ds + 1, ds).alias("_qs"),
+    )
+    dtab = qsub.join(cbs, "sub").select(
+        "q_id", "cell", "sub", "code",
+        _subvec_d2(F.col("_qs"), F.col("cvec")).alias("dq"),
+    )
+    scored = (
+        cell_codes.join(
+            F.broadcast(probes.select(F.col("vid").alias("q_id"), "cell")), "cell"
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(dtab), ["q_id", "cell", "sub", "code"])
         .groupBy("q_id", F.col("vec_id").alias("n_id"))
         .agg(
             F.round(

@@ -131,6 +131,105 @@ def test_refine_reduces_quantization_error(spark):
     assert e1 < e0  # on real data Lloyd strictly improves the init
 
 
+def test_encode_keep_cols_parity_and_no_shuffle(spark):
+    """keep_cols must not change the codes and must keep the encode pass
+    map-only (the point: callers recover e.g. the IVF cell without a
+    corpus-keyed re-join)."""
+    emb = load_table(spark, "embeddings", SF).withColumn(
+        "cell", F.col("label")
+    )
+    cbs = pq_sample_codebooks(emb, dim=64, m=8, k=16)
+    plain = pq_encode(emb, cbs, dim=64, m=8, k=16)
+    kept = pq_encode(emb, cbs, dim=64, m=8, k=16, keep_cols=("cell",))
+    assert "Exchange" not in kept._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        (r["vec_id"], r["sub"], r["code"]) for r in kept.collect()
+    )
+    cells = {r["vec_id"]: r["cell"] for r in emb.select("vec_id", "cell").collect()}
+    assert all(r["cell"] == cells[r["vec_id"]] for r in kept.collect())
+
+
+def test_residual_quantization_beats_raw(spark):
+    """Jégou §IV's motivation for IVFADC: residuals (v − centroid) have
+    smaller magnitudes than raw vectors, so the same m·k codebook budget
+    quantizes them with lower total reconstruction error."""
+    from kafka_streams_demo_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids(emb)
+    rv = (
+        ivf_assign(emb, cents, n=1)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.zip_with(
+                F.transform("vec", lambda x: x.cast("double")),
+                F.col("centroid"),
+                lambda x, c: x - c,
+            ).alias("embedding"),
+        )
+    )
+    raw_err = pq_quantization_error(
+        emb, pq_sample_codebooks(emb), dim=64, m=8, k=16
+    )
+    res_err = pq_quantization_error(
+        rv, pq_sample_codebooks(rv), dim=64, m=8, k=16
+    )
+    assert res_err < raw_err
+
+
+def test_residual_ivfpq_adist_is_recentered_reconstruction(spark):
+    """The residual-ADC identity: adist(q, v) is the exact squared L2
+    between q's residual w.r.t. v's cell and the reconstruction of v's
+    residual codes — replayed in plain Python from collected centroids,
+    codebooks and codes."""
+    from kafka_streams_demo_spark.functions.pq import ivf_pq_residual_topk
+    from kafka_streams_demo_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = ivf_pq_residual_topk(emb, queries, topk=10, nprobe=2).collect()
+    assert {r["q_id"] for r in got} == {0, 1, 2}
+
+    cents = ivf_centroids(emb)
+    cent_map = {r["cell"]: list(r["centroid"]) for r in cents.collect()}
+    asg = {r["vid"]: r["cell"] for r in ivf_assign(emb, cents, n=1).collect()}
+    rv = (
+        ivf_assign(emb, cents, n=1)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.zip_with(
+                F.transform("vec", lambda x: x.cast("double")),
+                F.col("centroid"),
+                lambda x, c: x - c,
+            ).alias("rvec"),
+        )
+    )
+    cbs = pq_sample_codebooks(rv, vec_col="rvec")
+    cb = {(r["sub"], r["code"]): list(r["cvec"]) for r in cbs.collect()}
+    code_map = {}
+    for r in pq_encode(rv, cbs, vec_col="rvec").collect():
+        code_map.setdefault(r["vec_id"], {})[r["sub"]] = r["code"]
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    for r in got:
+        c = cent_map[asg[r["n_id"]]]
+        qres = [vecs[r["q_id"]][i] - c[i] for i in range(64)]
+        recon = []
+        for s in range(8):
+            recon.extend(cb[(s, code_map[r["n_id"]][s])])
+        d2 = sum((qres[i] - recon[i]) ** 2 for i in range(64))
+        assert r["adist"] == pytest.approx(d2, abs=1e-5)
+
+
 def test_validation_errors(spark):
     emb = load_table(spark, "embeddings", SF)
     with pytest.raises(ValueError):
