@@ -7242,6 +7242,86 @@ def ann_ivf_pq_residual_topk_q(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_RECALL_TIERS = (
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_int8_topk",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
+)
+
+
+def _recall_report_oracle() -> str:
+    """Composes the ALREADY-GATED tier oracles as subqueries: the recall
+    numbers this report hash-checks are computed from the same SQL the
+    per-tier entries prove bit-equal to Spark."""
+    appr = "\n  UNION ALL\n".join(
+        f"  SELECT '{t}' AS method, q_id, n_id FROM (\n{ORACLES[t]}\n  )"
+        for t in _RECALL_TIERS
+    )
+    return f"""
+WITH exact AS (SELECT q_id, n_id FROM (\n{ORACLES["ann_topk_bruteforce"]}\n)),
+appr AS (
+{appr}
+)
+SELECT appr.method,
+       CAST(SUM(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS total,
+       ROUND(CAST(SUM(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / (SELECT COUNT(*) FROM exact), 6) AS recall
+FROM appr LEFT JOIN exact e
+  ON appr.q_id = e.q_id AND appr.n_id = e.n_id
+GROUP BY appr.method
+"""
+
+
+@register("ann_recall_report", _recall_report_oracle())
+def ann_recall_report_q(spark, sf_dir):
+    """Measured recall@10 of every approximate-ANN tier against the
+    exact brute-force baseline, as one hash-gated report — the quantity
+    the ANN family's docstrings previously argued in prose. Each tier's
+    top-10 is recomputed by its own (already hash-proven) plan for the
+    shared 5 queries; hits = |approx ∩ exact| per method, recall =
+    hits / |exact|. Diagnostic entry: the exact baseline is evaluated
+    twice (hit join + denominator — both |Q|·k-row frames), which is
+    noise next to the tier scans. At corpus scale this is the recall
+    harness you run on a sampled query set after retuning nprobe / m /
+    bands; every number it emits is reproducible cross-engine.
+
+    Honesty note: the test fixtures are RANDOM unit vectors — the
+    hardest case for every tier (no cluster structure; true neighbors
+    are near-orthogonal), so absolute recall reads low (IVF ≈ 0.38,
+    PQ ≈ 0.2, LSH ≈ 0 at sf0.01) and residual-PQ gains nothing over
+    raw-PQ despite its lower quantization error. The report's value is
+    the RELATIVE movement under retuning, measured instead of argued."""
+    from functools import reduce
+
+    exact = QUERIES["ann_topk_bruteforce"](spark, sf_dir).select("q_id", "n_id")
+    parts = [
+        QUERIES[t](spark, sf_dir).select(
+            F.lit(t).alias("method"), "q_id", "n_id"
+        )
+        for t in _RECALL_TIERS
+    ]
+    appr = reduce(lambda a, b: a.unionByName(b), parts)
+    joined = appr.join(
+        exact.withColumn("_hit", F.lit(1)), ["q_id", "n_id"], "left"
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        joined.groupBy("method")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            F.col("hits").cast("long").alias("hits"),
+            F.col("total").cast("long").alias("total"),
+            F.round(F.col("hits") / F.col("total"), 6).alias("recall"),
+        )
+    )
+
+
 @register("pq_codebooks_refined")  # no SQL oracle: iterative (Lloyd); see tests
 def pq_codebooks_refined_q(spark, sf_dir):
     """Lloyd-refined PQ codebooks (2 iterations over the sampled init —
