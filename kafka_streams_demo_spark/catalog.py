@@ -2552,6 +2552,65 @@ def dedup_embedding_cosine_q(spark, sf_dir):
                                   max_block_size=None)
 
 
+_SEMDEDUP_ORACLE = """
+WITH cent AS (
+  SELECT label AS cell, g.i AS pos, AVG(CAST(embedding[g.i] AS DOUBLE)) AS m
+  FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+ce AS (
+  SELECT e2.vec_id, c.cell,
+         SUM(CAST(e2.embedding[c.pos] AS DOUBLE) * c.m) AS dp,
+         SUM(CAST(e2.embedding[c.pos] AS DOUBLE)
+           * CAST(e2.embedding[c.pos] AS DOUBLE)) AS qq,
+         SUM(c.m * c.m) AS nn
+  FROM embeddings e2, cent c GROUP BY 1, 2),
+asg AS (
+  SELECT vec_id, cell, ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) AS ccos,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, cell) AS crn
+  FROM ce),
+a AS (SELECT vec_id, cell, ccos FROM asg WHERE crn = 1),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+el AS (
+  SELECT ai.vec_id AS i, aj.vec_id AS j,
+         SUM(ei.v[g.k] * ej.v[g.k]) AS dp,
+         SUM(ei.v[g.k] * ei.v[g.k]) AS qq,
+         SUM(ej.v[g.k] * ej.v[g.k]) AS nn
+  FROM a ai JOIN a aj ON ai.cell = aj.cell AND ai.vec_id < aj.vec_id
+  JOIN e ei ON ei.vec_id = ai.vec_id
+  JOIN e ej ON ej.vec_id = aj.vec_id,
+  generate_series(1, 64) g(k)
+  GROUP BY 1, 2),
+pr AS (SELECT i, j FROM el WHERE ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) >= 0.35),
+lose AS (
+  SELECT CASE WHEN (ai.ccos < aj.ccos)
+                OR (ai.ccos = aj.ccos AND pr.i < pr.j)
+              THEN pr.j ELSE pr.i END AS vec_id
+  FROM pr JOIN a ai ON ai.vec_id = pr.i JOIN a aj ON aj.vec_id = pr.j),
+d AS (SELECT DISTINCT vec_id FROM lose)
+SELECT a.vec_id, a.cell, a.ccos, (d.vec_id IS NULL) AS kept
+FROM a LEFT JOIN d USING (vec_id)
+"""
+
+
+@register("semdedup_cells", _SEMDEDUP_ORACLE)
+def semdedup_cells_q(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup over the coarse
+    quantizer's cells (functions/dedup.py:semdedup_cells): within-cell
+    cosine ≥ 0.35 pairs elect the vector FARTHEST from its cluster
+    centroid as the keeper (the paper's diversity-preserving rule —
+    keep the edge point, drop the redundant interior one), ties by id.
+    One verdict row per vector: (vec_id, cell, ccos, kept). Oracle
+    replays the full chain — centroid means → cosine assignment →
+    within-cell pairs → election — relationally. Cluster-blocked like
+    the paper (pair cost Σ|cell|², tuned by cell count), never
+    all-pairs; the production cap (`max_cell_size`) is off here so the
+    oracle's exact all-pairs-within-cell definition is what's gated."""
+    from kafka_streams_demo_spark.functions.dedup import semdedup_cells
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return semdedup_cells(emb, threshold=0.35, max_cell_size=None)
+
+
 _KNN_ORACLE = """
 WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
 el AS (SELECT a.vec_id i, b.vec_id j,

@@ -952,6 +952,103 @@ def embedding_cosine_pairs_incremental(
     )
 
 
+def semdedup_cells(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    max_cell_size: int | None = 10_000,
+    on_oversized: str = "drop",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic dedup over
+    the COARSE-QUANTIZER cells rather than a storage label, electing
+    per duplicate pair the vector FARTHEST from its cluster centroid —
+    the paper keeps the low-centroid-cosine "edge" point to preserve
+    diversity, where the repo's other dedup families elect min-id.
+
+    Pipeline (all deterministic, hash-gated in the catalog):
+    cluster = nearest label-mean centroid by rounded cosine (the same
+    ``ivf_assign`` quantizer the ANN tier uses — the paper's k-means
+    clustering, replayable in SQL); candidate pairs = within-cell
+    cosine ≥ ``threshold`` (cluster-blocked, never all-pairs — the
+    paper's own cost bound: pair work is Σ|cell|², tuned by the number
+    of cells); verdict: a vector is DROPPED iff some within-cell
+    neighbor above threshold has a strictly smaller
+    (round(ccos, 6), id) key. A mutually-duplicate CLIQUE therefore
+    keeps exactly its min-key member; along non-transitive chains the
+    rule stays the local greedy one (any smaller-key neighbor drops
+    you, even if that neighbor is itself dropped) — one relational
+    pass, no iterative closure; compose with ``connected_components``
+    when component-level election is wanted instead.
+
+    Returns one row per input vector: (vec_id, cell, ccos, kept).
+    Cells above ``max_cell_size`` are exempt from PAIRING (members stay
+    kept=true) — same documented cap semantics as the other dedup
+    families; audit with ``oversized_blocks``.
+
+    ``checkpoint``: the assignment frame feeds three branches (both
+    pair sides + the verdict join); Catalyst recomputes common subtrees
+    per branch, so it is localCheckpoint'ed once by default — in the
+    production loop these assignment rows are the persisted artifact
+    anyway. Pass False to keep the plan fully lazy (the oracle result
+    is identical either way)."""
+    from kafka_streams_demo_spark.functions.similarity import (
+        dot,
+        ivf_assign,
+        ivf_centroids,
+        norm,
+    )
+
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    asg = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col)
+    pri = asg.join(F.broadcast(cents), "cell").select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        F.col("vec"),
+        F.round(
+            dot(F.col("vec"), F.col("centroid"))
+            / (norm(F.col("vec")) * norm(F.col("centroid"))),
+            6,
+        ).alias("ccos"),
+    )
+    if checkpoint:
+        pri = pri.localCheckpoint(eager=True)
+    pairs = embedding_cosine_pairs(
+        pri,
+        threshold=threshold,
+        block_col="cell",
+        id_col="vec_id",
+        vec_col="vec",
+        max_block_size=max_cell_size,
+        on_oversized=on_oversized,
+    )
+    keys = pri.select("vec_id", F.col("ccos").alias("_k"))
+    ki = keys.select(F.col("vec_id").alias("i"), F.col("_k").alias("_ki"))
+    kj = keys.select(F.col("vec_id").alias("j"), F.col("_k").alias("_kj"))
+    losers = (
+        pairs.join(ki, "i")
+        .join(kj, "j")
+        .select(
+            F.when(
+                (F.col("_ki") < F.col("_kj"))
+                | ((F.col("_ki") == F.col("_kj")) & (F.col("i") < F.col("j"))),
+                F.col("j"),
+            )
+            .otherwise(F.col("i"))
+            .alias("vec_id")
+        )
+        .distinct()
+    )
+    return pri.join(
+        losers.withColumn("_drop", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id", "cell", "ccos", F.col("_drop").isNull().alias("kept")
+    )
+
+
 def connected_components(
     pairs: DataFrame, src: str = "i", dst: str = "j", max_iter: int = 25
 ) -> DataFrame:

@@ -924,3 +924,78 @@ def test_dedup_clusters_incremental_merges_and_root_takeover(spark):
         for r in dedup_clusters(all_docs, all_pairs).collect()
     }
     assert got == want
+
+
+def test_semdedup_cells_semantic_replay(spark):
+    """Full semantic replay of semdedup_cells on the fixture corpus:
+    a vector is dropped iff some same-cell neighbor with cosine >=
+    threshold has a strictly smaller (ccos, id) key — verified pair by
+    pair in Python; plus checkpoint on/off parity and determinism."""
+    import math
+
+    from kafka_streams_demo_spark.functions.dedup import semdedup_cells
+    from kafka_streams_demo_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", SF).limit(200)
+    emb.persist().count()
+    tau = 0.3
+    got = semdedup_cells(emb, threshold=tau, max_cell_size=None)
+    rows = {r["vec_id"]: r for r in got.collect()}
+    assert len(rows) == 200
+
+    lazy = semdedup_cells(emb, threshold=tau, max_cell_size=None,
+                          checkpoint=False)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, lazy.collect()))
+
+    cents = ivf_centroids(emb)
+    asg = {r["vid"]: r["cell"] for r in ivf_assign(emb, cents, n=1).collect()}
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dp / (na * nb), 6)
+
+    for vid, r in rows.items():
+        assert r["cell"] == asg[vid]
+        key = (r["ccos"], vid)
+        has_better_dup = any(
+            cos(vecs[vid], vecs[u]) >= tau
+            and (rows[u]["ccos"], u) < key
+            for u in rows
+            if u != vid and asg[u] == asg[vid]
+        )
+        assert r["kept"] == (not has_better_dup), vid
+    assert any(not r["kept"] for r in rows.values())  # fixture has dups at tau
+    emb.unpersist()
+
+
+def test_semdedup_clique_keeps_edge_point(spark):
+    """Hand-built clique in one cell: three near-identical vectors plus
+    one far one — the member farthest from the centroid (lowest ccos)
+    survives, the two interior duplicates drop, the far vector stays."""
+    from kafka_streams_demo_spark.functions.dedup import semdedup_cells
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.02, 0.0, 0.0]),
+            (2, 0, [1.0, 0.0, 0.0, 0.0]),
+            (3, 0, [1.0, 0.0, 0.02, 0.0]),
+            (4, 0, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in semdedup_cells(
+        emb, threshold=0.95, max_cell_size=None
+    ).collect()}
+    assert got[4]["kept"]  # orthogonal to the clique
+    clique = [got[i] for i in (1, 2, 3)]
+    keepers = [r for r in clique if r["kept"]]
+    assert len(keepers) == 1
+    # the survivor is the clique member with the smallest (ccos, id) key
+    want = min(clique, key=lambda r: (r["ccos"], r["vec_id"]))
+    assert keepers[0]["vec_id"] == want["vec_id"]
