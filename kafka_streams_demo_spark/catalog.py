@@ -2611,6 +2611,99 @@ def semdedup_cells_q(spark, sf_dir):
     return semdedup_cells(emb, threshold=0.35, max_cell_size=None)
 
 
+_SEMDEDUP_INC_ORACLE = """
+WITH cent AS (
+  SELECT label AS cell, g.i AS pos, AVG(CAST(embedding[g.i] AS DOUBLE)) AS m
+  FROM embeddings, generate_series(1, 64) g(i)
+  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+ce AS (
+  SELECT e2.vec_id, c.cell,
+         SUM(CAST(e2.embedding[c.pos] AS DOUBLE) * c.m) AS dp,
+         SUM(CAST(e2.embedding[c.pos] AS DOUBLE)
+           * CAST(e2.embedding[c.pos] AS DOUBLE)) AS qq,
+         SUM(c.m * c.m) AS nn
+  FROM embeddings e2, cent c GROUP BY 1, 2),
+asg AS (
+  SELECT vec_id, cell, ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) AS ccos,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, cell) AS crn
+  FROM ce),
+a AS (SELECT vec_id, cell, ccos FROM asg WHERE crn = 1),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+el0 AS (
+  SELECT ai.vec_id AS i, aj.vec_id AS j,
+         SUM(ei.v[g.k] * ej.v[g.k]) AS dp,
+         SUM(ei.v[g.k] * ei.v[g.k]) AS qq,
+         SUM(ej.v[g.k] * ej.v[g.k]) AS nn
+  FROM a ai JOIN a aj ON ai.cell = aj.cell AND ai.vec_id < aj.vec_id
+  JOIN e ei ON ei.vec_id = ai.vec_id
+  JOIN e ej ON ej.vec_id = aj.vec_id,
+  generate_series(1, 64) g(k)
+  WHERE ai.vec_id % 2 = 0 AND aj.vec_id % 2 = 0
+  GROUP BY 1, 2),
+pr0 AS (SELECT i, j FROM el0 WHERE ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) >= 0.35),
+lose0 AS (
+  SELECT CASE WHEN (ai.ccos < aj.ccos)
+                OR (ai.ccos = aj.ccos AND pr0.i < pr0.j)
+              THEN pr0.j ELSE pr0.i END AS vec_id
+  FROM pr0 JOIN a ai ON ai.vec_id = pr0.i JOIN a aj ON aj.vec_id = pr0.j),
+kept0 AS (
+  SELECT a.vec_id, a.cell, a.ccos
+  FROM a LEFT JOIN (SELECT DISTINCT vec_id FROM lose0) d0 USING (vec_id)
+  WHERE a.vec_id % 2 = 0 AND d0.vec_id IS NULL),
+opp AS (
+  SELECT vec_id, cell, ccos FROM kept0
+  UNION ALL SELECT vec_id, cell, ccos FROM a WHERE vec_id % 2 = 1),
+eld AS (
+  SELECT dd.vec_id AS i, o.vec_id AS j,
+         SUM(ei.v[g.k] * ej.v[g.k]) AS dp,
+         SUM(ei.v[g.k] * ei.v[g.k]) AS qq,
+         SUM(ej.v[g.k] * ej.v[g.k]) AS nn
+  FROM a dd JOIN opp o ON dd.cell = o.cell AND dd.vec_id <> o.vec_id
+  JOIN e ei ON ei.vec_id = dd.vec_id
+  JOIN e ej ON ej.vec_id = o.vec_id,
+  generate_series(1, 64) g(k)
+  WHERE dd.vec_id % 2 = 1
+    AND ((o.ccos < dd.ccos) OR (o.ccos = dd.ccos AND o.vec_id < dd.vec_id))
+  GROUP BY 1, 2),
+losed AS (
+  SELECT DISTINCT i AS vec_id FROM eld
+  WHERE ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) >= 0.35)
+SELECT a.vec_id, a.cell, a.ccos, (losed.vec_id IS NULL) AS kept
+FROM a LEFT JOIN losed USING (vec_id)
+WHERE a.vec_id % 2 = 1
+"""
+
+
+@register("semdedup_cells_incremental", _SEMDEDUP_INC_ORACLE)
+def semdedup_cells_incremental_q(spark, sf_dir):
+    """Index+delta SemDeDup (functions/dedup.py:
+    semdedup_cells_incremental): even vec_ids play the already-curated
+    index (their verdicts and label-mean centroids are the persisted
+    state), odd vec_ids the new batch — each new vector is assigned to
+    its nearest FROZEN centroid and dropped iff a smaller-(ccos, id)
+    neighbor above threshold exists among the index's KEPT members or
+    the rest of the batch, same-cell only. Stored verdicts never flip.
+    Emits the delta's verdict rows only — they append onto the
+    persisted verdict table. The oracle replays index election and
+    delta adjudication relationally against the same even-trained
+    centroids."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        semdedup_cells,
+        semdedup_cells_incremental,
+    )
+    from kafka_streams_demo_spark.functions.similarity import ivf_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = ivf_centroids(old)
+    index = semdedup_cells(old, threshold=0.35, max_cell_size=None)
+    return semdedup_cells_incremental(
+        new, cents, index, emb, threshold=0.35, max_cell_size=None
+    )
+
+
 _KNN_ORACLE = """
 WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
 el AS (SELECT a.vec_id i, b.vec_id j,
@@ -7754,6 +7847,11 @@ DRIVER_PRIORITY: list[str] = [
     # codecs anchor
     "jpeg_decode_subsampled",
 ]
+# Round-9 rotation candidates (registered + locally hash-verified in r8,
+# awaiting a driver slot): the PQ family (pq_encode_corpus,
+# pq_encode_incremental, ann_pq_adc_topk, ann_ivf_pq_topk,
+# ann_ivf_pq_residual_topk), ann_recall_report, semdedup_cells (+
+# semdedup_cells_incremental).
 
 
 def _priority_order(names) -> list[str]:

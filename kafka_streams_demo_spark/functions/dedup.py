@@ -1049,6 +1049,106 @@ def semdedup_cells(
     )
 
 
+def semdedup_cells_incremental(
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 10_000,
+    on_oversized: str = "drop",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Index+delta SemDeDup — the production ingest loop, completing
+    the incremental tier across all four dedup families (exact hashes,
+    MinHash-LSH, dense pairs, and now semantic verdicts): the new batch
+    is assigned to the FROZEN stored centroids (no retraining — the
+    quantizer is part of the index contract, like PQ codebooks), and
+    each new vector's verdict is decided against the index's KEPT
+    members plus the rest of the batch, same-cell only. Stored verdicts
+    never flip: an already-kept index vector cannot be dropped by new
+    data (keeplist semantics — re-run the batch ``semdedup_cells``
+    when a full re-election is wanted).
+
+    ``index`` holds the persisted verdict rows (vec_id, cell, ccos,
+    kept); ``corpus`` must contain the embeddings of every index id
+    (the delta's cosine checks re-read only same-cell KEPT members via
+    a semi-join into it). Cost per ingest: |delta-cell| × |cell-kept|,
+    never |cell|². A delta vector adjacent only to DROPPED index
+    members stays kept — the greedy rule is local to surviving
+    representatives, documented like the batch variant's
+    chain behavior.
+
+    Returns verdict rows for the NEW vectors only — they append
+    straight onto the persisted verdict table."""
+    from kafka_streams_demo_spark.functions.similarity import (
+        dot,
+        ivf_assign,
+        norm,
+    )
+
+    dasg = ivf_assign(new_emb, centroids, n=1, id_col=id_col, vec_col=vec_col)
+    dpri = dasg.join(F.broadcast(centroids), "cell").select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        F.col("vec"),
+        F.round(
+            dot(F.col("vec"), F.col("centroid"))
+            / (norm(F.col("vec")) * norm(F.col("centroid"))),
+            6,
+        ).alias("ccos"),
+    )
+    if checkpoint:
+        dpri = dpri.localCheckpoint(eager=True)
+    kept_idx = (
+        index.filter(F.col("kept"))
+        .select("vec_id", "cell", "ccos")
+        .join(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+            ),
+            "vec_id",
+        )
+    )
+    opponents = kept_idx.unionByName(dpri)
+    opponents = _cap_blocks(opponents, "cell", max_cell_size, on_oversized)
+    o = opponents.select(
+        F.col("vec_id").alias("j"),
+        F.col("cell").alias("blk"),
+        F.col("vec").alias("vb"),
+        F.col("ccos").alias("_kj"),
+    ).select("*", norm(F.col("vb")).alias("nb"))
+    d = dpri.select(
+        F.col("vec_id").alias("i"),
+        F.col("cell").alias("blk"),
+        F.col("vec").alias("va"),
+        F.col("ccos").alias("_ki"),
+    ).select("*", norm(F.col("va")).alias("na"))
+    losers = (
+        d.join(o, ["blk"])
+        .filter(F.col("i") != F.col("j"))
+        .filter(
+            (F.col("_kj") < F.col("_ki"))
+            | ((F.col("_kj") == F.col("_ki")) & (F.col("j") < F.col("i")))
+        )
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= threshold
+        )
+        .select(F.col("i").alias("vec_id"))
+        .distinct()
+    )
+    return dpri.join(
+        losers.withColumn("_drop", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id", "cell", "ccos", F.col("_drop").isNull().alias("kept")
+    )
+
+
 def connected_components(
     pairs: DataFrame, src: str = "i", dst: str = "j", max_iter: int = 25
 ) -> DataFrame:

@@ -999,3 +999,89 @@ def test_semdedup_clique_keeps_edge_point(spark):
     # the survivor is the clique member with the smallest (ccos, id) key
     want = min(clique, key=lambda r: (r["ccos"], r["vec_id"]))
     assert keepers[0]["vec_id"] == want["vec_id"]
+
+
+def test_semdedup_incremental_frozen_index_semantics(spark):
+    """Hand-built cells pin the ingest contract: (a) a new vector near a
+    KEPT index member with a smaller key drops; (b) a new vector near
+    only a DROPPED index member stays kept (verdicts are adjudicated
+    against surviving representatives); (c) index verdicts never flip —
+    the function emits delta rows only; (d) in-batch duplicates
+    adjudicate among themselves."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        semdedup_cells,
+        semdedup_cells_incremental,
+    )
+    from kafka_streams_demo_spark.functions.similarity import ivf_centroids
+
+    old = spark.createDataFrame(
+        [
+            # cell 0: vectors 1,2 are near-dups; one of them drops
+            (1, 0, [1.0, 0.02, 0.0, 0.0]),
+            (2, 0, [1.0, 0.0, 0.0, 0.0]),
+            # cell 1: lone keeper
+            (3, 1, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    cents = ivf_centroids(old)
+    index = semdedup_cells(old, threshold=0.95, max_cell_size=None)
+    idx = {r["vec_id"]: r for r in index.collect()}
+    dropped_old = [v for v, r in idx.items() if not r["kept"]]
+    kept_old = [v for v, r in idx.items() if r["kept"] and r["cell"] == idx[1]["cell"]]
+    assert len(dropped_old) == 1 and dropped_old[0] in (1, 2)
+
+    new = spark.createDataFrame(
+        [
+            # 11: duplicate of the cell-0 cluster -> must drop (kept rep wins)
+            (11, [1.0, 0.01, 0.0, 0.0]),
+            # 13: duplicate of cell-1's keeper but with what key? adjudicated
+            (13, [0.0, 0.0, 1.0, 0.01]),
+            # 15/16: in-batch near-dup pair, orthogonal to everything old
+            (15, [0.0, 1.0, 0.0, 0.0]),
+            (16, [0.0, 1.0, 0.01, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in semdedup_cells_incremental(
+        new, cents, index, old, threshold=0.95, max_cell_size=None
+    ).collect()}
+    assert set(got) == {11, 13, 15, 16}  # delta rows only — index never re-emitted
+    assert not got[11]["kept"]  # beaten by the surviving cell-0 representative
+    # 13 vs old keeper 3: loser is the larger (ccos, id) key
+    k3 = next(r for r in index.collect() if r["vec_id"] == 3)
+    assert got[13]["kept"] == ((got[13]["ccos"], 13) < (k3["ccos"], 3))
+    # in-batch pair: exactly one survives
+    assert got[15]["kept"] != got[16]["kept"] or (
+        got[15]["kept"] and got[16]["kept"]
+    ) is False
+    assert sum(1 for v in (15, 16) if got[v]["kept"]) == 1
+
+
+def test_semdedup_incremental_ignores_dropped_index_members(spark):
+    """A new vector whose only index neighbor was itself DROPPED stays
+    kept: adjudication is against surviving representatives only."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        semdedup_cells_incremental,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "cell int, centroid array<double>"
+    )
+    # stored verdicts: 1 kept, 2 dropped (2 was 1's duplicate)
+    index = spark.createDataFrame(
+        [(1, 0, 0.9, True), (2, 0, 0.95, False)],
+        "vec_id long, cell int, ccos double, kept boolean",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.3, 0.0, 0.0]), (2, [1.0, 0.0, 0.3, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # 21 is a near-dup of DROPPED 2 only (cos to 1 is ~0.917 < tau)
+    new = spark.createDataFrame(
+        [(21, [1.0, 0.0, 0.31, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = semdedup_cells_incremental(
+        new, cents, index, corpus, threshold=0.99, max_cell_size=None
+    ).collect()
+    assert len(got) == 1 and got[0]["kept"]

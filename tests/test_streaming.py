@@ -1502,3 +1502,90 @@ def test_pq_codes_stream_maintenance_exactly_once(spark, tmp_path):
     assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
     emb.unpersist()
     cbs.unpersist()
+
+
+def test_semdedup_verdict_stream_maintenance_exactly_once(spark, tmp_path):
+    """Semantic-dedup verdict-table maintenance through streaming: the
+    quantizer (centroids) and the seed batch's verdicts are the frozen
+    index; each availableNow batch adjudicates ONLY its own vectors
+    against the verdicts committed so far (read back inside
+    foreachBatch) and appends its delta rows through the idempotent
+    sink. The final committed table equals the sequential application
+    of semdedup_cells_incremental over the batches, and a checkpoint
+    rerun appends nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.dedup import (
+        semdedup_cells,
+        semdedup_cells_incremental,
+    )
+    from kafka_streams_demo_spark.functions.similarity import ivf_centroids
+    from kafka_streams_demo_spark.sources import load_table
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").limit(150)
+    emb.persist().count()
+    tau = 0.3
+    seed = emb.filter(F.col("vec_id") < 50)
+    cents = ivf_centroids(seed)
+    cents.persist().count()  # frozen quantizer — the index contract
+    v_seed = semdedup_cells(seed, threshold=tau, max_cell_size=None)
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "verdicts")
+    os.makedirs(out_dir)
+    sink = idempotent_parquet_sink(out_dir)
+    sink(v_seed, 0)  # seed verdicts = committed batch 0
+
+    def ingest(batch, batch_id):
+        committed = read_committed(spark, out_dir).select(
+            "vec_id", "cell", "ccos", "kept"
+        )
+        sink(
+            semdedup_cells_incremental(
+                batch, cents, committed, emb,
+                threshold=tau, max_cell_size=None,
+            ),
+            batch_id + 1,  # 0 is the seed
+        )
+
+    def run():
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b2 = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100)).select(
+        "vec_id", "embedding"
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: nothing appended
+    b3 = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding")
+    b3.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    got = read_committed(spark, out_dir).select("vec_id", "cell", "ccos", "kept")
+    v2 = semdedup_cells_incremental(
+        b2, cents, v_seed, emb, threshold=tau, max_cell_size=None
+    )
+    v3 = semdedup_cells_incremental(
+        b3, cents, v_seed.unionByName(v2), emb,
+        threshold=tau, max_cell_size=None,
+    )
+    want = v_seed.unionByName(v2).unionByName(v3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 3
+    emb.unpersist()
+    cents.unpersist()
