@@ -156,13 +156,95 @@ def ivf_centroids(
     )
 
 
+def _centroid_literal(centroids: DataFrame):
+    """(literal, cell_type): the centroid table — driver-bounded at
+    |cells| rows by the coarse-quantizer contract — as a nested literal
+    array<struct<cell, cvec, nrm>> SORTED BY cell ascending (the
+    argmax fold's tie order), norms precomputed with the same
+    left-to-right IEEE fold ``norm()`` uses so the fast path is
+    bit-equal to the window path."""
+    import math
+
+    cell_type = centroids.schema["cell"].dataType
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    if not rows:
+        raise ValueError("centroid table is empty")
+    structs = []
+    for r in rows:
+        cv = [float(x) for x in r["centroid"]]
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        structs.append(
+            F.struct(
+                F.lit(r["cell"]).cast(cell_type).alias("cell"),
+                F.array(*[F.lit(x) for x in cv]).alias("cvec"),
+                F.lit(math.sqrt(acc)).alias("nrm"),
+            )
+        )
+    return F.array(*structs), cell_type
+
+
 def ivf_assign(
     vectors: DataFrame, centroids: DataFrame, n: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its ``n`` nearest centroids by cosine
     (rounded to 6 dp for cross-engine determinism; ties break on cell id).
-    Centroids broadcast — the corpus never shuffles for assignment."""
+
+    n=1 (the corpus-side path) is a ROW-LOCAL argmax fold over the
+    centroid table embedded as a literal (|cells| rows — driver-bounded
+    by the coarse-quantizer contract, the same collect bound as PQ's
+    codebook literal): one Project, NO Exchange — at 100 TB the
+    corpus-wide assignment is a map-only pass. The previous
+    formulation (broadcast join + row_number window) shuffled
+    |corpus|×|cells| scored rows just to pick each vector's max;
+    bit-equality of the fold to that window is pinned in
+    tests/test_similarity.py. n>1 (the query-side probe path — tiny
+    input) keeps the window formulation."""
+    if n == 1:
+        cb_lit, cell_type = _centroid_literal(centroids)
+        vecs = vectors.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        ).select(
+            "vid", "vec",
+            F.transform(F.col("vec"), lambda x: x.cast("double")).alias("_vd"),
+            norm(F.col("vec")).alias("_vnrm"),
+            cb_lit.alias("_cb"),
+        )
+
+        def ccos(c):
+            dp = F.aggregate(
+                F.zip_with(F.col("_vd"), c["cvec"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.round(dp / (F.col("_vnrm") * c["nrm"]), 6)
+
+        init = F.struct(
+            F.lit(float("-inf")).alias("ccos"),
+            F.lit(None).cast(cell_type).alias("cell"),
+        )
+        # cells iterate in ascending order, strict > keeps the lowest
+        # cell among rounded-cosine ties — the window's (DESC, ASC) rule
+        best = F.aggregate(
+            F.col("_cb"),
+            init,
+            lambda acc, c: F.when(
+                ccos(c) > acc["ccos"],
+                F.struct(ccos(c).alias("ccos"), c["cell"].alias("cell")),
+            ).otherwise(acc),
+        )
+        return vecs.select("vid", "vec", best["cell"].alias("cell"))
+    return _ivf_assign_window(vectors, centroids, n, id_col, vec_col)
+
+
+def _ivf_assign_window(
+    vectors: DataFrame, centroids: DataFrame, n: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The broadcast-join + row_number formulation — the n>1 probe path,
+    and the fold fast path's parity baseline in tests."""
     vecs = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).select(
         "*", norm(F.col("vec")).alias("_vnrm")
     )

@@ -360,3 +360,39 @@ def test_ivf_delta_assign_matches_batch_rebuild(spark):
     )
     assert got == want and len(got) > 0
     cents.unpersist()
+
+
+def test_ivf_assign_fold_is_bit_equal_to_window_and_shuffle_free(spark):
+    """The n=1 corpus-assignment fast path (row-local argmax fold over
+    the centroid literal) must be bit-equal to the window formulation —
+    including rounded-cosine ties breaking to the lower cell — and its
+    plan must contain NO Exchange: at 100 TB the corpus-wide assignment
+    is a map-only pass, where the window path shuffled |corpus|×|cells|
+    scored rows."""
+    from kafka_streams_demo_spark.functions.similarity import (
+        _ivf_assign_window,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids(emb).persist()
+    fast = ivf_assign(emb, cents, n=1)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = sorted((r["vid"], r["cell"]) for r in fast.collect())
+    want = sorted(
+        (r["vid"], r["cell"]) for r in _ivf_assign_window(emb, cents, 1).collect()
+    )
+    assert got == want and len(got) == emb.count()
+
+    # a hand-built exact tie: equidistant vector must pick the LOWER cell
+    cents2 = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [0.0, 1.0])], "cell int, centroid array<double>"
+    )
+    tied = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    got2 = ivf_assign(tied, cents2, n=1).collect()
+    assert [(r["vid"], r["cell"]) for r in got2] == [(1, 3)]
+    cents.unpersist()
