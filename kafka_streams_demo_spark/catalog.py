@@ -6915,6 +6915,49 @@ def zorder_layout_q(spark, sf_dir):
 
 
 @register(
+    "compaction_plan",
+    """
+    WITH f AS (
+      SELECT event_type AS part, CAST(ts AS DATE) AS file_day,
+             COUNT(*) AS bytes
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT part, file_day, bytes,
+             COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM f),
+    g AS (SELECT part, file_day, bytes, cum // 300 AS grp FROM c)
+    SELECT part, file_day, CAST(bytes AS BIGINT) AS bytes,
+           CAST(dense_rank() OVER (PARTITION BY part ORDER BY grp) AS BIGINT)
+             AS group_id
+    FROM g
+    """,
+)
+def compaction_plan_q(spark, sf_dir):
+    """Small-files compaction planning (functions/layout.py:
+    compaction_plan — the lakehouse OPTIMIZE bin-pack): the events
+    table's (event_type, day) cells stand in for a partitioned table's
+    file manifest (bytes = row count); in-order exclusive-cumsum DIV
+    target grouping with a dense per-partition renumber, so each group
+    is one ~target-sized rewrite task and existing sort order survives
+    compaction. Exact integer DIV (PB-scale cumulative bytes overflow
+    the double mantissa); planning cost is manifest-sized, one window
+    shuffle on the partition key. Oracle replays the window formula
+    relationally."""
+    from kafka_streams_demo_spark.functions.layout import compaction_plan
+
+    ev = load_table(spark, "events", sf_dir)
+    files = ev.groupBy(
+        F.col("event_type").alias("part"),
+        F.to_date("ts").alias("file_day"),
+    ).agg(F.count(F.lit(1)).alias("bytes"))
+    return compaction_plan(
+        files, target_bytes=300,
+        part_cols=("part",), file_col="file_day", size_col="bytes",
+    )
+
+
+@register(
     "fuzzy_pairs_part_names",
     """
     WITH p AS (SELECT DISTINCT lower(p_name) AS name FROM part),
@@ -7851,7 +7894,7 @@ DRIVER_PRIORITY: list[str] = [
 # awaiting a driver slot): the PQ family (pq_encode_corpus,
 # pq_encode_incremental, ann_pq_adc_topk, ann_ivf_pq_topk,
 # ann_ivf_pq_residual_topk), ann_recall_report, semdedup_cells (+
-# semdedup_cells_incremental).
+# semdedup_cells_incremental), compaction_plan.
 
 
 def _priority_order(names) -> list[str]:

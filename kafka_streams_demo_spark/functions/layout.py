@@ -28,7 +28,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zorder_key", "zorder_layout", "zorder_oracle_terms"]
+__all__ = [
+    "zorder_key",
+    "zorder_layout",
+    "zorder_oracle_terms",
+    "compaction_plan",
+]
 
 
 def zorder_key(
@@ -108,4 +113,53 @@ def zorder_oracle_terms(ndims: int, bits: int = 8) -> str:
         f"(((b{i} >> {b}) & 1) << {ndims * b + i})"
         for b in range(bits)
         for i in range(ndims)
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    part_cols: tuple = ("part",),
+    file_col: str = "file_id",
+    size_col: str = "bytes",
+) -> DataFrame:
+    """Small-files compaction planner — the lakehouse maintenance op
+    behind Delta/Iceberg ``OPTIMIZE`` bin-packing: within each
+    partition, files accumulate IN FILE ORDER into groups that close
+    when the running size crosses ``target_bytes``; each group is one
+    rewrite task producing one ~target-sized file. In-order (not
+    first-fit-decreasing) packing is deliberate: it keeps each output
+    file's rows contiguous in the table's existing sort order, so
+    clustering (zorder/time) survives compaction, and it is a pure
+    window formula — deterministic and SQL-replayable, where FFD is
+    sequential state.
+
+    group assignment = exclusive-running-sum DIV target (exact integer
+    ``DIV`` — cumulative bytes exceed the double mantissa at PB scale,
+    the round-5 lesson), then a dense renumber so group ids are
+    contiguous from 1 per partition. A file larger than ``target_bytes``
+    becomes its own group (its successor's running sum skips past it).
+
+    Scale: this plans over the FILE MANIFEST (metadata rows — millions
+    of rows for a 100 TB table, not the data); one window shuffle on the
+    partition key. Returns (part_cols..., file_col, size_col, group_id).
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*part_cols).orderBy(file_col)
+    cum_excl = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    grouped = files.select(
+        *part_cols, file_col, size_col, cum_excl.alias("_cum")
+    ).withColumn("_grp", F.expr(f"_cum DIV {int(target_bytes)}"))
+    wg = Window.partitionBy(*part_cols).orderBy("_grp")
+    return grouped.select(
+        *part_cols,
+        file_col,
+        size_col,
+        F.dense_rank().over(wg).cast("long").alias("group_id"),
     )

@@ -109,3 +109,53 @@ def test_zorder_huge_span_no_overflow(spark):
     # monotone per dimension: bigger value never lands in a smaller bucket
     zs = [out[i] for i in range(len(xs))]
     assert zs == sorted(zs)
+
+
+def test_compaction_plan_python_replay_and_grouping(spark):
+    """Exact Python replay of the packing formula (exclusive cumsum DIV
+    target, dense renumber) plus the structural contracts: group ids are
+    dense and non-decreasing in file order, and packing never reorders
+    files across groups."""
+    import pytest as _pytest
+
+    from kafka_streams_demo_spark.functions.layout import compaction_plan
+
+    rows = [
+        ("a", 1, 100), ("a", 2, 120), ("a", 3, 90), ("a", 4, 310),
+        ("a", 5, 10), ("a", 6, 10), ("b", 1, 299), ("b", 2, 1),
+        ("b", 3, 1),
+    ]
+    files = spark.createDataFrame(rows, "part string, file_id int, bytes long")
+    got = {
+        (r["part"], r["file_id"]): r["group_id"]
+        for r in compaction_plan(files, 300, ("part",)).collect()
+    }
+
+    # replay
+    want = {}
+    for part in ("a", "b"):
+        fs = sorted((f, b) for p, f, b in rows if p == part)
+        cum, raw = 0, []
+        for f, b in fs:
+            raw.append((f, cum // 300))
+            cum += b
+        dense, seen = {}, 0
+        for f, g in raw:
+            if g not in dense:
+                seen += 1
+                dense[g] = seen
+            want[(part, f)] = dense[g]
+    assert got == want
+
+    # structural: dense, non-decreasing, file-order contiguous
+    for part in ("a", "b"):
+        gs = [got[(part, f)] for f in sorted(f for p, f, _ in rows if p == part)]
+        assert gs[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(gs, gs[1:]))
+
+    # the 310-byte oversized file is its own group
+    grp4 = got[("a", 4)]
+    assert [k for k, g in got.items() if k[0] == "a" and g == grp4] == [("a", 4)]
+
+    with _pytest.raises(ValueError):
+        compaction_plan(files, 0)
