@@ -1002,7 +1002,7 @@ def semdedup_cells(
         norm,
     )
 
-    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col).localCheckpoint(eager=True)  # |cells| rows; feeds the literal collect, the broadcast joins, and the probe assign — one agg pass instead of one per branch
     asg = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col)
     pri = asg.join(F.broadcast(cents), "cell").select(
         F.col("vid").alias("vec_id"),

@@ -110,23 +110,20 @@ def _codebook_literal(codebooks: DataFrame, m: int, k: int) -> Column:
     by_sub: dict[int, list] = {}
     for r in rows:
         by_sub.setdefault(r["sub"], []).append((r["code"], [float(x) for x in r["cvec"]]))
+    # ONE parsed SQL literal instead of per-element F.lit columns (a py4j
+    # round-trip each — ~1 s of driver overhead at m·k·ds = 1024 lits);
+    # repr() round-trips doubles exactly through the string cast.
     subs = []
     for s in range(m):
         cws = sorted(by_sub.get(s, []))
         if not cws:
             raise ValueError(f"codebook has no codewords for subspace {s}")
-        subs.append(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(int(c)).alias("code"),
-                        F.array(*[F.lit(x) for x in v]).alias("cvec"),
-                    )
-                    for c, v in cws
-                ]
-            )
-        )
-    return F.array(*subs)
+        structs = []
+        for c, v in cws:
+            arr = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in v)
+            structs.append(f"named_struct('code', {int(c)}, 'cvec', array({arr}))")
+        subs.append("array(" + ",".join(structs) + ")")
+    return F.expr("array(" + ",".join(subs) + ")")
 
 
 def pq_encode(
@@ -306,7 +303,7 @@ def ivf_pq_topk(
         ivf_centroids,
     )
 
-    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col).localCheckpoint(eager=True)  # |cells| rows; feeds the literal collect, the broadcast joins, and the probe assign — one agg pass instead of one per branch
     asg = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col)
     qin = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
@@ -390,16 +387,24 @@ def ivf_pq_residual_topk(
         ivf_centroids,
     )
 
-    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    from kafka_streams_demo_spark.functions.text import pushdown_barrier
+
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col).localCheckpoint(eager=True)  # |cells| rows; feeds the literal collect, the broadcast joins, and the probe assign — one agg pass instead of one per branch
     asg = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col)
-    # corpus residuals: row-local against the broadcast centroid table
+    # corpus residuals: row-local against the broadcast centroid table.
+    # pushdown_barrier binds the residual array ONCE per row — without
+    # it CollapseProject substitutes the zip_with into every codeword
+    # fold inside pq_encode (m·k re-evaluations of the 64-element
+    # residual: measured 4.9 s → 1.6 s at sf0.1).
     rv = asg.join(F.broadcast(cents), "cell").select(
         F.col("vid").alias("vec_id"),
         "cell",
-        F.zip_with(
-            F.transform("vec", lambda x: x.cast("double")),
-            F.col("centroid"),
-            lambda x, c: x - c,
+        pushdown_barrier(
+            F.zip_with(
+                F.transform("vec", lambda x: x.cast("double")),
+                F.col("centroid"),
+                lambda x, c: x - c,
+            )
         ).alias("rvec"),
     )
     cbs = pq_sample_codebooks(rv, dim=dim, m=m, k=k, id_col="vec_id", vec_col="rvec")

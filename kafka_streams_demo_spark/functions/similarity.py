@@ -169,20 +169,29 @@ def _centroid_literal(centroids: DataFrame):
     rows = sorted(centroids.collect(), key=lambda r: r["cell"])
     if not rows:
         raise ValueError("centroid table is empty")
+    # ONE parsed SQL literal instead of per-element F.lit columns: the
+    # column-object route costs a py4j round-trip per literal (~0.7 s of
+    # pure driver overhead for 10 cells × 64 dims). repr() round-trips
+    # doubles exactly through the string cast.
+    cell_sql = cell_type.simpleString()
     structs = []
     for r in rows:
         cv = [float(x) for x in r["centroid"]]
         acc = 0.0
         for x in cv:
             acc += x * x
-        structs.append(
-            F.struct(
-                F.lit(r["cell"]).cast(cell_type).alias("cell"),
-                F.array(*[F.lit(x) for x in cv]).alias("cvec"),
-                F.lit(math.sqrt(acc)).alias("nrm"),
-            )
+        cell_lit = (
+            "'" + str(r["cell"]).replace("'", "''") + "'"
+            if cell_sql == "string"
+            else str(r["cell"])
         )
-    return F.array(*structs), cell_type
+        arr = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv)
+        structs.append(
+            f"named_struct('cell', CAST({cell_lit} AS {cell_sql}),"
+            f" 'cvec', array({arr}),"
+            f" 'nrm', CAST('{math.sqrt(acc)!r}' AS DOUBLE))"
+        )
+    return F.expr("array(" + ",".join(structs) + ")"), cell_type
 
 
 def ivf_assign(
@@ -398,7 +407,12 @@ def ivf_build_index(
     Assignment is a broadcast-join map pass — the corpus never shuffles.
     Deterministic per vector given the centroid table, so delta batches
     assigned later (``ivf_assign_delta``) compose under append."""
-    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    # persist BEFORE the corpus assign: its centroid-literal collect then
+    # materializes the cache, and every later reader (probe assigns,
+    # from-index scoring) reuses it instead of re-running the posexplode
+    # aggregation. |cells| rows — trivially cached; callers release via
+    # clearCache at pipeline boundaries (module caching contract).
+    cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col).persist()
     assignments = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col).select(
         F.col("vid").alias("n_id"), F.col("vec").alias("n_vec"), "cell"
     )
