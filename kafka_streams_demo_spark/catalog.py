@@ -6890,6 +6890,65 @@ def _zorder_oracle() -> str:
     """
 
 
+def _hilbert_oracle(bits: int = 8) -> str:
+    """CTE chain generated from the SAME engine-neutral stage strings
+    the Spark plan unrolls (layout.hilbert_stage_exprs) — lockstep by
+    construction. Per-level suffixed column names keep every reference
+    unambiguous (no reliance on either engine's lateral-alias rules)."""
+    from kafka_streams_demo_spark.functions.layout import hilbert_stage_exprs
+
+    px, py, pd = "x", "y", "d"
+    prev = "b"
+    ctes = []
+    for idx, lvl in enumerate(reversed(range(bits))):
+        dn, xn, yn = hilbert_stage_exprs(1 << lvl, x=px, y=py, d=pd)
+        nx, ny, ndd = f"x{idx}", f"y{idx}", f"d{idx}"
+        ctes.append(
+            f"h{idx} AS (SELECT o_orderkey, {xn} AS {nx}, {yn} AS {ny},"
+            f" {dn} AS {ndd} FROM {prev})"
+        )
+        px, py, pd, prev = nx, ny, ndd, f"h{idx}"
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH v AS (SELECT o_orderkey, o_custkey AS v0,
+                      CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS v1
+               FROM orders),
+    s AS (SELECT min(v0) AS mn0, max(v0) AS mx0,
+                 min(v1) AS mn1, max(v1) AS mx1 FROM v),
+    b AS (SELECT o_orderkey,
+            CAST((v0 - mn0) // ((mx0 - mn0) // 256 + 1) AS BIGINT) AS x,
+            CAST((v1 - mn1) // ((mx1 - mn1) // 256 + 1) AS BIGINT) AS y,
+            CAST(0 AS BIGINT) AS d
+          FROM v CROSS JOIN s),
+    {chain}
+    SELECT o_orderkey, CAST({pd} AS BIGINT) AS hval,
+           CAST({pd} // 1024 AS BIGINT) AS file_id FROM {prev}
+    """
+
+
+@register("hilbert_layout", _hilbert_oracle())
+def hilbert_layout_q(spark, sf_dir):
+    """Hilbert-curve clustering keys over the SAME orders(o_custkey,
+    o_orderdate) grid as zorder_layout (functions/layout.py:
+    hilbert_key — the layout Iceberg offers beside Z-order): identical
+    exact-integer range buckets, then the xy2d recurrence unrolled into
+    8 chained CASE/arith projections instead of Morton's interleave
+    sum. Consecutive ranks are ADJACENT grid cells (no diagonal jumps),
+    so equal-size files cut from the sort have tighter per-dimension
+    bounding boxes — superiority over zorder on the same grid is
+    property-pinned in tests/test_layout.py. The oracle's CTE chain is
+    GENERATED from the same stage strings the Spark plan unrolls."""
+    from kafka_streams_demo_spark.functions.layout import hilbert_key
+
+    orders = load_table(spark, "orders", sf_dir)
+    return hilbert_key(
+        orders,
+        [F.col("o_custkey"), F.unix_date(F.col("o_orderdate").cast("date")).cast("long")],
+        bits=8,
+        num_files=64,
+    ).select("o_orderkey", "hval", "file_id")
+
+
 @register("zorder_layout", _zorder_oracle())
 def zorder_layout_q(spark, sf_dir):
     """Z-order (Morton) clustering keys over orders(o_custkey,
@@ -7894,7 +7953,7 @@ DRIVER_PRIORITY: list[str] = [
 # awaiting a driver slot): the PQ family (pq_encode_corpus,
 # pq_encode_incremental, ann_pq_adc_topk, ann_ivf_pq_topk,
 # ann_ivf_pq_residual_topk), ann_recall_report, semdedup_cells (+
-# semdedup_cells_incremental), compaction_plan.
+# semdedup_cells_incremental), compaction_plan, hilbert_layout.
 
 
 def _priority_order(names) -> list[str]:

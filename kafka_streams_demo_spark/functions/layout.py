@@ -33,6 +33,9 @@ __all__ = [
     "zorder_layout",
     "zorder_oracle_terms",
     "compaction_plan",
+    "hilbert_stage_exprs",
+    "hilbert_key",
+    "hilbert_layout",
 ]
 
 
@@ -162,4 +165,115 @@ def compaction_plan(
         file_col,
         size_col,
         F.dense_rank().over(wg).cast("long").alias("group_id"),
+    )
+
+
+def hilbert_stage_exprs(
+    s: int, x: str = "_hx", y: str = "_hy", d: str = "_hd"
+) -> tuple[str, str, str]:
+    """One Hilbert level (cell size ``s``) of the classic xy2d
+    recurrence as ENGINE-NEUTRAL SQL (CASE + integer arithmetic only —
+    the same string parses in Spark SQL and DuckDB, which is what keeps
+    the catalog oracle in lockstep with the Spark plan by construction):
+
+        rx = bit s of x;  ry = bit s of y
+        d += s² · ((3·rx) XOR ry)      — XOR unrolled to 3-ry when rx=1
+        ry=0: reflect within the subcell when rx=1 (s-1-·), then swap
+
+    Returns (d_next, x_next, y_next) expression strings reading columns
+    ``x``/``y``/``d``."""
+    rx = f"(CASE WHEN ({x} & {s}) <> 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({y} & {s}) <> 0 THEN 1 ELSE 0 END)"
+    dn = f"{d} + {s * s} * (CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+    xn = (
+        f"CASE WHEN {ry} = 0 THEN"
+        f" (CASE WHEN {rx} = 1 THEN {s - 1} - {y} ELSE {y} END)"
+        f" ELSE {x} END"
+    )
+    yn = (
+        f"CASE WHEN {ry} = 0 THEN"
+        f" (CASE WHEN {rx} = 1 THEN {s - 1} - {x} ELSE {x} END)"
+        f" ELSE {y} END"
+    )
+    return dn, xn, yn
+
+
+def hilbert_key(
+    df: DataFrame,
+    dims: list[Column],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Append ``hval`` (and ``file_id``) — the HILBERT curve rank of the
+    two range-bucketed ``dims`` (Hilbert 1891; the layout Iceberg
+    offers beside Z-order): unlike Morton's bit interleave, every
+    consecutive pair of ranks is an ADJACENT grid cell (no diagonal
+    jumps across half the space), so equal-size files cut from the
+    sorted order have strictly tighter per-dimension bounding boxes —
+    the property tests/test_layout.py pins against zorder on the same
+    grid.
+
+    Same exact-integer range bucketing as ``zorder_key``; the curve
+    rank is the xy2d recurrence unrolled into ``bits`` chained
+    projections (CASE/arith only — whole-stage codegen, no UDF; the
+    per-level state dependency is why this is a chain and not one
+    interleave sum). 2-D only — the standard d-dimensional
+    generalization (Butz/Lawder) trades the clean recurrence for
+    Gray-code state tables; Z-order remains the d>2 path."""
+    if len(dims) != 2:
+        raise ValueError("hilbert_key supports exactly 2 dims (use zorder_key for d>2)")
+    nd, nb = 2, 1 << bits
+    vals = df.select("*", *[c.alias(f"_zv{i}") for i, c in enumerate(dims)])
+    stats = vals.agg(
+        *[F.min(f"_zv{i}").alias(f"_mn{i}") for i in range(nd)],
+        *[F.max(f"_zv{i}").alias(f"_mx{i}") for i in range(nd)],
+    )
+    j = vals.crossJoin(F.broadcast(stats))
+    bucketed = j.select(
+        "*",
+        *[
+            F.expr(
+                f"(_zv{i} - _mn{i}) DIV ((_mx{i} - _mn{i}) DIV {nb} + 1)"
+            ).alias(f"_zb{i}")
+            for i in range(nd)
+        ],
+    )
+    cur = bucketed.select(
+        *df.columns,
+        F.col("_zb0").cast("long").alias("_hx"),
+        F.col("_zb1").cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for lvl in reversed(range(bits)):
+        dn, xn, yn = hilbert_stage_exprs(1 << lvl)
+        cur = cur.select(
+            *df.columns,
+            F.expr(xn).alias("_hx"),
+            F.expr(yn).alias("_hy"),
+            F.expr(dn).alias("_hd"),
+        )
+    out = cur.select(*df.columns, F.col("_hd").cast("long").alias("hval"))
+    if num_files is not None:
+        if num_files & (num_files - 1):
+            raise ValueError("num_files must be a power of two")
+        shift = nd * bits - num_files.bit_length() + 1
+        if shift < 0:
+            raise ValueError("num_files exceeds 2^(2*bits)")
+        out = out.withColumn(
+            "file_id", F.shiftright("hval", shift).cast("long")
+        )
+    return out
+
+
+def hilbert_layout(
+    df: DataFrame,
+    dims: list[Column],
+    bits: int = 8,
+    num_files: int = 64,
+) -> DataFrame:
+    """Write-path arrangement for the Hilbert rank — same ONE range
+    shuffle as ``zorder_layout``, tighter file bounding boxes."""
+    keyed = hilbert_key(df, dims, bits, num_files)
+    return keyed.repartitionByRange(num_files, "file_id").sortWithinPartitions(
+        "hval"
     )

@@ -159,3 +159,75 @@ def test_compaction_plan_python_replay_and_grouping(spark):
 
     with _pytest.raises(ValueError):
         compaction_plan(files, 0)
+
+
+def _hilbert_ref(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_and_is_bijective(spark):
+    """The unrolled CASE/arith chain equals the classic xy2d recurrence
+    on the FULL 16x16 grid (identity bucketing: values already span
+    [0, 2^bits)), and the rank is a bijection onto [0, n^2)."""
+    from kafka_streams_demo_spark.functions.layout import hilbert_key
+
+    bits, n = 4, 16
+    rows = [(x * n + y, x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        (r["x"], r["y"]): r["hval"]
+        for r in hilbert_key(df, [F.col("x"), F.col("y")], bits=bits).collect()
+    }
+    assert got == {(x, y): _hilbert_ref(n, x, y) for _, x, y in rows}
+    assert sorted(got.values()) == list(range(n * n))
+
+
+def test_hilbert_adjacency_beats_zorder_locality(spark):
+    """The property that makes Hilbert the better clustering curve:
+    EVERY consecutive rank pair is a Manhattan-distance-1 grid
+    neighbor, where Morton order jumps (max step spans half the grid);
+    consequently equal-size files cut from the Hilbert sort have
+    bounding boxes no worse than Z-order's on the same grid."""
+    from kafka_streams_demo_spark.functions.layout import hilbert_key, zorder_key
+
+    bits, n, files = 4, 16, 16
+    rows = [(x * n + y, x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    dims = [F.col("x"), F.col("y")]
+    hv = {r["hval"]: (r["x"], r["y"])
+          for r in hilbert_key(df, dims, bits=bits).collect()}
+    zv = {r["zval"]: (r["x"], r["y"])
+          for r in zorder_key(df, dims, bits=bits).collect()}
+
+    h_steps = [
+        abs(hv[i][0] - hv[i + 1][0]) + abs(hv[i][1] - hv[i + 1][1])
+        for i in range(n * n - 1)
+    ]
+    z_steps = [
+        abs(zv[i][0] - zv[i + 1][0]) + abs(zv[i][1] - zv[i + 1][1])
+        for i in range(n * n - 1)
+    ]
+    assert max(h_steps) == 1          # every Hilbert step is adjacent
+    assert max(z_steps) > 1           # Morton provably jumps
+
+    def worst_bbox(order):
+        per = n * n // files
+        worst = 0
+        cells = [order[i] for i in range(n * n)]
+        for f in range(files):
+            seg = cells[f * per:(f + 1) * per]
+            xs, ys = [c[0] for c in seg], [c[1] for c in seg]
+            worst = max(worst, (max(xs) - min(xs)) + (max(ys) - min(ys)))
+        return worst
+
+    assert worst_bbox(hv) <= worst_bbox(zv)
