@@ -7401,10 +7401,7 @@ def pq_encode_incremental(spark, sf_dir):
     return base.unionByName(delta)
 
 
-@register(
-    "ann_ivf_pq_residual_topk",
-    """
-    WITH cent AS (
+_PQ_RESID_CTE = """cent AS (
       SELECT label AS cell, g.i AS pos, AVG(CAST(embedding[g.i] AS DOUBLE)) AS m
       FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
     ce AS (
@@ -7445,7 +7442,13 @@ def pq_encode_incremental(spark, sf_dir):
                         row_number() OVER (PARTITION BY vec_id, sub
                                            ORDER BY d2, code) AS rn
                  FROM encd_r)
-              WHERE rn = 1),
+              WHERE rn = 1)"""
+
+
+@register(
+    "ann_ivf_pq_residual_topk",
+    f"""
+    WITH {_PQ_RESID_CTE},
     q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
     qrv AS (
       SELECT p.q_id, p.cell, list(q.qv[c.pos] - c.m ORDER BY c.pos) AS qv
@@ -7574,6 +7577,68 @@ def ann_recall_report_q(spark, sf_dir):
             F.round(F.col("hits") / F.col("total"), 6).alias("recall"),
         )
     )
+
+
+_PQ_RESID_ENC_SQL = (
+    f"WITH {_PQ_RESID_CTE} "
+    "SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code FROM enc_r"
+)
+
+
+@register("pq_residual_encode_corpus", _PQ_RESID_ENC_SQL)
+def pq_residual_encode_corpus_q(spark, sf_dir):
+    """The residual tier's persisted artifact on its own: PQ codes of
+    v − centroid(cell(v)) for the whole corpus (the index
+    ann_ivf_pq_residual_topk searches). Residual construction + encode
+    are ONE map-only pass — shuffle-free cell assignment (centroid
+    literal fold), broadcast centroid join, row-local argmin — so at
+    100 TB this is a streaming rewrite of 256 B/vector into 8 B codes
+    + a cell id. Oracle replays assignment → residual → sampled
+    codebooks → argmin relationally."""
+    from kafka_streams_demo_spark.functions.pq import (
+        pq_encode,
+        pq_residual_frame,
+        pq_sample_codebooks,
+    )
+    from kafka_streams_demo_spark.functions.similarity import ivf_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = ivf_centroids(emb).localCheckpoint(eager=True)
+    rv = pq_residual_frame(emb, cents)
+    cbs = pq_sample_codebooks(rv, dim=64, m=8, k=16, vec_col="rvec")
+    return pq_encode(rv, cbs, dim=64, m=8, k=16, vec_col="rvec")
+
+
+@register("pq_residual_encode_incremental", _PQ_RESID_ENC_SQL)
+# SAME oracle as pq_residual_encode_corpus: append == rebuild
+def pq_residual_encode_incremental_q(spark, sf_dir):
+    """Maintenance proof for the RESIDUAL index, completing the tier's
+    incremental symmetry: under frozen centroids AND frozen codebooks
+    (both are the stored quantizer — retraining either invalidates the
+    codes), residual + code are row-local per vector, so encoding a
+    delta batch separately and appending IS maintenance. Built as
+    encode(vec_id%5≠0) ∪ encode(vec_id%5=0) against the SAME oracle as
+    the corpus rebuild — the driver hash gate proves append ≡ rebuild
+    bit-for-bit, exactly like pq_encode_incremental does for the
+    raw-vector tier."""
+    from kafka_streams_demo_spark.functions.pq import (
+        pq_encode,
+        pq_residual_frame,
+        pq_sample_codebooks,
+    )
+    from kafka_streams_demo_spark.functions.similarity import ivf_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = ivf_centroids(emb).localCheckpoint(eager=True)
+    rv = pq_residual_frame(emb, cents)
+    cbs = pq_sample_codebooks(rv, dim=64, m=8, k=16, vec_col="rvec")
+    base = pq_encode(
+        rv.where(F.col("vec_id") % 5 != 0), cbs, dim=64, m=8, k=16, vec_col="rvec"
+    )
+    delta = pq_encode(
+        rv.where(F.col("vec_id") % 5 == 0), cbs, dim=64, m=8, k=16, vec_col="rvec"
+    )
+    return base.unionByName(delta)
 
 
 @register("pq_codebooks_refined")  # no SQL oracle: iterative (Lloyd); see tests
@@ -7953,7 +8018,8 @@ DRIVER_PRIORITY: list[str] = [
 # awaiting a driver slot): the PQ family (pq_encode_corpus,
 # pq_encode_incremental, ann_pq_adc_topk, ann_ivf_pq_topk,
 # ann_ivf_pq_residual_topk), ann_recall_report, semdedup_cells (+
-# semdedup_cells_incremental), compaction_plan, hilbert_layout.
+# semdedup_cells_incremental), compaction_plan, hilbert_layout, the residual-encode pair
+# (pq_residual_encode_corpus/_incremental).
 
 
 def _priority_order(names) -> list[str]:

@@ -49,6 +49,7 @@ __all__ = [
     "pq_adc_topk",
     "ivf_pq_topk",
     "ivf_pq_residual_topk",
+    "pq_residual_frame",
     "pq_quantization_error",
 ]
 
@@ -342,6 +343,37 @@ def ivf_pq_topk(
     )
 
 
+def pq_residual_frame(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, rvec) — each vector's residual v − centroid(cell(v))
+    against the FROZEN centroid table: a row-local map pass (shuffle-free
+    cell assignment + broadcast centroid join). The frame every residual
+    tier builds on (codebook sampling, encode, incremental appends).
+
+    pushdown_barrier binds the residual array ONCE per row — without it
+    CollapseProject substitutes the zip_with into every codeword fold
+    inside pq_encode (m·k re-evaluations of the 64-element residual)."""
+    from kafka_streams_demo_spark.functions.similarity import ivf_assign
+    from kafka_streams_demo_spark.functions.text import pushdown_barrier
+
+    asg = ivf_assign(emb, centroids, n=1, id_col=id_col, vec_col=vec_col)
+    return asg.join(F.broadcast(centroids), "cell").select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        pushdown_barrier(
+            F.zip_with(
+                F.transform("vec", lambda x: x.cast("double")),
+                F.col("centroid"),
+                lambda x, c: x - c,
+            )
+        ).alias("rvec"),
+    )
+
+
 def ivf_pq_residual_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -387,26 +419,8 @@ def ivf_pq_residual_topk(
         ivf_centroids,
     )
 
-    from kafka_streams_demo_spark.functions.text import pushdown_barrier
-
     cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col).localCheckpoint(eager=True)  # |cells| rows; feeds the literal collect, the broadcast joins, and the probe assign — one agg pass instead of one per branch
-    asg = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col)
-    # corpus residuals: row-local against the broadcast centroid table.
-    # pushdown_barrier binds the residual array ONCE per row — without
-    # it CollapseProject substitutes the zip_with into every codeword
-    # fold inside pq_encode (m·k re-evaluations of the 64-element
-    # residual: measured 4.9 s → 1.6 s at sf0.1).
-    rv = asg.join(F.broadcast(cents), "cell").select(
-        F.col("vid").alias("vec_id"),
-        "cell",
-        pushdown_barrier(
-            F.zip_with(
-                F.transform("vec", lambda x: x.cast("double")),
-                F.col("centroid"),
-                lambda x, c: x - c,
-            )
-        ).alias("rvec"),
-    )
+    rv = pq_residual_frame(emb, cents, id_col=id_col, vec_col=vec_col)
     cbs = pq_sample_codebooks(rv, dim=dim, m=m, k=k, id_col="vec_id", vec_col="rvec")
     cell_codes = pq_encode(
         rv, cbs, dim=dim, m=m, k=k, id_col="vec_id", vec_col="rvec",
