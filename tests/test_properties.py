@@ -611,3 +611,72 @@ def test_dedup_clusters_incremental_converges_over_batch_chains(
         (r["doc_id"], r["cluster_id"]) for r in dedup_clusters(docs, pdf).collect()
     )
     assert sorted(assignments) == expected
+
+
+@given(
+    sizes=st.lists(
+        st.tuples(
+            st.sampled_from(["p0", "p1"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    target=st.integers(min_value=1, max_value=400),
+)
+@settings(**SETTINGS)
+def test_compaction_plan_matches_python_model(spark, sizes, target):
+    """Random manifests: group_id equals the sequential exclusive-cumsum
+    DIV target + dense renumber model, per partition, including
+    zero-byte files and oversized files."""
+    from kafka_streams_demo_spark.functions.layout import compaction_plan
+
+    rows = [(p, i, b) for i, (p, b) in enumerate(sizes)]
+    files = spark.createDataFrame(rows, "part string, file_id int, bytes long")
+    got = {
+        (r["part"], r["file_id"]): r["group_id"]
+        for r in compaction_plan(files, target, ("part",)).collect()
+    }
+    want = {}
+    for part in {p for p, _, _ in rows}:
+        fs = sorted((f, b) for p, f, b in rows if p == part)
+        cum, dense, seen = 0, {}, 0
+        for f, b in fs:
+            g = cum // target
+            if g not in dense:
+                seen += 1
+                dense[g] = seen
+            want[(part, f)] = dense[g]
+            cum += b
+    assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_hilbert_key_matches_reference_at_8_bits(spark, pts):
+    """Random 8-bit points (identity bucketing over the pinned [0, 255]
+    corner span): the unrolled chain equals the textbook xy2d recurrence
+    at the production bit width, not just the exhaustively-tested 4-bit
+    grid."""
+    from kafka_streams_demo_spark.functions.layout import hilbert_key
+    from tests.test_layout import _hilbert_ref
+
+    # pin the bucket range so (v - mn) DIV ((mx - mn) DIV 256 + 1) = v
+    pts = sorted(set(pts) | {(0, 0), (255, 255)})
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        (r["x"], r["y"]): r["hval"]
+        for r in hilbert_key(df, [F.col("x"), F.col("y")], bits=8).collect()
+    }
+    assert got == {(x, y): _hilbert_ref(256, x, y) for _, x, y in rows}
