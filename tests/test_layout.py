@@ -231,3 +231,28 @@ def test_hilbert_adjacency_beats_zorder_locality(spark):
         return worst
 
     assert worst_bbox(hv) <= worst_bbox(zv)
+
+
+def test_hilbert_layout_write_path_single_range_shuffle(spark):
+    """The write-path arrangement is ONE range shuffle: the plan carries
+    exactly one rangepartitioning Exchange (plus the broadcast of the
+    one-row min/max stats), and rows inside each file are sorted by
+    hval."""
+    from kafka_streams_demo_spark.functions.layout import hilbert_layout
+    from kafka_streams_demo_spark.sources import load_table
+
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    out = hilbert_layout(
+        orders,
+        [F.col("o_custkey"),
+         F.unix_date(F.col("o_orderdate").cast("date")).cast("long")],
+        bits=8, num_files=64,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("rangepartitioning") == 1
+    rows = out.select("file_id", "hval").collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file_id"], []).append(r["hval"])
+    # collect() preserves within-partition order after sortWithinPartitions
+    assert all(vs == sorted(vs) for vs in by_file.values())

@@ -1589,3 +1589,73 @@ def test_semdedup_verdict_stream_maintenance_exactly_once(spark, tmp_path):
     assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 3
     emb.unpersist()
     cents.unpersist()
+
+
+def test_pq_residual_codes_stream_maintenance_exactly_once(spark, tmp_path):
+    """Residual-code index maintenance through streaming: centroids AND
+    codebooks are frozen (both are the stored quantizer), each
+    availableNow batch builds residual frames and codes for ONLY its own
+    vectors and appends through the idempotent sink; the committed codes
+    equal a one-shot residual encode of everything ingested, and a
+    checkpoint rerun appends nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.pq import (
+        pq_encode,
+        pq_residual_frame,
+        pq_sample_codebooks,
+    )
+    from kafka_streams_demo_spark.functions.similarity import ivf_centroids
+    from kafka_streams_demo_spark.sources import load_table
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").limit(100)
+    emb.persist().count()
+    cents = ivf_centroids(emb).localCheckpoint(eager=True)
+    cbs = pq_sample_codebooks(
+        pq_residual_frame(emb, cents), vec_col="rvec"
+    )
+    cbs.persist().count()  # frozen codebooks
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "codes")
+    os.makedirs(out_dir)
+    sink = idempotent_parquet_sink(out_dir)
+
+    def ingest(batch, batch_id):
+        rv = pq_residual_frame(batch, cents)
+        sink(pq_encode(rv, cbs, vec_col="rvec", keep_cols=("cell",)), batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: nothing appended
+    b2 = emb.filter(F.col("vec_id") >= 50).select("vec_id", "embedding")
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    got = read_committed(spark, out_dir).select("vec_id", "cell", "sub", "code")
+    want = pq_encode(
+        pq_residual_frame(emb, cents), cbs, vec_col="rvec", keep_cols=("cell",)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
+    emb.unpersist()
+    cbs.unpersist()
