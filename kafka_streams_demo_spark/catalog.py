@@ -6871,7 +6871,10 @@ def substring_search_rarest_q(spark, sf_dir):
 
 
 def _zorder_oracle() -> str:
-    from kafka_streams_demo_spark.functions.layout import zorder_oracle_terms
+    from kafka_streams_demo_spark.functions.layout import (
+        bucket_expr,
+        zorder_oracle_terms,
+    )
 
     return f"""
     WITH v AS (SELECT o_orderkey, o_custkey AS v0,
@@ -6880,8 +6883,8 @@ def _zorder_oracle() -> str:
     s AS (SELECT min(v0) AS mn0, max(v0) AS mx0,
                  min(v1) AS mn1, max(v1) AS mx1 FROM v),
     b AS (SELECT o_orderkey,
-            (v0 - mn0) // ((mx0 - mn0) // 256 + 1) AS b0,
-            (v1 - mn1) // ((mx1 - mn1) // 256 + 1) AS b1
+            {bucket_expr("v0", "mn0", "mx0", 256, div="//")} AS b0,
+            {bucket_expr("v1", "mn1", "mx1", 256, div="//")} AS b1
           FROM v CROSS JOIN s),
     z AS (SELECT o_orderkey,
                  CAST({zorder_oracle_terms(2, 8)} AS BIGINT) AS zval
@@ -6895,7 +6898,10 @@ def _hilbert_oracle(bits: int = 8) -> str:
     the Spark plan unrolls (layout.hilbert_stage_exprs) — lockstep by
     construction. Per-level suffixed column names keep every reference
     unambiguous (no reliance on either engine's lateral-alias rules)."""
-    from kafka_streams_demo_spark.functions.layout import hilbert_stage_exprs
+    from kafka_streams_demo_spark.functions.layout import (
+        bucket_expr,
+        hilbert_stage_exprs,
+    )
 
     px, py, pd = "x", "y", "d"
     prev = "b"
@@ -6916,8 +6922,8 @@ def _hilbert_oracle(bits: int = 8) -> str:
     s AS (SELECT min(v0) AS mn0, max(v0) AS mx0,
                  min(v1) AS mn1, max(v1) AS mx1 FROM v),
     b AS (SELECT o_orderkey,
-            CAST((v0 - mn0) // ((mx0 - mn0) // 256 + 1) AS BIGINT) AS x,
-            CAST((v1 - mn1) // ((mx1 - mn1) // 256 + 1) AS BIGINT) AS y,
+            CAST({bucket_expr("v0", "mn0", "mx0", 256, div="//")} AS BIGINT) AS x,
+            CAST({bucket_expr("v1", "mn1", "mx1", 256, div="//")} AS BIGINT) AS y,
             CAST(0 AS BIGINT) AS d
           FROM v CROSS JOIN s),
     {chain}

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "bucket_expr",
     "zorder_key",
     "zorder_layout",
     "zorder_oracle_terms",
@@ -37,6 +38,31 @@ __all__ = [
     "hilbert_key",
     "hilbert_layout",
 ]
+
+
+def bucket_expr(v: str, mn: str, mx: str, nb: int, div: str = "DIV") -> str:
+    """Range-bucket formula as ENGINE-NEUTRAL SQL (``div`` = "DIV" for
+    Spark, "//" for DuckDB — the one dialect difference), mapping v ∈
+    [mn, mx] to a bucket in [0, nb).
+
+    Hybrid precision/overflow form: the exact multiply formula
+    ``((v - mn) * nb) DIV (span + 1)`` uses ALL nb buckets but overflows
+    int64 once span ≥ 2^63/nb; the division formula
+    ``(v - mn) DIV (span DIV nb + 1)`` never overflows but can use as few
+    as ~nb/2 buckets when span is slightly above a multiple of nb
+    (coarsening z-order/Hilbert resolution). The CASE keeps the exact
+    form wherever the multiply provably fits (span < 2^63/nb — i.e.
+    every realistic key span) and falls back to the overflow-safe form
+    only in the 62-bit regime, preserving range safety AND small-span
+    exactness. Both engines evaluate the identical string, so catalog
+    oracles stay in lockstep by construction."""
+    span = f"({mx} - {mn})"
+    safe = (1 << 63) // nb
+    return (
+        f"(CASE WHEN {span} < {safe}"
+        f" THEN (({v} - {mn}) * {nb}) {div} ({span} + 1)"
+        f" ELSE ({v} - {mn}) {div} ({span} {div} {nb} + 1) END)"
+    )
 
 
 def zorder_key(
@@ -56,17 +82,15 @@ def zorder_key(
         *[F.max(f"_zv{i}").alias(f"_mx{i}") for i in range(nd)],
     )
     j = vals.crossJoin(F.broadcast(stats))
-    # exact integer bucketing, multiply-free: (v - mn) DIV ((mx - mn) DIV
-    # nb + 1) ∈ [0, nb). The multiply form ((v-mn)*nb) DIV (mx-mn+1)
-    # overflows long once the span exceeds 2^63/nb — the very 62-bit
-    # regime this module targets; the DIV form supports any span
-    # representable in int64 (span = mx - mn must fit, the hard bound
-    # for ANY int64 bucketing — documented, not silently violated).
+    # hybrid exact-integer bucketing (see bucket_expr): multiply form
+    # where it provably fits int64, overflow-safe DIV form in the 62-bit
+    # regime — never long/long double division (53-bit mantissa
+    # misassigns buckets at 62-bit magnitudes, the round-5 lesson).
     bucketed = j.select(
         "*",
         *[
             F.expr(
-                f"(_zv{i} - _mn{i}) DIV ((_mx{i} - _mn{i}) DIV {nb} + 1)"
+                bucket_expr(f"_zv{i}", f"_mn{i}", f"_mx{i}", nb)
             ).alias(f"_zb{i}")
             for i in range(nd)
         ],
@@ -233,7 +257,7 @@ def hilbert_key(
         "*",
         *[
             F.expr(
-                f"(_zv{i} - _mn{i}) DIV ((_mx{i} - _mn{i}) DIV {nb} + 1)"
+                bucket_expr(f"_zv{i}", f"_mn{i}", f"_mx{i}", nb)
             ).alias(f"_zb{i}")
             for i in range(nd)
         ],

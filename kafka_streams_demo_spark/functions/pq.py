@@ -103,28 +103,117 @@ def pq_sample_codebooks(
     )
 
 
-def _codebook_literal(codebooks: DataFrame, m: int, k: int) -> Column:
-    """Collect the (sub, code, cvec) table — driver-bounded at m·k rows —
-    into a nested literal: array[m] of array[≤k] of struct(code, cvec),
-    per-sub codeword order = code order (the argmin fold's tie order)."""
+# m·k·ds codebook elements above which pq_encode abandons the SQL
+# literal for the Arrow broadcast-matrix kernel — same rationale and
+# scale as similarity.IVF_LITERAL_MAX_ELEMENTS: the literal is free at
+# the m=8/k=16 contract (~1k elements) but a production PQ at k=256
+# over dim 768 embeds MBs of SQL text, growing parse/codegen cost with
+# the plan string. Both branches are zero-Exchange map passes; parity
+# is pinned in tests/test_pq.py.
+PQ_LITERAL_MAX_ELEMENTS = 32768
+
+
+def _collect_codebooks(codebooks: DataFrame, m: int) -> dict[int, list]:
+    """{sub: [(code, cvec), ...] sorted by code — the argmin fold's tie
+    order}. Driver-bounded at m·k rows; both encode branches start
+    here."""
     rows = codebooks.collect()
     by_sub: dict[int, list] = {}
     for r in rows:
-        by_sub.setdefault(r["sub"], []).append((r["code"], [float(x) for x in r["cvec"]]))
+        by_sub.setdefault(r["sub"], []).append(
+            (r["code"], [float(x) for x in r["cvec"]])
+        )
+    for s in range(m):
+        by_sub[s] = sorted(by_sub.get(s, []))
+        if not by_sub[s]:
+            raise ValueError(f"codebook has no codewords for subspace {s}")
+    return by_sub
+
+
+def _codebook_literal(by_sub: dict[int, list], m: int) -> Column:
+    """The collected codebooks as a nested literal: array[m] of
+    array[≤k] of struct(code, cvec), per-sub codeword order = code
+    order."""
     # ONE parsed SQL literal instead of per-element F.lit columns (a py4j
     # round-trip each — ~1 s of driver overhead at m·k·ds = 1024 lits);
     # repr() round-trips doubles exactly through the string cast.
     subs = []
     for s in range(m):
-        cws = sorted(by_sub.get(s, []))
-        if not cws:
-            raise ValueError(f"codebook has no codewords for subspace {s}")
         structs = []
-        for c, v in cws:
+        for c, v in by_sub[s]:
             arr = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in v)
             structs.append(f"named_struct('code', {int(c)}, 'cvec', array({arr}))")
         subs.append("array(" + ",".join(structs) + ")")
     return F.expr("array(" + ",".join(subs) + ")")
+
+
+def _make_pq_encode_kernel(by_sub: dict[int, list], dim: int, m: int, keep_cols: tuple):
+    """Factory for the Arrow encode kernel (by-value closure for worker
+    safety). Per subspace the |B|×k squared-distance block is one numpy
+    broadcast; argmin's first-occurrence rule over codewords sorted by
+    code replays the fold's first-wins (= smallest code) tie order;
+    rounding replays ROUND(d2, 6) exactly via the midpoint-band Decimal
+    rounder (captured by value — nothing resolves against this module on
+    workers)."""
+    from kafka_streams_demo_spark.functions.similarity import make_round6_block
+
+    round6_block = make_round6_block()
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        ds = dim // m
+        cods = {s: [c for c, _ in by_sub[s]] for s in range(m)}
+        mats = {
+            s: np.asarray([v for _, v in by_sub[s]], dtype=np.float64)
+            for s in range(m)
+        }
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"pq_encode: vector length {V.shape[1]} != dim={dim}"
+                )
+            nb = len(pdf)
+            parts = []
+            for s in range(m):
+                Vs = V[:, s * ds:(s + 1) * ds]
+                Cs = mats[s]
+                diff = Vs[:, None, :] - Cs[None, :, :]
+                d2 = np.einsum("bkd,bkd->bk", diff, diff)
+
+                def exact(i, j, Vs=Vs, Cs=Cs):
+                    acc = 0.0
+                    for t in range(ds):
+                        dd = Vs[i, t] - Cs[j, t]
+                        acc += dd * dd
+                    return acc
+
+                r = round6_block(d2, exact)
+                # NULL/NaN elements: the fold's NaN-compares-false keeps
+                # the −1 init when NO codeword yields a finite distance;
+                # finite codewords still compete. Replay exactly.
+                rr = np.where(np.isfinite(r), r, np.inf)
+                best = np.argmin(rr, axis=1)
+                code = np.asarray([cods[s][b] for b in best], dtype=np.int32)
+                code[np.isinf(rr).all(axis=1)] = -1
+                part = pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values,
+                        **{c: pdf[c].values for c in keep_cols},
+                        "sub": np.full(nb, s, dtype=np.int32),
+                        "code": code,
+                    }
+                )
+                parts.append(part)
+            yield pd.concat(parts, ignore_index=True)
+
+    return run
 
 
 def pq_encode(
@@ -136,24 +225,64 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple = (),
+    literal_max_elements: int | None = None,
 ) -> DataFrame:
     """(vec_id, [keep_cols...,] sub, code) PQ codes — the 32×-smaller
     searchable corpus.
 
-    ROW-LOCAL: the codebook literal rides inside one Project, the
-    argmin is a fold over the k codewords per subspace, and the only
-    row expansion is the final posexplode of the m-code array — no
-    Exchange anywhere (tests/test_pq.py pins the shuffle-free plan).
-    Argmin compares ROUND(d2, 6) with first-wins (= smallest code) tie
-    order, mirroring the oracle's (ROUND(d2,6), code) row_number.
-    ``keep_cols`` ride through the map-only pass (e.g. the IVF cell
-    label) so callers never pay a corpus-keyed re-join to recover
-    them."""
-    cb_lit = _codebook_literal(codebooks, m, k)
+    ROW-LOCAL: below ``literal_max_elements`` (default
+    PQ_LITERAL_MAX_ELEMENTS) the codebook literal rides inside one
+    Project, the argmin is a fold over the k codewords per subspace,
+    and the only row expansion is the final posexplode of the m-code
+    array — no Exchange anywhere (tests/test_pq.py pins the
+    shuffle-free plan). Above it (production k·dim — see the constant's
+    rationale) the same encode runs as an Arrow mapInPandas kernel over
+    closure-shipped codebook matrices: still zero-Exchange, no SQL
+    literal; parity between the branches is test-pinned. Argmin
+    compares ROUND(d2, 6) with first-wins (= smallest code) tie order,
+    mirroring the oracle's (ROUND(d2,6), code) row_number. ``keep_cols``
+    ride through the map-only pass (e.g. the IVF cell label) so callers
+    never pay a corpus-keyed re-join to recover them. Vectors whose
+    length != dim raise (assert_true / kernel check) instead of
+    silently emitting the no-match code −1 the argmin init would
+    produce; NULL vector ELEMENTS still yield no-match codes — the
+    ADC scorers exclude those vectors via their exactly-m-entries
+    group guard."""
+    by_sub = _collect_codebooks(codebooks, m)
     ds = dim // m
+    cap = (
+        PQ_LITERAL_MAX_ELEMENTS
+        if literal_max_elements is None
+        else literal_max_elements
+    )
+    n_elems = sum(len(v) for cws in by_sub.values() for _, v in cws)
     keep = [F.col(c) for c in keep_cols]
-    # subvector arrays bound behind their own select (HOF re-eval rule)
-    sv = emb.select(
+    if n_elems > cap:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        vecs = emb.select(
+            F.col(id_col).alias("vec_id"),
+            *keep,
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        schema = StructType(
+            [vecs.schema["vec_id"]]
+            + [vecs.schema[c] for c in keep_cols]
+            + [StructField("sub", IntegerType()), StructField("code", IntegerType())]
+        )
+        return vecs.mapInPandas(
+            _make_pq_encode_kernel(by_sub, dim, m, tuple(keep_cols)), schema
+        )
+    cb_lit = _codebook_literal(by_sub, m)
+    # subvector arrays bound behind their own select (HOF re-eval rule);
+    # the assert_true filter fails loudly on malformed vector lengths
+    # instead of letting every subspace d2 go NULL → code −1.
+    sv = emb.filter(
+        F.assert_true(
+            F.size(F.col(vec_col)) == dim,
+            F.lit(f"pq_encode: {vec_col} length != dim={dim}"),
+        ).isNull()
+    ).select(
         F.col(id_col).alias("vec_id"),
         *keep,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -257,8 +386,13 @@ def pq_adc_topk(
                     lambda acc, x: acc + x,
                 ),
                 6,
-            ).alias("adist")
+            ).alias("adist"),
+            F.count(F.lit(1)).alias("_nm"),
         )
+        # exactly m matched table entries per (q, v): a no-match code
+        # (malformed vector → −1) must exclude the vector, not let it
+        # rank with a spuriously small partial sum
+        .filter(F.col("_nm") == m)
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
     return (
@@ -314,9 +448,14 @@ def ivf_pq_topk(
     ).select(F.col("vid").alias("q_id"), "cell")
 
     cbs = pq_sample_codebooks(emb, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(emb, cbs, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col)
-    cell_codes = codes.join(
-        asg.select(F.col("vid").alias("vec_id"), "cell"), "vec_id"
+    # encode the ASSIGNED frame with the cell riding keep_cols — the
+    # whole corpus-side chain stays two map-only passes; the previous
+    # codes⋈assignments formulation was a corpus×corpus re-join by
+    # vec_id (shuffling both corpus-sized frames), exactly what
+    # keep_cols exists to avoid (and what the residual tier already did).
+    cell_codes = pq_encode(
+        asg, cbs, dim=dim, m=m, k=k, id_col="vid", vec_col="vec",
+        keep_cols=("cell",),
     )
     dtab = _query_dtab(qin, cbs, dim, m)
     scored = (
@@ -332,8 +471,13 @@ def ivf_pq_topk(
                     lambda acc, x: acc + x,
                 ),
                 6,
-            ).alias("adist")
+            ).alias("adist"),
+            F.count(F.lit(1)).alias("_nm"),
         )
+        # exactly m matched table entries per (q, v): a no-match code
+        # (malformed vector → −1) must exclude the vector, not let it
+        # rank with a spuriously small partial sum
+        .filter(F.col("_nm") == m)
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
     return (
@@ -470,8 +614,13 @@ def ivf_pq_residual_topk(
                     lambda acc, x: acc + x,
                 ),
                 6,
-            ).alias("adist")
+            ).alias("adist"),
+            F.count(F.lit(1)).alias("_nm"),
         )
+        # exactly m matched table entries per (q, v): a no-match code
+        # (malformed vector → −1) must exclude the vector, not let it
+        # rank with a spuriously small partial sum
+        .filter(F.col("_nm") == m)
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
     return (
@@ -494,7 +643,7 @@ def pq_quantization_error(
     the quantity Lloyd refinement must not increase. Driver-returns one
     double (test/diagnostic helper, not a catalog entry)."""
     ds = dim // m
-    cb_lit = _codebook_literal(codebooks, m, k)
+    cb_lit = _codebook_literal(_collect_codebooks(codebooks, m), m)
     sv = emb.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
     ).select(

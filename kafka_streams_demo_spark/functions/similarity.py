@@ -156,96 +156,235 @@ def ivf_centroids(
     )
 
 
-def _centroid_literal(centroids: DataFrame):
-    """(literal, cell_type): the centroid table — driver-bounded at
-    |cells| rows by the coarse-quantizer contract — as a nested literal
-    array<struct<cell, cvec, nrm>> SORTED BY cell ascending (the
-    argmax fold's tie order), norms precomputed with the same
-    left-to-right IEEE fold ``norm()`` uses so the fast path is
-    bit-equal to the window path."""
-    import math
+# |cells|·dim elements above which the n=1 assignment abandons the SQL
+# literal for the Arrow broadcast-matrix kernel: 32768 elements ≈ 800 KB
+# of rendered SQL text (25 chars/double). Beyond that the literal stops
+# being free — parse/codegen cost grows with the plan STRING, and a
+# production IVF at nlist 10⁴–10⁶ cells × 64 dims would embed tens to
+# hundreds of MB of SQL. Both branches are zero-Exchange map passes;
+# parity is pinned in tests/test_similarity.py.
+IVF_LITERAL_MAX_ELEMENTS = 32768
 
+# SQL types safe to render bare inside CAST(x AS t); anything else
+# (date/timestamp/interval/…) must be single-quoted — bare str(cell)
+# for DATE '2024-01-01' parses as integer subtraction.
+_BARE_CELL_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double", "boolean"}
+)
+
+
+def _collect_centroids(centroids: DataFrame):
+    """(rows sorted by cell ascending — the argmax fold's tie order,
+    cell_type). Driver-bounded at |cells| rows by the coarse-quantizer
+    contract; both the literal and the Arrow branch start here."""
     cell_type = centroids.schema["cell"].dataType
     rows = sorted(centroids.collect(), key=lambda r: r["cell"])
     if not rows:
         raise ValueError("centroid table is empty")
+    return rows, cell_type
+
+
+def _seq_norm(cv: list[float]) -> float:
+    """math.sqrt of the left-to-right IEEE squared sum — bit-equal to the
+    column ``norm()`` fold (same op sequence)."""
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _centroid_literal(rows, cell_type):
+    """The sorted centroid rows as a nested literal
+    array<struct<cell, cvec, nrm>>, norms precomputed with the same
+    left-to-right IEEE fold ``norm()`` uses so the fast path is
+    bit-equal to the window path."""
     # ONE parsed SQL literal instead of per-element F.lit columns: the
     # column-object route costs a py4j round-trip per literal (~0.7 s of
     # pure driver overhead for 10 cells × 64 dims). repr() round-trips
     # doubles exactly through the string cast.
     cell_sql = cell_type.simpleString()
+    bare = cell_sql in _BARE_CELL_TYPES or cell_sql.startswith("decimal")
     structs = []
     for r in rows:
         cv = [float(x) for x in r["centroid"]]
-        acc = 0.0
-        for x in cv:
-            acc += x * x
         cell_lit = (
-            "'" + str(r["cell"]).replace("'", "''") + "'"
-            if cell_sql == "string"
-            else str(r["cell"])
+            str(r["cell"])
+            if bare
+            else "'" + str(r["cell"]).replace("'", "''") + "'"
         )
         arr = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv)
         structs.append(
             f"named_struct('cell', CAST({cell_lit} AS {cell_sql}),"
             f" 'cvec', array({arr}),"
-            f" 'nrm', CAST('{math.sqrt(acc)!r}' AS DOUBLE))"
+            f" 'nrm', CAST('{_seq_norm(cv)!r}' AS DOUBLE))"
         )
-    return F.expr("array(" + ",".join(structs) + ")"), cell_type
+    return F.expr("array(" + ",".join(structs) + ")")
+
+
+def make_round6_block():
+    """Factory (by-value closure for worker safety) for the kernel-side
+    6-dp rounder: fast numpy half-even everywhere, then EXACT Decimal
+    HALF_UP replay for entries inside the midpoint band
+    (|frac(x·1e6) − 0.5| < 1e-6 — generous vs the ~1e-14 ulp divergence
+    a blocked numpy reduction can accumulate against the sequential
+    column fold, so every possible half-even/half-up or last-ulp flip is
+    re-resolved exactly). ``exact_fn(i, j) -> float`` must recompute the
+    UNROUNDED value with the column path's exact IEEE op sequence."""
+
+    def round6_block(arr, exact_fn):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as _np
+
+        q6 = Decimal("0.000001")
+        r = _np.round(arr, 6)
+        scaled = arr * 1e6
+        frac = scaled - _np.floor(scaled)
+        band = _np.abs(frac - 0.5) < 1e-6
+        for idx in zip(*_np.nonzero(band)):
+            r[idx] = float(
+                Decimal(exact_fn(*idx)).quantize(q6, rounding=ROUND_HALF_UP)
+            )
+        return r
+
+    return round6_block
+
+
+def _make_ivf_assign_kernel(cells, cmat, cnrms):
+    """Factory for the Arrow assignment kernel (by-value closure for
+    worker safety — everything the kernel touches is defined in a
+    <locals> scope, nothing resolves against this module on workers).
+    Each batch scores |B|×|cells| via one matmul; the argmax's
+    first-occurrence rule over cells sorted ascending replays the
+    fold's strict-> / lowest-cell tie order; rounding replays the
+    column path exactly via the midpoint-band Decimal rounder."""
+    round6_block = make_round6_block()
+
+    def run(it):
+        import math
+
+        import numpy as _np
+
+        C = _np.asarray(cmat, dtype=_np.float64)  # |cells| × dim
+        cn = _np.asarray(cnrms, dtype=_np.float64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = _np.array(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["vec"]]
+            )
+            vn = _np.sqrt(_np.einsum("ij,ij->i", V, V))
+            cos = (V @ C.T) / _np.outer(vn, cn)
+
+            def exact(i, j):
+                vi, cj = V[i], C[j]
+                acc = 0.0
+                nsq = 0.0
+                for t in range(vi.shape[0]):
+                    acc += vi[t] * cj[t]
+                    nsq += vi[t] * vi[t]
+                return acc / (math.sqrt(nsq) * cn[j])
+
+            r = round6_block(cos, exact)
+            best = _np.argmax(r, axis=1)
+            out = pdf[["vid", "vec"]].copy()
+            out["cell"] = [cells[b] for b in best]
+            yield out
+
+    return run
+
+
+def _ivf_assign_arrow(
+    vectors: DataFrame, rows, cell_type,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """The above-threshold n=1 branch: the centroid matrix ships as a
+    numpy array inside the kernel closure (serialized ONCE per task via
+    the broadcast-pickled function, never as SQL text), scoring is one
+    matmul per Arrow batch — still a zero-Exchange map-only pass, with
+    none of the literal path's parse/codegen growth."""
+    from pyspark.sql.types import StructField, StructType
+
+    cells = [r["cell"] for r in rows]
+    cmat = [[float(x) for x in r["centroid"]] for r in rows]
+    cnrms = [_seq_norm(cv) for cv in cmat]
+    vecs = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    schema = StructType(
+        list(vecs.schema.fields) + [StructField("cell", cell_type)]
+    )
+    return vecs.mapInPandas(_make_ivf_assign_kernel(cells, cmat, cnrms), schema)
 
 
 def ivf_assign(
     vectors: DataFrame, centroids: DataFrame, n: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    literal_max_elements: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``n`` nearest centroids by cosine
     (rounded to 6 dp for cross-engine determinism; ties break on cell id).
 
-    n=1 (the corpus-side path) is a ROW-LOCAL argmax fold over the
-    centroid table embedded as a literal (|cells| rows — driver-bounded
-    by the coarse-quantizer contract, the same collect bound as PQ's
-    codebook literal): one Project, NO Exchange — at 100 TB the
-    corpus-wide assignment is a map-only pass. The previous
+    n=1 (the corpus-side path) is a ROW-LOCAL pass — at 100 TB the
+    corpus-wide assignment never shuffles. Below
+    ``literal_max_elements`` (default IVF_LITERAL_MAX_ELEMENTS) the
+    centroid table rides the plan as one SQL literal and the argmax is
+    a codegen'd fold: one Project, NO Exchange. Above it (production
+    nlist ≫ the 10–100-cell contract) the same assignment runs as an
+    Arrow mapInPandas kernel over a closure-shipped numpy matrix —
+    still zero-Exchange, without the literal's parse/codegen blowup.
+    Both branches replay identical rounding/tie semantics; parity and
+    both plans are pinned in tests/test_similarity.py. The previous
     formulation (broadcast join + row_number window) shuffled
     |corpus|×|cells| scored rows just to pick each vector's max;
-    bit-equality of the fold to that window is pinned in
-    tests/test_similarity.py. n>1 (the query-side probe path — tiny
-    input) keeps the window formulation."""
-    if n == 1:
-        cb_lit, cell_type = _centroid_literal(centroids)
-        vecs = vectors.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-        ).select(
-            "vid", "vec",
-            F.transform(F.col("vec"), lambda x: x.cast("double")).alias("_vd"),
-            norm(F.col("vec")).alias("_vnrm"),
-            cb_lit.alias("_cb"),
-        )
+    bit-equality of the fold to that window is also test-pinned. n>1
+    (the query-side probe path — tiny input) keeps the window
+    formulation."""
+    if n != 1:
+        return _ivf_assign_window(vectors, centroids, n, id_col, vec_col)
+    rows, cell_type = _collect_centroids(centroids)
+    cap = (
+        IVF_LITERAL_MAX_ELEMENTS
+        if literal_max_elements is None
+        else literal_max_elements
+    )
+    if sum(len(r["centroid"]) for r in rows) > cap:
+        return _ivf_assign_arrow(vectors, rows, cell_type, id_col, vec_col)
+    cb_lit = _centroid_literal(rows, cell_type)
+    vecs = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).select(
+        "vid", "vec",
+        F.transform(F.col("vec"), lambda x: x.cast("double")).alias("_vd"),
+        norm(F.col("vec")).alias("_vnrm"),
+        cb_lit.alias("_cb"),
+    )
 
-        def ccos(c):
-            dp = F.aggregate(
-                F.zip_with(F.col("_vd"), c["cvec"], lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            return F.round(dp / (F.col("_vnrm") * c["nrm"]), 6)
+    def ccos(c):
+        dp = F.aggregate(
+            F.zip_with(F.col("_vd"), c["cvec"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(dp / (F.col("_vnrm") * c["nrm"]), 6)
 
-        init = F.struct(
-            F.lit(float("-inf")).alias("ccos"),
-            F.lit(None).cast(cell_type).alias("cell"),
-        )
-        # cells iterate in ascending order, strict > keeps the lowest
-        # cell among rounded-cosine ties — the window's (DESC, ASC) rule
-        best = F.aggregate(
-            F.col("_cb"),
-            init,
-            lambda acc, c: F.when(
-                ccos(c) > acc["ccos"],
-                F.struct(ccos(c).alias("ccos"), c["cell"].alias("cell")),
-            ).otherwise(acc),
-        )
-        return vecs.select("vid", "vec", best["cell"].alias("cell"))
-    return _ivf_assign_window(vectors, centroids, n, id_col, vec_col)
+    init = F.struct(
+        F.lit(float("-inf")).alias("ccos"),
+        F.lit(None).cast(cell_type).alias("cell"),
+    )
+    # cells iterate in ascending order, strict > keeps the lowest
+    # cell among rounded-cosine ties — the window's (DESC, ASC) rule
+    best = F.aggregate(
+        F.col("_cb"),
+        init,
+        lambda acc, c: F.when(
+            ccos(c) > acc["ccos"],
+            F.struct(ccos(c).alias("ccos"), c["cell"].alias("cell")),
+        ).otherwise(acc),
+    )
+    return vecs.select("vid", "vec", best["cell"].alias("cell"))
 
 
 def _ivf_assign_window(

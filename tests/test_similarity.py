@@ -396,3 +396,39 @@ def test_ivf_assign_fold_is_bit_equal_to_window_and_shuffle_free(spark):
     got2 = ivf_assign(tied, cents2, n=1).collect()
     assert [(r["vid"], r["cell"]) for r in got2] == [(1, 3)]
     cents.unpersist()
+
+
+def test_ivf_assign_arrow_branch_parity_and_no_exchange(spark):
+    """Above IVF_LITERAL_MAX_ELEMENTS the n=1 assignment must switch to
+    the Arrow broadcast-matrix kernel (no SQL literal — production nlist
+    would embed MBs of plan text) and return EXACTLY what the literal
+    fold returns, including rounded-cosine tie cells; both branches'
+    plans must be Exchange-free (the 100 TB map-only contract)."""
+    from kafka_streams_demo_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids(emb).persist()
+    fold = ivf_assign(emb, cents, n=1)
+    arrow = ivf_assign(emb, cents, n=1, literal_max_elements=0)
+    plan_f = fold._jdf.queryExecution().executedPlan().toString()
+    plan_a = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_f
+    assert "Exchange" not in plan_a
+    assert "named_struct" not in plan_a  # no literal rode into the kernel plan
+    got = sorted((r["vid"], r["cell"]) for r in arrow.collect())
+    want = sorted((r["vid"], r["cell"]) for r in fold.collect())
+    assert got == want and len(got) == emb.count()
+
+    # the hand-built exact tie must break identically (lower cell)
+    cents2 = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [0.0, 1.0])], "cell int, centroid array<double>"
+    )
+    tied = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    got2 = ivf_assign(tied, cents2, n=1, literal_max_elements=0).collect()
+    assert [(r["vid"], r["cell"]) for r in got2] == [(1, 3)]
+    cents.unpersist()
