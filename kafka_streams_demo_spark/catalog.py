@@ -7981,51 +7981,69 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # codecs (jpeg_decode_subsampled anchors; progressive/restart/gif green
 # r7 on record). Whole 50-name window re-verified with check_oracle at
 # sf0.01 before commit (standing rule).
+# ROUND-9 ROTATION (VERDICT r8 task 1 — the never-checked sweep, part
+# 2): 42 of the 50 slots go to entries that have NEVER earned an
+# external CORRECTNESS row (54 such oracled entries existed after r8;
+# the remaining 12 stay local-sweep-verified and queue for r10). All
+# 42 demotions are driver-green in CORRECTNESS_r08.json, so every
+# demoted family keeps a green ON RECORD. Eight anchors stay: six §2
+# family representatives (word_count — stateless/grouping/scalar-fn
+# chain; q1_pricing_summary — TPC-H agg; ktable_latest — KTable;
+# stream_table_join_segment — the flagship join;
+# processor_running_count — Processor API through real streaming;
+# avro_wire_roundtrip — serde), plus the two whose code paths CHANGED
+# this round and must re-earn green (ann_ivf_topk — ivf_assign grew
+# the literal/Arrow dispatch; zorder_layout — hybrid bucket formula,
+# oracle regenerated in lockstep). The PQ seven + semdedup pair +
+# hilbert/compaction/recall-report also changed or landed this round
+# and rotate IN, never having been driver-checked. §2 family coverage
+# among incomers: joins add asof_join_purchase_1h + the semi/anti
+# pair; windows add session_window_sum_cents; SCD2 adds
+# scd2_current_view; sketches add the CMS pair + hll_distinct_users +
+# kmv_overlap_event_types; analytics adds rollup/cube/pivot/top-k/
+# funnel/journey/gapfill/corr/percentiles; codecs add
+# jpeg_decode_all_layouts. Whole 50-name window re-verified with
+# check_oracle at sf0.01 before commit (standing rule).
 DRIVER_PRIORITY: list[str] = [
-    # §2 anchors (driver-green r7, families stay represented)
-    "branch_c", "word_count",
-    "ktable_latest", "processor_running_count", "json_extract_sum",
-    "sliding_window_full_count", "stream_table_join_segment",
-    "asof_join_purchase", "q1_pricing_summary", "avro_wire_roundtrip",
-    # dedup / ingest anchors + the md5-keyed span pair proof (incoming)
-    "pipeline_ingest_incremental", "ngram_span_dedup",
-    "ngram_span_dedup_hashed",
-    # retrieval / ANN anchors + incoming postings maintenance
-    "bm25_search_multi", "ann_ivf_topk", "bm25_postings_incremental",
-    # substring-search trio (incoming, never driver-checked)
-    "substring_search_index", "substring_search_incremental",
-    "substring_search_rarest",
-    # LM / curation stack (incoming)
-    "ccnet_perplexity", "ccnet_perplexity_incremental",
-    "dsir_select", "domain_cap_sample", "token_drift_kl",
-    "pipeline_quality_curation",
-    # sampling / sharding / mixture (incoming)
-    "weighted_sample_quality", "weighted_sample_per_source",
-    "shard_manifest", "curriculum_phases",
-    # KMV triad + grouped sketches (incoming; hll anchor stays)
-    "hll_registers_users",
-    "kmv_sketch_users", "kmv_distinct_users", "kmv_merge_incremental",
-    "kmv_jaccard_click_purchase", "hll_distinct_by_type",
-    # SCD2: anchors re-earn green post-merge-fix + incoming finishers
-    "scd2_user_history", "scd2_merge_incremental",
-    "scd2_asof_enrich", "scd2_compact_retention",
-    # graph: anchors re-earn green post-pagerank-fix + incoming
-    "triangle_counts_coorder", "pagerank_cust_supp",
-    "clustering_coefficient", "event_paths_topk",
-    # linkage / layout / range tier (incoming; zorder re-earns post-fix)
-    "fuzzy_pairs_part_names", "zorder_layout", "band_join_error_purchase",
-    # analytics tier (incoming)
-    "moving_avg_per_user", "robust_zscore_outliers",
-    "unpivot_charge_components",
-    # codecs anchor
-    "jpeg_decode_subsampled",
+    # §2 anchors (r8-green; families stay represented in-window)
+    "word_count", "q1_pricing_summary", "ktable_latest",
+    "stream_table_join_segment", "processor_running_count",
+    "avro_wire_roundtrip",
+    # changed-this-round anchors re-earning green
+    "ann_ivf_topk", "zorder_layout",
+    # PQ / IVFADC seven (landed r8, never driver-checked; encode path
+    # changed again this round — assigned-frame encode + guards)
+    "pq_encode_corpus", "pq_encode_incremental", "ann_pq_adc_topk",
+    "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk",
+    "pq_residual_encode_corpus", "pq_residual_encode_incremental",
+    # semantic dedup over IVF cells + the ANN diagnostics/layout tier
+    "semdedup_cells", "semdedup_cells_incremental",
+    "ann_recall_report", "ann_ivf_int8_topk",
+    "compaction_plan", "hilbert_layout",
+    # sketches: CMS pair + the estimate finishers
+    "cms_sketch_users", "cms_point_queries", "hll_distinct_users",
+    "kmv_overlap_event_types",
+    # retrieval / dedup / curation never-checked tier
+    "tfidf_doc_pairs", "dedup_embedding_cosine", "embedding_knn_blocked",
+    "pipeline_clean_corpus", "pipeline_keeplist",
+    "contamination_check", "quality_score", "pii_scan",
+    # codecs
+    "jpeg_decode_all_layouts",
+    # engine-completeness tail (OLAP/analytics surface)
+    "rollup_revenue", "cube_status_priority", "pivot_priority_by_nation",
+    "top3_orders_per_cust", "funnel_signup_click_purchase",
+    "user_journey_paths", "daily_rollup_gapfill", "sample_split_train",
+    "vocab_token_freq", "corr_qty_price", "exact_percentiles_value",
+    "scd2_current_view", "session_window_sum_cents",
+    "asof_join_purchase_1h", "orders_high_value_semi",
+    "customers_without_orders_anti",
 ]
-# Round-9 rotation candidates (registered + locally hash-verified in r8,
-# awaiting a driver slot): the PQ family (pq_encode_corpus,
-# pq_encode_incremental, ann_pq_adc_topk, ann_ivf_pq_topk,
-# ann_ivf_pq_residual_topk), ann_recall_report, semdedup_cells (+
-# semdedup_cells_incremental), compaction_plan, hilbert_layout, the residual-encode pair
-# (pq_residual_encode_corpus/_incremental).
+# Still awaiting a first driver slot after this rotation (all green in
+# the local full-catalog sweep): ann_topk_bruteforce,
+# embedding_quantize_int8, fingerprint_bow, histogram_event_values,
+# interarrival_stats, multimodal_meta, percentile_value_by_type,
+# ppm_frames_meta, repetition_ratio, running_sum_per_user,
+# sample_per_source, set_ops_all_multiset — rotate these in r10.
 
 
 def _priority_order(names) -> list[str]:
