@@ -541,9 +541,16 @@ def minhash_lsh_pairs_incremental(
         .union(candidates.select(F.col("j").alias(id_col)))
         .distinct()
     )
+    # persist the verified-side shingle sets too: di and dj are two
+    # references to this frame, and without the cache Catalyst replans
+    # the corpus semi-join + tokenize/shingle pipeline PER SIDE (the
+    # r7/r8 no-cross-branch-dedup lesson — measured as 4 doc_id
+    # exchanges and a double corpus scan at sf0.01). Candidate-sized,
+    # released with the same release_caches() contract.
     cand_ds = doc_shingle_sets(
         corpus.join(hint(cand_ids), id_col, "left_semi"), n, text_col, id_col
-    )
+    ).persist()
+    _track_cache(cand_ds)
     di, dj = cand_ds.alias("di"), cand_ds.alias("dj")
     return (
         hint(candidates).join(di, F.col("i") == F.col("di.doc_id"))

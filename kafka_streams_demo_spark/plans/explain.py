@@ -70,9 +70,20 @@ def audit(df: DataFrame) -> PlanAudit:
     plan = formatted_plan(df)
     simple = formatted_plan(df, "simple")
     a = PlanAudit(plan=plan)
-    a.exchanges = len(re.findall(r"^\s*[*+:\-\s]*Exchange", plan, re.M)) or plan.count(
-        " Exchange "
+    # Count PHYSICAL exchange nodes, not textual occurrences: a persisted
+    # subtree is re-printed under every InMemoryTableScan that reads it,
+    # so text counting multiplies its exchanges by the number of cache
+    # readers even though they materialize once (minhash_lsh_incremental
+    # read 29 where 9 shuffle nodes exist). plan_id is stable per node
+    # across re-prints — dedupe on it; fall back to text counting when
+    # the string carries no plan_ids.
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    shuffle_ids = set(
+        re.findall(r"(?<![A-Za-z])Exchange [^\n]*?\[plan_id=(\d+)\]", ep)
     )
+    a.exchanges = len(shuffle_ids) or len(
+        re.findall(r"^\s*[*+:\-\s]*Exchange", plan, re.M)
+    ) or plan.count(" Exchange ")
     a.broadcast_joins = plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     )
