@@ -1659,3 +1659,353 @@ def test_pq_residual_codes_stream_maintenance_exactly_once(spark, tmp_path):
     assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
     emb.unpersist()
     cbs.unpersist()
+
+
+def test_cms_sketch_stream_maintenance_exactly_once(spark, tmp_path):
+    """CMS maintenance through streaming (VERDICT r8 task 4 — the last
+    sketch family without a drive): each availableNow micro-batch
+    commits its (row, bucket, cnt) partial through the idempotent sink;
+    cms_merge over the committed partials equals the one-shot sketch
+    over everything ingested EXACTLY (counters are linear), and a
+    checkpoint rerun commits no new partial."""
+    import os
+
+    from kafka_streams_demo_spark.functions.sketches import cms_merge, cms_sketch
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "cms")
+    os.makedirs(out_dir)
+    schema = "user_id long"
+    sink = idempotent_parquet_sink(out_dir)
+
+    def ingest(batch, batch_id):
+        sink(cms_sketch(batch, "user_id", depth=3, width=64), batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame([(i % 37,) for i in range(200)], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: no new partial
+    b2 = spark.createDataFrame([(i % 61,) for i in range(150)], schema)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    merged = cms_merge(
+        read_committed(spark, out_dir).select("row", "bucket", "cnt")
+    )
+    want = cms_sketch(b1.unionByName(b2), "user_id", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
+
+
+def test_substring_index_stream_maintenance_exactly_once(spark, tmp_path):
+    """Char-gram-index maintenance through streaming (VERDICT r8 task
+    5): posting rows are row-local and deterministic per doc, so append
+    IS maintenance — each availableNow batch indexes ONLY its own
+    documents; substring search over the committed index equals search
+    over a one-shot index of everything ingested, and a checkpoint
+    rerun appends nothing."""
+    import os
+
+    from kafka_streams_demo_spark.functions.text import (
+        char_gram_index,
+        substring_find,
+    )
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "grams")
+    os.makedirs(out_dir)
+    schema = "doc_id long, text string"
+    sink = idempotent_parquet_sink(out_dir)
+
+    def ingest(batch, batch_id):
+        sink(char_gram_index(batch, n=4), batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(1, "full table scan over parquet"), (2, "table scan with pruning")],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: nothing appended
+    b2 = spark.createDataFrame(
+        [(3, "no scan here at all... table scan again"), (4, "unrelated text")],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    committed = read_committed(spark, out_dir).select("doc_id", "gram", "pos")
+    got = substring_find(None, "table scan", n=4, index=committed)
+    want = substring_find(b1.unionByName(b2), "table scan", n=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
+
+
+def _docs_before(spark, docs_root, batch_id, schema):
+    """Union of doc batches committed by EARLIER batch ids (rerun-safe:
+    the current batch's own prior half-write never feeds itself)."""
+    import os
+
+    dirs = [
+        os.path.join(docs_root, d)
+        for d in os.listdir(docs_root)
+        if d.startswith("batch_id=")
+        and int(d.split("=")[1]) < batch_id
+        and os.path.exists(os.path.join(docs_root, d, "_COMMITTED"))
+    ]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def test_ngram_jaccard_incremental_stream_drive_exactly_once(spark, tmp_path):
+    """Exact-Jaccard pair maintenance through streaming (VERDICT r8 task
+    5): each availableNow batch emits pairs TOUCHING ITS OWN DOCS
+    against the corpus committed so far (the index+delta contract), and
+    commits both the pairs and its docs through idempotent sinks. Every
+    pair (i, j) is emitted by exactly the batch that ingested its
+    later-arriving member, so the UNION of committed pair-batches
+    equals the one-shot batch pairs over everything — and a checkpoint
+    rerun commits nothing new."""
+    import os
+
+    from kafka_streams_demo_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental,
+    )
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    pairs_dir = str(tmp_path / "pairs")
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(pairs_dir)
+    os.makedirs(docs_dir)
+    schema = "doc_id long, text string"
+    pair_sink = idempotent_parquet_sink(pairs_dir)
+    doc_sink = idempotent_parquet_sink(docs_dir)
+
+    def ingest(batch, batch_id):
+        corpus = _docs_before(spark, docs_dir, batch_id, schema).unionByName(batch)
+        pair_sink(
+            ngram_jaccard_pairs_incremental(
+                batch, corpus, n=3, threshold=0.5, max_doc_freq=None
+            ),
+            batch_id,
+        )
+        doc_sink(batch, batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (5, "something entirely different here")],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: nothing committed twice
+    b2 = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog"),
+         (4, "something entirely different here too")],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    got = read_committed(spark, pairs_dir).select("i", "j", "jaccard")
+    want = ngram_jaccard_pairs(
+        b1.unionByName(b2), n=3, threshold=0.5, max_doc_freq=None
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert len(want.collect()) > 0
+    assert len([d for d in os.listdir(pairs_dir) if d.startswith("batch_id=")]) == 2
+
+
+def test_embedding_cosine_incremental_stream_drive_exactly_once(spark, tmp_path):
+    """Dense-vector near-dup maintenance through streaming (VERDICT r8
+    task 5): each availableNow batch emits cosine pairs touching its
+    own vectors against the committed index, then appends its vectors —
+    the union of committed pair-batches equals the one-shot
+    embedding_cosine_pairs over everything ingested (every pair is
+    emitted by its later member's batch exactly once)."""
+    import os
+
+    from kafka_streams_demo_spark.functions.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_incremental,
+    )
+    from kafka_streams_demo_spark.sources import load_table
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    pairs_dir = str(tmp_path / "pairs")
+    vecs_dir = str(tmp_path / "vecs")
+    os.makedirs(pairs_dir)
+    os.makedirs(vecs_dir)
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    schema = "vec_id long, embedding array<float>, label int"
+    pair_sink = idempotent_parquet_sink(pairs_dir)
+    vec_sink = idempotent_parquet_sink(vecs_dir)
+
+    def ingest(batch, batch_id):
+        index = _docs_before(spark, vecs_dir, batch_id, schema)
+        pair_sink(
+            embedding_cosine_pairs_incremental(batch, index, threshold=0.35),
+            batch_id,
+        )
+        vec_sink(batch, batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = emb.filter(F.col("vec_id") < 60)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun
+    b2 = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 120))
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    got = read_committed(spark, pairs_dir).select("i", "j", "cos")
+    want = embedding_cosine_pairs(b1.unionByName(b2), threshold=0.35)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert len(want.collect()) > 0
+    assert len([d for d in os.listdir(pairs_dir) if d.startswith("batch_id=")]) == 2
+
+
+def test_dedup_clusters_incremental_stream_drive(spark, tmp_path):
+    """Cluster-state maintenance through streaming (VERDICT r8 task 5):
+    each availableNow batch folds its docs + the pairs that became
+    visible with them into the VERSIONED assignment table via
+    dedup_clusters_incremental (v<batch_id>, the scd2_merge drive
+    pattern — reruns overwrite the same version with the same content).
+    The final version equals one-shot dedup_clusters over all docs and
+    all pairs, exercising root takeover and cross-batch bridging."""
+    import os
+
+    from kafka_streams_demo_spark.functions.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    asg_root = str(tmp_path / "asg")
+    os.makedirs(asg_root)
+    schema = "doc_id long"
+    # the full pair stream: (1,2) in-batch, (2,3) bridges batches, (5,6)
+    # arrives with 6, (4,7) in-batch-2, (0,9) gives batch-2 a root
+    # takeover (new id 0 undercuts old cluster minimum 9)
+    all_pairs = [(1, 2), (2, 3), (5, 6), (4, 7), (0, 9)]
+
+    def current_version():
+        vs = sorted(int(d[1:]) for d in os.listdir(asg_root) if d.startswith("v"))
+        return vs[-1] if vs else None
+
+    def ingest(batch, batch_id):
+        cur_v = current_version()
+        cur_v = max(
+            (v for v in [cur_v] if v is not None and v < batch_id), default=None
+        )
+        batch_ids = {r["doc_id"] for r in batch.collect()}
+        if cur_v is None:
+            seen: set = set()
+            cur = spark.createDataFrame([], "doc_id long, cluster_id long")
+        else:
+            cur = spark.read.parquet(f"{asg_root}/v{cur_v}").select(
+                "doc_id", "cluster_id"
+            )
+            seen = {r["doc_id"] for r in cur.select("doc_id").collect()}
+        avail = seen | batch_ids
+        new_pairs = spark.createDataFrame(
+            [p for p in all_pairs
+             if (p[0] in batch_ids or p[1] in batch_ids)
+             and p[0] in avail and p[1] in avail],
+            "i long, j long",
+        )
+        merged = dedup_clusters_incremental(batch, cur, new_pairs)
+        merged.write.mode("overwrite").parquet(f"{asg_root}/v{batch_id}")
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame([(1,), (2,), (5,), (9,)], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # rerun: no new version directories
+    v_after_rerun = current_version()
+    b2 = spark.createDataFrame([(0,), (3,), (4,), (6,), (7,), (8,)], schema)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    all_docs = b1.unionByName(b2)
+    pairs_df = spark.createDataFrame(all_pairs, "i long, j long")
+    want = dedup_clusters(all_docs, pairs_df)
+    final = spark.read.parquet(f"{asg_root}/v{current_version()}")
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
+    # root takeover happened: 9's cluster is now rooted at 0
+    assert [r["cluster_id"] for r in final.filter(F.col("doc_id") == 9).collect()] == [0]
+    assert current_version() > v_after_rerun
