@@ -7556,8 +7556,12 @@ def ann_recall_report_q(spark, sf_dir):
     hardest case for every tier (no cluster structure; true neighbors
     are near-orthogonal), so absolute recall reads low (IVF ≈ 0.38,
     PQ ≈ 0.2, LSH ≈ 0 at sf0.01) and residual-PQ gains nothing over
-    raw-PQ despite its lower quantization error. The report's value is
-    the RELATIVE movement under retuning, measured instead of argued."""
+    raw-PQ despite its lower quantization error. The report's value
+    here is the RELATIVE movement under retuning; ABSOLUTE floors are
+    asserted on a clustered mixture-of-Gaussians fixture instead
+    (tests/test_similarity.py::test_ann_tier_recall_floors_on_
+    clustered_fixture — IVF ≥ 0.9, residual-PQ strictly > raw-PQ), so
+    a recall regression fails CI rather than hiding in the noise."""
     from functools import reduce
 
     exact = QUERIES["ann_topk_bruteforce"](spark, sf_dir).select("q_id", "n_id")

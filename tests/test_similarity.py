@@ -432,3 +432,74 @@ def test_ivf_assign_arrow_branch_parity_and_no_exchange(spark):
     got2 = ivf_assign(tied, cents2, n=1, literal_max_elements=0).collect()
     assert [(r["vid"], r["cell"]) for r in got2] == [(1, 3)]
     cents.unpersist()
+
+
+def test_ann_tier_recall_floors_on_clustered_fixture(spark):
+    """VERDICT r8 task 6: the random-vector fixtures make absolute
+    recall 'read low by design', so a recall regression was invisible.
+    This mixture-of-Gaussians fixture (8 unit centers, sigma 0.15,
+    seeded — fully deterministic end-to-end) has real cluster structure:
+    every tier now has a MEANINGFUL floor, and the paper's residual-PQ >
+    raw-PQ claim is asserted as a measured strict inequality (0.44 vs
+    0.34 at these parameters) instead of argued in prose. Floors sit
+    below the deterministic measured values (1.0 / 1.0 / 0.34 / 0.34 /
+    0.44 / 0.1) with margin for parameter-neutral refactors."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.pq import (
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_sample_codebooks,
+    )
+    from kafka_streams_demo_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_quantized,
+        lsh_bucketed_topk,
+        topk_bruteforce,
+    )
+
+    rng = np.random.RandomState(7)
+    C, N, D = 8, 400, 64
+    centers = rng.normal(size=(C, D))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, C, size=N)
+    pts = centers[labels] + 0.15 * rng.normal(size=(N, D))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]], int(labels[i])) for i in range(N)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    def tops(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["q_id"], set()).add(r["n_id"])
+        return out
+
+    exact = tops(topk_bruteforce(emb, q, k=10))
+
+    def recall(df):
+        t = tops(df)
+        return sum(len(exact[k] & t.get(k, set())) / 10 for k in exact) / len(exact)
+
+    r_ivf = recall(ivf_topk(emb, q, k=10, nprobe=2))
+    r_int8 = recall(ivf_topk_quantized(emb, q, k=10, nprobe=2))
+    r_lsh = recall(lsh_bucketed_topk(emb, q, k=10, planes=8))
+    cbs = pq_sample_codebooks(emb)
+    r_pq = recall(pq_adc_topk(pq_encode(emb, cbs), q, cbs, topk=10))
+    r_ivfpq = recall(ivf_pq_topk(emb, q, topk=10, nprobe=2))
+    r_resid = recall(ivf_pq_residual_topk(emb, q, topk=10, nprobe=2))
+
+    assert r_ivf >= 0.9, r_ivf        # in-cluster neighbors, nprobe=2
+    assert r_int8 >= 0.9, r_int8      # int8 ranking preserves the set
+    assert r_pq >= 0.25, r_pq         # 8x16 sampled codebooks, coarse
+    assert r_ivfpq >= 0.25, r_ivfpq
+    assert r_resid >= 0.4, r_resid
+    # the Jegou IVFADC argument, measured: residual codes beat raw codes
+    assert r_resid > r_ivfpq, (r_resid, r_ivfpq)
+    assert r_lsh >= 0.05, r_lsh       # 8 hyperplanes: breakage canary only
