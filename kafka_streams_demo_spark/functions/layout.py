@@ -34,9 +34,13 @@ __all__ = [
     "zorder_layout",
     "zorder_oracle_terms",
     "compaction_plan",
+    "compaction_apply",
+    "content_manifest",
     "hilbert_stage_exprs",
     "hilbert_key",
     "hilbert_layout",
+    "hilbert_nd_stages",
+    "hilbert_key_nd",
 ]
 
 
@@ -192,6 +196,61 @@ def compaction_plan(
     )
 
 
+def compaction_apply(
+    data: DataFrame,
+    plan: DataFrame,
+    path: str,
+    part_cols: tuple = ("part",),
+    file_col: str = "file_id",
+    sort_cols: tuple = (),
+    fmt: str = "parquet",
+) -> None:
+    """Execute a ``compaction_plan``: rewrite the table's rows into one
+    ~target-sized file per plan group — the OPTIMIZE rewrite half that
+    turns the planner's metadata rows into actual files.
+
+    ``data`` rows must carry ``part_cols`` and ``file_col`` (their
+    current file assignment); ``plan`` is the (part, file_id, bytes,
+    group_id) planner output, a FILE-MANIFEST-sized relation — always
+    broadcast, so tagging each row with its target group is a map pass.
+    The write is ONE range shuffle: repartitionByRange on (part_cols,
+    group_id) lands every group's rows in a single task, and
+    sortWithinPartitions on (group_id, file_id, sort_cols) preserves
+    the table's existing file order inside each output file (the reason
+    compaction_plan packs in order — zorder/time clustering survives
+    the rewrite). Output directories are partitioned by part_cols +
+    group_id: exactly one data file per plan group
+    (tests/test_layout.py pins file count, content equality via the
+    order-independent manifest, and in-file order)."""
+    meta = plan.select(*part_cols, file_col, "group_id")
+    tagged = data.join(F.broadcast(meta), [*part_cols, file_col])
+    arranged = tagged.repartitionByRange(
+        *[F.col(c) for c in part_cols], F.col("group_id")
+    ).sortWithinPartitions(*part_cols, "group_id", file_col, *sort_cols)
+    arranged.write.mode("overwrite").partitionBy(*part_cols, "group_id").format(
+        fmt
+    ).save(path)
+
+
+def content_manifest(
+    df: DataFrame, group_cols: tuple, content_col: Column
+) -> DataFrame:
+    """(group_cols..., n_rows, content_xor) — the shard_manifest pattern
+    as a reusable verifier: per group, the row count and an
+    ORDER-INDEPENDENT 60-bit content checksum (bit_xor of md5-prefix
+    hashes — commutative, overflow-free, map-side combined). Used to
+    prove a compaction rewrite byte-preserving: manifests per table
+    partition must match before/after because compaction regroups FILES
+    within a partition but never alters rows."""
+    ch = F.conv(
+        F.substring(F.md5(content_col.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(ch).alias("content_xor"),
+    )
+
+
 def hilbert_stage_exprs(
     s: int, x: str = "_hx", y: str = "_hy", d: str = "_hd"
 ) -> tuple[str, str, str]:
@@ -301,3 +360,139 @@ def hilbert_layout(
     return keyed.repartitionByRange(num_files, "file_id").sortWithinPartitions(
         "hval"
     )
+
+
+def _xor(a: str, b: str) -> str:
+    """Bitwise XOR of two non-negative ints as ENGINE-NEUTRAL SQL:
+    a ⊕ b = a + b − 2·(a & b). Both & and the arithmetic parse
+    identically in Spark SQL and DuckDB (Spark's ^ is XOR but DuckDB's
+    ^ is POWER — the identity sidesteps the dialect split); operands
+    here are < 2^bits, so the doubling cannot overflow."""
+    return f"(({a}) + ({b}) - 2 * (({a}) & ({b})))"
+
+
+def hilbert_nd_stages(nd: int, bits: int) -> list[dict[str, str]]:
+    """The Skilling transpose algorithm (J. Skilling, "Programming the
+    Hilbert curve", AIP Conf. Proc. 707, 2004 — the public standard for
+    d-dimensional Hilbert ranks, used by Iceberg/Delta layout tooling)
+    unrolled into CHAINED projection stages of engine-neutral
+    CASE/integer-arith SQL, the same style as the 2-D
+    ``hilbert_stage_exprs``. Each stage is a {column: expr} dict read
+    against the previous stage's columns ``_x0.._x{nd-1}`` (range-
+    bucketed axis values) and ``_t``; sequential state between stages
+    is why this is a chain and not one expression.
+
+    Stage plan (axes → transpose → rank):
+    1. per level Q = 2^(bits−1)..2, per axis i: invert X0 by Q−1 when
+       bit Q of Xi is set, else swap the (X0 ⊕ Xi) & (Q−1) bits —
+       one stage per (Q, i) because X0 threads through;
+    2. Gray-encode: Xi ⊕= X(i−1), ascending i (updated values);
+    3. fold t over the bits of X(nd−1) (t ⊕= Q−1 where bit set);
+    4. apply: every Xi ⊕= t.
+    The final rank is the bit-interleave of the transpose (X0 carries
+    each level's most significant bit) — one interleave-sum projection,
+    emitted by ``hilbert_key_nd``."""
+    stages: list[dict[str, str]] = []
+    for s in range(bits - 1, 0, -1):
+        q = 1 << s
+        p = q - 1
+        for i in range(nd):
+            if i == 0:
+                stages.append({
+                    "_x0": (
+                        f"CASE WHEN (_x0 & {q}) <> 0"
+                        f" THEN {_xor('_x0', str(p))} ELSE _x0 END"
+                    )
+                })
+            else:
+                t = f"({_xor('_x0', f'_x{i}')} & {p})"
+                stages.append({
+                    "_x0": (
+                        f"CASE WHEN (_x{i} & {q}) <> 0"
+                        f" THEN {_xor('_x0', str(p))}"
+                        f" ELSE {_xor('_x0', t)} END"
+                    ),
+                    f"_x{i}": (
+                        f"CASE WHEN (_x{i} & {q}) <> 0"
+                        f" THEN _x{i} ELSE {_xor(f'_x{i}', t)} END"
+                    ),
+                })
+    for i in range(1, nd):
+        stages.append({f"_x{i}": _xor(f"_x{i}", f"_x{i - 1}")})
+    for s in range(bits - 1, 0, -1):
+        q = 1 << s
+        stages.append({
+            "_t": (
+                f"CASE WHEN (_x{nd - 1} & {q}) <> 0"
+                f" THEN {_xor('_t', str(q - 1))} ELSE _t END"
+            )
+        })
+    stages.append({f"_x{i}": _xor(f"_x{i}", "_t") for i in range(nd)})
+    return stages
+
+
+def hilbert_key_nd(
+    df: DataFrame,
+    dims: list[Column],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Append ``hval`` (and ``file_id``) — the d-DIMENSIONAL Hilbert
+    rank of the range-bucketed ``dims`` via the Skilling transpose
+    (closing ``hilbert_key``'s 2-D limit; real layout tooling offers
+    multi-dim Hilbert beside Z-order). Same hybrid exact-integer
+    bucketing as ``zorder_key``; the transpose runs as ~bits·nd chained
+    CASE/arith projections (whole-stage codegen, no UDF), then one
+    interleave-sum emits the rank. Property-pinned against a pure-
+    Python Skilling reference on full grids, plus the defining
+    adjacency property (consecutive ranks are Manhattan-distance-1
+    neighbors) in tests/test_layout.py. NOTE: for nd=2 this yields a
+    valid Hilbert curve that may be a reflection/rotation of
+    ``hilbert_key``'s classic xy2d orientation — both cluster
+    identically; the 2-D entry keeps its oracle-locked form."""
+    nd, nb = len(dims), 1 << bits
+    if nd < 2:
+        raise ValueError("hilbert_key_nd needs at least 2 dims")
+    vals = df.select("*", *[c.alias(f"_zv{i}") for i, c in enumerate(dims)])
+    stats = vals.agg(
+        *[F.min(f"_zv{i}").alias(f"_mn{i}") for i in range(nd)],
+        *[F.max(f"_zv{i}").alias(f"_mx{i}") for i in range(nd)],
+    )
+    j = vals.crossJoin(F.broadcast(stats))
+    cur = j.select(
+        *df.columns,
+        *[
+            F.expr(bucket_expr(f"_zv{i}", f"_mn{i}", f"_mx{i}", nb))
+            .cast("long")
+            .alias(f"_x{i}")
+            for i in range(nd)
+        ],
+        F.lit(0).cast("long").alias("_t"),
+    )
+    state = [f"_x{i}" for i in range(nd)] + ["_t"]
+    for stage in hilbert_nd_stages(nd, bits):
+        cur = cur.select(
+            *df.columns,
+            *[
+                F.expr(stage[c]).alias(c) if c in stage else F.col(c)
+                for c in state
+            ],
+        )
+    h = F.lit(0).cast("long")
+    for q in range(bits):
+        for i in range(nd):
+            h = h + F.shiftleft(
+                F.shiftright(F.col(f"_x{i}"), q).bitwiseAND(F.lit(1)),
+                q * nd + (nd - 1 - i),
+            )
+    out = cur.select(*df.columns, h.cast("long").alias("hval"))
+    if num_files is not None:
+        if num_files & (num_files - 1):
+            raise ValueError("num_files must be a power of two")
+        shift = nd * bits - num_files.bit_length() + 1
+        if shift < 0:
+            raise ValueError("num_files exceeds 2^(ndims*bits)")
+        out = out.withColumn(
+            "file_id", F.shiftright("hval", shift).cast("long")
+        )
+    return out

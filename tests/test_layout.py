@@ -256,3 +256,161 @@ def test_hilbert_layout_write_path_single_range_shuffle(spark):
         by_file.setdefault(r["file_id"], []).append(r["hval"])
     # collect() preserves within-partition order after sortWithinPartitions
     assert all(vs == sorted(vs) for vs in by_file.values())
+
+
+def test_compaction_apply_rewrites_one_file_per_group(spark, tmp_path):
+    """The OPTIMIZE rewrite half (VERDICT r8 task 7): compaction_apply
+    executes a compaction_plan with one range shuffle and must (a)
+    preserve content exactly — order-independent manifests per table
+    partition match before/after, (b) produce EXACTLY one data file per
+    plan group, (c) keep each output file's rows in the table's
+    original (file_id, sort) order so existing clustering survives."""
+    import glob
+    import os
+
+    from kafka_streams_demo_spark.functions.layout import (
+        compaction_apply,
+        compaction_plan,
+        content_manifest,
+    )
+
+    # rows spread over small files: (part, file_id, row payload)
+    rows = [
+        (p, f, (ord(p) % 7) * 1000 + f * 10 + r, f"v-{p}-{f}-{r}")
+        for p in ("a", "b")
+        for f in range(1, 7)
+        for r in range(3)
+    ]
+    data = spark.createDataFrame(
+        rows, "part string, file_id int, seq long, payload string"
+    )
+    files = data.groupBy("part", "file_id").agg(
+        (F.count(F.lit(1)) * 100).alias("bytes")
+    )
+    plan = compaction_plan(files, 300, ("part",))
+    out = str(tmp_path / "compacted")
+    compaction_apply(
+        data, plan, out, part_cols=("part",), file_col="file_id",
+        sort_cols=("seq",),
+    )
+
+    back = spark.read.parquet(out)
+    # (a) content preserved per table partition (order-independent)
+    before = {
+        tuple(r) for r in content_manifest(
+            data, ("part",), F.concat_ws("|", "file_id", "seq", "payload")
+        ).collect()
+    }
+    after = {
+        tuple(r) for r in content_manifest(
+            back, ("part",), F.concat_ws("|", "file_id", "seq", "payload")
+        ).collect()
+    }
+    assert before == after
+
+    # (b) exactly one data file per plan group
+    groups = {(r["part"], r["group_id"]) for r in plan.collect()}
+    for p, g in groups:
+        part_files = [
+            f for f in glob.glob(os.path.join(out, f"part={p}", f"group_id={g}", "*"))
+            if os.path.basename(f).startswith("part-")
+        ]
+        assert len(part_files) == 1, (p, g, part_files)
+
+    # (c) in-file row order = (file_id, seq): read each group file alone
+    for p, g in groups:
+        got = spark.read.parquet(
+            os.path.join(out, f"part={p}", f"group_id={g}")
+        ).select("file_id", "seq").collect()
+        ks = [(r["file_id"], r["seq"]) for r in got]
+        assert ks == sorted(ks), (p, g, ks)
+
+    # (d) the rewrite plan carries exactly one wide-table shuffle
+    meta = plan.select("part", "file_id", "group_id")
+    tagged = data.join(F.broadcast(meta), ["part", "file_id"])
+    arranged = tagged.repartitionByRange(F.col("part"), F.col("group_id")) \
+        .sortWithinPartitions("part", "group_id", "file_id", "seq")
+    ep = arranged._jdf.queryExecution().executedPlan().toString()
+    assert ep.count("Exchange rangepartitioning") == 1
+
+
+def _skilling_ref(X, b):
+    """Pure-Python Skilling axes→Hilbert-rank (AIP Conf. Proc. 707,
+    2004): transpose conversion + bit interleave, the reference the
+    SQL unroll must match exactly."""
+    X = list(X)
+    n = len(X)
+    Q = 1 << (b - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    Q = 1 << (b - 1)
+    while Q > 1:
+        if X[n - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    h = 0
+    for q in range(b - 1, -1, -1):
+        for i in range(n):
+            h = (h << 1) | ((X[i] >> q) & 1)
+    return h
+
+
+def test_hilbert_nd_matches_skilling_reference_full_grids(spark):
+    """The d-dimensional unroll equals the pure-Python Skilling
+    transpose on FULL grids (identity bucketing), is a bijection onto
+    [0, 2^(nd*bits)), and satisfies the defining Hilbert adjacency
+    property: consecutive ranks are Manhattan-distance-1 neighbors —
+    for 3-D and 4-D, the dimensions hilbert_key could not reach."""
+    from kafka_streams_demo_spark.functions.layout import hilbert_key_nd
+
+    for nd, bits in ((3, 2), (4, 2), (3, 3)):
+        n = 1 << bits
+        import itertools
+
+        pts = list(itertools.product(range(n), repeat=nd))
+        rows = [(i, *p) for i, p in enumerate(pts)]
+        schema = "id long, " + ", ".join(f"c{i} long" for i in range(nd))
+        df = spark.createDataFrame(rows, schema)
+        got = {
+            tuple(r[f"c{i}"] for i in range(nd)): r["hval"]
+            for r in hilbert_key_nd(
+                df, [F.col(f"c{i}") for i in range(nd)], bits=bits
+            ).collect()
+        }
+        want = {p: _skilling_ref(p, bits) for p in pts}
+        assert got == want, (nd, bits)
+        ranks = sorted(got.values())
+        assert ranks == list(range(n ** nd))  # bijection
+        by_rank = {h: p for p, h in got.items()}
+        for h in range(1, n ** nd):
+            a, b2 = by_rank[h - 1], by_rank[h]
+            assert sum(abs(x - y) for x, y in zip(a, b2)) == 1  # adjacency
+
+
+def test_hilbert_nd_range_bucketing_and_file_ids(spark):
+    """Non-identity spans route through the same hybrid bucket_expr as
+    zorder (monotone in-range buckets), and file_id is the top bits of
+    the rank."""
+    from kafka_streams_demo_spark.functions.layout import hilbert_key_nd
+
+    rows = [(i, i * 37 % 1000, (i * 91) % 500, i % 250) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    out = hilbert_key_nd(
+        df, [F.col("a"), F.col("b"), F.col("c")], bits=4, num_files=8
+    ).collect()
+    assert len(out) == 300
+    assert all(0 <= r["hval"] < (1 << 12) for r in out)
+    assert all(r["file_id"] == r["hval"] >> 9 for r in out)
