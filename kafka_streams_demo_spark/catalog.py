@@ -6979,6 +6979,91 @@ def zorder_layout_q(spark, sf_dir):
     ).select("o_orderkey", "zval", "file_id")
 
 
+def _hilbert_nd_oracle(nd: int = 3, bits: int = 4) -> str:
+    """CTE chain generated from the SAME engine-neutral Skilling stage
+    strings the Spark plan unrolls (layout.hilbert_nd_stages) — lockstep
+    by construction, like the 2-D _hilbert_oracle. XOR is already
+    rendered as a+b−2·(a&b) in the generator (DuckDB's ^ is POWER), so
+    the only per-stage work here is suffixing the state column names
+    (the repo rule: never rely on either engine's lateral-alias
+    precedence)."""
+    import re
+
+    from kafka_streams_demo_spark.functions.layout import (
+        bucket_expr,
+        hilbert_nd_stages,
+    )
+
+    state = [f"_x{i}" for i in range(nd)] + ["_t"]
+    cur = {c: c for c in state}
+    pat = re.compile("|".join(sorted(map(re.escape, state), key=len, reverse=True)))
+    ctes, prev = [], "b"
+    for k, stage in enumerate(hilbert_nd_stages(nd, bits)):
+        cols = []
+        nxt = {}
+        for c in state:
+            name = f"{c}_{k}"
+            if c in stage:
+                expr = pat.sub(lambda m: cur[m.group(0)], stage[c])
+                cols.append(f"{expr} AS {name}")
+            else:
+                cols.append(f"{cur[c]} AS {name}")
+            nxt[c] = name
+        ctes.append(f"h{k} AS (SELECT o_orderkey, {', '.join(cols)} FROM {prev})")
+        cur, prev = nxt, f"h{k}"
+    interleave = " + ".join(
+        f"((({cur[f'_x{i}']} >> {q}) & 1) << {q * nd + (nd - 1 - i)})"
+        for q in range(bits)
+        for i in range(nd)
+    )
+    chain = ",\n    ".join(ctes)
+    shift = nd * bits - (64).bit_length() + 1  # num_files=64
+    return f"""
+    WITH v AS (SELECT o_orderkey, o_custkey AS v0,
+                      CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS v1,
+                      CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v2
+               FROM orders),
+    s AS (SELECT min(v0) AS mn0, max(v0) AS mx0,
+                 min(v1) AS mn1, max(v1) AS mx1,
+                 min(v2) AS mn2, max(v2) AS mx2 FROM v),
+    b AS (SELECT o_orderkey,
+            CAST({bucket_expr("v0", "mn0", "mx0", 1 << bits, div="//")} AS BIGINT) AS _x0,
+            CAST({bucket_expr("v1", "mn1", "mx1", 1 << bits, div="//")} AS BIGINT) AS _x1,
+            CAST({bucket_expr("v2", "mn2", "mx2", 1 << bits, div="//")} AS BIGINT) AS _x2,
+            CAST(0 AS BIGINT) AS _t
+          FROM v CROSS JOIN s),
+    {chain}
+    SELECT o_orderkey, CAST({interleave} AS BIGINT) AS hval,
+           CAST(({interleave}) // {1 << shift} AS BIGINT) AS file_id FROM {prev}
+    """
+
+
+@register("hilbert_nd_layout", _hilbert_nd_oracle())
+def hilbert_nd_layout_q(spark, sf_dir):
+    """3-DIMENSIONAL Hilbert clustering keys over orders(o_custkey,
+    o_orderdate, floor(o_totalprice·100)) — functions/layout.py:
+    hilbert_key_nd, the Skilling-transpose generalization closing the
+    2-D hilbert_key's dimensionality limit (real layout tooling offers
+    multi-dim Hilbert beside Z-order). The oracle's CTE chain is
+    GENERATED from the same engine-neutral stage strings the Spark plan
+    unrolls, so the ~bits·nd-stage transpose is hash-gated cross-engine
+    end-to-end; the Python-reference grid equality and the Manhattan-1
+    adjacency property live in tests/test_layout.py."""
+    from kafka_streams_demo_spark.functions.layout import hilbert_key_nd
+
+    orders = load_table(spark, "orders", sf_dir)
+    return hilbert_key_nd(
+        orders,
+        [
+            F.col("o_custkey"),
+            F.unix_date(F.col("o_orderdate").cast("date")).cast("long"),
+            F.floor(F.col("o_totalprice") * 100).cast("long"),
+        ],
+        bits=4,
+        num_files=64,
+    ).select("o_orderkey", "hval", "file_id")
+
+
 @register(
     "compaction_plan",
     """
