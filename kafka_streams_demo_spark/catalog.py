@@ -1954,6 +1954,31 @@ def shard_manifest(spark, sf_dir):
 
 
 @register(
+    "content_manifest_by_source",
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
+    "bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || "
+    "coalesce(text, '')), 1, 15))::BIGINT) AS content_xor "
+    "FROM documents GROUP BY 1",
+)
+def content_manifest_by_source_q(spark, sf_dir):
+    """Per-source integrity manifest (functions/layout.py:
+    content_manifest — the shard_manifest pattern as the reusable
+    verifier compaction_apply uses): row count + order-independent
+    bit_xor of 60-bit content hashes per table partition. This is the
+    before/after proof that a compaction rewrite (or a cross-cluster
+    copy) preserved every row — map-side combined, immune to shuffle
+    order, never compares data."""
+    from kafka_streams_demo_spark.functions.layout import content_manifest
+
+    docs = load_table(spark, "documents", sf_dir)
+    return content_manifest(
+        docs,
+        ("source",),
+        F.concat_ws("|", F.col("doc_id"), F.coalesce(F.col("text"), F.lit(""))),
+    )
+
+
+@register(
     "curriculum_phases",
     """
 WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),

@@ -414,3 +414,20 @@ def test_hilbert_nd_range_bucketing_and_file_ids(spark):
     assert len(out) == 300
     assert all(0 <= r["hval"] < (1 << 12) for r in out)
     assert all(r["file_id"] == r["hval"] >> 9 for r in out)
+
+
+def test_hilbert_layout_nd_write_path_plan(spark):
+    """One range shuffle, nothing more — the d-dim write path keeps the
+    zorder_layout contract."""
+    import itertools
+
+    from kafka_streams_demo_spark.functions.layout import hilbert_layout_nd
+
+    rows = [(i, *p) for i, p in enumerate(itertools.product(range(8), repeat=3))]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    arranged = hilbert_layout_nd(
+        df, [F.col("a"), F.col("b"), F.col("c")], bits=3, num_files=4
+    )
+    plan = arranged._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("Exchange rangepartitioning") == 1

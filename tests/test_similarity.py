@@ -503,3 +503,40 @@ def test_ann_tier_recall_floors_on_clustered_fixture(spark):
     # the Jegou IVFADC argument, measured: residual codes beat raw codes
     assert r_resid > r_ivfpq, (r_resid, r_ivfpq)
     assert r_lsh >= 0.05, r_lsh       # 8 hyperplanes: breakage canary only
+
+
+def test_ivf_assign_date_and_timestamp_cells(spark):
+    """ADVICE r8: _centroid_literal rendered non-string cells bare, so
+    DATE/TIMESTAMP cells produced invalid literals (CAST(2024-01-01 AS
+    DATE) parses as integer arithmetic) — the n=1 fast path silently
+    narrowed ivf_assign's supported cell types vs the window path. Now
+    quoted-and-cast: the fold must agree with the window formulation on
+    date-typed cells (and the Arrow branch must roundtrip them too)."""
+    import datetime as dt
+
+    from kafka_streams_demo_spark.functions.similarity import (
+        _ivf_assign_window,
+        ivf_assign,
+    )
+
+    cents = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 1), [1.0, 0.0]),
+            (dt.date(2024, 6, 15), [0.0, 1.0]),
+        ],
+        "cell date, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.2, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    want = sorted(
+        (r["vid"], r["cell"]) for r in _ivf_assign_window(vecs, cents, 1).collect()
+    )
+    fold = sorted((r["vid"], r["cell"]) for r in ivf_assign(vecs, cents, n=1).collect())
+    arrow = sorted(
+        (r["vid"], r["cell"])
+        for r in ivf_assign(vecs, cents, n=1, literal_max_elements=0).collect()
+    )
+    assert fold == want == arrow
+    assert fold[0] == (1, dt.date(2024, 1, 1)) and fold[1] == (2, dt.date(2024, 6, 15))
