@@ -245,7 +245,9 @@ def triangle_counts(
 
 
 def triangle_counts_incremental(
-    old_und: DataFrame, delta_und: DataFrame
+    old_und: DataFrame,
+    delta_und: DataFrame,
+    old_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Index+delta triangle maintenance: per-node counts over
     old ∪ delta edges, priced on the delta.
@@ -260,18 +262,37 @@ def triangle_counts_incremental(
     old_counts + new_corner_counts == rebuild exactly (the catalog
     registers this against the SAME oracle as the batch build).
 
-    Cost: sum over delta edges of deg_union(a) probe rows + the old
-    batch count — never a rebuild over the union's wedge space."""
-    union = old_und.unionByName(delta_und).localCheckpoint(eager=True)
-    adj = union.select(F.col("a").alias("p"), F.col("b").alias("q")).unionByName(
-        union.select(F.col("b").alias("p"), F.col("a").alias("q"))
+    Each input is evaluated EXACTLY ONCE: old and delta union through a
+    provenance flag into the one eager checkpoint, and every consumer —
+    adjacency, the delta probe side, the closing edge set, and the old
+    batch count — is a filter over that checkpoint (the inputs are
+    expensive derivations in the catalog entry, and Catalyst replans a
+    referenced subtree per branch — the minhash r9 lesson; previously
+    the pair-build chain evaluated 3–4×).
+
+    ``old_counts``: the PRODUCTION path — pass the persisted per-node
+    count table from the last run and the old-graph batch recount is
+    skipped entirely, making the whole update delta-priced (probe rows
+    = Σ_delta deg_union(a)). When omitted (the same-oracle catalog
+    entry does, so the hash gate proves old + delta == rebuild), the
+    old counts are rebuilt from the checkpointed old edges."""
+    union = (
+        old_und.withColumn("_new", F.lit(False))
+        .unionByName(delta_und.withColumn("_new", F.lit(True)))
+        .localCheckpoint(eager=True)
+    )
+    old_e = union.filter(~F.col("_new")).select("a", "b")
+    delta_e = union.filter(F.col("_new")).select("a", "b")
+    und = union.select("a", "b")
+    adj = und.select(F.col("a").alias("p"), F.col("b").alias("q")).unionByName(
+        und.select(F.col("b").alias("p"), F.col("a").alias("q"))
     )
     cand = (
-        delta_und.join(adj, delta_und["a"] == adj["p"])
+        delta_e.join(adj, delta_e["a"] == adj["p"])
         .filter(F.col("q") != F.col("b"))
         .select("a", "b", F.col("q").alias("c"))
     )
-    closing = union.select(
+    closing = und.select(
         F.least("a", "b").alias("_lo"), F.greatest("a", "b").alias("_hi")
     )
     tri = cand.join(
@@ -287,7 +308,9 @@ def triangle_counts_incremental(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("_new"))
     )
-    old_counts = triangle_counts(old_und).withColumnRenamed("triangles", "_old")
+    if old_counts is None:
+        old_counts = triangle_counts(old_e)
+    old_counts = old_counts.withColumnRenamed("triangles", "_old")
     return (
         old_counts.join(new_corners, "node", "full_outer")
         .select(

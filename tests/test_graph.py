@@ -185,3 +185,35 @@ def test_pagerank_plain_sum_no_list_materialization(spark):
     # contract) — the two paths are deliberately different plans
     gated = pagerank(_edges(spark, pairs), iterations=2, exact_folds=True)
     assert "collect_list" in gated._jdf.queryExecution().executedPlan().toString()
+
+
+def test_triangle_incremental_with_persisted_old_counts(spark):
+    """The production path: passing the persisted per-node count table
+    skips the old-graph batch recount entirely (the update is then
+    delta-priced — probe rows only) and must emit exactly what the
+    rebuild-from-old-edges path emits."""
+    from kafka_streams_demo_spark.functions.graph import (
+        triangle_counts,
+        triangle_counts_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)], "a long, b long"
+    )
+    delta = spark.createDataFrame([(2, 4), (1, 5)], "a long, b long")
+    want = sorted(
+        map(tuple, triangle_counts_incremental(old, delta).collect())
+    )
+    persisted = triangle_counts(old)
+    got = sorted(
+        map(
+            tuple,
+            triangle_counts_incremental(old, delta, old_counts=persisted).collect(),
+        )
+    )
+    assert got == want
+    # sanity: equals the full rebuild too
+    rebuild = sorted(
+        map(tuple, triangle_counts(old.unionByName(delta)).collect())
+    )
+    assert got == rebuild
