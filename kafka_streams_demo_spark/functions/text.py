@@ -1111,6 +1111,14 @@ def tfidf_doc_pairs(
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("dft"))
     if max_doc_freq is not None:
         dfreq = dfreq.filter(F.col("dft") <= F.lit(float(max_doc_freq)))
+    # persist the weighted postings: norms and BOTH pair-join sides read
+    # this frame, and Catalyst replans its whole upstream (tokenize → tf
+    # aggregate → df aggregate → joins) per reference (the r9 minhash
+    # lesson — 3× the corpus work and 3× the exchanges without it). At
+    # scale this is the tf-idf index a production pipeline materializes
+    # once per corpus anyway; released with dedup.release_caches().
+    from kafka_streams_demo_spark.functions.dedup import _track_cache
+
     w = (
         tf.join(dfreq, "t")
         .crossJoin(N_row)
@@ -1125,7 +1133,9 @@ def tfidf_doc_pairs(
                 )
             ).alias("w"),
         )
+        .persist()
     )
+    _track_cache(w)
     norms = w.groupBy("d").agg(
         F.sqrt(
             F.aggregate(
