@@ -167,13 +167,25 @@ def ngram_lm_score(
         if train_docs is None:
             train_docs = docs
         cb, cu = lm_counts(train_docs, id_col, text_col)
+    # persist the unigram table: N, the w1 side, and the w2 side all
+    # read it, and Catalyst replans its upstream per reference (a full
+    # train-corpus re-tokenize ×3 in the batch entry; the whole
+    # merge-and-resum chain ×3 in the incremental one — the r9 minhash
+    # lesson). Vocab-bounded, released via dedup.release_caches().
+    from kafka_streams_demo_spark.functions.dedup import _track_cache
+
+    cu = cu.persist()
+    _track_cache(cu)
     stoks = _tokens(docs, id_col, text_col)
     # N = Σ cu — exact integer identity with counting the exploded
     # tokens, and derivable from stored counts alone
     n_tok = cu.agg(F.sum("cu").cast("double").alias("n_tok"))
 
-    # score each DISTINCT scoring-set bigram once against the model
-    db = _bigram_rows(stoks)
+    # score each DISTINCT scoring-set bigram once against the model;
+    # the per-doc bigram rows feed both the distinct probe set and the
+    # contribution join — persist so the scoring corpus tokenizes once
+    db = _bigram_rows(stoks).persist()
+    _track_cache(db)
     sb = db.select("w1", "w2").distinct()
     cu1 = cu.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
     cu2 = cu.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
