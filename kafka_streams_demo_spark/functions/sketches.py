@@ -505,7 +505,14 @@ def kmv_overlap_matrix(
     runs entirely on sketch rows. Groups² x k stays tiny for the
     bounded-cardinality keys this is for (sources, event types,
     languages)."""
-    sk = kmv_sketch_grouped(df, key_col, col, k, seed)
+    # persist the per-key sketches: the key list and BOTH pair sides
+    # read them, and Catalyst replans the raw-log distinct + window per
+    # reference (the r9 minhash lesson — 3 full log scans without it).
+    # O(groups × k) rows; released via dedup.release_caches().
+    from kafka_streams_demo_spark.functions.dedup import _track_cache
+
+    sk = kmv_sketch_grouped(df, key_col, col, k, seed).persist()
+    _track_cache(sk)
     keys = sk.select("key").distinct()
     pairs = (
         keys.select(F.col("key").alias("key_a"))
