@@ -1550,12 +1550,15 @@ def clustering_coefficient(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
     l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    # materialize the co-purchase pair build once: the degree count reads
+    # it twice (both union branches) and the census once more — Catalyst
+    # replans the lineitem self-join + distinct per reference (r9 lesson)
     und = (
         l1.join(l2, "l_orderkey")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
