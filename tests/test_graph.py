@@ -217,3 +217,21 @@ def test_triangle_incremental_with_persisted_old_counts(spark):
         map(tuple, triangle_counts(old.unionByName(delta)).collect())
     )
     assert got == rebuild
+
+
+def test_triangle_closing_join_is_shuffle_hash(spark):
+    """The census's dominant cost is the wedge-closing join: its probe
+    side is O(m^1.5) wedge rows, so a sort-merge join would SORT them.
+    The hint pins ShuffledHashJoin — edges hash per partition, wedges
+    stream unsorted (measured ~1.7x at sf0.1). Regression here silently
+    re-sorts the biggest intermediate in the repo."""
+    from kafka_streams_demo_spark.functions.graph import triangle_counts
+
+    und = spark.createDataFrame(
+        [(i % 40, (i * 7) % 40) for i in range(300) if i % 40 != (i * 7) % 40],
+        "a long, b long",
+    ).distinct()
+    plan = (
+        triangle_counts(und)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in plan
