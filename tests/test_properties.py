@@ -680,3 +680,36 @@ def test_hilbert_key_matches_reference_at_8_bits(spark, pts):
         for r in hilbert_key(df, [F.col("x"), F.col("y")], bits=8).collect()
     }
     assert got == {(x, y): _hilbert_ref(256, x, y) for _, x, y in rows}
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_hilbert_nd_matches_skilling_at_8_bits(spark, pts):
+    """Random 8-bit 3-D points (identity bucketing over the pinned
+    [0, 255] corner span): the chained Skilling unroll equals the
+    pure-Python transpose at the PRODUCTION bit width, not just the
+    exhaustively-tested 2/3-bit grids."""
+    from kafka_streams_demo_spark.functions.layout import hilbert_key_nd
+    from tests.test_layout import _skilling_ref
+
+    pts = sorted(set(pts) | {(0, 0, 0), (255, 255, 255)})
+    rows = [(i, x, y, z) for i, (x, y, z) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, z long")
+    got = {
+        (r["x"], r["y"], r["z"]): r["hval"]
+        for r in hilbert_key_nd(
+            df, [F.col("x"), F.col("y"), F.col("z")], bits=8
+        ).collect()
+    }
+    assert got == {p: _skilling_ref(list(p), 8) for p in pts}
