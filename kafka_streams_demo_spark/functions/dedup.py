@@ -1388,7 +1388,14 @@ def ingest_keeplist(
     Scale: every relation past stage 1 is delta-sized (the corpus only
     participates through the broadcast-or-AQE joins inside the
     incremental primitives); join strategy is left to AQE throughout."""
-    k1 = exact_dedup_incremental(new_docs, seen_hashes, id_col, text_col)
+    # persist the stage-1 keep-list and the pair list: k1 feeds the
+    # survivor semi-join plus BOTH survivor probes inside the drop rule,
+    # and the pair frame feeds both orientations of the sides union —
+    # Catalyst replans each reference's full upstream (the md5 election
+    # chain 3×, the whole incremental pair detection 2× — the r9
+    # minhash lesson). Both are delta-sized; release_caches() frees.
+    k1 = exact_dedup_incremental(new_docs, seen_hashes, id_col, text_col).persist()
+    _track_cache(k1)
     k1_ids = k1.select("doc_id")
     kept_new = new_docs.join(
         k1_ids.withColumnRenamed("doc_id", id_col), [id_col], "left_semi"
@@ -1403,7 +1410,8 @@ def ingest_keeplist(
             kept_new, index, corpus, n=n, threshold=threshold,
             text_col=text_col, id_col=id_col, **minhash_kwargs,
         )
-    p = pairs.select("i", "j")
+    p = pairs.select("i", "j").persist()
+    _track_cache(p)
     sides = p.select(F.col("i").alias("d"), F.col("j").alias("o")).unionByName(
         p.select(F.col("j").alias("d"), F.col("i").alias("o"))
     )
