@@ -2009,3 +2009,84 @@ def test_dedup_clusters_incremental_stream_drive(spark, tmp_path):
     # root takeover happened: 9's cluster is now rooted at 0
     assert [r["cluster_id"] for r in final.filter(F.col("doc_id") == 9).collect()] == [0]
     assert current_version() > v_after_rerun
+
+
+def test_compaction_apply_stream_maintenance(spark, tmp_path):
+    """Lakehouse maintenance through streaming — the round-9 capstone
+    wiring ingest to the OPTIMIZE rewrite: each availableNow batch
+    lands as its own small file (file_id = batch_id, the real small-
+    files problem), then compaction_apply executes the bin-pack plan
+    over everything ingested. content_manifest proves the rewrite
+    byte-preserving against the raw ingested rows, the output has
+    exactly one data file per plan group, and re-running the compaction
+    overwrites to the identical layout (idempotent maintenance)."""
+    import glob
+    import os
+
+    from kafka_streams_demo_spark.functions.layout import (
+        compaction_apply,
+        compaction_plan,
+        content_manifest,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    raw_root = str(tmp_path / "raw")
+    out = str(tmp_path / "compacted")
+    os.makedirs(raw_root)
+    schema = "part string, seq long, payload string"
+
+    def ingest(batch, batch_id):
+        dest = os.path.join(raw_root, f"file={batch_id}")
+        if os.path.exists(os.path.join(dest, "_COMMITTED")):
+            return
+        batch.withColumn("file_id", F.lit(batch_id).cast("long")) \
+            .write.mode("overwrite").parquet(dest)
+        open(os.path.join(dest, "_COMMITTED"), "w").close()
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b, rows in enumerate([
+        [("a", 1, "x1"), ("a", 2, "x2"), ("b", 1, "y1")],
+        [("a", 3, "x3"), ("b", 2, "y2")],
+        [("a", 4, "x4"), ("b", 3, "y3"), ("b", 4, "y4")],
+    ]):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        run()
+
+    committed = [
+        d for d in os.listdir(raw_root)
+        if os.path.exists(os.path.join(raw_root, d, "_COMMITTED"))
+    ]
+    data = spark.read.parquet(*[os.path.join(raw_root, d) for d in committed])
+    files = data.groupBy("part", "file_id").agg(
+        (F.count(F.lit(1)) * 100).alias("bytes")
+    )
+    plan = compaction_plan(files, 250, ("part",))
+
+    for _ in range(2):  # second pass: idempotent overwrite
+        compaction_apply(
+            data, plan, out, part_cols=("part",), file_col="file_id",
+            sort_cols=("seq",),
+        )
+
+    back = spark.read.parquet(out)
+    content = F.concat_ws("|", "file_id", "seq", "payload")
+    before = {tuple(r) for r in content_manifest(data, ("part",), content).collect()}
+    after = {tuple(r) for r in content_manifest(back, ("part",), content).collect()}
+    assert before == after
+    for p, g in {(r["part"], r["group_id"]) for r in plan.collect()}:
+        part_files = [
+            f for f in glob.glob(os.path.join(out, f"part={p}", f"group_id={g}", "*"))
+            if os.path.basename(f).startswith("part-")
+        ]
+        assert len(part_files) == 1, (p, g, part_files)
