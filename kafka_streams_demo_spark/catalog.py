@@ -4009,6 +4009,39 @@ def contamination_check(spark, sf_dir):
 
 
 @register(
+    "contamination_semantic",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 25 = 0),
+    tr AS (SELECT vec_id AS corpus_id, v FROM e WHERE vec_id % 25 <> 0),
+    sc AS (SELECT ev.eval_id, tr.corpus_id,
+             SUM(ev.v[g.k] * tr.v[g.k]) AS dp,
+             SUM(ev.v[g.k] * ev.v[g.k]) AS qq,
+             SUM(tr.v[g.k] * tr.v[g.k]) AS nn
+           FROM ev, tr, generate_series(1, 64) g(k) GROUP BY 1, 2)
+    SELECT eval_id, corpus_id, ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) AS cos
+    FROM sc WHERE ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) >= 0.3
+    """,
+)
+def contamination_semantic_q(spark, sf_dir):
+    """Semantic train/eval decontamination (functions/dedup.py:
+    contamination_semantic) — the dense sibling of contamination_check:
+    every-25th vector plays a benchmark eval set, the rest the training
+    corpus; pairs with embedding cosine >= 0.3 are flagged leakage
+    candidates. The eval set broadcasts (bounded, refuse-loudly guard),
+    scoring is one row-local map pass over the corpus — paraphrase-level
+    leakage an n-gram screen misses, at zero corpus shuffle."""
+    from kafka_streams_demo_spark.functions.dedup import contamination_semantic
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    tr = emb.filter(F.col("vec_id") % 25 != 0)
+    return contamination_semantic(tr, ev, threshold=0.3)
+
+
+@register(
     "contamination_overlap_pairs",
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
     "sh AS (SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] AS s "

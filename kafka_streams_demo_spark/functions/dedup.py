@@ -1677,3 +1677,56 @@ def oversized_blocks(
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .filter(F.col("n_vectors") > max_block_size)
     )
+
+
+def contamination_semantic(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    eval_vec_col: str = "eval_vec",
+    max_eval: int | None = 4096,
+) -> DataFrame:
+    """SEMANTIC train/eval decontamination — the dense sibling of the
+    n-gram ``contamination_check``: flag every (eval item, corpus doc)
+    pair whose embedding cosine clears ``threshold``. Paraphrased or
+    translated benchmark leakage passes an n-gram screen untouched;
+    embedding similarity is how production pipelines catch it (the
+    screen is intentionally pairwise, so a reviewer sees WHICH corpus
+    docs to drop per eval item).
+
+    Scale shape = ``topk_bruteforce``'s: the eval set (a benchmark —
+    thousands of items, bounded by ``max_eval``, refuse-loudly guard)
+    BROADCASTS; scoring is one row-local map pass over the corpus — the
+    100 TB side never shuffles, and only above-threshold hits leave the
+    scan. Cosine rounded to 6 dp (round-then-filter), pairs returned as
+    (eval_id, corpus_id, cos)."""
+    from kafka_streams_demo_spark.functions.similarity import dot, norm
+
+    if max_eval is not None:
+        ne = eval_emb.count()
+        if ne > max_eval:
+            raise ValueError(
+                f"contamination_semantic broadcasts the eval set: {ne} "
+                f"items exceeds max_eval={max_eval}; raise the bound "
+                "explicitly or block the corpus (ivf_assign) first"
+            )
+    ev = eval_emb.select(
+        F.col(eval_id_col).alias("eval_id"), F.col(eval_vec_col).alias("_ev")
+    ).select("*", norm(F.col("_ev")).alias("_en"))
+    co = corpus_emb.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+    ).select("*", norm(F.col("_cv")).alias("_cn"))
+    return (
+        co.crossJoin(F.broadcast(ev))
+        .select(
+            "eval_id",
+            "corpus_id",
+            F.round(
+                dot(F.col("_ev"), F.col("_cv")) / (F.col("_en") * F.col("_cn")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )

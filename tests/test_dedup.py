@@ -1085,3 +1085,28 @@ def test_semdedup_incremental_ignores_dropped_index_members(spark):
         new, cents, index, corpus, threshold=0.99, max_cell_size=None
     ).collect()
     assert len(got) == 1 and got[0]["kept"]
+
+
+def test_contamination_semantic_guard_and_map_only_plan(spark):
+    """The eval-broadcast screen must refuse an oversized eval set
+    loudly, and its corpus-side plan must contain no shuffle Exchange
+    (the 100 TB side never moves — BroadcastNestedLoop over the bounded
+    eval set only)."""
+    import pytest as _pytest
+
+    from kafka_streams_demo_spark.functions.dedup import contamination_semantic
+    from kafka_streams_demo_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    ev = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    tr = emb.filter(F.col("vec_id") % 25 != 0)
+    out = contamination_semantic(tr, ev, threshold=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert not re.search(r"(?<![A-Za-z])Exchange ", plan)
+    rows = out.collect()
+    assert all(r["cos"] >= 0.3 for r in rows)
+    with _pytest.raises(ValueError, match="max_eval"):
+        contamination_semantic(tr, ev, max_eval=1)
