@@ -1119,6 +1119,77 @@ def kmv_merge_incremental(spark, sf_dir):
     return kmv_merge(64, a, b)
 
 
+_QSKETCH_ORACLE = """
+SELECT hv, v FROM (
+  SELECT ('0x' || substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+) ORDER BY hv, v LIMIT 256
+"""
+
+
+@register("quantile_sketch_value", _QSKETCH_ORACLE)
+def quantile_sketch_value_q(spark, sf_dir):
+    """Bottom-k-sample quantile sketch build (functions/sketches.py:
+    quantile_sketch) — the FOURTH mergeable-sketch family member: the
+    256 event rows with smallest row-key hash are a deterministic
+    uniform sample whose quantiles estimate the population's with
+    O(1/sqrt(k)) error. Unlike GK/KLL (insertion-order state), the
+    sample is a pure function of the data, so the sketch sits under the
+    hash gate; per-partition TakeOrdered heaps, never a full sort."""
+    from kafka_streams_demo_spark.functions.sketches import quantile_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    return quantile_sketch(ev, "value", "event_id", k=256, seed=42)
+
+
+@register("quantile_merge_incremental", _QSKETCH_ORACLE)  # SAME oracle: merge == rebuild
+def quantile_merge_incremental_q(spark, sf_dir):
+    """Quantile-sketch mergeability under the hash gate: bottom-256 of
+    the even/odd event halves merged equals the one-shot sketch exactly
+    (the KMV argument on row-key hashes). Same-oracle registration
+    proves merge ≡ rebuild externally — the quartet's fourth member
+    joins the HLL/CMS/KMV merge proofs."""
+    from kafka_streams_demo_spark.functions.sketches import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    a = quantile_sketch(ev.filter(F.col("event_id") % 2 == 0), "value", "event_id", 256, 42)
+    b = quantile_sketch(ev.filter(F.col("event_id") % 2 == 1), "value", "event_id", 256, 42)
+    return quantile_sketch_merge(256, a, b)
+
+
+@register(
+    "quantile_estimate_value",
+    f"""
+    WITH sk AS ({_QSKETCH_ORACLE})
+    SELECT CAST(count(*) AS BIGINT) AS n_sample,
+           ROUND(quantile_cont(v, 0.25), 6) AS q_25,
+           ROUND(quantile_cont(v, 0.5), 6) AS q_50,
+           ROUND(quantile_cont(v, 0.75), 6) AS q_75,
+           ROUND(quantile_cont(v, 0.9), 6) AS q_90,
+           ROUND(quantile_cont(v, 0.99), 6) AS q_99
+    FROM sk
+    """,
+)
+def quantile_estimate_value_q(spark, sf_dir):
+    """Quantile estimates from the sketch sample: Spark's exact
+    interpolated percentile over the 256 sampled values ≡ DuckDB
+    quantile_cont at 6 dp (the cross-engine pair the exact-percentile
+    entries pin). At 100 TB the population quantile costs a full sort
+    or a non-replayable approx sketch; this is O(k) state, mergeable,
+    and hash-gated end-to-end."""
+    from kafka_streams_demo_spark.functions.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return quantile_estimate(quantile_sketch(ev, "value", "event_id", k=256, seed=42))
+
+
 @register(
     "kmv_distinct_users",
     """

@@ -545,3 +545,61 @@ def kmv_overlap_matrix(
             6,
         ).alias("jaccard"),
     )
+
+
+def quantile_sketch(
+    df: DataFrame, val_col: str, key_col: str, k: int = 256, seed: int = 42
+) -> DataFrame:
+    """Bottom-k-sample quantile sketch — the FOURTH mergeable-sketch
+    family member (HLL: cardinality, CMS: frequency, KMV: distinct
+    sample; this: quantiles): the ``k`` rows whose 60-bit hash of the
+    ROW KEY is smallest form a deterministic uniform row sample, and
+    quantiles over it estimate population quantiles with the classic
+    O(1/sqrt(k)) sampling error. Returns (hv, v) rows, <= k of them.
+
+    Unlike GK/KLL sketches (whose state depends on insertion order —
+    unreplayable cross-engine), the bottom-k-by-hash sample is a pure
+    function of the data, so the sketch AND its merge sit under the
+    hash gate, and merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+    EXACTLY (the KMV argument: the union's k smallest hashes are within
+    the union of each side's k smallest). Scale: per-partition
+    TakeOrdered heaps, never a full sort; O(k) state."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = _hash60(F.col(key_col), seed)
+    return (
+        df.filter(F.col(key_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(h.alias("hv"), F.col(val_col).cast("double").alias("v"))
+        .orderBy("hv", "v")
+        .limit(k)
+    )
+
+
+def quantile_sketch_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Merge bottom-k quantile sketches: union, keep the k smallest by
+    (hv, v) — registered same-oracle with the full build so the
+    merge ≡ rebuild identity is externally hash-proven, like the
+    HLL/CMS/KMV merges. Disjoint-key batches give disjoint hv sets; the
+    (hv, v) tie order makes even collision cases deterministic."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("hv", "v").limit(k)
+
+
+def quantile_estimate(
+    sketch: DataFrame, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """Population-quantile estimates from the sketch sample: Spark's
+    exact interpolated ``percentile`` over the <= k sample values (≡
+    DuckDB ``quantile_cont`` at 6 dp — the cross-engine pair the exact-
+    percentile entries already pin). One row: (n_sample, q_25, ...)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_sample")] + [
+        F.round(F.expr(f"percentile(v, {q})"), 6).alias(
+            "q_" + str(q).replace("0.", "").ljust(2, "0")
+        )
+        for q in qs
+    ]
+    return sketch.agg(*aggs)

@@ -239,3 +239,35 @@ def test_kmv_overlap_matrix_matches_pairwise(spark):
     )
     # disjoint groups: zero overlap
     assert mat[("a", "c")][1] == 0 and mat[("b", "c")][1] == 0
+
+
+def test_quantile_sketch_merge_and_accuracy(spark):
+    """The bottom-k-sample quantile sketch: merge(sketch(A), sketch(B))
+    == sketch(A ∪ B) exactly (disjoint row keys), and the sample median
+    lands within the O(1/sqrt(k)) band of the true quantile on a known
+    distribution (uniform 0..9999: true q50 = 4999.5, k=256 → s.e.
+    ~312; assert a generous 4-s.e. window)."""
+    from kafka_streams_demo_spark.functions.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10000)) for i in range(20000)], "k long, v double"
+    )
+    full = quantile_sketch(df, "v", "k", k=256)
+    a = quantile_sketch(df.filter(F.col("k") % 2 == 0), "v", "k", 256)
+    b = quantile_sketch(df.filter(F.col("k") % 2 == 1), "v", "k", 256)
+    merged = quantile_sketch_merge(256, a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    est = quantile_estimate(full).collect()[0]
+    assert est["n_sample"] == 256
+    assert abs(est["q_50"] - 4999.5) < 4 * 10000 * 0.5 / 16  # 4 s.e. at k=256
+    assert est["q_25"] < est["q_50"] < est["q_75"] < est["q_90"] <= est["q_99"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        quantile_sketch(df, "v", "k", k=1)

@@ -2090,3 +2090,59 @@ def test_compaction_apply_stream_maintenance(spark, tmp_path):
             if os.path.basename(f).startswith("part-")
         ]
         assert len(part_files) == 1, (p, g, part_files)
+
+
+def test_quantile_sketch_stream_maintenance_exactly_once(spark, tmp_path):
+    """Quantile-sketch maintenance through streaming (the fourth sketch
+    family gets the same drive as HLL/CMS/KMV): each availableNow batch
+    commits its bottom-k (hv, v) partial through the idempotent sink;
+    the merge over committed partials equals the one-shot sketch over
+    everything ingested EXACTLY, and a checkpoint rerun commits no new
+    partial."""
+    import os
+
+    from kafka_streams_demo_spark.functions.sketches import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "qsk")
+    os.makedirs(out_dir)
+    schema = "event_id long, value double"
+    sink = idempotent_parquet_sink(out_dir)
+
+    def ingest(batch, batch_id):
+        sink(quantile_sketch(batch, "value", "event_id", k=32), batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame([(i, float(i * 7 % 100)) for i in range(60)], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: no new partial
+    b2 = spark.createDataFrame(
+        [(i, float(i * 3 % 50)) for i in range(60, 150)], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    merged = quantile_sketch_merge(
+        32, read_committed(spark, out_dir).select("hv", "v")
+    )
+    want = quantile_sketch(b1.unionByName(b2), "value", "event_id", k=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+    assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
