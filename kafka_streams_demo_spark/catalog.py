@@ -8264,7 +8264,10 @@ DRIVER_PRIORITY: list[str] = [
 # embedding_quantize_int8, fingerprint_bow, histogram_event_values,
 # interarrival_stats, multimodal_meta, percentile_value_by_type,
 # ppm_frames_meta, repetition_ratio, running_sum_per_user,
-# sample_per_source, set_ops_all_multiset — rotate these in r10.
+# sample_per_source, set_ops_all_multiset — plus the late-r9 additions
+# hilbert_nd_layout, content_manifest_by_source, contamination_semantic,
+# quantile_sketch_value, quantile_merge_incremental,
+# quantile_estimate_value — rotate these 18 in r10.
 
 
 def _priority_order(names) -> list[str]:
