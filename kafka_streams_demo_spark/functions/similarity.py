@@ -269,11 +269,20 @@ def _make_ivf_assign_kernel(cells, cmat, cnrms):
 
         C = _np.asarray(cmat, dtype=_np.float64)  # |cells| × dim
         cn = _np.asarray(cnrms, dtype=_np.float64)
+        dim = C.shape[1]
         for pdf in it:
             if not len(pdf):
                 continue
+            # NULL vectors ride as all-NaN rows so the batch stays one
+            # matrix; their every cosine goes NaN → cell None below,
+            # replaying the fold's NaN-compares-false NULL cell.
             V = _np.array(
-                [_np.asarray(v, dtype=_np.float64) for v in pdf["vec"]]
+                [
+                    _np.asarray(v, dtype=_np.float64)
+                    if v is not None
+                    else _np.full(dim, _np.nan)
+                    for v in pdf["vec"]
+                ]
             )
             vn = _np.sqrt(_np.einsum("ij,ij->i", V, V))
             cos = (V @ C.T) / _np.outer(vn, cn)
@@ -288,9 +297,13 @@ def _make_ivf_assign_kernel(cells, cmat, cnrms):
                 return acc / (math.sqrt(nsq) * cn[j])
 
             r = round6_block(cos, exact)
-            best = _np.argmax(r, axis=1)
+            rr = _np.where(_np.isfinite(r), r, -_np.inf)
+            best = _np.argmax(rr, axis=1)
+            none_row = _np.isinf(rr).all(axis=1)
             out = pdf[["vid", "vec"]].copy()
-            out["cell"] = [cells[b] for b in best]
+            out["cell"] = [
+                None if none_row[i] else cells[b] for i, b in enumerate(best)
+            ]
             yield out
 
     return run
