@@ -1119,13 +1119,21 @@ def kmv_merge_incremental(spark, sf_dir):
     return kmv_merge(64, a, b)
 
 
-_QSKETCH_ORACLE = """
+def _qsketch_oracle() -> str:
+    # route the hash through sketches._hash60_sql so the oracle can
+    # never drift from _hash60's seed-prefix/digit format
+    from kafka_streams_demo_spark.functions.sketches import _hash60_sql
+
+    hv = _hash60_sql("CAST(event_id AS VARCHAR)", 42)
+    return f"""
 SELECT hv, v FROM (
-  SELECT ('0x' || substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
-         CAST(value AS DOUBLE) AS v
+  SELECT {hv} AS hv, CAST(value AS DOUBLE) AS v
   FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
 ) ORDER BY hv, v LIMIT 256
 """
+
+
+_QSKETCH_ORACLE = _qsketch_oracle()
 
 
 @register("quantile_sketch_value", _QSKETCH_ORACLE)
@@ -2030,8 +2038,8 @@ def shard_manifest(spark, sf_dir):
 @register(
     "content_manifest_by_source",
     "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
-    "bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || "
-    "coalesce(text, '')), 1, 15))::BIGINT) AS content_xor "
+    "bit_xor(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') "
+    "|| '|' || coalesce(text, '')), 1, 15))::BIGINT) AS content_xor "
     "FROM documents GROUP BY 1",
 )
 def content_manifest_by_source_q(spark, sf_dir):
@@ -2045,10 +2053,17 @@ def content_manifest_by_source_q(spark, sf_dir):
     from kafka_streams_demo_spark.functions.layout import content_manifest
 
     docs = load_table(spark, "documents", sf_dir)
+    # coalesce BOTH fields explicitly: concat_ws silently SKIPS null
+    # args (dropping the separator) where DuckDB's || nulls the whole
+    # expression — coalesce pins one semantics on both engines
     return content_manifest(
         docs,
         ("source",),
-        F.concat_ws("|", F.col("doc_id"), F.coalesce(F.col("text"), F.lit(""))),
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        ),
     )
 
 

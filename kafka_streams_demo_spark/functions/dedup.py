@@ -1706,12 +1706,15 @@ def contamination_semantic(
     from kafka_streams_demo_spark.functions.similarity import dot, norm
 
     if max_eval is not None:
-        ne = eval_emb.count()
+        # limit-then-count short-circuits after max_eval+1 rows — a bare
+        # count() would full-scan the eval frame's upstream just to
+        # validate the bound
+        ne = eval_emb.limit(max_eval + 1).count()
         if ne > max_eval:
             raise ValueError(
-                f"contamination_semantic broadcasts the eval set: {ne} "
-                f"items exceeds max_eval={max_eval}; raise the bound "
-                "explicitly or block the corpus (ivf_assign) first"
+                f"contamination_semantic broadcasts the eval set: over "
+                f"{max_eval} items exceeds max_eval={max_eval}; raise the "
+                "bound explicitly or block the corpus (ivf_assign) first"
             )
     ev = eval_emb.select(
         F.col(eval_id_col).alias("eval_id"), F.col(eval_vec_col).alias("_ev")

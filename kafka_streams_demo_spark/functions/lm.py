@@ -172,9 +172,13 @@ def ngram_lm_score(
     # train-corpus re-tokenize ×3 in the batch entry; the whole
     # merge-and-resum chain ×3 in the incremental one — the r9 minhash
     # lesson). Vocab-bounded, released via dedup.release_caches().
+    # Persist OUR OWN projection, never the caller's frame: the extra
+    # Project gives a distinct analyzed plan, so a caller-persisted
+    # counts table keeps its storage level and release_caches() can't
+    # unpersist the caller's long-lived model behind its back.
     from kafka_streams_demo_spark.functions.dedup import _track_cache
 
-    cu = cu.persist()
+    cu = cu.select("w", "cu").persist()
     _track_cache(cu)
     stoks = _tokens(docs, id_col, text_col)
     # N = Σ cu — exact integer identity with counting the exploded

@@ -172,13 +172,12 @@ def _make_pq_encode_kernel(by_sub: dict[int, list], dim: int, m: int, keep_cols:
         for pdf in it:
             if not len(pdf):
                 continue
-            V = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
-            )
-            if V.shape[1] != dim:
+            vs = list(pdf["_v"])
+            if any(v is None or len(v) != dim for v in vs):
                 raise ValueError(
-                    f"pq_encode: vector length {V.shape[1]} != dim={dim}"
+                    f"pq_encode: _v NULL or length != dim={dim}"
                 )
+            V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
             nb = len(pdf)
             parts = []
             for s in range(m):
@@ -275,12 +274,14 @@ def pq_encode(
         )
     cb_lit = _codebook_literal(by_sub, m)
     # subvector arrays bound behind their own select (HOF re-eval rule);
-    # the assert_true filter fails loudly on malformed vector lengths
-    # instead of letting every subspace d2 go NULL → code −1.
+    # the assert_true filter fails loudly on NULL or wrong-length
+    # vectors instead of letting every subspace d2 go NULL → code −1
+    # (callers that tolerate NULL embeddings — ivf_pq_topk over an
+    # ivf_assign frame — filter them out before encoding).
     sv = emb.filter(
         F.assert_true(
-            F.size(F.col(vec_col)) == dim,
-            F.lit(f"pq_encode: {vec_col} length != dim={dim}"),
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim),
+            F.lit(f"pq_encode: {vec_col} NULL or length != dim={dim}"),
         ).isNull()
     ).select(
         F.col(id_col).alias("vec_id"),
@@ -453,8 +454,13 @@ def ivf_pq_topk(
     # codes⋈assignments formulation was a corpus×corpus re-join by
     # vec_id (shuffling both corpus-sized frames), exactly what
     # keep_cols exists to avoid (and what the residual tier already did).
+    # NULL embeddings (tolerated by ivf_assign → NULL cell) are dropped
+    # before the encode's loud non-NULL contract — a NULL cell can never
+    # equi-join a probe, so exclusion is what ranking would do anyway
+    # (and what the residual tier's centroid join already does).
     cell_codes = pq_encode(
-        asg, cbs, dim=dim, m=m, k=k, id_col="vid", vec_col="vec",
+        asg.filter(F.col("vec").isNotNull() & F.col("cell").isNotNull()),
+        cbs, dim=dim, m=m, k=k, id_col="vid", vec_col="vec",
         keep_cols=("cell",),
     )
     dtab = _query_dtab(qin, cbs, dim, m)

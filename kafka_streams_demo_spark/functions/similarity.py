@@ -259,7 +259,16 @@ def _make_ivf_assign_kernel(cells, cmat, cnrms):
     Each batch scores |B|×|cells| via one matmul; the argmax's
     first-occurrence rule over cells sorted ascending replays the
     fold's strict-> / lowest-cell tie order; rounding replays the
-    column path exactly via the midpoint-band Decimal rounder."""
+    column path exactly via the midpoint-band Decimal rounder.
+
+    Degenerate-input replay (the fold's SQL semantics, parity-pinned):
+    a NULL vector or a vector with a NULL ELEMENT makes every cosine
+    SQL NULL → the fold keeps its NULL-cell init; a NaN element makes
+    every cosine NaN, and Spark orders NaN GREATEST with NaN > NaN
+    false → the fold keeps the FIRST (lowest) cell. Arrow erases the
+    null-element/NaN distinction in float batches, so the driver side
+    ships an explicit ``_vnull`` mask column; NaN rows map to +inf
+    before the argmax (first-occurrence = lowest cell)."""
     round6_block = make_round6_block()
 
     def run(it):
@@ -273,9 +282,9 @@ def _make_ivf_assign_kernel(cells, cmat, cnrms):
         for pdf in it:
             if not len(pdf):
                 continue
-            # NULL vectors ride as all-NaN rows so the batch stays one
-            # matrix; their every cosine goes NaN → cell None below,
-            # replaying the fold's NaN-compares-false NULL cell.
+            null_row = _np.asarray(
+                [bool(b) for b in pdf["_vnull"]], dtype=bool
+            )
             V = _np.array(
                 [
                     _np.asarray(v, dtype=_np.float64)
@@ -297,12 +306,13 @@ def _make_ivf_assign_kernel(cells, cmat, cnrms):
                 return acc / (math.sqrt(nsq) * cn[j])
 
             r = round6_block(cos, exact)
-            rr = _np.where(_np.isfinite(r), r, -_np.inf)
+            # Spark orders NaN greatest (first NaN cell wins the strict
+            # > fold); SQL-NULL rows (the _vnull mask) keep the NULL cell
+            rr = _np.where(_np.isnan(r), _np.inf, r)
             best = _np.argmax(rr, axis=1)
-            none_row = _np.isinf(rr).all(axis=1)
             out = pdf[["vid", "vec"]].copy()
             out["cell"] = [
-                None if none_row[i] else cells[b] for i, b in enumerate(best)
+                None if null_row[i] else cells[b] for i, b in enumerate(best)
             ]
             yield out
 
@@ -323,11 +333,18 @@ def _ivf_assign_arrow(
     cells = [r["cell"] for r in rows]
     cmat = [[float(x) for x in r["centroid"]] for r in rows]
     cnrms = [_seq_norm(cv) for cv in cmat]
+    # Arrow float batches can't distinguish a NULL ELEMENT from a NaN
+    # element (both arrive as NaN), but the SQL fold can (NULL → NULL
+    # cell, NaN → NaN-is-greatest first cell) — ship the mask explicitly
     vecs = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn(
+        "_vnull",
+        F.col("vec").isNull()
+        | F.exists(F.col("vec"), lambda x: x.isNull()),
     )
     schema = StructType(
-        list(vecs.schema.fields) + [StructField("cell", cell_type)]
+        [vecs.schema["vid"], vecs.schema["vec"], StructField("cell", cell_type)]
     )
     return vecs.mapInPandas(_make_ivf_assign_kernel(cells, cmat, cnrms), schema)
 

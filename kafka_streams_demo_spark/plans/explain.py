@@ -84,12 +84,27 @@ def audit(df: DataFrame) -> PlanAudit:
     a.exchanges = len(shuffle_ids) or len(
         re.findall(r"^\s*[*+:\-\s]*Exchange", plan, re.M)
     ) or plan.count(" Exchange ")
-    a.broadcast_joins = plan.count("BroadcastHashJoin") + plan.count(
+
+    # Join nodes carry no plan_id in the executed-plan string, but a
+    # cached subtree's re-prints are LINE-IDENTICAL (same expression
+    # ids), while genuinely distinct nodes never are — dedupe on the
+    # stripped line so persisted subtrees don't multiply join counts by
+    # their cache readers (the same 29-vs-9 distortion fixed for
+    # exchanges above).
+    def _node_count(name: str) -> int:
+        lines = {
+            re.sub(r"^[\s:+\-*]+", "", ln)
+            for ln in ep.splitlines()
+            if name in ln
+        }
+        return len(lines) if lines else plan.count(name)
+
+    a.broadcast_joins = _node_count("BroadcastHashJoin") + _node_count(
         "BroadcastNestedLoopJoin"
     )
-    a.sort_merge_joins = plan.count("SortMergeJoin")
-    a.shuffled_hash_joins = plan.count("ShuffledHashJoin")
-    a.nested_loop_joins = plan.count("CartesianProduct")
+    a.sort_merge_joins = _node_count("SortMergeJoin")
+    a.shuffled_hash_joins = _node_count("ShuffledHashJoin")
+    a.nested_loop_joins = _node_count("CartesianProduct")
     # Under AQE the pre-execution plan carries no WholeStageCodegen nodes
     # (they're fused per query stage at runtime), so re-plan a copy of the
     # query with AQE off purely to count fusable codegen spans.

@@ -542,18 +542,27 @@ def test_ivf_assign_date_and_timestamp_cells(spark):
     assert fold[0] == (1, dt.date(2024, 1, 1)) and fold[1] == (2, dt.date(2024, 6, 15))
 
 
-def test_ivf_assign_null_vector_yields_null_cell_both_branches(spark):
-    """A NULL embedding must assign to a NULL cell in BOTH n=1 branches
-    (the fold's NaN-compares-false keeps the NULL init; the Arrow kernel
-    rides NULLs as all-NaN rows) — not crash, and not argmax-of-NaN into
-    a spurious cell."""
+def test_ivf_assign_degenerate_vectors_agree_across_branches(spark):
+    """Degenerate inputs must agree between the fold and the Arrow
+    kernel, replaying the SQL semantics exactly: a NULL vector or a
+    NULL ELEMENT keeps the fold's NULL-cell init (every cosine SQL
+    NULL); a NaN element makes every cosine NaN and Spark orders NaN
+    GREATEST with NaN > NaN false — first (lowest) cell wins. The
+    kernel ships an explicit null mask because Arrow float batches
+    erase the NULL-element/NaN distinction."""
     from kafka_streams_demo_spark.functions.similarity import ivf_assign
 
     cents = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "cell int, centroid array<double>"
     )
     vecs = spark.createDataFrame(
-        [(1, [0.9, 0.1]), (2, None), (3, [0.1, 0.9])],
+        [
+            (1, [0.9, 0.1]),
+            (2, None),
+            (3, [0.1, 0.9]),
+            (4, [None, 1.0]),
+            (5, [float("nan"), 1.0]),
+        ],
         "vec_id long, embedding array<float>",
     )
     fold = {r["vid"]: r["cell"] for r in ivf_assign(vecs, cents, n=1).collect()}
@@ -561,4 +570,4 @@ def test_ivf_assign_null_vector_yields_null_cell_both_branches(spark):
         r["vid"]: r["cell"]
         for r in ivf_assign(vecs, cents, n=1, literal_max_elements=0).collect()
     }
-    assert fold == arrow == {1: 1, 2: None, 3: 2}
+    assert fold == arrow == {1: 1, 2: None, 3: 2, 4: None, 5: 1}
