@@ -440,7 +440,18 @@ def ivf_pq_topk(
     )
 
     cents = ivf_centroids(emb, cell_col=cell_col, vec_col=vec_col).localCheckpoint(eager=True)  # |cells| rows; feeds the literal collect, the broadcast joins, and the probe assign — one agg pass instead of one per branch
-    asg = ivf_assign(emb, cents, n=1, id_col=id_col, vec_col=vec_col)
+    # NULL embeddings / NULL elements (tolerated by ivf_assign → NULL
+    # cell) are dropped BEFORE the assign: a NULL cell can never
+    # equi-join a probe, so exclusion is what ranking would do anyway
+    # (and what the residual tier's centroid join already does). The
+    # filter sits on the RAW scan column — filtering on the projected
+    # assign output would re-substitute the whole argmax fold into the
+    # pushed predicate (the repo's pushdown-barrier lesson).
+    emb_ok = emb.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
+    asg = ivf_assign(emb_ok, cents, n=1, id_col=id_col, vec_col=vec_col)
     qin = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
     )
@@ -454,13 +465,8 @@ def ivf_pq_topk(
     # codes⋈assignments formulation was a corpus×corpus re-join by
     # vec_id (shuffling both corpus-sized frames), exactly what
     # keep_cols exists to avoid (and what the residual tier already did).
-    # NULL embeddings (tolerated by ivf_assign → NULL cell) are dropped
-    # before the encode's loud non-NULL contract — a NULL cell can never
-    # equi-join a probe, so exclusion is what ranking would do anyway
-    # (and what the residual tier's centroid join already does).
     cell_codes = pq_encode(
-        asg.filter(F.col("vec").isNotNull() & F.col("cell").isNotNull()),
-        cbs, dim=dim, m=m, k=k, id_col="vid", vec_col="vec",
+        asg, cbs, dim=dim, m=m, k=k, id_col="vid", vec_col="vec",
         keep_cols=("cell",),
     )
     dtab = _query_dtab(qin, cbs, dim, m)
