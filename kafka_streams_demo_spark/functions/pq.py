@@ -147,13 +147,32 @@ def _codebook_literal(by_sub: dict[int, list], m: int) -> Column:
     return F.expr("array(" + ",".join(subs) + ")")
 
 
-def _make_pq_encode_kernel(by_sub: dict[int, list], dim: int, m: int, keep_cols: tuple):
+def _pq_encode_broadcast(sc, by_sub: dict[int, list], m: int):
+    """Broadcast the collected codebooks as numpy payloads —
+    ``(cods, mats)`` = per-subspace code ids and k×ds float64 codeword
+    matrices — so they ship once per executor via the broadcast
+    machinery instead of riding pickled inside every task's kernel
+    closure (at production k=256 × dim 768 the closure copy is MBs per
+    task-set; the pickled kernel itself stays < 1 MB, test-pinned)."""
+    import numpy as np
+
+    cods = {s: [c for c, _ in by_sub[s]] for s in range(m)}
+    mats = {
+        s: np.asarray([v for _, v in by_sub[s]], dtype=np.float64)
+        for s in range(m)
+    }
+    return sc.broadcast((cods, mats))
+
+
+def _make_pq_encode_kernel(bc, dim: int, m: int, keep_cols: tuple):
     """Factory for the Arrow encode kernel (by-value closure for worker
-    safety). Per subspace the |B|×k squared-distance block is one numpy
-    broadcast; argmin's first-occurrence rule over codewords sorted by
-    code replays the fold's first-wins (= smallest code) tie order;
-    rounding replays ROUND(d2, 6) exactly via the midpoint-band Decimal
-    rounder (captured by value — nothing resolves against this module on
+    safety). ``bc`` is a ``SparkContext.broadcast`` of ``(cods, mats)``
+    from :func:`_pq_encode_broadcast`. Per subspace the |B|×k
+    squared-distance block is one numpy broadcast; argmin's
+    first-occurrence rule over codewords sorted by code replays the
+    fold's first-wins (= smallest code) tie order; rounding replays
+    ROUND(d2, 6) exactly via the midpoint-band Decimal rounder
+    (captured by value — nothing resolves against this module on
     workers)."""
     from kafka_streams_demo_spark.functions.similarity import make_round6_block
 
@@ -164,11 +183,7 @@ def _make_pq_encode_kernel(by_sub: dict[int, list], dim: int, m: int, keep_cols:
         import pandas as pd
 
         ds = dim // m
-        cods = {s: [c for c, _ in by_sub[s]] for s in range(m)}
-        mats = {
-            s: np.asarray([v for _, v in by_sub[s]], dtype=np.float64)
-            for s in range(m)
-        }
+        cods, mats = bc.value
         for pdf in it:
             if not len(pdf):
                 continue
@@ -236,8 +251,9 @@ def pq_encode(
     array — no Exchange anywhere (tests/test_pq.py pins the
     shuffle-free plan). Above it (production k·dim — see the constant's
     rationale) the same encode runs as an Arrow mapInPandas kernel over
-    closure-shipped codebook matrices: still zero-Exchange, no SQL
-    literal; parity between the branches is test-pinned. Argmin
+    explicitly BROADCAST codebook matrices (once per executor, never
+    pickled per task-set): still zero-Exchange, no SQL literal; parity
+    between the branches is test-pinned. Argmin
     compares ROUND(d2, 6) with first-wins (= smallest code) tie order,
     mirroring the oracle's (ROUND(d2,6), code) row_number. ``keep_cols``
     ride through the map-only pass (e.g. the IVF cell label) so callers
@@ -269,8 +285,9 @@ def pq_encode(
             + [vecs.schema[c] for c in keep_cols]
             + [StructField("sub", IntegerType()), StructField("code", IntegerType())]
         )
+        bc = _pq_encode_broadcast(emb.sparkSession.sparkContext, by_sub, m)
         return vecs.mapInPandas(
-            _make_pq_encode_kernel(by_sub, dim, m, tuple(keep_cols)), schema
+            _make_pq_encode_kernel(bc, dim, m, tuple(keep_cols)), schema
         )
     cb_lit = _codebook_literal(by_sub, m)
     # subvector arrays bound behind their own select (HOF re-eval rule);

@@ -161,8 +161,12 @@ def ivf_centroids(
 # of rendered SQL text (25 chars/double). Beyond that the literal stops
 # being free — parse/codegen cost grows with the plan STRING, and a
 # production IVF at nlist 10⁴–10⁶ cells × 64 dims would embed tens to
-# hundreds of MB of SQL. Both branches are zero-Exchange map passes;
-# parity is pinned in tests/test_similarity.py.
+# hundreds of MB of SQL. The Arrow branch ships the centroid matrix as
+# an explicit SparkContext.broadcast (once per executor, shared across
+# tasks — NOT pickled into the task closure, which would re-ship
+# ~0.1–1 GB per task-set at production nlist; the kernel's own pickle
+# stays < 1 MB, test-pinned). Both branches are zero-Exchange map
+# passes; parity is pinned in tests/test_similarity.py.
 IVF_LITERAL_MAX_ELEMENTS = 32768
 
 # SQL types safe to render bare inside CAST(x AS t); anything else
@@ -230,45 +234,71 @@ def make_round6_block():
     (|frac(x·1e6) − 0.5| < 1e-6 — generous vs the ~1e-14 ulp divergence
     a blocked numpy reduction can accumulate against the sequential
     column fold, so every possible half-even/half-up or last-ulp flip is
-    re-resolved exactly). ``exact_fn(i, j) -> float`` must recompute the
-    UNROUNDED value with the column path's exact IEEE op sequence."""
+    re-resolved exactly). Entries with |x·1e6| ≥ 2^53 ALSO take the
+    exact path: beyond the double mantissa the frac-based band detector
+    reads 0 for everything (no midpoint is representable in x·1e6), yet
+    at those magnitudes the 6th decimal sits at the ulp boundary where
+    numpy's half-even and Spark's BigDecimal HALF_UP can still disagree
+    — e.g. PQ squared distances over large unnormalized embeddings. The
+    exact branch stays O(#big entries); for the normalized-embedding
+    contract (cosines in [−1,1], toy-scale d²) it never triggers.
+    ``exact_fn(i, j) -> float`` must recompute the UNROUNDED value with
+    the column path's exact IEEE op sequence."""
 
     def round6_block(arr, exact_fn):
-        from decimal import ROUND_HALF_UP, Decimal
+        from decimal import ROUND_HALF_UP, Context, Decimal
 
         import numpy as _np
 
         q6 = Decimal("0.000001")
+        # wide precision: quantizing |x| up to DBL_MAX to 6 dp needs ~315
+        # significant digits; the default 28-digit context would raise
+        # InvalidOperation on the big-magnitude entries routed here
+        ctx = Context(prec=400)
         r = _np.round(arr, 6)
         scaled = arr * 1e6
         frac = scaled - _np.floor(scaled)
-        band = _np.abs(frac - 0.5) < 1e-6
+        band = (_np.abs(frac - 0.5) < 1e-6) | (
+            _np.isfinite(scaled) & (_np.abs(scaled) >= 2.0**53)
+        )
         for idx in zip(*_np.nonzero(band)):
             r[idx] = float(
-                Decimal(exact_fn(*idx)).quantize(q6, rounding=ROUND_HALF_UP)
+                Decimal(exact_fn(*idx)).quantize(
+                    q6, rounding=ROUND_HALF_UP, context=ctx
+                )
             )
         return r
 
     return round6_block
 
 
-def _make_ivf_assign_kernel(cells, cmat, cnrms):
+def _make_ivf_assign_kernel(bc):
     """Factory for the Arrow assignment kernel (by-value closure for
     worker safety — everything the kernel touches is defined in a
     <locals> scope, nothing resolves against this module on workers).
+    ``bc`` is a ``SparkContext.broadcast`` of ``(cells, C, cn)`` — the
+    sorted cell ids, the |cells|×dim float64 centroid matrix and its
+    norms: the matrix ships ONCE PER EXECUTOR via the broadcast
+    mechanism and is shared by every task's Python worker, instead of
+    re-pickling inside every serialized task closure (at production
+    nlist 10⁵–10⁶ × dim 128 the closure copy is ~0.1–1 GB per
+    task-set; the pickled kernel itself stays < 1 MB — test-pinned).
     Each batch scores |B|×|cells| via one matmul; the argmax's
     first-occurrence rule over cells sorted ascending replays the
     fold's strict-> / lowest-cell tie order; rounding replays the
     column path exactly via the midpoint-band Decimal rounder.
 
     Degenerate-input replay (the fold's SQL semantics, parity-pinned):
-    a NULL vector or a vector with a NULL ELEMENT makes every cosine
-    SQL NULL → the fold keeps its NULL-cell init; a NaN element makes
+    a NULL vector, a vector with a NULL ELEMENT, or a WRONG-LENGTH
+    vector makes every cosine SQL NULL (zip_with pads the shorter side
+    with NULL) → the fold keeps its NULL-cell init; a NaN element makes
     every cosine NaN, and Spark orders NaN GREATEST with NaN > NaN
     false → the fold keeps the FIRST (lowest) cell. Arrow erases the
     null-element/NaN distinction in float batches, so the driver side
-    ships an explicit ``_vnull`` mask column; NaN rows map to +inf
-    before the argmax (first-occurrence = lowest cell)."""
+    ships an explicit ``_vnull`` mask column (which also covers the
+    length mismatch); wrong-length rows are NaN-filled here so the
+    batch matrix never goes ragged; NaN rows map to +inf before the
+    argmax (first-occurrence = lowest cell)."""
     round6_block = make_round6_block()
 
     def run(it):
@@ -276,8 +306,7 @@ def _make_ivf_assign_kernel(cells, cmat, cnrms):
 
         import numpy as _np
 
-        C = _np.asarray(cmat, dtype=_np.float64)  # |cells| × dim
-        cn = _np.asarray(cnrms, dtype=_np.float64)
+        cells, C, cn = bc.value  # |cells|, |cells| × dim, |cells|
         dim = C.shape[1]
         for pdf in it:
             if not len(pdf):
@@ -288,7 +317,7 @@ def _make_ivf_assign_kernel(cells, cmat, cnrms):
             V = _np.array(
                 [
                     _np.asarray(v, dtype=_np.float64)
-                    if v is not None
+                    if v is not None and len(v) == dim
                     else _np.full(dim, _np.nan)
                     for v in pdf["vec"]
                 ]
@@ -319,34 +348,58 @@ def _make_ivf_assign_kernel(cells, cmat, cnrms):
     return run
 
 
-def _ivf_assign_arrow(
-    vectors: DataFrame, rows, cell_type,
-    id_col: str, vec_col: str,
-) -> DataFrame:
-    """The above-threshold n=1 branch: the centroid matrix ships as a
-    numpy array inside the kernel closure (serialized ONCE per task via
-    the broadcast-pickled function, never as SQL text), scoring is one
-    matmul per Arrow batch — still a zero-Exchange map-only pass, with
-    none of the literal path's parse/codegen growth."""
-    from pyspark.sql.types import StructField, StructType
+def _ivf_assign_broadcast(sc, rows):
+    """Broadcast the collected centroid rows as numpy payloads —
+    ``(cells, C, cn)`` ships once per executor (deduplicated across
+    tasks and across the executor's Python workers by the broadcast
+    machinery) instead of riding pickled inside every task's kernel
+    closure. Norms use the same left-to-right IEEE fold as ``norm()``
+    so the kernel stays bit-equal to the literal branch."""
+    import numpy as np
 
     cells = [r["cell"] for r in rows]
     cmat = [[float(x) for x in r["centroid"]] for r in rows]
     cnrms = [_seq_norm(cv) for cv in cmat]
+    return sc.broadcast((
+        cells,
+        np.asarray(cmat, dtype=np.float64),
+        np.asarray(cnrms, dtype=np.float64),
+    ))
+
+
+def _ivf_assign_arrow(
+    vectors: DataFrame, rows, cell_type,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """The above-threshold n=1 branch: the centroid matrix ships as an
+    explicit ``SparkContext.broadcast`` numpy payload (once per
+    executor — never as SQL text, never re-pickled per task-set),
+    scoring is one matmul per Arrow batch — still a zero-Exchange
+    map-only pass, with none of the literal path's parse/codegen
+    growth."""
+    from pyspark.sql.types import StructField, StructType
+
+    bc = _ivf_assign_broadcast(vectors.sparkSession.sparkContext, rows)
+    dim = int(bc.value[1].shape[1])
     # Arrow float batches can't distinguish a NULL ELEMENT from a NaN
     # element (both arrive as NaN), but the SQL fold can (NULL → NULL
-    # cell, NaN → NaN-is-greatest first cell) — ship the mask explicitly
+    # cell, NaN → NaN-is-greatest first cell) — ship the mask
+    # explicitly. A wrong-length vector joins the mask too: zip_with
+    # pads the shorter side with NULL, so the fold's every cosine goes
+    # NULL → NULL cell; without the mask the kernel's batch matrix
+    # would go ragged and crash (ADVICE r9).
     vecs = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).withColumn(
         "_vnull",
         F.col("vec").isNull()
-        | F.exists(F.col("vec"), lambda x: x.isNull()),
+        | F.exists(F.col("vec"), lambda x: x.isNull())
+        | (F.size(F.col("vec")) != F.lit(dim)),
     )
     schema = StructType(
         [vecs.schema["vid"], vecs.schema["vec"], StructField("cell", cell_type)]
     )
-    return vecs.mapInPandas(_make_ivf_assign_kernel(cells, cmat, cnrms), schema)
+    return vecs.mapInPandas(_make_ivf_assign_kernel(bc), schema)
 
 
 def ivf_assign(
@@ -363,8 +416,9 @@ def ivf_assign(
     centroid table rides the plan as one SQL literal and the argmax is
     a codegen'd fold: one Project, NO Exchange. Above it (production
     nlist ≫ the 10–100-cell contract) the same assignment runs as an
-    Arrow mapInPandas kernel over a closure-shipped numpy matrix —
-    still zero-Exchange, without the literal's parse/codegen blowup.
+    Arrow mapInPandas kernel over an explicitly BROADCAST numpy matrix
+    (once per executor, never per task-set) — still zero-Exchange,
+    without the literal's parse/codegen blowup.
     Both branches replay identical rounding/tie semantics; parity and
     both plans are pinned in tests/test_similarity.py. The previous
     formulation (broadcast join + row_number window) shuffled

@@ -571,3 +571,94 @@ def test_ivf_assign_degenerate_vectors_agree_across_branches(spark):
         for r in ivf_assign(vecs, cents, n=1, literal_max_elements=0).collect()
     }
     assert fold == arrow == {1: 1, 2: None, 3: 2, 4: None, 5: 1}
+
+
+def test_ivf_assign_wrong_length_vectors_agree_across_branches(spark):
+    """ADVICE r9: a non-NULL vector whose length != dim must yield a
+    NULL cell on BOTH branches — the fold's zip_with pads the shorter
+    side with NULL (every cosine goes SQL NULL, init survives); the
+    Arrow kernel folds the mismatch into the _vnull mask instead of
+    letting np.array build a ragged batch matrix and crash."""
+    from kafka_streams_demo_spark.functions.similarity import ivf_assign
+
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "cell int, centroid array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),          # well-formed
+            (2, [1.0]),               # too short
+            (3, [1.0, 0.0, 3.0]),     # too long
+            (4, []),                  # empty
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    fold = {r["vid"]: r["cell"] for r in ivf_assign(vecs, cents, n=1).collect()}
+    arrow = {
+        r["vid"]: r["cell"]
+        for r in ivf_assign(vecs, cents, n=1, literal_max_elements=0).collect()
+    }
+    assert fold == arrow == {1: 1, 2: None, 3: None, 4: None}
+
+
+def test_ivf_assign_kernel_pickle_small_at_production_nlist(spark):
+    """VERDICT r9 task 2: the Arrow kernel must NOT capture the centroid
+    matrix in its pickled closure — at a synthetic nlist=65,536 × dim 4
+    (2 MB of float64) the closure pickle stays under 1 MB because the
+    matrix rides an explicit SparkContext.broadcast (shipped once per
+    executor, shared across tasks)."""
+    import numpy as np
+
+    from pyspark import cloudpickle
+
+    from kafka_streams_demo_spark.functions.similarity import (
+        _ivf_assign_broadcast,
+        _make_ivf_assign_kernel,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        {"cell": i, "centroid": [float(x) for x in rng.normal(size=4)]}
+        for i in range(65536)
+    ]
+    sc = spark.sparkContext
+    bc = _ivf_assign_broadcast(sc, rows)
+    try:
+        kernel = _make_ivf_assign_kernel(bc)
+        n = len(cloudpickle.dumps(kernel))
+        assert n < (1 << 20), f"kernel closure pickle is {n} bytes"
+    finally:
+        sc._pickled_broadcast_vars.clear()
+        bc.destroy()
+
+
+def test_round6_block_exact_replay_beyond_mantissa_magnitude(spark):
+    """ADVICE r9: once |x·1e6| exceeds 2^53 the frac-based midpoint
+    detector reads 0 for everything, so big-magnitude entries must be
+    routed to the exact Decimal HALF_UP replay unconditionally — pin
+    that the kernel rounder agrees with Spark's ROUND(x, 6) on values
+    in the 9e9..1e16 regime (where numpy half-even and HALF_UP can
+    disagree by an ulp) and that huge values don't raise
+    InvalidOperation under the default 28-digit Decimal context."""
+    import numpy as np
+
+    from kafka_streams_demo_spark.functions.similarity import make_round6_block
+
+    vals = [
+        9.007199254740993e9,
+        9.007199254740994e9,
+        1.2345678901234567e12,
+        9.876543210987654e15,
+        1.7e300,  # would raise InvalidOperation without the wide context
+        0.1,
+        2.5e-6,
+    ]
+    arr = np.asarray([vals], dtype=np.float64)
+    rb = make_round6_block()
+    got = rb(arr.copy(), lambda i, j: vals[j])[0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, x double")
+    want = [
+        r["r"]
+        for r in df.select("i", F.round("x", 6).alias("r")).orderBy("i").collect()
+    ]
+    assert list(got) == want
