@@ -85,19 +85,64 @@ def audit(df: DataFrame) -> PlanAudit:
         re.findall(r"^\s*[*+:\-\s]*Exchange", plan, re.M)
     ) or plan.count(" Exchange ")
 
-    # Join nodes carry no plan_id in the executed-plan string, but a
-    # cached subtree's re-prints are LINE-IDENTICAL (same expression
-    # ids), while genuinely distinct nodes never are — dedupe on the
-    # stripped line so persisted subtrees don't multiply join counts by
-    # their cache readers (the same 29-vs-9 distortion fixed for
-    # exchanges above).
+    # Join nodes carry no plan_id in the executed-plan string. A cached
+    # subtree is re-printed verbatim under EVERY InMemoryTableScan that
+    # reads it, which would multiply join counts by the number of cache
+    # readers (the 29-vs-9 distortion fixed for exchanges above) — but
+    # deduping on line TEXT undercounts the other way: two genuinely
+    # distinct join nodes over the same cached children print
+    # byte-identical lines (cache re-prints reuse expression ids).
+    # Dedupe POSITIONALLY instead (ADVICE r9): keep the first print of
+    # each InMemoryRelation subtree, skip its re-prints wholesale (a
+    # re-print is the same header line at any position; its subtree is
+    # every following line with greater tree depth), then count every
+    # remaining line — a cached subtree's operators count once (they
+    # materialize once), genuinely distinct same-text nodes keep their
+    # positions and count each.
+    _lines = ep.splitlines()
+    _strip = [re.sub(r"^[\s:+\-*]+", "", ln) for ln in _lines]
+    _dep = [len(a) - len(b) for a, b in zip(_lines, _strip)]
+    _kept: list[str] = []
+    # Two readers of the SAME cache entry print different
+    # InMemoryRelation header lines (DeduplicateRelations renames the
+    # second reader's output attrs) over a byte-identical cached
+    # subtree — so the dedup key is the SUBTREE text, not the header.
+    # Distinct caches with the same shape can't collide: their subtree
+    # exprIds differ (and identical analyzed plans share one cache
+    # entry anyway).
+    _seen_sub: set[str] = set()
+    _i, _n = 0, len(_lines)
+    while _i < _n:
+        _st, _d = _strip[_i], _dep[_i]
+        # an executed AdaptiveSparkPlan prints "== Final Plan ==" AND
+        # "== Initial Plan ==" — the same nodes twice in ONE print;
+        # keep only the final section
+        if _st.startswith("== Initial Plan =="):
+            # section content prints at depth EQUAL to the marker (no
+            # +- prefix on the first node line) — skip >= and rely on
+            # Initial always being the AdaptiveSparkPlan's LAST section
+            _i += 1
+            while _i < _n and _dep[_i] >= _d:
+                _i += 1
+            continue
+        _kept.append(_lines[_i])
+        if _st.startswith("InMemoryRelation"):
+            _j = _i + 1
+            while _j < _n and _dep[_j] > _d:
+                _j += 1
+            _key = "\n".join(_strip[_i + 1:_j])
+            if _key in _seen_sub:
+                _i = _j  # re-printed cached subtree: skip wholesale
+                continue
+            _seen_sub.add(_key)
+        _i += 1
+
     def _node_count(name: str) -> int:
-        lines = {
-            re.sub(r"^[\s:+\-*]+", "", ln)
-            for ln in ep.splitlines()
-            if name in ln
-        }
-        return len(lines) if lines else plan.count(name)
+        return (
+            sum(1 for ln in _kept if name in ln)
+            if _kept
+            else plan.count(name)
+        )
 
     a.broadcast_joins = _node_count("BroadcastHashJoin") + _node_count(
         "BroadcastNestedLoopJoin"

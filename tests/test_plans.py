@@ -256,3 +256,33 @@ def test_hot_key_parallel_formulations_partition_by_composite_keys(spark):
         a = _audit(spark, name)
         assert re.search(rf"hashpartitioning\([^)]*{token}", a.plan), \
             f"{name} does not partition by {token}:\n{a.plan[:2000]}"
+
+
+def test_join_counts_positional_cache_dedup(spark):
+    """ADVICE r9: join counting must dedupe cached-subtree RE-PRINTS
+    positionally, not by line text. (a) Two distinct join nodes over
+    the same cached children count as TWO even when their printed lines
+    coincide (text-set dedup undercounted this); (b) a join INSIDE a
+    persisted subtree read by two InMemoryTableScans counts ONCE (it
+    materializes once), not once per cache reader."""
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.range(100)
+        .select(F.col("id"), (F.col("id") % 5).alias("k"))
+        .persist()
+    )
+    base.count()
+    dim = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    j1 = base.join(F.broadcast(dim), "k")
+    j2 = base.join(F.broadcast(dim), "k")
+    a = audit(j1.unionByName(j2))
+    assert a.broadcast_joins == 2, a.plan
+
+    joined = base.join(F.broadcast(dim), "k").persist()
+    joined.count()
+    two_readers = joined.unionByName(joined.select(*joined.columns))
+    a2 = audit(two_readers)
+    assert a2.broadcast_joins == 1, a2.plan
+    joined.unpersist()
+    base.unpersist()
