@@ -7255,6 +7255,111 @@ def compaction_plan_q(spark, sf_dir):
 
 
 @register(
+    "compaction_roundtrip",
+    """
+    WITH f AS (
+      SELECT event_type AS part, CAST(ts AS DATE) AS file_day,
+             COUNT(*) AS bytes
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT part, file_day,
+             COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM f),
+    g AS (SELECT part,
+                 dense_rank() OVER (PARTITION BY part ORDER BY (cum // 300))
+                   AS group_id
+          FROM c),
+    ng AS (SELECT part, CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups
+           FROM g GROUP BY 1),
+    m AS (
+      SELECT event_type AS part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             bit_xor(('0x' || substr(md5(
+               coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '') || '|' ||
+               coalesce(CAST(event_id AS VARCHAR), '')), 1, 15))::BIGINT)
+               AS content_xor
+      FROM events GROUP BY 1)
+    SELECT m.part, m.n_rows, m.content_xor, ng.n_groups,
+           TRUE AS preserved
+    FROM m JOIN ng USING (part)
+    """,
+)
+def compaction_roundtrip_q(spark, sf_dir):
+    """The full lakehouse OPTIMIZE loop, externally hash-gated (VERDICT
+    r9 task 4): plan (functions/layout.py:compaction_plan) → APPLY — a
+    real parquet rewrite through compaction_apply's one range shuffle —
+    → manifest-verify (content_manifest) on the files READ BACK from
+    disk. Returns per table partition: the post-rewrite row count and
+    order-independent 60-bit content checksum, the number of output
+    groups actually written, and ``preserved`` = after-manifest ==
+    before-manifest. The oracle computes the manifest directly from the
+    source rows and the group count from the planner's window-formula
+    replay with preserved=TRUE — so a rewrite that drops, duplicates,
+    or corrupts ANY row, or emits a group layout different from the
+    plan, hash-mismatches the gate. Content strings use only
+    string/date/long columns (double rendering differs across engines).
+    The rewrite lands in a fresh temp dir per invocation (events-sized;
+    the entry is a correctness gate, not a bench headliner)."""
+    import tempfile
+
+    from kafka_streams_demo_spark.functions.layout import (
+        compaction_apply,
+        compaction_plan,
+        content_manifest,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("part"),
+        F.to_date("ts").alias("file_day"),
+        "event_id",
+    )
+    files = ev.groupBy("part", "file_day").agg(F.count(F.lit(1)).alias("bytes"))
+    plan = compaction_plan(
+        files, target_bytes=300,
+        part_cols=("part",), file_col="file_day", size_col="bytes",
+    )
+    out = tempfile.mkdtemp(prefix="kafka_streams_demo_spark_compact_")
+    compaction_apply(
+        ev, plan, out,
+        part_cols=("part",), file_col="file_day", sort_cols=("event_id",),
+    )
+    back = spark.read.parquet(out)
+
+    def content(df):
+        return content_manifest(
+            df,
+            ("part",),
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("file_day").cast("string"), F.lit("")),
+                F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+            ),
+        )
+
+    before = content(ev).select(
+        "part", F.col("n_rows").alias("_bn"), F.col("content_xor").alias("_bx")
+    )
+    groups = back.groupBy("part").agg(
+        F.countDistinct("group_id").cast("long").alias("n_groups")
+    )
+    return (
+        content(back)
+        .join(before, "part")
+        .join(groups, "part")
+        .select(
+            "part",
+            "n_rows",
+            "content_xor",
+            "n_groups",
+            (
+                (F.col("n_rows") == F.col("_bn"))
+                & (F.col("content_xor") == F.col("_bx"))
+            ).alias("preserved"),
+        )
+    )
+
+
+@register(
     "fuzzy_pairs_part_names",
     """
     WITH p AS (SELECT DISTINCT lower(p_name) AS name FROM part),

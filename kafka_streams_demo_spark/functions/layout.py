@@ -222,9 +222,28 @@ def compaction_apply(
     the rewrite). Output directories are partitioned by part_cols +
     group_id: exactly one data file per plan group
     (tests/test_layout.py pins file count, content equality via the
-    order-independent manifest, and in-file order)."""
+    order-independent manifest, and in-file order).
+
+    Refuse-loudly: the plan→data tag is a LEFT join with an
+    assert_true on the matched group — a data row whose (part, file)
+    is missing from the plan (stale or partial manifest) fails the
+    rewrite with a clear error instead of being silently dropped from
+    the output table, which would defeat the content-preservation
+    guarantee unless the caller happened to run content_manifest
+    afterwards (ADVICE r9)."""
     meta = plan.select(*part_cols, file_col, "group_id")
-    tagged = data.join(F.broadcast(meta), [*part_cols, file_col])
+    tagged = data.join(F.broadcast(meta), [*part_cols, file_col], "left").filter(
+        F.assert_true(
+            F.col("group_id").isNotNull(),
+            F.concat(
+                F.lit("compaction_apply: data row ("),
+                F.concat_ws(
+                    ", ", *[F.col(c).cast("string") for c in (*part_cols, file_col)]
+                ),
+                F.lit(") has no plan group — stale or partial compaction_plan"),
+            ),
+        ).isNull()
+    )
     arranged = tagged.repartitionByRange(
         *[F.col(c) for c in part_cols], F.col("group_id")
     ).sortWithinPartitions(*part_cols, "group_id", file_col, *sort_cols)

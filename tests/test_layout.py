@@ -431,3 +431,36 @@ def test_hilbert_layout_nd_write_path_plan(spark):
     plan = arranged._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     assert plan.count("Exchange rangepartitioning") == 1
+
+
+def test_compaction_apply_refuses_rows_missing_from_plan(spark, tmp_path):
+    """ADVICE r9: a data row whose (part, file_id) is absent from the
+    plan (stale/partial manifest) must FAIL the rewrite loudly, not be
+    silently dropped from the output table — the refuse-loudly
+    convention; the manifest check would only catch the loss if the
+    caller remembered to run content_manifest afterwards."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from kafka_streams_demo_spark.functions.layout import (
+        compaction_apply,
+        compaction_plan,
+    )
+
+    data = spark.createDataFrame(
+        [("a", f, f * 10 + r, "x") for f in range(1, 5) for r in range(2)],
+        "part string, file_id int, seq long, payload string",
+    )
+    # plan built from a STALE manifest missing file_id=4
+    files = (
+        data.filter(F.col("file_id") < 4)
+        .groupBy("part", "file_id")
+        .agg((F.count(F.lit(1)) * 100).alias("bytes"))
+    )
+    plan = compaction_plan(files, 300, ("part",))
+    with pytest.raises((Py4JJavaError, Exception)) as ei:
+        compaction_apply(
+            data, plan, str(tmp_path / "out"),
+            part_cols=("part",), file_col="file_id", sort_cols=("seq",),
+        )
+    assert "no plan group" in str(ei.value)
