@@ -2146,3 +2146,95 @@ def test_quantile_sketch_stream_maintenance_exactly_once(spark, tmp_path):
     want = quantile_sketch(b1.unionByName(b2), "value", "event_id", k=32)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
     assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == 2
+
+
+def test_session_window_suppress_stream_finals_once_and_late_expiry(spark, tmp_path):
+    """VERDICT r9 task 6: the reference's session demo
+    (DSLStatefulTransformation.scala:84-86) COMPOSED with
+    suppress(untilWindowCloses) under real streaming, with the
+    KStreamTest.scala-style adversarial ordering: batch 2 EXTENDS the
+    open session across the gap (merge), its far-future row then closes
+    it; a batch-3 record aimed INSIDE the closed session arrives after
+    the watermark and must be expired. Through the idempotent sink the
+    merged session commits EXACTLY ONCE with its final count — no
+    intermediate (count-2) emission ever lands, the late record changes
+    nothing, and a checkpoint rerun commits no new batch."""
+    import os
+    import time as _time
+
+    from kafka_streams_demo_spark.operators.grouped import suppress
+    from kafka_streams_demo_spark.operators.windows import SessionWindows
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+        run_foreach_batch,
+    )
+
+    src_dir = str(tmp_path / "sess_sup_src")
+    out_dir = str(tmp_path / "sess_sup_out")
+    ckpt = str(tmp_path / "sess_sup_ckpt")
+    os.makedirs(out_dir)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "key string, value long, ts_s string") \
+            .select("key", "value", F.col("ts_s").cast("timestamp").alias("timestamp"))
+
+    # batch 1: session 'a' opens with two records 2 s apart (gap 5 s)
+    mk([("a", 1, "2026-01-01 00:00:01"), ("a", 1, "2026-01-01 00:00:03")]) \
+        .coalesce(1).write.parquet(src_dir)
+    _time.sleep(1.2)  # file source orders batches by modification time
+    # batch 2: a THIRD record 3 s after the last one merges into the open
+    # session (within-gap extension -> [00:00:01, 00:00:11)); the
+    # far-future 'z' row pushes the watermark past the session end
+    mk([("a", 1, "2026-01-01 00:00:06"), ("z", 1, "2026-01-01 01:00:00")]) \
+        .coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run():
+        src = (
+            spark.readStream.schema("key string, value long, timestamp timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        sup = suppress(
+            KStream(src)
+            .with_watermark("0 seconds")
+            .group_by_key()
+            .windowed_by(SessionWindows.with_gap("5 seconds"))
+            .count()
+        )
+        run_foreach_batch(
+            sup.df, idempotent_parquet_sink(out_dir),
+            output_mode=sup.output_mode, checkpoint=ckpt,
+        )
+
+    run()
+    committed = read_committed(spark, out_dir)
+    a_rows = [
+        (str(r["window_start"]), str(r["window_end"]), r["value"])
+        for r in committed.filter(F.col("key") == "a").collect()
+    ]
+    # exactly ONE emission for the merged session, with the FINAL count 3 —
+    # no intermediate count-2 [01, 08) row was ever committed
+    assert a_rows == [("2026-01-01 00:00:01", "2026-01-01 00:00:11", 3)], a_rows
+    # 'z' sessions are still open (watermark never passed them): no finals
+    assert committed.filter(F.col("key") == "z").count() == 0
+    n_batches = len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")])
+
+    # checkpoint rerun with no new data: nothing new commits (exactly-once)
+    run()
+    assert len([d for d in os.listdir(out_dir) if d.startswith("batch_id=")]) == n_batches
+
+    # batch 3 (adversarial): a record INSIDE the closed session arrives
+    # after the watermark (late by ~1 h) — expired, not re-aggregated, no
+    # re-emission; the in-gap 'z' record merges into z's still-open session
+    _time.sleep(1.2)
+    mk([("a", 1, "2026-01-01 00:00:04"), ("z", 1, "2026-01-01 01:00:02")]) \
+        .coalesce(1).write.mode("append").parquet(src_dir)
+    run()
+    committed2 = read_committed(spark, out_dir)
+    a_rows2 = [
+        (str(r["window_start"]), str(r["window_end"]), r["value"])
+        for r in committed2.filter(F.col("key") == "a").collect()
+    ]
+    assert a_rows2 == a_rows, a_rows2          # late record changed NOTHING
+    assert committed2.filter(F.col("key") == "z").count() == 0  # still open
