@@ -713,3 +713,261 @@ def test_hilbert_nd_matches_skilling_at_8_bits(spark, pts):
         ).collect()
     }
     assert got == {p: _skilling_ref(list(p), 8) for p in pts}
+
+
+# ---- VERDICT r9 task 5: incremental dedup under pathological skew -------
+#
+# The hot-key guards (ngram max_doc_freq, minhash max_bucket_size) censor
+# by a census over the CURRENT corpus, so the compositional invariant is
+# per-chain-state: at every round, the incremental result over the
+# persisted index equals the full batch rebuild at that state restricted
+# to delta-touching pairs. Full-chain accumulation == final rebuild
+# additionally requires the censored keys to be censored at EVERY state
+# (a key CROSSING the cap mid-chain retroactively removes its earlier
+# pairs from a rebuild — documented contract: capped-out work belongs to
+# exact dedup). The hypothesis properties drive the per-state equality
+# on skew-heavy random chains; the deterministic cases pin full-chain
+# equality with an always-capped hot key AND that the guard is actually
+# censoring (guard-off is a strict superset).
+
+
+def _restrict_pairs(rows, delta_ids):
+    return sorted(
+        (r["i"], r["j"], r["jaccard"])
+        for r in rows
+        if r["i"] in delta_ids or r["j"] in delta_ids
+    )
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.booleans(),
+                st.lists(
+                    st.sampled_from(["qq", "ww", "zz"]), min_size=2, max_size=4
+                ),
+            ),
+            min_size=2,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=3,
+    )
+)
+@settings(**{**SETTINGS, "max_examples": 3})
+def test_ngram_jaccard_incremental_equals_batch_under_hot_shingle_skew(
+    spark, batches
+):
+    """Hot-shingle skew (VERDICT r9 task 5): a boilerplate shingle sits
+    in >=50% of docs (three deterministic hot docs lead batch 1, plus
+    every even generated doc), max_doc_freq=2 keeps it censored from
+    round 1 — at every chain state the incremental probe over the
+    growing corpus must equal the batch rebuild at that state
+    restricted to delta-touching pairs, bit-for-bit."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental,
+        release_caches,
+    )
+
+    HOT = "hh hh hh"
+    docs: list[tuple[int, str]] = []
+    chain: list[list[tuple[int, str]]] = []
+    nid = 0
+    for bi, b in enumerate(batches):
+        rows = []
+        if bi == 0:  # the hot shingle is over-cap from the FIRST census
+            for _ in range(3):
+                rows.append((nid, HOT + " qq ww"))
+                nid += 1
+        for di, (flag, toks) in enumerate(b):
+            body = " ".join(toks)
+            rows.append((nid, f"{HOT} {body}" if flag or di % 2 == 0 else body))
+            nid += 1
+        chain.append(rows)
+        docs.extend(rows)
+
+    corpus_rows: list[tuple[int, str]] = []
+    for k, rows in enumerate(chain):
+        corpus_rows = corpus_rows + rows
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        delta = spark.createDataFrame(rows, "doc_id long, text string")
+        if k == 0:
+            continue  # round 0 has no prior index; batch path covers it
+        inc = sorted(
+            (r["i"], r["j"], r["jaccard"])
+            for r in ngram_jaccard_pairs_incremental(
+                delta, corpus, n=2, threshold=0.2, max_doc_freq=2
+            ).collect()
+        )
+        batch = ngram_jaccard_pairs(
+            corpus, n=2, threshold=0.2, max_doc_freq=2
+        ).collect()
+        want = _restrict_pairs(batch, {d for d, _ in rows})
+        assert inc == want, (k, inc, want)
+    release_caches()
+
+
+@given(
+    batches=st.lists(
+        st.lists(st.integers(min_value=0, max_value=2), min_size=2, max_size=4),
+        min_size=2,
+        max_size=3,
+    )
+)
+@settings(**{**SETTINGS, "max_examples": 3})
+def test_minhash_lsh_incremental_equals_batch_under_dup_cluster_skew(
+    spark, batches
+):
+    """Exact-duplicate-cluster skew — the minhash hot-key hazard (a
+    cluster of identical docs shares EVERY band bucket): four copies of
+    one text lead batch 1 so its buckets are over max_bucket_size=3
+    from the first census; generated docs draw from a 3-text pool so
+    further duplicate clusters form and may cross the cap mid-chain. At
+    every chain state the incremental probe over the persisted band-row
+    index must equal the batch rebuild at that state restricted to
+    delta-touching pairs."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        release_caches,
+    )
+
+    POOL = [
+        "qq ww zz qq ww",
+        "ww zz qq ww qq zz",
+        "zz qq zz ww ww qq",
+    ]
+    chain: list[list[tuple[int, str]]] = []
+    nid = 0
+    for bi, b in enumerate(batches):
+        rows = []
+        if bi == 0:  # always-capped duplicate cluster
+            for _ in range(4):
+                rows.append((nid, POOL[0]))
+                nid += 1
+        for pi in b:
+            rows.append((nid, POOL[pi]))
+            nid += 1
+        chain.append(rows)
+
+    kw = dict(n=2, threshold=0.3, max_bucket_size=3)
+    corpus_rows: list[tuple[int, str]] = []
+    index = None
+    for k, rows in enumerate(chain):
+        corpus_rows = corpus_rows + rows
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        delta = spark.createDataFrame(rows, "doc_id long, text string")
+        if index is not None:
+            inc = sorted(
+                (r["i"], r["j"], r["jaccard"])
+                for r in minhash_lsh_pairs_incremental(
+                    delta, index, corpus, **kw
+                ).collect()
+            )
+            batch = minhash_lsh_pairs(corpus, **kw).collect()
+            want = _restrict_pairs(batch, {d for d, _ in rows})
+            assert inc == want, (k, inc, want)
+        nxt = minhash_index(delta, n=2)
+        index = nxt if index is None else index.unionByName(nxt)
+        index = index.localCheckpoint(eager=True)  # bound the chained plan
+    release_caches()
+
+
+def test_incremental_dedup_full_chain_equals_rebuild_with_stable_hot_keys(spark):
+    """Full-chain accumulation == one-shot rebuild when the censored
+    keys are censored at every state (the always-capped construction),
+    for BOTH families — and the guards are really censoring: guard-off
+    rebuilds are strict supersets carrying the hot-key-held pairs."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental,
+        release_caches,
+    )
+
+    HOT = "hh hh hh"
+    # 12 docs, hot shingle in 6 (50%), near-dup tails within the cap
+    texts = [
+        (0, f"{HOT} qq ww zz"), (1, f"{HOT} qq ww xx"), (2, "aa bb cc dd"),
+        (3, f"{HOT} rr ss tt"), (4, "aa bb cc ee"), (5, f"{HOT} uu vv"),
+        (6, "ff gg hh2 ii"), (7, f"{HOT} uu ww"), (8, "ff gg hh2 jj"),
+        (9, "kk ll mm"), (10, f"{HOT} rr ss yy"), (11, "kk ll nn"),
+    ]
+    chain = [texts[:5], texts[5:9], texts[9:]]
+
+    acc: list[tuple] = []
+    corpus_rows: list[tuple[int, str]] = []
+    for k, rows in enumerate(chain):
+        corpus_rows = corpus_rows + rows
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        delta = spark.createDataFrame(rows, "doc_id long, text string")
+        if k == 0:
+            got = ngram_jaccard_pairs(corpus, n=2, threshold=0.2, max_doc_freq=2)
+        else:
+            got = ngram_jaccard_pairs_incremental(
+                delta, corpus, n=2, threshold=0.2, max_doc_freq=2
+            )
+        acc.extend((r["i"], r["j"], r["jaccard"]) for r in got.collect())
+    all_docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    rebuild = sorted(
+        (r["i"], r["j"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            all_docs, n=2, threshold=0.2, max_doc_freq=2
+        ).collect()
+    )
+    assert sorted(acc) == rebuild
+    unguarded = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            all_docs, n=2, threshold=0.2, max_doc_freq=None
+        ).collect()
+    }
+    guarded = {(i, j): jac for i, j, jac in rebuild}
+    # the guard is a LOWER BOUND: it may only lose pairs or lower their
+    # reported jaccard (hot shingles leave the common count but stay in
+    # the set sizes) — and here it really censored something
+    assert set(guarded) <= set(unguarded)
+    assert all(guarded[p] <= unguarded[p] for p in guarded)
+    assert guarded != unguarded
+
+    # minhash: a 4-copy cluster (always capped at max_bucket_size=3) and a
+    # 2-copy cluster split across batches (never capped, found round 2)
+    T0, T1 = "qq ww zz qq ww", "ww zz qq ww qq zz"
+    mh_chain = [
+        [(0, T0), (1, T0), (2, T0), (3, T0), (4, T1)],
+        [(5, T1), (6, "zz qq zz ww ww qq")],
+    ]
+    kw = dict(n=2, threshold=0.3, max_bucket_size=3)
+    acc2: list[tuple] = []
+    corpus_rows = []
+    index = None
+    for k, rows in enumerate(mh_chain):
+        corpus_rows = corpus_rows + rows
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        delta = spark.createDataFrame(rows, "doc_id long, text string")
+        if k == 0:
+            got = minhash_lsh_pairs(corpus, **kw)
+        else:
+            got = minhash_lsh_pairs_incremental(delta, index, corpus, **kw)
+        acc2.extend((r["i"], r["j"], r["jaccard"]) for r in got.collect())
+        nxt = minhash_index(delta, n=2)
+        index = nxt if index is None else index.unionByName(nxt)
+    all2 = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    rebuild2 = sorted(
+        (r["i"], r["j"], r["jaccard"]) for r in minhash_lsh_pairs(all2, **kw).collect()
+    )
+    assert sorted(acc2) == rebuild2
+    assert (4, 5, 1.0) in rebuild2  # the uncapped dup pair WAS found
+    uncapped = sorted(
+        (r["i"], r["j"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            all2, n=2, threshold=0.3, max_bucket_size=10_000
+        ).collect()
+    )
+    assert set(rebuild2) < set(uncapped)  # the cap censored the 4-cluster
+    release_caches()
