@@ -389,49 +389,62 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # funnel/journey/gapfill/corr/percentiles; codecs add
 # jpeg_decode_all_layouts. Whole 50-name window re-verified with
 # check_oracle at sf0.01 before commit (standing rule).
+# ROUND-10 ROTATION (VERDICT r9 task 1 — the never-checked sweep,
+# FINAL part): the 18 remaining oracled entries that have never earned
+# an external CORRECTNESS row rotate IN (the quantile-sketch quartet’s
+# three oracled members, contamination_semantic, hilbert_nd_layout,
+# content_manifest_by_source, and the engine-completeness tail queued
+# in the r9 comment below) — after this window goes green, ZERO oracled
+# entries remain without an external hash-green row on record. Also IN:
+# compaction_roundtrip (NEW this round — the plan→apply→manifest
+# OPTIMIZE loop, never checked) and four changed-path re-earners
+# (ann_ivf_topk + pq_encode_corpus + ann_ivf_pq_topk: the Arrow
+# assign/encode kernels moved to explicit SparkContext.broadcast with a
+# wrong-length-mask fix this round; compaction_plan: sibling of the
+# compaction_apply refuse-loudly change, plus the r9 bench-noise watch).
+# The 6 standing §2 anchors stay. The remaining 21 slots keep one
+# D9-green representative per §2/LLM family: joins
+# (asof_join_purchase_1h, orders_high_value_semi), windows
+# (session_window_sum_cents), SCD2 (scd2_current_view), sketches
+# (cms_point_queries, hll_distinct_users, kmv_overlap_event_types),
+# dedup/curation (semdedup_cells, dedup_embedding_cosine,
+# pipeline_clean_corpus, contamination_check, quality_score, pii_scan),
+# codecs (jpeg_decode_all_layouts), analytics (rollup_revenue,
+# top3_orders_per_cust, funnel_signup_click_purchase,
+# daily_rollup_gapfill, corr_qty_price), layout (zorder_layout,
+# hilbert_layout). Every demoted entry is driver-green in
+# CORRECTNESS_r09.json or earlier, so each family keeps a green ON
+# RECORD. Whole 50-name window re-verified with check_oracle at sf0.01
+# before commit (standing rule).
 DRIVER_PRIORITY: list[str] = [
-    # §2 anchors (r8-green; families stay represented in-window)
+    # §2 anchors (green every round; families stay represented)
     "word_count", "q1_pricing_summary", "ktable_latest",
     "stream_table_join_segment", "processor_running_count",
     "avro_wire_roundtrip",
-    # changed-this-round anchors re-earning green
-    "ann_ivf_topk", "zorder_layout",
-    # PQ / IVFADC seven (landed r8, never driver-checked; encode path
-    # changed again this round — assigned-frame encode + guards)
-    "pq_encode_corpus", "pq_encode_incremental", "ann_pq_adc_topk",
-    "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk",
-    "pq_residual_encode_corpus", "pq_residual_encode_incremental",
-    # semantic dedup over IVF cells + the ANN diagnostics/layout tier
-    "semdedup_cells", "semdedup_cells_incremental",
-    "ann_recall_report", "ann_ivf_int8_topk",
-    "compaction_plan", "hilbert_layout",
-    # sketches: CMS pair + the estimate finishers
-    "cms_sketch_users", "cms_point_queries", "hll_distinct_users",
-    "kmv_overlap_event_types",
-    # retrieval / dedup / curation never-checked tier
-    "tfidf_doc_pairs", "dedup_embedding_cosine", "embedding_knn_blocked",
-    "pipeline_clean_corpus", "pipeline_keeplist",
-    "contamination_check", "quality_score", "pii_scan",
-    # codecs
-    "jpeg_decode_all_layouts",
-    # engine-completeness tail (OLAP/analytics surface)
-    "rollup_revenue", "cube_status_priority", "pivot_priority_by_nation",
-    "top3_orders_per_cust", "funnel_signup_click_purchase",
-    "user_journey_paths", "daily_rollup_gapfill", "sample_split_train",
-    "vocab_token_freq", "corr_qty_price", "exact_percentiles_value",
-    "scd2_current_view", "session_window_sum_cents",
+    # the final 18 never-externally-checked oracled entries
+    "quantile_sketch_value", "quantile_merge_incremental",
+    "quantile_estimate_value", "contamination_semantic",
+    "hilbert_nd_layout", "content_manifest_by_source",
+    "ann_topk_bruteforce", "embedding_quantize_int8", "fingerprint_bow",
+    "histogram_event_values", "interarrival_stats", "multimodal_meta",
+    "ppm_frames_meta", "percentile_value_by_type", "repetition_ratio",
+    "running_sum_per_user", "sample_per_source", "set_ops_all_multiset",
+    # new this round: the hash-gated OPTIMIZE roundtrip
+    "compaction_roundtrip",
+    # changed-path re-earners (broadcast kernels / compaction sibling)
+    "ann_ivf_topk", "pq_encode_corpus", "ann_ivf_pq_topk",
+    "compaction_plan",
+    # per-family green representatives (all D9-green)
     "asof_join_purchase_1h", "orders_high_value_semi",
-    "customers_without_orders_anti",
+    "session_window_sum_cents", "scd2_current_view",
+    "cms_point_queries", "hll_distinct_users", "kmv_overlap_event_types",
+    "semdedup_cells", "dedup_embedding_cosine", "pipeline_clean_corpus",
+    "contamination_check", "quality_score", "pii_scan",
+    "jpeg_decode_all_layouts",
+    "rollup_revenue", "top3_orders_per_cust",
+    "funnel_signup_click_purchase", "daily_rollup_gapfill",
+    "corr_qty_price", "zorder_layout", "hilbert_layout",
 ]
-# Still awaiting a first driver slot after this rotation (all green in
-# the local full-catalog sweep): ann_topk_bruteforce,
-# embedding_quantize_int8, fingerprint_bow, histogram_event_values,
-# interarrival_stats, multimodal_meta, percentile_value_by_type,
-# ppm_frames_meta, repetition_ratio, running_sum_per_user,
-# sample_per_source, set_ops_all_multiset — plus the late-r9 additions
-# hilbert_nd_layout, content_manifest_by_source, contamination_semantic,
-# quantile_sketch_value, quantile_merge_incremental,
-# quantile_estimate_value — rotate these 18 in r10.
 
 
 def _priority_order(names) -> list[str]:
