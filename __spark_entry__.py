@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship query (clicks-per-region shape on sf0.001).
 ``queries()`` / ``oracle_sql()`` — the SURVEY §2 operator inventory, one
 entry per implemented operator, each with a DuckDB-equivalent oracle
-(see kafka_streams_demo_spark/catalog.py for the implementations).
+(see the kafka_streams_demo_spark/catalog/ package for the implementations).
 """
 
 from __future__ import annotations
