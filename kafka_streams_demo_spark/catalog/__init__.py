@@ -397,7 +397,12 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # in the r9 comment below) — after this window goes green, ZERO oracled
 # entries remain without an external hash-green row on record. Also IN:
 # compaction_roundtrip (NEW this round — the plan→apply→manifest
-# OPTIMIZE loop, never checked) and four changed-path re-earners
+# OPTIMIZE loop, never checked), the two NEW round-10 entries
+# (quality_classifier_filter — GPT-3-style NB quality classifier +
+# derandomized Pareto keep; split_leakage_safe — cluster-keyed
+# train/valid split; corr_qty_price and hilbert_layout demote to make
+# room, both D9-green with their families still represented),
+# and four changed-path re-earners
 # (ann_ivf_topk + pq_encode_corpus + ann_ivf_pq_topk: the Arrow
 # assign/encode kernels moved to explicit SparkContext.broadcast with a
 # wrong-length-mask fix this round; compaction_plan: sibling of the
@@ -429,8 +434,10 @@ DRIVER_PRIORITY: list[str] = [
     "histogram_event_values", "interarrival_stats", "multimodal_meta",
     "ppm_frames_meta", "percentile_value_by_type", "repetition_ratio",
     "running_sum_per_user", "sample_per_source", "set_ops_all_multiset",
-    # new this round: the hash-gated OPTIMIZE roundtrip
+    # new this round: the hash-gated OPTIMIZE roundtrip + the round-10
+    # additions (NB quality classifier + Pareto keep; leakage-safe split)
     "compaction_roundtrip",
+    "quality_classifier_filter", "split_leakage_safe",
     # changed-path re-earners (broadcast kernels / compaction sibling)
     "ann_ivf_topk", "pq_encode_corpus", "ann_ivf_pq_topk",
     "compaction_plan",
@@ -443,7 +450,7 @@ DRIVER_PRIORITY: list[str] = [
     "jpeg_decode_all_layouts",
     "rollup_revenue", "top3_orders_per_cust",
     "funnel_signup_click_purchase", "daily_rollup_gapfill",
-    "corr_qty_price", "zorder_layout", "hilbert_layout",
+    "zorder_layout",
 ]
 
 

@@ -970,3 +970,65 @@ def dsir_select_q(spark, sf_dir):
     return dsir_select(docs, F.col("source") == "src0", k=50)
 
 
+
+@register(
+    "quality_classifier_filter",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts
+                  FROM documents),
+    uni AS (SELECT doc_id, unnest(ts) AS f FROM toks),
+    big AS (SELECT doc_id, ts[i] || '_' || ts[i+1] AS f
+            FROM toks, UNNEST(range(1, len(ts))) AS g(i) WHERE len(ts) >= 2),
+    allf AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS bucket
+             FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+    feats AS (SELECT doc_id, bucket, count(*) AS c FROM allf GROUP BY 1, 2),
+    flg AS (SELECT doc_id, source = 'src0' AS is_p FROM documents),
+    tot AS (SELECT bucket,
+                   SUM(CASE WHEN is_p THEN c ELSE 0 END) AS c_pos,
+                   SUM(CASE WHEN NOT is_p THEN c ELSE 0 END) AS c_neg
+            FROM feats JOIN flg USING (doc_id) GROUP BY 1),
+    gr AS (SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg FROM tot),
+    pr AS (SELECT SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS d_pos,
+                  SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS d_neg FROM flg),
+    llr AS (SELECT bucket,
+                   ln(CAST(c_pos + 1 AS DOUBLE) / CAST(n_pos + 256 AS DOUBLE))
+                 - ln(CAST(c_neg + 1 AS DOUBLE) / CAST(n_neg + 256 AS DOUBLE)) AS llr
+            FROM tot CROSS JOIN gr),
+    contrib AS (SELECT doc_id, CAST(c AS DOUBLE) * llr AS v
+                FROM feats JOIN llr USING (bucket)),
+    s AS (SELECT doc_id,
+                 ROUND(ln(CAST(d_pos AS DOUBLE) / CAST(d_neg AS DOUBLE))
+                       + list_sum(list_sort(list(v))), 6) AS score
+          FROM contrib CROSS JOIN pr GROUP BY doc_id, d_pos, d_neg),
+    k AS (SELECT doc_id, score,
+                 ROUND(1.0 / (1.0 + exp(-score)), 6) AS prob,
+                 ROUND(POW(1.0 - (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+                                 / 1152921504606846976.0, -(1.0/9.0)) - 1.0, 6) AS pareto
+          FROM s)
+    SELECT doc_id, score, prob, pareto,
+           CAST(CASE WHEN pareto > 1.0 - prob THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM k
+    """,
+)
+def quality_classifier_filter_q(spark, sf_dir):
+    """GPT-3-style quality-classifier filtering (functions/lm.py:
+    nb_quality_scores + pareto_quality_filter; Brown et al. 2020
+    Appendix A): a multinomial Naive-Bayes model over hashed
+    unigram+bigram features — the closed-form, one-aggregation-pass
+    member of the linear-classifier family GPT-3's pipeline trains —
+    fitted with src0 as the curated positive class and the rest of the
+    crawl as negative, scores every document; the keep bit replays
+    GPT-3's stochastic Pareto rule (keep iff pareto > 1 − σ(score))
+    with the draw derandomized by inverse-CDF over the doc-id hash, so
+    low-quality docs retain tail-diversity admission probability and
+    the whole decision is engine-replayable. Scale: the model is B=256
+    rows (broadcast), the prior 1 row, scoring one doc-keyed aggregate
+    — no global sort, no Python."""
+    from kafka_streams_demo_spark.functions.lm import (
+        nb_quality_scores,
+        pareto_quality_filter,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = nb_quality_scores(docs, F.col("source") == "src0")
+    return pareto_quality_filter(scored, alpha=9.0)

@@ -1223,3 +1223,39 @@ def session_window_sum_cents(spark, sf_dir):
     )
 
 
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, cluster_id,
+       ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+       CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+            THEN 'train' ELSE 'valid' END AS split
+FROM ({_CC_ORACLE}) AS base
+"""
+
+
+@register("split_leakage_safe", _SPLIT_ORACLE)
+def split_leakage_safe_q(spark, sf_dir):
+    """Leakage-safe train/valid split (functions/dedup.py:
+    leakage_safe_split; Lee et al. 2022 §6.2 — near-duplicates
+    straddling a per-document random split inflate validation metrics):
+    the split key is the near-dup CLUSTER representative from
+    dedup_clusters (connected components over the exact 3-gram-Jaccard
+    graph at 0.5), hashed with the engine-stable md5-60-bit bucket into
+    a 90/10 cut — so two near-duplicate documents can never land on
+    opposite sides, by construction rather than by audit. Scale: the
+    split itself is one shuffle-free projection over the assignment
+    frame; the clustering cost is the dedup pipeline's, already paid —
+    this entry prices exactly what a real pipeline adds on top (nothing).
+    Oracle: the dedup_clusters recursive CTE composed with the same
+    hash arithmetic."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        dedup_clusters,
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_doc_freq=None
+    ).select("i", "j")
+    return leakage_safe_split(dedup_clusters(docs, pairs), train_pct=90)

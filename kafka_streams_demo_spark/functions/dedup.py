@@ -1245,6 +1245,49 @@ def dedup_clusters(
     )
 
 
+def leakage_safe_split(
+    assignments: DataFrame,
+    train_pct: int = 90,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Cluster-aware train/valid split: hash the near-dup CLUSTER id, not
+    the document, so a near-duplicate pair can never straddle the split
+    boundary. Splitting by per-doc hash (``sample_split_train``) leaks:
+    two 95%-identical documents hash independently and land one in
+    train, one in valid — the contamination Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better" §6.2)
+    measure as inflated validation perplexity. Keying the split on the
+    connected-component representative from :func:`dedup_clusters`
+    makes leakage structurally impossible: same cluster ⇒ same side.
+
+    ``assignments`` is (doc_id, cluster_id) — the :func:`dedup_clusters`
+    output (full or incremental). Returns (doc_id, cluster_id, bucket,
+    split) with bucket = md5-60-bit(cluster_id) % 100 and split =
+    'train' iff bucket < train_pct. Embarrassingly parallel: one
+    projection over the assignment frame, no shuffle, stable across
+    runs/engines/partitionings (the ``sample_split_train`` hash
+    contract, lifted from doc to cluster granularity)."""
+    if not 0 < train_pct < 100:
+        raise ValueError(f"train_pct must be in (0, 100), got {train_pct}")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(cluster_col).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return assignments.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        bucket.alias("bucket"),
+        F.when(bucket < F.lit(train_pct), F.lit("train"))
+        .otherwise(F.lit("valid"))
+        .alias("split"),
+    )
+
+
 def dedup_clusters_incremental(
     new_docs: DataFrame,
     assignments: DataFrame,

@@ -1110,3 +1110,87 @@ def test_contamination_semantic_guard_and_map_only_plan(spark):
     assert all(r["cos"] >= 0.3 for r in rows)
     with _pytest.raises(ValueError, match="max_eval"):
         contamination_semantic(tr, ev, max_eval=1)
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    from kafka_streams_demo_spark.functions.dedup import (
+        dedup_clusters,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # chain pairs 0-1-2, 3-4, plus singletons beyond
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (10, 11), (12, 13)], "i long, j long"
+    )
+    out = leakage_safe_split(dedup_clusters(docs, pairs), train_pct=90)
+    rows = out.collect()
+    assert len(rows) == 40
+    side = {r["doc_id"]: r["split"] for r in rows}
+    for i, j in [(0, 1), (1, 2), (0, 2), (3, 4), (10, 11), (12, 13)]:
+        assert side[i] == side[j], f"pair ({i},{j}) straddles the split"
+    assert set(side.values()) <= {"train", "valid"}
+    # bucket is the split's witness: same rule both columns
+    for r in rows:
+        assert (r["split"] == "train") == (r["bucket"] < 90)
+
+
+def test_leakage_safe_split_beats_per_doc_hash(spark):
+    """The op's reason to exist: a per-document hash split DOES straddle
+    near-dup pairs; the cluster-keyed split cannot."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.dedup import (
+        dedup_clusters,
+        leakage_safe_split,
+    )
+
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    # pair 2k with 2k+1: 200 near-dup pairs
+    pairs = spark.createDataFrame(
+        [(2 * k, 2 * k + 1) for k in range(n // 2)], "i long, j long"
+    )
+    clustered = dedup_clusters(docs, pairs)
+    safe = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(clustered, train_pct=50).collect()
+    }
+    # per-doc hash split (sample_split_train's rule, doc granularity)
+    naive_bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    )
+    naive = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            F.when(naive_bucket < 50, F.lit("train")).otherwise(F.lit("valid")).alias("s"),
+        ).collect()
+    }
+    safe_straddle = sum(
+        1 for k in range(n // 2) if safe[2 * k] != safe[2 * k + 1]
+    )
+    naive_straddle = sum(
+        1 for k in range(n // 2) if naive[2 * k] != naive[2 * k + 1]
+    )
+    assert safe_straddle == 0
+    assert naive_straddle > 0  # ~50% of 200 pairs leak under per-doc hash
+
+
+def test_leakage_safe_split_rejects_bad_pct(spark):
+    import pytest
+
+    from kafka_streams_demo_spark.functions.dedup import leakage_safe_split
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, cluster_id long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, train_pct=0)
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, train_pct=100)

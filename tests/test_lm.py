@@ -128,3 +128,90 @@ def test_merge_lm_counts_equals_batch(spark):
     )
     direct = sorted(map(tuple, ngram_lm_score(docs).collect()))
     assert via_counts == direct
+
+
+def test_nb_scores_separate_classes(spark):
+    from kafka_streams_demo_spark.functions.lm import nb_quality_scores
+
+    # positive class talks about "clean curated prose", negatives about
+    # "spam junk clicks" — an unseen doc from each vocabulary should
+    # score on its class's side
+    docs = _docs(
+        spark,
+        [
+            (1, "clean curated prose clean curated prose"),
+            (2, "clean prose curated clean"),
+            (3, "spam junk clicks spam junk clicks"),
+            (4, "junk spam clicks junk"),
+            (5, "clean curated"),   # held-out positive-like
+            (6, "spam clicks"),     # held-out negative-like
+        ],
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in nb_quality_scores(docs, F.col("doc_id") <= 2).collect()
+    }
+    assert len(got) == 6
+    assert got[5] > got[6]
+    assert got[1] > 0 and got[3] < 0
+
+
+def test_nb_score_includes_prior(spark):
+    from kafka_streams_demo_spark.functions.lm import nb_quality_scores
+
+    # identical token bags: the ONLY signal separating the (single)
+    # feature's llr from zero is class imbalance, and the score must
+    # equal prior + n·llr exactly as specified
+    docs = _docs(spark, [(1, "x"), (2, "x"), (3, "x"), (4, "x")])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in nb_quality_scores(docs, F.col("doc_id") <= 3).collect()
+    }
+    prior = math.log(3.0 / 1.0)
+    llr = math.log(4.0 / (3 + 256)) - math.log(2.0 / (1 + 256))
+    want = round(prior + llr, 6)
+    assert all(v == want for v in got.values())
+
+
+def test_pareto_filter_keep_monotone_and_deterministic(spark):
+    from kafka_streams_demo_spark.functions.lm import pareto_quality_filter
+
+    scored = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([-20.0, -2.0, 0.0, 2.0, 20.0] * 40)],
+        "doc_id long, score double",
+    )
+    out = pareto_quality_filter(scored).collect()
+    assert len(out) == 200
+    # saturated scores: σ(20) ≈ 1 → keep guaranteed (pareto > 0 always);
+    # σ(-20) ≈ 0 → keep requires pareto > 1, prob (1/2)^9 ≈ 0.2%
+    by_score = {}
+    for r in out:
+        by_score.setdefault(r["score"], []).append(r["keep"])
+    assert all(k == 1 for k in by_score[20.0])
+    keep_rate = {s: sum(v) / len(v) for s, v in by_score.items()}
+    assert keep_rate[-20.0] <= keep_rate[0.0] <= keep_rate[20.0]
+    # stochastic-but-derandomized: the mid band admits SOME of each side
+    # (tail diversity — the reason GPT-3 doesn't hard-threshold). At
+    # score 2.0 the keep probability is P(pareto > 1−σ(2)) =
+    # (1−0.119)^9 ≈ 0.36, so 40 deterministic draws land strictly
+    # inside (0, 1) with overwhelming margin; score 0.0's ~2.6% rate is
+    # too rare to assert non-zero on 40 draws.
+    assert 0 < keep_rate[2.0] < 1
+    # bit-stable across a different partitioning
+    out2 = pareto_quality_filter(scored.repartition(7)).collect()
+    assert {(r["doc_id"], r["keep"]) for r in out2} == {
+        (r["doc_id"], r["keep"]) for r in out
+    }
+
+
+def test_nb_plan_stays_jvm_side(spark):
+    from kafka_streams_demo_spark.functions.lm import (
+        nb_quality_scores,
+        pareto_quality_filter,
+    )
+    from kafka_streams_demo_spark.plans.explain import audit
+
+    docs = _docs(spark, [(1, "a b c"), (2, "b c d"), (3, "d e f")])
+    df = pareto_quality_filter(nb_quality_scores(docs, F.col("doc_id") == 1))
+    a = audit(df)
+    assert a.python_evals == 0
