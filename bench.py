@@ -89,6 +89,12 @@ HEADLINE = [
     "ann_ivf_pq_residual_topk",
     "semdedup_cells",
     "compaction_plan",
+    # round 10: the NB quality classifier + derandomized Pareto keep
+    # (one-pass train + broadcast-model scoring), and the cluster-keyed
+    # leakage-safe split (prices the full dedup-clusters pipeline plus
+    # the shuffle-free split projection on top)
+    "quality_classifier_filter",
+    "split_leakage_safe",
 ]
 
 # The FIXED round-1 query set (BENCH_r01.json): reported as its own

@@ -1426,6 +1426,34 @@ SELECT src, dst FROM (
 """
 
 
+def _pr_edges(spark, sf_dir):
+    """Bidirectional customer↔supplier trade edges. ONE pass: the
+    orders⋈lineitem join + distinct runs once and each pair explodes
+    into both directions row-locally — a self-unionByName over the same
+    subtree runs the join+distinct TWICE (Catalyst does not dedupe
+    common subtrees across union branches; profiled at ~half the whole
+    entry's wall time). The distinct is taken over the raw integer keys
+    (cheaper shuffle comparators than the prefixed strings; injective
+    prefixing makes it the same set — exactly the oracle CTE's shape)."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    return cs.select(
+        F.explode(
+            F.array(
+                F.struct(c.alias("src"), s.alias("dst")),
+                F.struct(s.alias("src"), c.alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+
+
 def _pagerank_oracle() -> str:
     from kafka_streams_demo_spark.functions.graph import pagerank_sql
 
@@ -1447,20 +1475,7 @@ def pagerank_cust_supp(spark, sf_dir):
     the gate has already proven the iteration logic."""
     from kafka_streams_demo_spark.functions.graph import pagerank
 
-    o = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
-    cs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    return pagerank(edges, iterations=3, damping=0.85)
+    return pagerank(_pr_edges(spark, sf_dir), iterations=3, damping=0.85)
 
 
 ORACLES["pagerank_cust_supp"] = _pagerank_oracle()
@@ -1483,20 +1498,9 @@ def pagerank_cust_supp_prod(spark, sf_dir):
     gated sibling proves the shared iteration logic externally."""
     from kafka_streams_demo_spark.functions.graph import pagerank
 
-    o = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
-    cs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
+    return pagerank(
+        _pr_edges(spark, sf_dir), iterations=3, damping=0.85, exact_folds=False
     )
-    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    return pagerank(edges, iterations=3, damping=0.85, exact_folds=False)
 
 
 _TRI_EDGES_CTE = """

@@ -70,7 +70,16 @@ def pagerank(
     # The out-degree is pre-joined INTO the edge table so each iteration
     # is exactly one (broadcast) rank join + one groupBy(dst) exchange.
     e0 = edges.select("src", "dst").localCheckpoint(eager=True)
-    nodes = e0.select(F.col("src").alias("node")).distinct()
+    # nodes is referenced TWICE PER ITERATION (the full-node-set rank
+    # rebuild and, via n_row, the damping term) plus once at setup; left
+    # lazy each reference re-runs the edge-wide distinct shuffle — at 3
+    # iterations that is ~7 redundant Exchanges over the biggest frame
+    # in the loop. One row per node → cheap to materialize once.
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     deg = e0.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("_od"))
     e = e0.join(deg, "src").localCheckpoint(eager=True)
