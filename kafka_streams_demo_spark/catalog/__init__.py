@@ -435,9 +435,13 @@ DRIVER_PRIORITY: list[str] = [
     "ppm_frames_meta", "percentile_value_by_type", "repetition_ratio",
     "running_sum_per_user", "sample_per_source", "set_ops_all_multiset",
     # new this round: the hash-gated OPTIMIZE roundtrip + the round-10
-    # additions (NB quality classifier + Pareto keep; leakage-safe split)
+    # additions (NB quality classifier + Pareto keep, its merge≡rebuild
+    # incremental tier, and the leakage-safe split;
+    # daily_rollup_gapfill demotes — D9-green, analytics family still
+    # holds rollup/top-k/funnel/corr representatives)
     "compaction_roundtrip",
-    "quality_classifier_filter", "split_leakage_safe",
+    "quality_classifier_filter", "quality_classifier_incremental",
+    "split_leakage_safe",
     # changed-path re-earners (broadcast kernels / compaction sibling)
     "ann_ivf_topk", "pq_encode_corpus", "ann_ivf_pq_topk",
     "compaction_plan",
@@ -449,7 +453,7 @@ DRIVER_PRIORITY: list[str] = [
     "contamination_check", "quality_score", "pii_scan",
     "jpeg_decode_all_layouts",
     "rollup_revenue", "top3_orders_per_cust",
-    "funnel_signup_click_purchase", "daily_rollup_gapfill",
+    "funnel_signup_click_purchase",
     "zorder_layout",
 ]
 

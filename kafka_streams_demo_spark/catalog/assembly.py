@@ -1032,3 +1032,33 @@ def quality_classifier_filter_q(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     scored = nb_quality_scores(docs, F.col("source") == "src0")
     return pareto_quality_filter(scored, alpha=9.0)
+
+@register(
+    "quality_classifier_incremental", ORACLES["quality_classifier_filter"]
+)
+def quality_classifier_incremental_q(spark, sf_dir):
+    """The INCREMENTAL classifier tier (functions/lm.py:nb_model_counts
+    + merge_nb_counts): NB counts are ADDITIVE — the corpus arrives as
+    two ingest batches (doc_id%2), each counted independently, merged
+    by union+re-sum, then every doc is scored against the merged model
+    and run through the same Pareto keep rule. Registered against the
+    SAME oracle as quality_classifier_filter, so the driver hash gate
+    proves index+delta ≡ one-shot retrain bit-for-bit (every double in
+    the scoring math derives from order-free integer totals) — the
+    same maintenance story as the LM-count and sketch families: append
+    a batch's counts, compact by re-sum, never re-tokenize history."""
+    from kafka_streams_demo_spark.functions.lm import (
+        merge_nb_counts,
+        nb_model_counts,
+        nb_quality_scores,
+        pareto_quality_filter,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    is_pos = F.col("source") == "src0"
+    b1 = nb_model_counts(docs.where(F.col("doc_id") % 2 == 0), is_pos)
+    b2 = nb_model_counts(docs.where(F.col("doc_id") % 2 == 1), is_pos)
+    merged = merge_nb_counts([b1, b2])
+    return pareto_quality_filter(
+        nb_quality_scores(docs, counts=merged), alpha=9.0
+    )

@@ -43,6 +43,8 @@ __all__ = [
     "dsir_weights",
     "dsir_select",
     "nb_quality_scores",
+    "nb_model_counts",
+    "merge_nb_counts",
     "pareto_quality_filter",
 ]
 
@@ -369,12 +371,121 @@ def dsir_select(
     return w.orderBy(F.desc("w"), F.asc("doc_id")).limit(k)
 
 
-def nb_quality_scores(
+def nb_model_counts(
     docs: DataFrame,
     positive_pred: Column,
     num_buckets: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The NB model IS two count tables — ((bucket, c_pos, c_neg)
+    feature counts, (d_pos, d_neg) document counts) — and counts are
+    ADDITIVE, so the persisted-model maintenance story mirrors
+    :func:`lm_counts`: count each ingest batch independently, union and
+    re-sum (:func:`merge_nb_counts`), and index+delta ≡ retrain
+    bit-for-bit (integer sums are order-free; the scoring math consumes
+    only the merged totals). One map-side-combined aggregation pass per
+    batch, nothing doc-sized retained."""
+    toks = _tokens(docs, id_col, text_col)
+    flagged = docs.select(
+        F.col(id_col).alias("doc_id"), positive_pred.alias("_is_p")
+    )
+    feats = _feature_rows(toks, num_buckets).join(flagged, "doc_id")
+    bucket_counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_p"), F.col("c")).otherwise(F.lit(0))).alias(
+            "c_pos"
+        ),
+        F.sum(F.when(~F.col("_is_p"), F.col("c")).otherwise(F.lit(0))).alias(
+            "c_neg"
+        ),
+    )
+    doc_counts = flagged.agg(
+        F.sum(F.when(F.col("_is_p"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "d_pos"
+        ),
+        F.sum(F.when(~F.col("_is_p"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "d_neg"
+        ),
+    )
+    return bucket_counts, doc_counts
+
+
+def merge_nb_counts(
+    parts: list[tuple[DataFrame, DataFrame]],
+) -> tuple[DataFrame, DataFrame]:
+    """Merge per-batch NB count tables by union + re-sum (additive —
+    the same compaction a persisted count index runs on append)."""
+    bc0, dc0 = parts[0]
+    bc = bc0
+    dc = dc0
+    for b, d in parts[1:]:
+        bc = bc.unionByName(b)
+        dc = dc.unionByName(d)
+    merged_bc = bc.groupBy("bucket").agg(
+        F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg")
+    )
+    merged_dc = dc.agg(
+        F.sum("d_pos").alias("d_pos"), F.sum("d_neg").alias("d_neg")
+    )
+    return merged_bc, merged_dc
+
+
+def _nb_score_with_model(
+    docs: DataFrame,
+    counts: tuple[DataFrame, DataFrame],
+    num_buckets: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score docs against a fitted (bucket_counts, doc_counts) model —
+    the counts→llr→broadcast-join math shared by the batch and
+    incremental paths; bit-identical to training in-line because every
+    input to the double math is an order-free integer total."""
+    bc, dc = counts
+    grand = bc.agg(F.sum("c_pos").alias("n_pos"), F.sum("c_neg").alias("n_neg"))
+    b = float(num_buckets)
+    llr = bc.crossJoin(grand).select(  # grand is 1 row — broadcast
+        "bucket",
+        (
+            F.log(
+                (F.col("c_pos") + F.lit(1)).cast("double")
+                / (F.col("n_pos") + F.lit(b)).cast("double")
+            )
+            - F.log(
+                (F.col("c_neg") + F.lit(1)).cast("double")
+                / (F.col("n_neg") + F.lit(b)).cast("double")
+            )
+        ).alias("_llr"),
+    )
+    feats = _feature_rows(_tokens(docs, id_col, text_col), num_buckets)
+    contrib = feats.join(F.broadcast(llr), "bucket").select(
+        "doc_id", (F.col("c").cast("double") * F.col("_llr")).alias("v")
+    )
+    sums = contrib.groupBy("doc_id").agg(_sorted_sum(F.col("v")).alias("_s"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(sums, "doc_id", "left")
+        .crossJoin(dc)  # 1-row prior — broadcast
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.col("d_pos").cast("double") / F.col("d_neg").cast("double")
+                )
+                + F.coalesce(F.col("_s"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
+def nb_quality_scores(
+    docs: DataFrame,
+    positive_pred: Column | None = None,
+    num_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    counts: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Multinomial Naive-Bayes quality classifier — the GPT-3-style
     document-quality model (Brown et al. 2020 Appendix A trains a
@@ -397,7 +508,17 @@ def nb_quality_scores(
     counts; the fitted model is EXACTLY ``num_buckets`` rows → broadcast
     to the scoring join; the class prior is a 1-row frame riding a
     crossJoin. Per-doc sums fold in sorted order (cross-engine float
-    contract), so the score hashes identically on DuckDB."""
+    contract), so the score hashes identically on DuckDB.
+
+    With ``counts`` (a fitted (bucket_counts, doc_counts) model from
+    :func:`nb_model_counts` / :func:`merge_nb_counts`) the training
+    pass is skipped and docs are scored against the persisted model —
+    index+delta ≡ retrain bit-for-bit since every double is derived
+    from order-free integer totals (``positive_pred`` is then unused)."""
+    if counts is not None:
+        return _nb_score_with_model(docs, counts, num_buckets, id_col, text_col)
+    if positive_pred is None:
+        raise ValueError("nb_quality_scores needs positive_pred or counts")
     toks = _tokens(docs, id_col, text_col)
     flagged = docs.select(
         F.col(id_col).alias("doc_id"), positive_pred.alias("_is_p")

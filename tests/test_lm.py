@@ -215,3 +215,39 @@ def test_nb_plan_stays_jvm_side(spark):
     df = pareto_quality_filter(nb_quality_scores(docs, F.col("doc_id") == 1))
     a = audit(df)
     assert a.python_evals == 0
+
+
+def test_nb_merge_counts_equals_batch(spark):
+    from kafka_streams_demo_spark.functions.lm import (
+        merge_nb_counts,
+        nb_model_counts,
+        nb_quality_scores,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "clean curated prose clean"),
+            (2, "clean prose curated"),
+            (3, "spam junk clicks spam"),
+            (4, "junk spam clicks"),
+            (5, "clean spam mixed bag"),
+            (6, "curated junk mixed"),
+        ],
+    )
+    pred = F.col("doc_id") <= 2
+    batch = {
+        r["doc_id"]: r["score"]
+        for r in nb_quality_scores(docs, pred).collect()
+    }
+    parts = [
+        nb_model_counts(docs.where(F.col("doc_id") % 2 == 0), pred),
+        nb_model_counts(docs.where(F.col("doc_id") % 2 == 1), pred),
+    ]
+    inc = {
+        r["doc_id"]: r["score"]
+        for r in nb_quality_scores(
+            docs, counts=merge_nb_counts(parts)
+        ).collect()
+    }
+    assert inc == batch  # bit-for-bit: integer totals are order-free
