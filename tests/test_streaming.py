@@ -2238,3 +2238,81 @@ def test_session_window_suppress_stream_finals_once_and_late_expiry(spark, tmp_p
     ]
     assert a_rows2 == a_rows, a_rows2          # late record changed NOTHING
     assert committed2.filter(F.col("key") == "z").count() == 0  # still open
+
+
+def test_nb_classifier_stream_maintenance_exactly_once(spark, tmp_path):
+    """NB-classifier model maintenance through streaming (the classifier
+    gets the same drive as the LM-count and sketch families): each
+    availableNow batch commits its (bucket, c_pos, c_neg) count partial
+    + 1-row doc-count partial through the idempotent sink; the merged
+    model scores docs bit-identically to a one-shot retrain over
+    everything ingested, and a checkpoint rerun commits no new partial."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.lm import (
+        nb_model_counts,
+        nb_quality_scores,
+    )
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        idempotent_parquet_sink,
+        read_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    bc_dir = str(tmp_path / "bc")
+    dc_dir = str(tmp_path / "dc")
+    os.makedirs(bc_dir)
+    os.makedirs(dc_dir)
+    schema = "doc_id long, text string, label int"
+    bc_sink = idempotent_parquet_sink(bc_dir)
+    dc_sink = idempotent_parquet_sink(dc_dir)
+
+    def ingest(batch, batch_id):
+        bc, dc = nb_model_counts(batch, F.col("label") == 1)
+        bc_sink(bc, batch_id)
+        dc_sink(dc, batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(in_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows1 = [(i, "clean curated prose", 1) for i in range(10)] + [
+        (i, "spam junk clicks", 0) for i in range(10, 30)
+    ]
+    b1 = spark.createDataFrame(rows1, schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    run()  # checkpoint rerun: no new partial
+    rows2 = [(i, "curated clean text", 1) for i in range(30, 45)] + [
+        (i, "junk spam noise", 0) for i in range(45, 60)
+    ]
+    b2 = spark.createDataFrame(rows2, schema)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    # compact the committed partials by re-sum (merge_nb_counts'
+    # union+re-sum applied to the sink's accumulated rows)
+    merged_bc = (
+        read_committed(spark, bc_dir)
+        .groupBy("bucket")
+        .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
+    )
+    merged_dc = read_committed(spark, dc_dir).agg(
+        F.sum("d_pos").alias("d_pos"), F.sum("d_neg").alias("d_neg")
+    )
+    all_docs = b1.unionByName(b2)
+    via_stream = nb_quality_scores(all_docs, counts=(merged_bc, merged_dc))
+    retrain = nb_quality_scores(all_docs, F.col("label") == 1)
+    assert sorted(map(tuple, via_stream.collect())) == sorted(
+        map(tuple, retrain.collect())
+    )
+    assert len([d for d in os.listdir(bc_dir) if d.startswith("batch_id=")]) == 2
