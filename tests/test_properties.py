@@ -971,3 +971,62 @@ def test_incremental_dedup_full_chain_equals_rebuild_with_stable_hot_keys(spark)
     )
     assert set(rebuild2) < set(uncapped)  # the cap censored the 4-cluster
     release_caches()
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    ),
+    train_pct=st.sampled_from([10, 50, 90]),
+)
+@settings(**SETTINGS)
+def test_leakage_safe_split_never_straddles_any_component(
+    spark, edges, train_pct
+):
+    """For ANY pair graph (self-loops, duplicates, multi-hop chains,
+    merged components) and any cut point, no two docs connected by ANY
+    path land on opposite sides of the split — the transitive closure of
+    the straddle-free guarantee, checked against a union-find model."""
+    from kafka_streams_demo_spark.functions.dedup import (
+        dedup_clusters,
+        leakage_safe_split,
+    )
+
+    n = 31
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges if a != b] or [(0, 0)],
+        "i long, j long",
+    ).where("i <> j")
+    side = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            dedup_clusters(docs, pairs), train_pct=train_pct
+        ).collect()
+    }
+    assert len(side) == n
+    # union-find ground truth over the same edges
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comps: dict[int, set[int]] = {}
+    for i in range(n):
+        comps.setdefault(find(i), set()).add(i)
+    for members in comps.values():
+        assert len({side[m] for m in members}) == 1, (
+            f"component {sorted(members)} straddles the split"
+        )
