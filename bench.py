@@ -90,11 +90,8 @@ HEADLINE = [
     "semdedup_cells",
     "compaction_plan",
     # round 10: the NB quality classifier + derandomized Pareto keep
-    # (one-pass train + broadcast-model scoring), and the cluster-keyed
-    # leakage-safe split (prices the full dedup-clusters pipeline plus
-    # the shuffle-free split projection on top)
+    # (one-pass train + broadcast-model scoring)
     "quality_classifier_filter",
-    "split_leakage_safe",
 ]
 
 # The FIXED round-1 query set (BENCH_r01.json): reported as its own
@@ -122,6 +119,12 @@ REFERENCE25 = [
 SECONDARY = [
     "triangle_counts_coorder",
     "triangle_counts_incremental",
+    # the split itself is a shuffle-free projection; ~all of this number
+    # is the exact n-gram-Jaccard pair generation + connected components
+    # it composes over — a cost the headline set already prices through
+    # the dedup family. Tracked here so a clustering regression stays
+    # visible without double-counting dedup in the total.
+    "split_leakage_safe",
     # the recall harness recomputes all six approximate-ANN tiers plus
     # the exact baseline in one plan — a diagnostic you run after
     # retuning, not a throughput query; tracked here so tier regressions
