@@ -415,6 +415,8 @@ def merge_nb_counts(
 ) -> tuple[DataFrame, DataFrame]:
     """Merge per-batch NB count tables by union + re-sum (additive —
     the same compaction a persisted count index runs on append)."""
+    if not parts:
+        raise ValueError("merge_nb_counts needs at least one batch")
     bc0, dc0 = parts[0]
     bc = bc0
     dc = dc0
