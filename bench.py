@@ -90,8 +90,11 @@ HEADLINE = [
     "semdedup_cells",
     "compaction_plan",
     # round 10: the NB quality classifier + derandomized Pareto keep
-    # (one-pass train + broadcast-model scoring)
+    # (one-pass train + broadcast-model scoring), and budgeted assembly
+    # (best docs by score until a global token budget, via the
+    # two-phase bucketed prefix scan)
     "quality_classifier_filter",
+    "token_budget_select",
 ]
 
 # The FIXED round-1 query set (BENCH_r01.json): reported as its own

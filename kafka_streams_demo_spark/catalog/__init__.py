@@ -400,8 +400,10 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # OPTIMIZE loop, never checked), the two NEW round-10 entries
 # (quality_classifier_filter — GPT-3-style NB quality classifier +
 # derandomized Pareto keep; split_leakage_safe — cluster-keyed
-# train/valid split; corr_qty_price and hilbert_layout demote to make
-# room, both D9-green with their families still represented),
+# train/valid split; token_budget_select — budgeted assembly via the
+# bucketed prefix scan; corr_qty_price, hilbert_layout and
+# kmv_overlap_event_types demote to make room, all D9-green with their
+# families still represented),
 # and four changed-path re-earners
 # (ann_ivf_topk + pq_encode_corpus + ann_ivf_pq_topk: the Arrow
 # assign/encode kernels moved to explicit SparkContext.broadcast with a
@@ -441,14 +443,14 @@ DRIVER_PRIORITY: list[str] = [
     # holds rollup/top-k/funnel/corr representatives)
     "compaction_roundtrip",
     "quality_classifier_filter", "quality_classifier_incremental",
-    "split_leakage_safe",
+    "split_leakage_safe", "token_budget_select",
     # changed-path re-earners (broadcast kernels / compaction sibling)
     "ann_ivf_topk", "pq_encode_corpus", "ann_ivf_pq_topk",
     "compaction_plan",
     # per-family green representatives (all D9-green)
     "asof_join_purchase_1h", "orders_high_value_semi",
     "session_window_sum_cents", "scd2_current_view",
-    "cms_point_queries", "hll_distinct_users", "kmv_overlap_event_types",
+    "cms_point_queries", "hll_distinct_users",
     "semdedup_cells", "dedup_embedding_cosine", "pipeline_clean_corpus",
     "contamination_check", "quality_score", "pii_scan",
     "jpeg_decode_all_layouts",

@@ -971,10 +971,12 @@ def dsir_select_q(spark, sf_dir):
 
 
 
-@register(
-    "quality_classifier_filter",
-    """
-    WITH toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts
+# Shared NB-score CTE chain (through `s` = (doc_id, score)): the exact
+# classifier math both the filter entry and the budget-selection entry
+# replay — hashed uni+bigram features, Laplace-smoothed class
+# multinomials, sorted-fold per-doc sums, 6-dp log-odds.
+_NB_SCORE_CTES = """
+    toks AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts
                   FROM documents),
     uni AS (SELECT doc_id, unnest(ts) AS f FROM toks),
     big AS (SELECT doc_id, ts[i] || '_' || ts[i+1] AS f
@@ -999,7 +1001,14 @@ def dsir_select_q(spark, sf_dir):
     s AS (SELECT doc_id,
                  ROUND(ln(CAST(d_pos AS DOUBLE) / CAST(d_neg AS DOUBLE))
                        + list_sum(list_sort(list(v))), 6) AS score
-          FROM contrib CROSS JOIN pr GROUP BY doc_id, d_pos, d_neg),
+          FROM contrib CROSS JOIN pr GROUP BY doc_id, d_pos, d_neg)
+"""
+
+
+@register(
+    "quality_classifier_filter",
+    f"""
+    WITH {_NB_SCORE_CTES},
     k AS (SELECT doc_id, score,
                  ROUND(1.0 / (1.0 + exp(-score)), 6) AS prob,
                  ROUND(POW(1.0 - (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
@@ -1062,3 +1071,44 @@ def quality_classifier_incremental_q(spark, sf_dir):
     return pareto_quality_filter(
         nb_quality_scores(docs, counts=merged), alpha=9.0
     )
+
+@register(
+    "token_budget_select",
+    f"""
+    WITH {_NB_SCORE_CTES},
+    tok AS (SELECT doc_id,
+                   CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS BIGINT)
+                     AS n_tokens
+            FROM documents),
+    cum AS (SELECT s.doc_id, s.score, tok.n_tokens,
+                   SUM(tok.n_tokens) OVER (ORDER BY s.score DESC, s.doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM s JOIN tok USING (doc_id))
+    SELECT doc_id, score, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 6000
+    """,
+)
+def token_budget_select_q(spark, sf_dir):
+    """Budgeted corpus assembly (functions/packing.py:
+    token_budget_select): fill a global 6000-token budget with the
+    best documents by NB classifier score — "the highest-quality N
+    tokens" as one plan, the selection rule a budget/curriculum
+    pipeline applies after scoring. Deterministic cut: (score DESC,
+    doc_id) order, keep while the running total stays within budget
+    (the fixture holds ~15k tokens, so the budget BINDS). Scale: the
+    running total rides the two-phase bucketed prefix scan (score
+    bands as buckets — floor(-score) ascends with the descending sort)
+    instead of the naive single-sort-task global window the oracle can
+    afford; integer token math over 6-dp scores keeps the hash
+    engine-stable."""
+    from kafka_streams_demo_spark.functions.lm import nb_quality_scores
+    from kafka_streams_demo_spark.functions.packing import token_budget_select
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = nb_quality_scores(docs, F.col("source") == "src0")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return token_budget_select(scored.join(toks, "doc_id"), budget=6000)

@@ -407,3 +407,50 @@ def weighted_sample(
         .filter(F.col("_rn") <= k)
         .drop("_k", "_rn")
     )
+
+
+def token_budget_select(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    band_width: float = 1.0,
+) -> DataFrame:
+    """Budgeted corpus assembly: keep the best documents by score until a
+    global token budget is filled — "give me 10B tokens of the
+    highest-quality data" as one plan. Selection order is
+    (score DESC, doc_id) so the cut is deterministic across
+    engines/partitionings; a doc is kept iff the running token total
+    THROUGH it stays ≤ ``budget`` (greedy prefix fill, the rule a
+    curriculum/budget pipeline actually applies).
+
+    Scale: a naive global cumsum window is ONE sort task; this rides
+    :func:`~kafka_streams_demo_spark.functions.skew.bucketed_running_sum`
+    — the two-phase prefix scan — with score bands as buckets
+    (``floor(-score / band_width)`` ascends exactly with the descending
+    score order, so banding refines the sort; parallelism ∝ #bands).
+    The running total is integer math over already-rounded scores, so
+    the output hashes identically on DuckDB's single window.
+
+    Input: (doc_id, score, n_tokens). Output: the kept rows +
+    ``cum_tokens``."""
+    from kafka_streams_demo_spark.functions.skew import bucketed_running_sum
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    # the prefix scan references its input TWICE (local window + band
+    # totals) and Catalyst does not dedupe common subtrees — left lazy,
+    # an expensive upstream scoring pipeline would run twice. The frame
+    # is doc-count-sized (id, score, tokens — no text), so one bounded
+    # materialization is the right trade at any corpus size.
+    base = scored.withColumn("_g", F.lit(1)).localCheckpoint(eager=True)
+    cum = bucketed_running_sum(
+        base,
+        "_g",
+        tokens_col,
+        [F.desc(score_col), F.asc(id_col)],
+        F.floor(-F.col(score_col) / F.lit(float(band_width))),
+        out_col="cum_tokens",
+    )
+    return cum.where(F.col("cum_tokens") <= F.lit(budget)).drop("_g")

@@ -465,3 +465,60 @@ def test_chunk_null_text_single_chunk(spark):
     r = out[1]
     assert (r["chunk_id"], r["start_tok"], r["n_tokens"]) == (0, 1, 1)
     assert r["chunk_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_token_budget_select_matches_bruteforce_model(spark):
+    from kafka_streams_demo_spark.functions.packing import token_budget_select
+
+    rows = [
+        # (doc_id, score, n_tokens) — scores span bands, include ties
+        (1, 5.0, 100), (2, 5.0, 50), (3, 4.2, 200), (4, 1.7, 400),
+        (5, 1.7, 100), (6, -0.3, 50), (7, -2.9, 10), (8, 3.1, 300),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_select(df, budget=700).collect()
+    }
+    # model: sort by (-score, doc_id), greedy prefix
+    want = {}
+    cum = 0
+    for d, s, n in sorted(rows, key=lambda x: (-x[1], x[0])):
+        cum += n
+        if cum > 700:
+            break
+        want[d] = cum
+    assert got == want
+    assert want == {1: 100, 2: 150, 3: 350, 8: 650}  # 4 (cum 1050) breaks
+
+
+def test_token_budget_select_band_scan_equals_naive_window(spark):
+    from pyspark.sql import Window
+
+    from kafka_streams_demo_spark.functions.packing import token_budget_select
+
+    rows = [(i, float((i * 37) % 11) - 5.0, (i * 13) % 40 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    got = sorted(
+        map(tuple, token_budget_select(df, budget=2500, band_width=2.0)
+            .select("doc_id", "cum_tokens").collect())
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = sorted(
+        map(tuple, df.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .where(F.col("cum_tokens") <= 2500)
+            .select("doc_id", "cum_tokens").collect())
+    )
+    assert got == naive
+
+
+def test_token_budget_select_rejects_bad_budget(spark):
+    import pytest
+
+    from kafka_streams_demo_spark.functions.packing import token_budget_select
+
+    df = spark.createDataFrame([(1, 1.0, 1)], "doc_id long, score double, n_tokens long")
+    with pytest.raises(ValueError):
+        token_budget_select(df, budget=0)
