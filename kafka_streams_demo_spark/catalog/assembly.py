@@ -1081,8 +1081,9 @@ def quality_classifier_incremental_q(spark, sf_dir):
                      AS n_tokens
             FROM documents),
     cum AS (SELECT s.doc_id, s.score, tok.n_tokens,
-                   SUM(tok.n_tokens) OVER (ORDER BY s.score DESC, s.doc_id
-                                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                   CAST(SUM(tok.n_tokens) OVER (ORDER BY s.score DESC, s.doc_id
+                                                ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_tokens
             FROM s JOIN tok USING (doc_id))
     SELECT doc_id, score, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 6000
     """,
