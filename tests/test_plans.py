@@ -286,3 +286,38 @@ def test_join_counts_positional_cache_dedup(spark):
     assert a2.broadcast_joins == 1, a2.plan
     joined.unpersist()
     base.unpersist()
+
+
+def test_pagerank_edge_build_single_pass(spark):
+    """Round 10: the bidirectional edge list must come from ONE
+    join+distinct pass (explode of both orientations), never a
+    self-union that re-executes the subtree — exactly one scan of
+    lineitem and one of orders in the whole edge plan."""
+    from kafka_streams_demo_spark.catalog.parity import _pr_edges
+
+    plan = _pr_edges(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "Generate explode" in plan  # the one-pass orientation explode
+    assert "Union" not in plan
+
+
+def test_token_budget_select_bounded_exchanges(spark):
+    """Round 10: the budget scan's input is materialized once — left
+    lazy, the two prefix-scan branches (local window + band totals)
+    re-run the whole NB scoring chain and the plan balloons (16
+    exchanges observed pre-fix; 4 after). Pin the ceiling and the
+    JVM-only property."""
+    a = _audit(spark, "token_budget_select")
+    assert a.exchanges <= 6, a.exchanges
+    assert a.python_evals == 0
+    assert a.nested_loop_joins == 0
+
+
+def test_quality_classifier_model_broadcasts(spark):
+    """The fitted NB model (B=256 rows) and the 1-row prior must ride
+    broadcasts into the scoring join — a shuffled model join would put
+    a 256-row table through an exchange keyed on the corpus side."""
+    a = _audit(spark, "quality_classifier_filter")
+    assert a.broadcast_joins >= 2
+    assert a.python_evals == 0
