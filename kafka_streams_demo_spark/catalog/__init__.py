@@ -397,7 +397,7 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # in the r9 comment below) — after this window goes green, ZERO oracled
 # entries remain without an external hash-green row on record. Also IN:
 # compaction_roundtrip (NEW this round — the plan→apply→manifest
-# OPTIMIZE loop, never checked), the two NEW round-10 entries
+# OPTIMIZE loop, never checked), the four NEW round-10 entries
 # (quality_classifier_filter — GPT-3-style NB quality classifier +
 # derandomized Pareto keep; split_leakage_safe — cluster-keyed
 # train/valid split; token_budget_select — budgeted assembly via the

@@ -356,19 +356,33 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     )
 
 
-@register("minhash_lsh_pairs")  # no SQL oracle: probabilistic recall; see tests
+_JACCARD08_ORACLE = _JACCARD_ORACLE.replace(">= 0.5", ">= 0.8")
+
+
+@register("minhash_lsh_pairs", _JACCARD08_ORACLE)
 def minhash_lsh_pairs_q(spark, sf_dir):
     """MinHash(64)+LSH(16×4) near-dup pairs, threshold 0.8, exact-verified.
-    tests/test_dedup.py asserts parity with the exact method at this
-    threshold (recall 1-(1-J⁴)¹⁶ ≈ 1 for J ≥ 0.8)."""
+    Oracle: the EXACT 3-gram-Jaccard pair set at 0.8. Sound because the
+    pipeline's final verification stage re-computes exact Jaccard on
+    every candidate (precision = 1 by construction), and at J ≥ 0.8 the
+    banding recall 1-(1-J⁴)¹⁶ leaves a per-pair miss probability ≤
+    ~2·10⁻⁴ — verified pair-set-equal to the exact method at sf0.001
+    AND sf0.01 on the fixed driver corpus (the same parity
+    tests/test_dedup.py asserts). A red here would mean a true pair
+    missed every band — exactly the regression worth failing loudly on."""
     from kafka_streams_demo_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
 
 
-@register("minhash_lsh_incremental")  # no SQL oracle: probabilistic family;
-# the gate is the equality property test (incremental ≡ batch restricted
-# to delta-touching pairs, bit-for-bit — tests/test_dedup.py)
+@register(
+    "minhash_lsh_incremental",
+    # batch ≡ incremental restricted to delta-touching pairs (bit-equal,
+    # property-pinned), and batch ≡ exact at 0.8 (see minhash_lsh_pairs)
+    # → the oracle is the exact pair set where either endpoint is odd.
+    "SELECT i, j, jaccard FROM (" + _JACCARD08_ORACLE + ") AS b "
+    "WHERE i % 2 = 1 OR j % 2 = 1",
+)
 def minhash_lsh_incremental_q(spark, sf_dir):
     """Index+delta dedup (functions/dedup.py:minhash_lsh_pairs_incremental):
     even-id docs play the already-indexed corpus (their minhash_index rows
@@ -998,20 +1012,47 @@ def bpe_token_counts_q(spark, sf_dir):
     return bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
 
-@register("multimodal_frames")  # no SQL oracle: pandas-UDF frame-sample stub
+@register(
+    "multimodal_frames",
+    # The frame-sample STUB is a closed-form function of the payload
+    # bytes (= UTF-8 text, ASCII in the fixture), so the mapInPandas
+    # plumbing is SQL-replayable after all (VERDICT r10 task 3): one
+    # frame per 128-byte chunk, last chunk short.
+    "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), "
+    "f AS (SELECT doc_id, n, unnest(range(0, n, 128)) AS off FROM b WHERE n > 0) "
+    "SELECT doc_id, CAST(off // 128 AS INTEGER) AS frame_no, "
+    "CAST(least(128, n - off) AS INTEGER) AS frame_bytes FROM f",
+)
 def multimodal_frames_q(spark, sf_dir):
     """Video frame-sampling plumbing (every-Nth-byte stub over mapInPandas):
-    one row per sampled frame offset with its byte length."""
+    one row per sampled frame offset with its byte length. The decode is
+    the documented stub; the Arrow batching, schema and one-row-per-frame
+    fan-out are real and externally hash-gated against the closed-form
+    chunk arithmetic."""
     from kafka_streams_demo_spark.functions.multimodal import attach_binary, frame_sample
 
     docs = load_table(spark, "documents", sf_dir)
     return frame_sample(attach_binary(docs), every_n_bytes=128, fake=True)
 
 
-@register("multimodal_features")  # no SQL oracle: pandas-UDF decode stub
+@register(
+    "multimodal_features",
+    # The byte-histogram STUB is closed-form over the payload bytes
+    # (UTF-8 text, ASCII fixture): f0 = |{byte % 16 == 0}| / |bytes|
+    # over the first 4096 bytes (empty payload → divisor 1).
+    "WITH c AS (SELECT doc_id, list_transform(range(1, least(len(text), 4096) + 1), "
+    "i -> unicode(text[i])) AS codes FROM documents) "
+    "SELECT doc_id, 'image' AS modality, "
+    "ROUND(len(list_filter(codes, x -> x % 16 = 0)) / "
+    "(CASE WHEN len(codes) = 0 THEN 1.0 ELSE len(codes) * 1.0 END), 6) AS f0 "
+    "FROM c",
+)
 def multimodal_features_q(spark, sf_dir):
     """Decode-stub feature extraction over mapInPandas (Arrow batches):
-    deterministic byte-histogram stand-in for image decode."""
+    deterministic byte-histogram stand-in for image decode, externally
+    hash-gated against the closed-form bin-0 density (the projected f0
+    column; the full 16-bin vector is exercised in
+    tests/test_multimodal.py)."""
     from kafka_streams_demo_spark.functions.multimodal import attach_binary, decode_features
 
     docs = load_table(spark, "documents", sf_dir)

@@ -469,22 +469,57 @@ def pq_residual_encode_incremental_q(spark, sf_dir):
     return base.unionByName(delta)
 
 
-@register("pq_codebooks_refined")  # no SQL oracle: iterative (Lloyd); see tests
+@register(
+    "pq_codebooks_refined",
+    # Iterative (Lloyd) — the m·k codeword table isn't SQL-expressible,
+    # so the gate checks the derived invariants (VERDICT r10 task 3):
+    # corpus size, the codebook shape, and the textbook guarantee that
+    # each refinement iteration never increases total quantization
+    # error (d²-assign + mean-update IS proper per-subspace Lloyd).
+    "SELECT CAST(8 AS BIGINT) AS m_sub, CAST(16 AS BIGINT) AS k_codes, "
+    "CAST(128 AS BIGINT) AS n_codewords, count(*) AS n_vectors, "
+    "TRUE AS refine1_monotone, TRUE AS refine2_monotone FROM embeddings",
+)
 def pq_codebooks_refined_q(spark, sf_dir):
     """Lloyd-refined PQ codebooks (2 iterations over the sampled init —
     the TPAMI 2011 estimator): assign is the same row-local encode pass,
     the update is a posexplode partial-agg to m·k·ds mean components,
     codebooks collected between iterations (driver-bounded — the
-    kmeans_train pattern). Iterative ⇒ rows-only here; the monotone
-    quantization-error property and the no-shuffle encode plan are
-    pinned by tests/test_pq.py."""
+    kmeans_train pattern). The entry refines twice and emits a 1-row
+    invariant report: codebook shape plus the monotone-error bound per
+    iteration (err0 ≥ err1 ≥ err2 via pq_quantization_error), so the
+    external gate hash-checks the Lloyd contract; the codeword table
+    itself stays available via functions/pq.py:pq_refine_codebooks and
+    the no-shuffle encode plan is pinned by tests/test_pq.py."""
     from kafka_streams_demo_spark.functions.pq import (
+        pq_quantization_error,
         pq_refine_codebooks,
         pq_sample_codebooks,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cbs = pq_sample_codebooks(emb, dim=64, m=8, k=16)
-    return pq_refine_codebooks(emb, cbs, iters=2, dim=64, m=8, k=16)
+    n_vectors = emb.count()
+    cb0 = pq_sample_codebooks(emb, dim=64, m=8, k=16)
+    cb1 = pq_refine_codebooks(emb, cb0, iters=1, dim=64, m=8, k=16)
+    cb2 = pq_refine_codebooks(emb, cb1, iters=1, dim=64, m=8, k=16)
+    e0, e1, e2 = (
+        pq_quantization_error(emb, cb, dim=64, m=8, k=16) for cb in (cb0, cb1, cb2)
+    )
+    n_codewords = cb2.count()
+    tol = 1e-9 * max(1.0, abs(e0))
+    return spark.createDataFrame(
+        [
+            (
+                8,
+                16,
+                n_codewords,
+                n_vectors,
+                bool(e1 <= e0 + tol),
+                bool(e2 <= e1 + tol),
+            )
+        ],
+        "m_sub long, k_codes long, n_codewords long, n_vectors long, "
+        "refine1_monotone boolean, refine2_monotone boolean",
+    )
 
 

@@ -1019,19 +1019,56 @@ def contamination_check_bloom(spark, sf_dir):
     )
 
 
-@register("ivf_train_kmeans")  # no SQL oracle: iterative algorithm; see tests
+@register(
+    "ivf_train_kmeans",
+    # Iterative trainer — the per-cell table itself isn't
+    # SQL-expressible, so the gate checks the derived invariants
+    # instead (VERDICT r10 task 3: "monotone-error bound as a 1-row
+    # boolean"): corpus size (a data value), full-assignment, and the
+    # Lloyd non-increasing-SSE property across iterations 1→2→3.
+    "SELECT CAST(8 AS BIGINT) AS k, count(*) AS n_points, "
+    "TRUE AS all_assigned, TRUE AS sse_monotone FROM embeddings",
+)
 def ivf_train_kmeans(spark, sf_dir):
-    """Lloyd's k-means (3 iterations) training the IVF coarse quantizer —
-    the iterative-algorithm family: per-iteration broadcast-assign (map
-    pass) + mean recompute; only the k-row centroid table ever leaves the
-    cluster. Output: one row per cell with its population and centroid
-    norm."""
-    from kafka_streams_demo_spark.functions.similarity import kmeans_train, norm
+    """Lloyd's k-means training the IVF coarse quantizer — the
+    iterative-algorithm family: per-iteration broadcast-assign (map
+    pass) + mean recompute; only the k-row centroid table ever leaves
+    the cluster. The entry trains at 1, 2 and 3 iterations and emits a
+    1-row invariant report: every vector assigned (Σ n_assigned ==
+    |corpus|) and SSE(iters) non-increasing — the Lloyd monotonicity
+    contract the external gate can check without reproducing the
+    iterations in SQL (the per-cell populations/centroids remain
+    available via functions/similarity.py:kmeans_train and are
+    convergence-tested in tests/test_similarity.py)."""
+    from kafka_streams_demo_spark.functions.pq import pq_quantization_error
+    from kafka_streams_demo_spark.functions.similarity import kmeans_train
 
     emb = load_table(spark, "embeddings", sf_dir)
-    trained = kmeans_train(emb, k=8, iters=3)
-    return trained.select(
-        "cell", "n_assigned", F.round(norm(F.col("centroid")), 6).alias("cnorm")
+    n_points = emb.count()
+
+    def as_codebook(trained):
+        # (cell, centroid) → the (sub, code, cvec) shape
+        # pq_quantization_error scores: one subspace = the full vector,
+        # so the metric is exact k-means SSE to the nearest centroid.
+        return trained.select(
+            F.lit(0).alias("sub"),
+            F.col("cell").alias("code"),
+            F.col("centroid").alias("cvec"),
+        )
+
+    sses = []
+    trained = None
+    for iters in (1, 2, 3):
+        trained = kmeans_train(emb, k=8, iters=iters)
+        sses.append(
+            pq_quantization_error(emb, as_codebook(trained), dim=64, m=1, k=8)
+        )
+    assigned = trained.agg(F.sum("n_assigned").alias("_t")).collect()[0]["_t"]
+    tol = 1e-9 * max(1.0, abs(sses[0]))
+    monotone = sses[0] >= sses[1] - tol and sses[1] >= sses[2] - tol
+    return spark.createDataFrame(
+        [(8, n_points, bool(assigned == n_points), bool(monotone))],
+        "k long, n_points long, all_assigned boolean, sse_monotone boolean",
     )
 
 
@@ -1154,17 +1191,55 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
 
 
-@register("approx_percentile_value")  # no SQL oracle: sketch results are engine-specific
+@register(
+    "approx_percentile_value",
+    # Sketch outputs are engine-specific; the gate checks the GK rank
+    # contract instead: per-key row counts (data values) plus booleans
+    # asserting each returned percentile's TRUE rank sits within the
+    # sketch's guaranteed band (VERDICT r10 task 3).
+    "SELECT event_type, count(*) AS n, TRUE AS ok50, TRUE AS ok95 "
+    "FROM events GROUP BY 1",
+)
 def approx_percentile_value(spark, sf_dir):
     """approx_percentile (sketch family, next to the HLL in
     approx_distinct_users): p50/p95 per event_type with bounded error —
     the 100 TB substitute for exact percentile (map-side combinable
-    sketch, no full value set per group). Accuracy bound unit-tested
-    against the exact percentile."""
+    sketch, no full value set per group). The production query is the
+    two sketch values alone; this CALIBRATION entry re-ranks each
+    returned value against the group (one broadcast join of the ~|keys|
+    sketch results back onto events) and emits booleans for the
+    Greenwald–Khanna guarantee — rank(returned) within p·n ± (n/acc +
+    slack) — so the external gate hash-verifies group sizes and the
+    accuracy contract."""
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_percentile(cents(F.col("value")), F.lit(0.5), F.lit(10000)).alias("p50_c"),
-        F.approx_percentile(cents(F.col("value")), F.lit(0.95), F.lit(10000)).alias("p95_c"),
+    ap = ev.groupBy("event_type").agg(
+        F.approx_percentile(cents(F.col("value")), F.lit(0.5), F.lit(10000)).alias("_p50"),
+        F.approx_percentile(cents(F.col("value")), F.lit(0.95), F.lit(10000)).alias("_p95"),
+    )
+    j = ev.select("event_type", cents(F.col("value")).alias("_v")).join(
+        F.broadcast(ap), "event_type"
+    )
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_v") < F.col("_p50")).cast("long")).alias("_lt50"),
+        F.sum((F.col("_v") <= F.col("_p50")).cast("long")).alias("_le50"),
+        F.sum((F.col("_v") < F.col("_p95")).cast("long")).alias("_lt95"),
+        F.sum((F.col("_v") <= F.col("_p95")).cast("long")).alias("_le95"),
+    )
+    nd = F.col("n").cast("double")
+    slack = nd / F.lit(10000.0) + F.lit(3.0)
+
+    def ok(p: float, lt: str, le: str):
+        t = F.lit(p) * nd
+        return (F.col(lt).cast("double") <= t + slack) & (
+            F.col(le).cast("double") >= t - slack
+        )
+
+    return agg.select(
+        "event_type",
+        "n",
+        ok(0.5, "_lt50", "_le50").alias("ok50"),
+        ok(0.95, "_lt95", "_le95").alias("ok95"),
     )
 
 
@@ -1284,11 +1359,32 @@ def funnel_signup_click_purchase(spark, sf_dir):
     )
 
 
-@register("ann_topk_arrow")  # no SQL oracle: numpy float-sum order; recall-tested
+@register(
+    "ann_topk_arrow",
+    # Same oracle as ann_topk_bruteforce: the kernel rounds each cosine
+    # to 6 dp BEFORE the global (cos DESC, n_id) rank — the identical
+    # ordering contract — and numpy's pairwise float64 sums agree with
+    # the sequential SQL sums at 6 dp on this corpus (verified
+    # bit-equal at sf0.001 and sf0.01 incl. ranks; the residual risk is
+    # a cosine within 1 ulp of a .5e-6 boundary, which the recall test
+    # would surface as a rank swap).
+    "WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),\n"
+    "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),\n"
+    "el AS (SELECT q_id, n_id, CAST(q_vec[g.i] AS DOUBLE) AS qa, CAST(n_vec[g.i] AS DOUBLE) AS na\n"
+    "       FROM q, c, generate_series(1, 64) g(i) WHERE n_id <> q_id),\n"
+    "s AS (SELECT q_id, n_id, SUM(qa*na) AS dp, SUM(qa*qa) AS qq, SUM(na*na) AS nn\n"
+    "      FROM el GROUP BY 1, 2),\n"
+    "r AS (SELECT q_id, n_id, ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) AS cos,\n"
+    "      row_number() OVER (PARTITION BY q_id ORDER BY ROUND(dp/(SQRT(qq)*SQRT(nn)), 6) DESC, n_id) AS rank\n"
+    "      FROM s)\n"
+    "SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10",
+)
 def ann_topk_arrow(spark, sf_dir):
     """Arrow-vectorized exact top-k (one numpy matmul per batch, per-batch
     top-k, global rank) — the throughput path next to the oracle-gated
-    sequential baseline; recall vs that baseline is pinned by test."""
+    sequential baseline; hash-gated against the SAME brute-force oracle
+    (see the registration note), proving the batched matmul path
+    bit-equal to the sequential formulation on this corpus."""
     from kafka_streams_demo_spark.functions.similarity import topk_bruteforce_arrow
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1299,10 +1395,24 @@ def ann_topk_arrow(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("multimodal_resize")  # no SQL oracle: pandas-UDF resize stub
+@register(
+    "multimodal_resize",
+    # The resize STUB derives fake source dims from the payload's first
+    # and last byte (UTF-8 text, ASCII fixture) — closed-form, so the
+    # mapInPandas plumbing is SQL-replayable (VERDICT r10 task 3).
+    "WITH d AS (SELECT doc_id, "
+    "64 + (CASE WHEN len(text) > 0 THEN unicode(text[1]) ELSE 0 END) * 8 AS ow, "
+    "64 + (CASE WHEN len(text) > 0 THEN unicode(text[len(text)]) ELSE 0 END) * 8 AS oh "
+    "FROM documents) "
+    "SELECT doc_id, CAST(ow AS INTEGER) AS orig_w, CAST(oh AS INTEGER) AS orig_h, "
+    "CAST(224 AS INTEGER) AS new_w, CAST(224 AS INTEGER) AS new_h, "
+    "ROUND(least(224.0 / ow, 224.0 / oh), 6) AS scale FROM d",
+)
 def multimodal_resize_q(spark, sf_dir):
     """Image-resize plumbing (decode→scale→re-encode stub over
-    mapInPandas): one row per image with original/target dims + scale."""
+    mapInPandas): one row per image with original/target dims + scale,
+    externally hash-gated against the closed-form fake-dims formula
+    (the decode itself stays the documented stub)."""
     from kafka_streams_demo_spark.functions.multimodal import attach_binary, resize_images
 
     docs = load_table(spark, "documents", sf_dir)
@@ -2101,23 +2211,33 @@ def tfidf_top_terms(spark, sf_dir):
     "embedding_quantize_int8",
     "SELECT vec_id, "
     "ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS maxabs, "
-    "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / "
-    "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127, 0) AS BIGINT)) AS qvec "
+    "array_to_string(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / "
+    "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127, 0) AS BIGINT)), ',') AS qvec "
     "FROM embeddings",
 )
 def embedding_quantize_int8(spark, sf_dir):
     """Max-abs int8 quantization per embedding (4× storage compression for
     the 100 TB vector corpus; dequantize = qvec × maxabs/127). Pure
     row-local array math — a map stage; the scale factor rides along for
-    exact reconstruction bounds."""
+    exact reconstruction bounds. The code vector is emitted SERIALIZED
+    (comma-joined string, mirrored by array_to_string in the oracle):
+    the external gate's canonicalizer sorts on every output column and
+    cannot sort raw array cells — same convention as fingerprint_bow and
+    hll_registers_users (VERDICT r10 'What's wrong' #1)."""
     emb = load_table(spark, "embeddings", sf_dir)
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     emb2 = emb.select("vec_id", "embedding", absmax.alias("_m"))
     return emb2.select(
         "vec_id",
         F.round(F.col("_m"), 6).alias("maxabs"),
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") / F.col("_m") * 127, 0).cast("long")
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") / F.col("_m") * 127, 0)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
         ).alias("qvec"),
     )
 

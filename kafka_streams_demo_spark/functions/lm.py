@@ -442,8 +442,19 @@ def _nb_score_with_model(
     """Score docs against a fitted (bucket_counts, doc_counts) model —
     the counts→llr→broadcast-join math shared by the batch and
     incremental paths; bit-identical to training in-line because every
-    input to the double math is an order-free integer total."""
+    input to the double math is an order-free integer total.
+
+    A scoring feature hashing to a bucket the model never saw gets the
+    Laplace-smoothed unseen-bucket weight ln((n_neg+B)/(n_pos+B)) —
+    the (0+1)/(n+B) estimate on both sides — via the left join +
+    coalesce below, not an implicit 0 (which would mis-score genuinely
+    new documents whenever n_pos ≠ n_neg)."""
     bc, dc = counts
+    # bc is referenced twice (grand + llr) and Catalyst never dedupes
+    # common subtrees — without this the caller's whole per-batch
+    # tokenize+count lineage (e.g. the merged union in the incremental
+    # tier) executes twice. At most num_buckets rows post-aggregation.
+    bc = bc.localCheckpoint(eager=True)
     grand = bc.agg(F.sum("c_pos").alias("n_pos"), F.sum("c_neg").alias("n_neg"))
     b = float(num_buckets)
     llr = bc.crossJoin(grand).select(  # grand is 1 row — broadcast
@@ -459,9 +470,23 @@ def _nb_score_with_model(
             )
         ).alias("_llr"),
     )
+    unseen = grand.select(
+        (
+            F.log((F.col("n_neg") + F.lit(b)).cast("double"))
+            - F.log((F.col("n_pos") + F.lit(b)).cast("double"))
+        ).alias("_dllr")
+    )
     feats = _feature_rows(_tokens(docs, id_col, text_col), num_buckets)
-    contrib = feats.join(F.broadcast(llr), "bucket").select(
-        "doc_id", (F.col("c").cast("double") * F.col("_llr")).alias("v")
+    contrib = (
+        feats.join(F.broadcast(llr), "bucket", "left")
+        .crossJoin(F.broadcast(unseen))  # 1-row default — broadcast
+        .select(
+            "doc_id",
+            (
+                F.col("c").cast("double")
+                * F.coalesce(F.col("_llr"), F.col("_dllr"))
+            ).alias("v"),
+        )
     )
     sums = contrib.groupBy("doc_id").agg(_sorted_sum(F.col("v")).alias("_s"))
     return (
@@ -598,9 +623,13 @@ def pareto_quality_filter(
     ``np.random.pareto(alpha) > 1 − classifier_score`` — low-scoring
     docs still get in with small probability, which preserves tail
     diversity that a hard threshold destroys). The Pareto draw is
-    derandomized by inverse-CDF over a content hash: u = (md5-60-bit of
+    derandomized by inverse-CDF over a DOC-ID hash: u = (md5-60-bit of
     the doc id + 0.5)/2^60 ∈ (0,1), pareto = (1−u)^(−1/α) − 1 — stable
-    across runs, engines, and partitionings, unlike ``rand()``.
+    across runs, engines, and partitionings, unlike ``rand()``. Keying
+    on the id (not content) is the intended contract: a given doc's
+    admission draw is fixed forever, so re-scoring a corpus version
+    with edited text redraws nothing — keep-bit churn tracks score
+    changes only, never the derandomizer.
 
     Input: (doc_id, score) log-odds from :func:`nb_quality_scores`.
     Output: (doc_id, score, prob, pareto, keep) with prob = σ(score)

@@ -80,23 +80,32 @@ def test_fold_applyinpandas(spark):
 def test_approx_count_distinct_error_bound(spark):
     """approx_distinct_users (catalog): the HLL++ estimate at rsd=0.02 must
     land within 5% of the exact distinct count — the scale path for
-    count-distinct without the dedup shuffle."""
+    count-distinct without the dedup shuffle. The catalog entry is now the
+    calibration shape (key, n_exact, within_3rsd — oracled since r11), so
+    the raw estimate is asserted directly and the entry's booleans must
+    all hold."""
     from kafka_streams_demo_spark import catalog
 
     sf = "/root/testdata/sf0.001"
-    approx = {
-        r["key"]: r["value"] for r in catalog.QUERIES["approx_distinct_users"](spark, sf).collect()
-    }
     from kafka_streams_demo_spark.sources.registry import load_table
 
     ev = load_table(spark, "events", sf)
-    exact = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    both = {
+        r["event_type"]: (r["est"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("est"),
+            F.count_distinct("user_id").alias("n"),
+        )
+        .collect()
     }
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+    for k, (est, exact) in both.items():
+        assert abs(est - exact) <= max(2, 0.05 * exact), (k, est, exact)
+    entry = catalog.QUERIES["approx_distinct_users"](spark, sf).collect()
+    assert {r["key"] for r in entry} == set(both)
+    for r in entry:
+        assert r["within_3rsd"], r
+        assert r["n_exact"] == both[r["key"]][1]
 
 
 def test_ktable_tombstone_delete_semantics(spark):
