@@ -423,32 +423,63 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # CORRECTNESS_r09.json or earlier, so each family keeps a green ON
 # RECORD. Whole 50-name window re-verified with check_oracle at sf0.01
 # before commit (standing rule).
+# ROUND-11 ROTATION (VERDICT r10 tasks 1/3/4/5/7/8): every entry that is
+# NEW or whose output/oracle CHANGED this round rotates IN and must earn
+# an external green —
+#   task 1: embedding_quantize_int8 (qvec now serialized — the r10 red);
+#   task 3: the ten formerly rows-only entries that gained oracles
+#     (ann_topk_arrow, minhash_lsh_pairs + _incremental,
+#     approx_distinct_users, approx_percentile_value, ivf_train_kmeans,
+#     pq_codebooks_refined, multimodal_frames/_features/_resize — the
+#     last three unchanged Spark-side, the sketch/iterative five
+#     reshaped to calibration/invariant projections);
+#   task 4: split_leakage_safe_indexed (stored-assignments split, same
+#     oracle as the recompute entry);
+#   task 5: triangle_census_powerlaw + _incremental (the power-law
+#     fixture census pair);
+#   task 7: bm25_bulk_direct + bm25_bulk_postings (the bulk-query
+#     crossover pair, same-oracle) + bm25_bulk_pruned (exact MaxScore
+#     pruning, same-oracle — pq_encode_corpus demotes to make room, PQ
+#     family still holds ann_ivf_pq_topk + pq_codebooks_refined);
+#   task 8: wallclock_punctuated_drive (ProcessingTimeTimeout punctuator
+#     through the gate);
+#   plus quality_classifier_incremental — its _nb_score_with_model path
+#     changed (bc localCheckpoint + unseen-bucket smoothing), so it
+#     re-earns even though outputs are bit-identical on covered buckets.
+# The r10 never-checked sweep (quantile quartet, contamination_semantic,
+# hilbert_nd_layout, content_manifest_by_source, fingerprint_bow,
+# histogram/interarrival/multimodal_meta/ppm/percentile/repetition/
+# running_sum/sample/set_ops tail) all went green in CORRECTNESS_r10 and
+# demotes. The 6 standing §2 anchors stay; the remaining 26 slots keep
+# one D10-green representative per §2/LLM family (ann_topk_bruteforce's
+# family is covered by the arrow sibling sharing its oracle). Whole
+# 50-name window re-verified with check_oracle at sf0.01 before commit
+# (standing rule).
 DRIVER_PRIORITY: list[str] = [
     # §2 anchors (green every round; families stay represented)
     "word_count", "q1_pricing_summary", "ktable_latest",
     "stream_table_join_segment", "processor_running_count",
     "avro_wire_roundtrip",
-    # the final 18 never-externally-checked oracled entries
-    "quantile_sketch_value", "quantile_merge_incremental",
-    "quantile_estimate_value", "contamination_semantic",
-    "hilbert_nd_layout", "content_manifest_by_source",
-    "ann_topk_bruteforce", "embedding_quantize_int8", "fingerprint_bow",
-    "histogram_event_values", "interarrival_stats", "multimodal_meta",
-    "ppm_frames_meta", "percentile_value_by_type", "repetition_ratio",
-    "running_sum_per_user", "sample_per_source", "set_ops_all_multiset",
-    # new this round: the hash-gated OPTIMIZE roundtrip + the round-10
-    # additions (NB quality classifier + Pareto keep, its merge≡rebuild
-    # incremental tier, and the leakage-safe split;
-    # daily_rollup_gapfill demotes — D9-green, analytics family still
-    # holds rollup/top-k/funnel/corr representatives)
-    "compaction_roundtrip",
-    "quality_classifier_filter", "quality_classifier_incremental",
-    "split_leakage_safe", "token_budget_select",
-    # changed-path re-earners (broadcast kernels / compaction sibling)
-    "ann_ivf_topk", "pq_encode_corpus", "ann_ivf_pq_topk",
-    "compaction_plan",
-    # per-family green representatives (all D9-green)
-    "asof_join_purchase_1h", "orders_high_value_semi",
+    # round-11 earners: the r10 red, now canonicalizer-safe
+    "embedding_quantize_int8",
+    # round-11 earners: formerly rows-only, now oracled (task 3)
+    "ann_topk_arrow", "minhash_lsh_pairs", "minhash_lsh_incremental",
+    "approx_distinct_users", "approx_percentile_value",
+    "ivf_train_kmeans", "pq_codebooks_refined",
+    "multimodal_frames", "multimodal_features", "multimodal_resize",
+    # round-11 earners: new entries (tasks 4/5/7/8)
+    "split_leakage_safe_indexed",
+    "triangle_census_powerlaw", "triangle_census_powerlaw_incremental",
+    "bm25_bulk_direct", "bm25_bulk_postings", "bm25_bulk_pruned",
+    "bm25_zipf_direct", "bm25_zipf_pruned",
+    "wallclock_punctuated_drive",
+    # round-11 earner: changed scoring path (ADVICE fixes)
+    "quality_classifier_incremental",
+    # per-family green representatives (all D10-green;
+    # orders_high_value_semi and ann_ivf_topk demote for the zipf pair —
+    # joins keep asof_join_purchase_1h/ktable_fk_join + the anchor, IVF
+    # keeps ann_ivf_pq_topk)
+    "asof_join_purchase_1h", "ktable_fk_join",
     "session_window_sum_cents", "scd2_current_view",
     "cms_point_queries", "hll_distinct_users",
     "semdedup_cells", "dedup_embedding_cosine", "pipeline_clean_corpus",
@@ -456,7 +487,10 @@ DRIVER_PRIORITY: list[str] = [
     "jpeg_decode_all_layouts",
     "rollup_revenue", "top3_orders_per_cust",
     "funnel_signup_click_purchase",
-    "zorder_layout",
+    "zorder_layout", "compaction_roundtrip", "compaction_plan",
+    "token_budget_select", "split_leakage_safe",
+    "quality_classifier_filter",
+    "ann_ivf_pq_topk",
 ]
 
 

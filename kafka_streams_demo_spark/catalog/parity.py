@@ -428,6 +428,107 @@ def processor_running_count(spark, sf_dir):
     return run_available_now(running_count_processor(keyed), output_mode="update")
 
 
+_WALLCLOCK_STREAM_DIRS: dict[str, str] = {}
+
+
+def _batched_events_stream_dir(spark, sf_dir: str, n_batches: int = 4) -> str:
+    """Split the events fixture into ``n_batches`` parquet files keyed by
+    ``event_id % n_batches``, with strictly increasing mtimes so the file
+    stream source (maxFilesPerTrigger=1) replays them as that many
+    ordered micro-batches — the deterministic multi-batch drive the
+    wall-clock punctuator entry needs. Every user's rows are DROPPED
+    from the batches where ``(user_id + k) % 3 == 0`` (gap injection):
+    the fixture's users are otherwise active in every batch, which would
+    leave the punctuator with nothing to do — with the gaps, every user
+    is guaranteed at least one data-less batch after its first
+    appearance, so every per-key wall-clock timer provably fires. The
+    same closed-form rule is replayed by the entry's oracle. Written
+    once per (session, sf_dir, n_batches)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    cache_key = f"{sf_dir}::{n_batches}"
+    path = _WALLCLOCK_STREAM_DIRS.get(cache_key)
+    if path is not None and os.path.isdir(path):
+        return path
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_type").alias("value"),
+        F.col("user_id"),
+        F.col("event_id"),
+    )
+    path = tempfile.mkdtemp(prefix="kafka_streams_demo_spark_wallclock_")
+    staging = tempfile.mkdtemp(prefix="kafka_streams_demo_spark_wcstage_")
+    base = 1_000_000_000  # fixed epoch base; only the ORDER matters
+    for k in range(n_batches):
+        sub = os.path.join(staging, f"b{k}")
+        ev.filter(
+            (F.col("event_id") % n_batches == k)
+            & (F.pmod(F.col("user_id") + F.lit(k), F.lit(3)) != 0)
+        ).select("key", "value").coalesce(1).write.mode("overwrite").parquet(sub)
+        (part,) = glob.glob(os.path.join(sub, "part-*.parquet"))
+        dst = os.path.join(path, f"{k:04d}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (base + 10 * k, base + 10 * k))
+    shutil.rmtree(staging, ignore_errors=True)
+    _WALLCLOCK_STREAM_DIRS[cache_key] = path
+    return path
+
+
+@register(
+    "wallclock_punctuated_drive",
+    # Per-batch running-count prefixes per key: batch k holds the rows
+    # with event_id % 4 == k minus the injected gaps ((user_id+k)%3==0,
+    # see _batched_events_stream_dir), and each data batch emits the
+    # key's count AFTER that batch — so the distinct emission set is the
+    # per-key cumulative count at each present-batch boundary. Timer
+    # re-fires (the WALL_CLOCK punctuation under test — guaranteed for
+    # every key by the gap injection) re-emit the UNCHANGED count and
+    # dedup away; their multiplicity is pinned by tests/test_streaming.py
+    # (raw sink rows > distinct rows), kept out of the hash because
+    # wall-clock fire COUNTS are timing-dependent while fire VALUES are
+    # not.
+    "WITH b AS (SELECT user_id, event_id % 4 AS k, count(*) AS c "
+    "           FROM events WHERE (user_id + event_id % 4) % 3 <> 0 "
+    "           GROUP BY 1, 2), "
+    "p AS (SELECT user_id, k, SUM(c) OVER (PARTITION BY user_id ORDER BY k) AS v "
+    "      FROM b) "
+    "SELECT CAST(user_id AS VARCHAR) AS key, CAST(v AS BIGINT) AS value FROM p",
+)
+def wallclock_punctuated_drive(spark, sf_dir):
+    """WALL_CLOCK_TIME punctuator under the external gate (VERDICT r10
+    task 8 — the one §2h surface that was streaming-test-only): the
+    events fixture replays as 4 ordered micro-batches (file source,
+    maxFilesPerTrigger=1, mtime-ordered), through
+    streaming/processor.py:wallclock_punctuated_processor with a 1 ms
+    punctuation interval — so every key with no data in a later batch
+    re-forwards its running count on PROCESSING time, no watermark
+    involved (ProcessingTimeTimeout, the PunctuationType the reference
+    API offers beyond STREAM_TIME). The hash-gated projection is the
+    deterministic part — per-key counts at each present-batch boundary
+    (proving multi-batch state accumulation AND batch ordering); the
+    timing-dependent fire multiplicity is asserted in
+    tests/test_streaming.py."""
+    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+    from kafka_streams_demo_spark.streaming.processor import (
+        wallclock_punctuated_processor,
+    )
+
+    path = _batched_events_stream_dir(spark, sf_dir, n_batches=4)
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = run_available_now(
+        wallclock_punctuated_processor(stream, punctuate_interval_ms=1),
+        output_mode="update",
+    )
+    return out.select("key", "value").distinct()
+
+
 @register(
     "json_extract_sum",
     "SELECT event_type AS key, SUM(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS value "
@@ -1599,6 +1700,71 @@ def triangle_counts_incremental_q(spark, sf_dir):
 
 
 ORACLES["triangle_counts_incremental"] = _tri_oracle()
+
+
+def _powerlaw_und(spark, sf_dir):
+    from kafka_streams_demo_spark.functions.graph import powerlaw_edges
+
+    n = load_table(spark, "documents", sf_dir).count()
+    return powerlaw_edges(spark, n, edge_factor=4)
+
+
+def _powerlaw_tri_oracle() -> str:
+    from kafka_streams_demo_spark.functions.graph import (
+        powerlaw_edges_cte,
+        triangle_counts_sql,
+    )
+
+    return triangle_counts_sql(powerlaw_edges_cte())
+
+
+@register("triangle_census_powerlaw", None)  # oracle attached below (generated)
+def triangle_census_powerlaw_q(spark, sf_dir):
+    """The triangle census on the graph shape it is DESIGNED for
+    (VERDICT r10 task 5): a seeded power-law fixture (γ≈3,
+    functions/graph.py:powerlaw_edges — |nodes| = |documents|, 4·n edge
+    draws) instead of the degenerately dense TPC-H co-order graph. On
+    the power-law graph the lower-(degree,id) orientation actually
+    earns its keep — hub wedges collapse onto the √m-bounded
+    out-neighborhoods, and the measured wedge space is a small multiple
+    of the edge count instead of ~n² (measured reduction recorded in
+    BASELINE.md r11). Fully SQL-replayable: the fixture is closed-form
+    md5 arithmetic, the census pure integer math."""
+    from kafka_streams_demo_spark.functions.graph import triangle_counts
+
+    return triangle_counts(_powerlaw_und(spark, sf_dir))
+
+
+ORACLES["triangle_census_powerlaw"] = _powerlaw_tri_oracle()
+
+
+@register("triangle_census_powerlaw_incremental", None)  # SAME oracle as batch
+def triangle_census_powerlaw_incremental_q(spark, sf_dir):
+    """Index+delta triangle maintenance on the power-law fixture: the
+    first 3/4 of edge draws play the indexed graph, the final quarter
+    the ingest delta (anti-joined to true NEW edges). Registered against
+    the SAME oracle as triangle_census_powerlaw, so a driver green
+    proves old + delta == rebuild exactly on a realistically-skewed
+    graph — delta probing cost prices on delta-edge degree sums, never
+    the union wedge space."""
+    from kafka_streams_demo_spark.functions.graph import (
+        powerlaw_edges,
+        triangle_counts_incremental,
+    )
+
+    n = load_table(spark, "documents", sf_dir).count()
+    all_und = powerlaw_edges(spark, n, edge_factor=4)
+    old_und = (
+        powerlaw_edges(spark, n, edge_factor=3)
+        # edge_factor=3 draws are exactly the t < 3n prefix of the
+        # edge_factor=4 sequence (same hash stream), so "old" is a true
+        # temporal prefix of the full graph.
+    )
+    delta_und = all_und.join(old_und, ["a", "b"], "left_anti")
+    return triangle_counts_incremental(old_und, delta_und)
+
+
+ORACLES["triangle_census_powerlaw_incremental"] = _powerlaw_tri_oracle()
 
 
 def _cc_oracle() -> str:

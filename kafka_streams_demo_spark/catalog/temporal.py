@@ -1575,6 +1575,226 @@ def bm25_search_postings_q(spark, sf_dir):
     )
 
 
+_BM25_BULK_ORACLE = """
+WITH q AS (SELECT doc_id AS query_id, array_to_string(w[2:4], ' ') AS query_text
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+                 WHERE doc_id % 10 = 0)
+           WHERE len(w) >= 4),
+qt AS (SELECT query_id, unnest(list_distinct(string_split(lower(query_text), ' '))) AS term
+       FROM q),
+tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents),
+s AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+qd AS (SELECT DISTINCT term FROM qt),
+rel AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN qd USING (term)),
+dft AS (SELECT term, count(*) AS df FROM rel GROUP BY 1),
+contrib AS (
+  SELECT qt.query_id, rel.doc_id,
+         LN((s.n - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+           * rel.tf * 2.2 / (rel.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS c
+  FROM qt JOIN rel USING (term) JOIN dft USING (term)
+  JOIN dl ON rel.doc_id = dl.doc_id CROSS JOIN s),
+sc AS (SELECT query_id, doc_id, ROUND(list_sum(list_sort(list(c))), 6) AS score
+       FROM contrib GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+      FROM sc)
+SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+"""
+
+
+def _bulk_queries(docs):
+    """One query per 10th document (≥4 tokens): its 2nd–4th tokens — a
+    deterministic stand-in for a production query batch that scales with
+    the corpus (50 queries at sf0.01, 500 at sf0.1). Every-doc query
+    volume was measured and rejected for the bench tier: at 5000 queries
+    the term-match scoring join (Σ_t |q(t)|·|d(t)| contribution rows)
+    dominates BOTH paths at ~140 s and the postings tier's fixed saving
+    disappears into it — BASELINE.md r11 records that crossover
+    finding."""
+    toks = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("_w")).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return toks.filter(F.size("_w") >= 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice("_w", 2, 3), " ").alias("query_text"),
+    )
+
+
+_POSTINGS_CACHE: dict[str, str] = {}
+
+
+def _persisted_bm25_postings(spark, sf_dir: str):
+    """The stored BM25 postings index as parquet, written once per
+    (session, sf_dir) — the bench's steady-state (index-already-built)
+    path; production layouts term-bucket it via write_bm25_postings
+    (plan-pinned in tests), which the plain parquet stand-in here does
+    not change bit-wise."""
+    import os
+    import tempfile
+
+    path = _POSTINGS_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        from kafka_streams_demo_spark.functions.text import bm25_postings
+
+        docs = load_table(spark, "documents", sf_dir)
+        path = tempfile.mkdtemp(prefix="kafka_streams_demo_spark_postings_")
+        bm25_postings(docs).write.mode("overwrite").parquet(path)
+        _POSTINGS_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+@register("bm25_bulk_direct", _BM25_BULK_ORACLE)
+def bm25_bulk_direct_q(spark, sf_dir):
+    """The bulk-query retrieval load on the DIRECT path
+    (VERDICT r10 task 7): one query per 10th document (500 queries at
+    the sf0.1 bench), scored in ONE corpus pass with top-5 per query. Prices what re-tokenizing the corpus per batch costs when
+    the query table is large; the postings sibling below answers the
+    same load from the stored index. Crossover documented in
+    BASELINE.md r11."""
+    from kafka_streams_demo_spark.functions.text import bm25_search_queries
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_search_queries(docs, _bulk_queries(docs), k=5)
+
+
+@register("bm25_bulk_postings", _BM25_BULK_ORACLE)
+def bm25_bulk_postings_q(spark, sf_dir):
+    """The same bulk-query load against the PERSISTED postings
+    index: corpus never re-tokenized — N/avgdl recovered from posting
+    rows, scoring joins read the stored (term, doc, tf) relation. Same
+    oracle as bm25_bulk_direct, so the gate proves stored ≡ direct
+    bit-for-bit at this query volume; bench.py's two-pass minimum prices
+    the steady-state (index on disk) run."""
+    from kafka_streams_demo_spark.functions.text import bm25_search_queries
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_search_queries(
+        None,
+        _bulk_queries(docs),
+        k=5,
+        postings=_persisted_bm25_postings(spark, sf_dir),
+    )
+
+
+@register("bm25_bulk_pruned", _BM25_BULK_ORACLE)
+def bm25_bulk_pruned_q(spark, sf_dir):
+    """The same bulk-query load under EXACT MaxScore pruning
+    (functions/text.py:bm25_search_queries_pruned — Turtle & Flood's
+    term-bound idea, shuffle-native): rare-term candidate generation →
+    full phase-1 scoring → per-query upper-bound test → phase-2 rescue
+    only where the bound fails. Registered against the SAME oracle as
+    bm25_bulk_direct, so the hash gate proves the pruned path returns
+    the exhaustive answer bit-for-bit — pruning is a plan fact, never a
+    semantic one. On THIS table it is deliberately the hostile case:
+    the driver corpus's 31-word near-uniform vocabulary has no rare
+    terms, so candidates ≈ exhaustive and the entry proves exactness
+    under degenerate pruning rather than speed (BASELINE.md r11); the
+    bm25_zipf_* pair prices the win where rare terms exist."""
+    from kafka_streams_demo_spark.functions.text import bm25_search_queries_pruned
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_search_queries_pruned(
+        None,
+        _bulk_queries(docs),
+        k=5,
+        postings=_persisted_bm25_postings(spark, sf_dir),
+    )
+
+
+def _zipf_queries(docs):
+    """One query per 100th generated doc (always 60 tokens, so no length
+    filter can drop rows — but keep it for recipe parity)."""
+    toks = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("_w")).filter(
+        F.col("doc_id") % 100 == 0
+    )
+    return toks.filter(F.size("_w") >= 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice("_w", 2, 3), " ").alias("query_text"),
+    )
+
+
+def _bm25_zipf_oracle() -> str:
+    from kafka_streams_demo_spark.functions.text import zipf_corpus_cte
+
+    return f"""
+WITH zdocs AS ({zipf_corpus_cte(n_from="SELECT 10 * count(*) FROM documents")}),
+q AS (SELECT doc_id AS query_id, array_to_string(w[2:4], ' ') AS query_text
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM zdocs
+            WHERE doc_id % 100 = 0)
+      WHERE len(w) >= 4),
+qt AS (SELECT query_id, unnest(list_distinct(string_split(lower(query_text), ' '))) AS term
+       FROM q),
+tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM zdocs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM zdocs),
+s AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+qd AS (SELECT DISTINCT term FROM qt),
+rel AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN qd USING (term)),
+dft AS (SELECT term, count(*) AS df FROM rel GROUP BY 1),
+contrib AS (
+  SELECT qt.query_id, rel.doc_id,
+         LN((s.n - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+           * rel.tf * 2.2 / (rel.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS c
+  FROM qt JOIN rel USING (term) JOIN dft USING (term)
+  JOIN dl ON rel.doc_id = dl.doc_id CROSS JOIN s),
+sc AS (SELECT query_id, doc_id, ROUND(list_sum(list_sort(list(c))), 6) AS score
+       FROM contrib GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+      FROM sc)
+SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+"""
+
+
+@register("bm25_zipf_direct", None)  # oracle attached below (generated)
+def bm25_zipf_direct_q(spark, sf_dir):
+    """The bulk-query load on a REALISTIC (Zipf) vocabulary — exhaustive
+    path. The driver documents table has a 31-word near-uniform
+    vocabulary (every term in ~77% of docs — BASELINE.md r11), which
+    makes term-bound pruning untestable on it; this pair re-runs the
+    crossover on functions/text.py:zipf_corpus (|documents| generated
+    docs, 5000-word Zipf vocab, closed-form md5 arithmetic the oracle
+    replays exactly). Sized for the asymptotics to SHOW in the bench
+    artifact: 10·|documents| generated docs (50k at sf0.1), one query
+    per 100th doc, top-5 — at 5k docs both paths are fixed-cost-bound
+    and read as a wash (BASELINE.md r11)."""
+    from kafka_streams_demo_spark.functions.text import (
+        bm25_search_queries,
+        zipf_corpus,
+    )
+
+    n = load_table(spark, "documents", sf_dir).count()
+    docs = zipf_corpus(spark, 10 * n)
+    return bm25_search_queries(docs, _zipf_queries(docs), k=5)
+
+
+ORACLES["bm25_zipf_direct"] = _bm25_zipf_oracle()
+
+
+@register("bm25_zipf_pruned", None)  # SAME oracle as the exhaustive run
+def bm25_zipf_pruned_q(spark, sf_dir):
+    """EXACT MaxScore pruning on the Zipf corpus — where rare terms
+    exist, so rare-term candidate generation actually shrinks the
+    scoring join (measured speedup in BASELINE.md r11; on the 31-word
+    driver corpus the same algorithm degenerates to exhaustive +
+    overhead, which bm25_bulk_pruned documents). SAME oracle as
+    bm25_zipf_direct: pruned ≡ exhaustive bit-for-bit, externally
+    hash-proven."""
+    from kafka_streams_demo_spark.functions.text import (
+        bm25_search_queries_pruned,
+        zipf_corpus,
+    )
+
+    n = load_table(spark, "documents", sf_dir).count()
+    docs = zipf_corpus(spark, 10 * n)
+    return bm25_search_queries_pruned(docs, _zipf_queries(docs), k=5)
+
+
+ORACLES["bm25_zipf_pruned"] = _bm25_zipf_oracle()
+
+
 _RRF_ORACLE = """
 WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 base AS (SELECT doc_id, len(w) AS dl,

@@ -366,3 +366,73 @@ corners AS (SELECT a AS node FROM tris
             UNION ALL SELECT c FROM tris)
 SELECT node, count(*) AS triangles FROM corners GROUP BY 1
 """
+
+
+def powerlaw_edges(spark, n_nodes: int, edge_factor: int = 4) -> DataFrame:
+    """Seeded power-law random graph (Chung–Lu style, degree exponent
+    γ ≈ 3): the triangle-census grading fixture the TPC-H co-purchase
+    graph cannot be (VERDICT r10 task 5 — the synthetic co-order graph
+    is degenerately dense, ~every wedge closes; real catalog/co-visit
+    graphs are power-law-sparse with a few hubs).
+
+    Construction (closed-form, iteration-free, so the DuckDB oracle can
+    replay it exactly — see :func:`powerlaw_edges_cte`):
+
+    - ``edge_factor·n`` endpoint-pair draws, indexed t = 0..m-1;
+    - per draw, two md5-60-bit uniforms u = (h(t:side)+0.5)/2^60;
+    - inverse-CDF power map ``node = floor(n·u²)`` — node i is drawn
+      with probability ∝ ((i+1)^½ − i^½) ≈ ½·i^(−½), i.e. expected
+      degree ∝ i^(−½), a Zipf weight whose resulting degree
+      distribution is power-law with exponent γ = 1 + 1/½ = 3 (web
+      graphs sit at γ ≈ 2.1–2.9; hubs get degree ~√n·edge_factor);
+    - drop self-loops, canonicalize a<b, dedup multi-edges.
+
+    Deterministic across runs/engines/partitionings (the md5-60-bit
+    idiom shared with sample/split/pareto); both engines evaluate the
+    identical double expressions left-associated, so the floor cell
+    boundaries agree bit-for-bit. Scale: generation is a map-only pass
+    over ``spark.range`` plus ONE dedup shuffle — at any size the graph
+    materializes in O(edges) with no driver involvement."""
+    draws = spark.range(edge_factor * n_nodes).select(F.col("id").alias("t"))
+
+    def node(tag: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("t").cast("string"), F.lit(tag))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+        return F.floor(F.lit(float(n_nodes)) * u * u).cast("long")
+
+    e = draws.select(node(":s").alias("_s"), node(":d").alias("_d"))
+    return (
+        e.filter(F.col("_s") != F.col("_d"))
+        .select(
+            F.least("_s", "_d").alias("a"), F.greatest("_s", "_d").alias("b")
+        )
+        .distinct()
+    )
+
+
+def powerlaw_edges_cte(n_from: str = "SELECT count(*) FROM documents",
+                       edge_factor: int = 4) -> str:
+    """DuckDB CTE body replaying :func:`powerlaw_edges` bit-for-bit,
+    with n derived from the data (``n_from``) so the oracle follows the
+    scale factor. Yields (a, b), each undirected edge once."""
+    return f"""
+SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+  SELECT CAST(floor(n * u1 * u1) AS BIGINT) AS s,
+         CAST(floor(n * u2 * u2) AS BIGINT) AS d
+  FROM (
+    SELECT n,
+      (('0x' || substr(md5(t::VARCHAR || ':s'), 1, 15))::BIGINT + 0.5)
+        / 1152921504606846976.0 AS u1,
+      (('0x' || substr(md5(t::VARCHAR || ':d'), 1, 15))::BIGINT + 0.5)
+        / 1152921504606846976.0 AS u2
+    FROM (SELECT unnest(range(0, {edge_factor} * n)) AS t, n
+          FROM (SELECT ({n_from}) AS n))
+  )
+) WHERE s <> d
+"""

@@ -477,6 +477,281 @@ def bm25_search_queries(
     )
 
 
+def bm25_search_queries_pruned(
+    docs,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    postings=None,
+    tie_margin: float = 1e-6,
+):
+    """EXACT MaxScore-pruned bulk BM25 — same results as
+    :func:`bm25_search_queries`, bit-for-bit (same-oracle hash-gated in
+    the catalog), at a fraction of the scoring-join volume when the
+    query batch is large.
+
+    BASELINE.md r11 measured why this exists: at bulk query volumes the
+    exhaustive path's cost is the term-match join — Σ_t |q(t)|·|d(t)|
+    contribution rows — ~140 s at sf0.1 for 5000 queries, identical for
+    the direct and postings paths, because common terms match most of
+    the corpus. Where pruning pays depends on the VOCABULARY: on the
+    driver documents table (31 words, each in ~77% of docs) there are
+    no rare terms, candidates ≈ exhaustive, and this path is pure
+    overhead (bm25_bulk_pruned documents that); on a Zipf vocabulary
+    (zipf_corpus) the rare-term candidate set is ~3% of the exhaustive
+    volume and the win grows with corpus size (2.1× wall at 50k docs —
+    the bm25_zipf_* bench pair). Classic top-k pruning (Turtle & Flood's MaxScore /
+    Broder et al.'s WAND family) bounds each term's possible
+    contribution and skips documents that provably cannot enter the
+    top-k. This is the declarative, shuffle-native rendition:
+
+    1. CANDIDATES: each query's RAREST present term (min df, ties on
+       term) selects its candidate docs — rare-term posting lists are
+       short on Zipf data, so this set is small.
+    2. PHASE 1: candidates are scored FULLY (all their matching query
+       terms — identical sorted-fold + 6-dp rounding as the exhaustive
+       path); θ_q = the k-th best rounded score.
+    3. BOUND: ub(t) = max over matching docs of t's exact contribution
+       (one term-keyed aggregate). A doc NOT matching the rarest term
+       can score at most Σ ub(t) over the query's OTHER terms; if that
+       bound < θ_q − ``tie_margin``, every such doc is skipped — the
+       margin keeps a sub-threshold true score from ROUNDING up into a
+       6-dp tie it could win on the doc_id tie-break.
+    4. PHASE 2 (only queries the bound fails for, incl. those with
+       fewer than k candidates): the remaining matching docs are scored
+       exactly and the union re-ranked.
+
+    Soundness: true top-k ⊆ phase-1 candidates whenever the bound
+    holds (any skipped doc's rounded score is strictly below θ_q), and
+    otherwise phase 2 restores exhaustiveness — so output ≡ exhaustive
+    for EVERY input; the pruning is purely a performance fact, proven
+    by the shared oracle. 100 TB shape: the corpus-sized relations
+    (postings) are touched by term-keyed joins only; phase-1 match rows
+    are candidate-sized, ub/df are |terms|-row aggregates, θ/prune
+    flags are |queries|-row broadcasts."""
+    hint = F.broadcast
+    if postings is None:
+        if docs is None:
+            raise ValueError("bm25_search_queries_pruned needs docs or postings")
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ").alias(
+                "_toks"
+            ),
+        )
+        stats = toks.agg(
+            F.avg(F.size("_toks")).alias("_avgdl"), F.count(F.lit(1)).alias("_n")
+        )
+        postings = bm25_postings(docs, id_col, text_col)
+    else:
+        stats = (
+            postings.groupBy("doc_id")
+            .agg(F.max("dl").alias("_dl"))
+            .agg(F.avg("_dl").alias("_avgdl"), F.count(F.lit(1)).alias("_n"))
+        )
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(qtext_col)), " "))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+
+    from pyspark.sql import Window as _W
+
+    # query-relevant postings, with df and the exact per-row contribution
+    # (the same formula the exhaustive path folds); materialized ONCE —
+    # candidates, bounds and both phases all read it, and its lineage
+    # (posting build + semi-join) must not replay per consumer
+    rel = postings.join(hint(qterms.select("term").distinct()), ["term"])
+    rel = rel.withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("term")))
+    tf = F.col("tf").cast("double")
+    dfc = F.col("_df").cast("double")
+    rel = (
+        rel.crossJoin(hint(stats))  # 1-row stats — broadcast
+        .withColumn(
+            "_c",
+            F.log((F.col("_n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)) + F.lit(1.0))
+            * tf
+            * F.lit(k1 + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+            ),
+        )
+        .select("term", "doc_id", "_df", "_c")
+        .localCheckpoint(eager=True)
+    )
+
+    # per-term stats: df + the MaxScore upper bound ub(t) = max contrib
+    tstats = rel.groupBy("term").agg(
+        F.max("_df").alias("_df"), F.max("_c").alias("_ub")
+    )
+    # rarest PRESENT term per query (absent terms match nothing and
+    # bound at 0); Σ ub over the query's other present terms
+    qpresent = qterms.join(hint(tstats), ["term"])
+    rw = _W.partitionBy("query_id").orderBy(F.asc("_df"), F.asc("term"))
+    qmeta = qpresent.withColumn("_rn", F.row_number().over(rw))
+    rarest = qmeta.filter(F.col("_rn") == 1).select(
+        "query_id", F.col("term").alias("_rterm")
+    )
+    ubsum = (
+        qmeta.filter(F.col("_rn") > 1)
+        .groupBy("query_id")
+        .agg(F.sum("_ub").alias("_ubsum"))
+    )
+
+    def full_scores(match):
+        # match: (query_id, doc_id, _c) rows — every matching (q, d, t);
+        # identical sorted-fold + rounding as the exhaustive path
+        return match.groupBy("query_id", "doc_id").agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.col("_c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score")
+        )
+
+    # PHASE 1: candidate docs (rarest-term matches), scored fully.
+    # Built candidate-first — cand ⋈ rel on doc_id pulls only candidate
+    # docs' posting rows, then the (query_id, term) semi-join keeps each
+    # query's own terms — NEVER the exhaustive per-query term join the
+    # pruning exists to avoid.
+    cand = (
+        rel.join(hint(rarest), rel["term"] == rarest["_rterm"])
+        .select("query_id", "doc_id")
+    )
+    c1_match = (
+        hint(cand)
+        .join(rel, ["doc_id"])
+        .join(hint(qterms), ["query_id", "term"], "left_semi")
+    )
+    p1 = full_scores(c1_match).localCheckpoint(eager=True)
+
+    pw = _W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    p1r = p1.withColumn("_rk", F.row_number().over(pw))
+    theta = (
+        p1r.filter(F.col("_rk") == k)
+        .select("query_id", F.col("score").alias("_theta"))
+    )
+    # prune iff a full top-k exists AND the other-terms bound clears it
+    pruned_q = (
+        theta.join(ubsum, "query_id", "left")
+        .filter(
+            F.coalesce(F.col("_ubsum"), F.lit(0.0))
+            < F.col("_theta") - F.lit(tie_margin)
+        )
+        .select("query_id")
+    )
+    survivors = qterms.select("query_id").distinct().join(
+        pruned_q, "query_id", "left_anti"
+    )
+
+    # PHASE 2: for unpruned queries, the matching docs OUTSIDE phase 1
+    m2_match = (
+        rel.join(hint(qterms.join(hint(survivors), ["query_id"])), ["term"])
+        .join(hint(cand), ["query_id", "doc_id"], "left_anti")
+    )
+    p2 = full_scores(m2_match)
+
+    out = p1.unionByName(p2)
+    w = _W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+def zipf_corpus(spark, n_docs: int, vocab: int = 5000, doc_len: int = 60):
+    """Seeded Zipf-vocabulary corpus (closed-form, DuckDB-replayable —
+    see :func:`zipf_corpus_cte`): the retrieval-pruning grading fixture
+    the driver documents table cannot be. BASELINE.md r11 measured why:
+    the fixture corpus has a 31-word near-uniform vocabulary (every term
+    in ~77% of documents), so there are NO rare terms and term-bound
+    pruning (MaxScore/WAND) degenerates to the exhaustive join. Real
+    text is Zipf; this corpus is.
+
+    Construction: token i of doc d is ``'w' || floor(V·u⁴)`` with
+    u = (md5-60-bit(d:i)+0.5)/2^60 — the inverse-CDF power map (the
+    :func:`~kafka_streams_demo_spark.functions.graph.powerlaw_edges`
+    idiom), giving word-frequency exponent ≈ 0.75 with a handful of
+    stopword-like heads and a long rare tail. u⁴ is spelled u·u·u·u
+    (left-associated) on BOTH engines — pow() is a libm call that may
+    differ in the last ulp across engines and a floor sits right after.
+    Generation is a map-only pass over ``spark.range``; at any scale the
+    corpus materializes distributed, no driver involvement."""
+    def word(i):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long").cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 60))
+        return F.concat(
+            F.lit("w"),
+            F.floor(F.lit(float(vocab)) * u * u * u * u)
+            .cast("long")
+            .cast("string"),
+        )
+
+    return (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(doc_len - 1)), word), " "
+            ).alias("text"),
+        )
+    )
+
+
+def zipf_corpus_cte(
+    n_from: str = "SELECT count(*) FROM documents",
+    vocab: int = 5000,
+    doc_len: int = 60,
+) -> str:
+    """DuckDB CTE body replaying :func:`zipf_corpus` bit-for-bit, with
+    n derived from the data so the oracle follows the scale factor.
+    Yields (doc_id, text)."""
+    return f"""
+SELECT d AS doc_id,
+       array_to_string(list_transform(range(0, {doc_len}), i ->
+         'w' || CAST(floor({vocab} *
+           ((('0x' || substr(md5(d::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT + 0.5)
+            / 1152921504606846976.0)
+         * ((('0x' || substr(md5(d::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT + 0.5)
+            / 1152921504606846976.0)
+         * ((('0x' || substr(md5(d::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT + 0.5)
+            / 1152921504606846976.0)
+         * ((('0x' || substr(md5(d::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT + 0.5)
+            / 1152921504606846976.0)
+         ) AS BIGINT)), ' ') AS text
+FROM (SELECT unnest(range(0, ({n_from}))) AS d)
+"""
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -98,11 +98,24 @@ def test_matches_oracle_at_sf0001(spark, ddb, name):
 
 def test_approx_percentile_within_tolerance_of_exact(spark):
     """Sketch percentiles track the exact ones within 2% of the value
-    range per event_type (rows-only query — this is its correctness
-    evidence)."""
+    range per event_type. The catalog entry is now the calibration shape
+    (event_type, n, ok50, ok95 — oracled since r11), so the raw sketch
+    values are asserted directly and the entry's rank-contract booleans
+    must all hold."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.catalog._core import cents
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
     approx = {
         r["event_type"]: (r["p50_c"], r["p95_c"])
-        for r in catalog.queries()["approx_percentile_value"](spark, SF_DIR).collect()
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_percentile(cents(F.col("value")), F.lit(0.5), F.lit(10000)).alias("p50_c"),
+            F.approx_percentile(cents(F.col("value")), F.lit(0.95), F.lit(10000)).alias("p95_c"),
+        )
+        .collect()
     }
     exact = {
         r["event_type"]: (r["p50_c"], r["p95_c"])
@@ -112,3 +125,7 @@ def test_approx_percentile_within_tolerance_of_exact(spark):
     for et in exact:
         for a, e in zip(approx[et], exact[et]):
             assert abs(a - e) <= 0.02 * 49001 + 1, (et, a, e)  # value range ~490.01*100
+    entry = catalog.queries()["approx_percentile_value"](spark, SF_DIR).collect()
+    assert {r["event_type"] for r in entry} == exact.keys()
+    for r in entry:
+        assert r["ok50"] and r["ok95"], r

@@ -235,3 +235,35 @@ def test_triangle_closing_join_is_shuffle_hash(spark):
         triangle_counts(und)._jdf.queryExecution().executedPlan().toString()
     )
     assert "ShuffledHashJoin" in plan
+
+
+def test_powerlaw_edges_shape_and_determinism(spark):
+    """The triangle-census grading fixture (VERDICT r10 task 5): seeded
+    closed-form power-law graph — deterministic across builds, skewed
+    (hub degree ≫ median — the property the co-purchase graph lacks),
+    and the edge_factor=3 build is a true subset of edge_factor=4 (the
+    incremental entry's old/delta split is a temporal prefix)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.graph import powerlaw_edges
+
+    n = 500
+    e1 = powerlaw_edges(spark, n, edge_factor=4)
+    e2 = powerlaw_edges(spark, n, edge_factor=4)
+    rows1 = {(r["a"], r["b"]) for r in e1.collect()}
+    rows2 = {(r["a"], r["b"]) for r in e2.collect()}
+    assert rows1 == rows2 and len(rows1) > n  # deterministic, non-trivial
+    assert all(a < b for a, b in rows1)  # canonical, no self-loops
+    assert all(0 <= a < n and 0 <= b < n for a, b in rows1)
+    deg = (
+        e1.select(F.col("a").alias("node"))
+        .unionByName(e1.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .count()
+        .collect()
+    )
+    counts = sorted((r["count"] for r in deg), reverse=True)
+    median = counts[len(counts) // 2]
+    assert counts[0] >= 10 * max(1, median), (counts[0], median)  # heavy hub
+    old = {(r["a"], r["b"]) for r in powerlaw_edges(spark, n, edge_factor=3).collect()}
+    assert old < rows1  # strict prefix subset

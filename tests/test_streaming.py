@@ -2316,3 +2316,50 @@ def test_nb_classifier_stream_maintenance_exactly_once(spark, tmp_path):
         map(tuple, retrain.collect())
     )
     assert len([d for d in os.listdir(bc_dir) if d.startswith("batch_id=")]) == 2
+
+
+def test_wallclock_drive_punctuation_multiplicity(spark):
+    """The catalog's wallclock_punctuated_drive hash-gates only the
+    deterministic per-batch prefix counts; THIS pins the punctuation
+    itself: the gap injection ((user_id + k) % 3 == 0 batches dropped
+    per user) guarantees every key a data-less batch after its first
+    appearance, so with a 1 ms ProcessingTimeTimeout the raw update-mode
+    sink must carry strictly more rows than the distinct set — the
+    surplus IS the wall-clock fires."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.catalog.parity import (
+        _batched_events_stream_dir,
+    )
+    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+    from kafka_streams_demo_spark.streaming.processor import (
+        wallclock_punctuated_processor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = _batched_events_stream_dir(spark, sf, n_batches=4)
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    raw = run_available_now(
+        wallclock_punctuated_processor(stream, punctuate_interval_ms=1),
+        output_mode="update",
+    ).select("key", "value")
+    n_raw = raw.count()
+    n_distinct = raw.distinct().count()
+    assert n_raw > n_distinct, (n_raw, n_distinct)
+    # every key must have re-fired at least once: per-key raw emissions
+    # exceed its distinct prefix values
+    per_key = (
+        raw.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("raw_n"),
+            F.countDistinct("value").alias("dist_n"),
+        )
+        .collect()
+    )
+    assert all(r["raw_n"] > r["dist_n"] for r in per_key), [
+        r for r in per_key if r["raw_n"] <= r["dist_n"]
+    ][:5]

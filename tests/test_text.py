@@ -723,3 +723,38 @@ def test_run_starts_null_elements_own_run(spark):
     assert got[1] == [0, 2, 3]   # pre-fix: [0, 2] — NULL run merged into 'b'
     assert got[2] == [0]
     assert got[3] == [0, 1]
+
+
+def test_bm25_pruned_equals_exhaustive(spark):
+    """MaxScore-pruned bulk BM25 ≡ the exhaustive path bit-for-bit —
+    at several k (k=1 exercises aggressive pruning, k=50 forces
+    fewer-than-k-candidate queries into the phase-2 rescue)."""
+    from kafka_streams_demo_spark.functions.text import (
+        bm25_search_queries,
+        bm25_search_queries_pruned,
+    )
+    from kafka_streams_demo_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("_w")
+    )
+    qdf = toks.filter(F.size("_w") >= 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice("_w", 2, 3), " ").alias("query_text"),
+    )
+    for k in (1, 5, 50):
+        base = {
+            (r["query_id"], r["doc_id"]): (r["score"], r["rk"])
+            for r in bm25_search_queries(docs, qdf, k=k).collect()
+        }
+        pruned = {
+            (r["query_id"], r["doc_id"]): (r["score"], r["rk"])
+            for r in bm25_search_queries_pruned(docs, qdf, k=k).collect()
+        }
+        assert pruned == base, (
+            k,
+            len(base),
+            len(pruned),
+            dict(list((set(base.items()) ^ set(pruned.items())))[:4] if base != pruned else []),
+        )
