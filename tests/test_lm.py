@@ -251,3 +251,64 @@ def test_nb_merge_counts_equals_batch(spark):
         ).collect()
     }
     assert inc == batch  # bit-for-bit: integer totals are order-free
+
+
+def test_nb_persisted_model_scores_unseen_buckets_with_smoothing(spark):
+    """ADVICE r10: scoring a NEW document against a persisted model must
+    apply the Laplace unseen-bucket weight ln((n_neg+B)/(n_pos+B)) to
+    features the model never saw — not an implicit 0. Train on a corpus
+    with n_pos != n_neg, score a doc of entirely novel tokens, and check
+    the closed form: prior + n_features · default_llr."""
+    import math
+
+    from kafka_streams_demo_spark.functions.lm import (
+        nb_model_counts,
+        nb_quality_scores,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose here"),
+            (2, "fine solid writing style"),
+            (3, "spam junk words"),
+        ],
+        "doc_id long, text string",
+    )
+    num_buckets = 64
+    counts = nb_model_counts(train, F.col("doc_id") <= 2, num_buckets=num_buckets)
+    bc, dc = counts
+    n_pos, n_neg = bc.agg(F.sum("c_pos"), F.sum("c_neg")).collect()[0]
+    d_pos, d_neg = dc.collect()[0]
+    assert d_pos == 2 and d_neg == 1 and n_pos != n_neg
+
+    # a document of tokens the model never saw; its features may still
+    # HASH onto trained buckets, so compute the expected score from the
+    # actual bucket coverage rather than assuming all-unseen
+    new = spark.createDataFrame(
+        [(99, "zzqx wvvk pplm")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in nb_quality_scores(new, counts=counts, num_buckets=num_buckets).collect()
+    }
+    from kafka_streams_demo_spark.functions.lm import _feature_rows, _tokens
+
+    feats = _feature_rows(_tokens(new, "doc_id", "text"), num_buckets)
+    model = {r["bucket"]: (r["c_pos"], r["c_neg"]) for r in bc.collect()}
+    B = float(num_buckets)
+    contribs = []
+    for r in feats.collect():
+        cp, cn = model.get(r["bucket"], (0, 0))
+        contribs.append(
+            r["c"]
+            * (
+                math.log((cp + 1.0) / (n_pos + B))
+                - math.log((cn + 1.0) / (n_neg + B))
+            )
+        )
+    expected = round(math.log(d_pos / d_neg) + sum(sorted(contribs)), 6)
+    assert abs(got[99] - expected) < 2e-6, (got[99], expected)
+    # and the fix is load-bearing: with llr=0 for unseen buckets the
+    # score would differ (n_pos != n_neg makes the default nonzero)
+    unseen = [c for r in feats.collect() if r["bucket"] not in model for c in [r["c"]]]
+    assert unseen, "test needs at least one unseen bucket"
