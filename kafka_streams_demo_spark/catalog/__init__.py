@@ -482,8 +482,12 @@ DRIVER_PRIORITY: list[str] = [
     "asof_join_purchase_1h", "ktable_fk_join",
     "session_window_sum_cents", "scd2_current_view",
     "cms_point_queries", "hll_distinct_users",
-    "semdedup_cells", "dedup_embedding_cosine", "pipeline_clean_corpus",
+    "semdedup_cells", "dedup_embedding_cosine",
     "contamination_check", "quality_score", "pii_scan",
+    # multimodal_wav_features gained its calibration oracle late in r11
+    # and earns here (pipeline_clean_corpus demotes — curation family
+    # keeps contamination/quality/pii/semdedup/embedding-cosine reps)
+    "multimodal_wav_features",
     "jpeg_decode_all_layouts",
     "rollup_revenue", "top3_orders_per_cust",
     "funnel_signup_click_purchase",

@@ -1333,20 +1333,41 @@ def ppm_frames_meta_q(spark, sf_dir):
     return out.select(F.col("doc_id").alias("key"), "frame_no", "w", "h")
 
 
-@register("multimodal_wav_features")  # no oracle: real binary decode, not SQL-expressible
+@register(
+    "multimodal_wav_features",
+    # The quantized-PCM rms/peak doubles aren't SQL-expressible, but the
+    # frame count is closed-form and the stats obey tight closed-form
+    # bounds (rms of a 0.5-amplitude sine = 0.5/√2 ± quantization +
+    # partial-period error; peak ≤ 0.5 with sampling-miss floor 0.45 —
+    # the same bounds tests/test_multimodal.py pins), so the gate checks
+    # the calibration shape (VERDICT r10 task 3 pattern).
+    "SELECT doc_id AS key, CAST(800 + (doc_id % 5) * 80 AS BIGINT) AS n_samples, "
+    "TRUE AS rms_ok, TRUE AS peak_ok FROM documents",
+)
 def multimodal_wav_features_q(spark, sf_dir):
     """REAL audio decode path: per-doc synthetic 16-bit PCM WAV (sine,
     parameters derived from doc_id) generated distributed, then RIFF
     parse + PCM stats through Arrow batches — no fake flag, no codec
-    library (functions/codecs.py). Correctness gate: tests/
-    test_multimodal.py checks decoded stats against closed-form values
-    (rms of a 0.5-amplitude sine = 0.5/√2)."""
+    library (functions/codecs.py). Emits the calibration shape: the
+    decoded frame count (hash-checked against the generator's closed
+    form — encode→parse lossless per row) plus booleans for the PCM
+    stats' closed-form bounds; the raw rms/peak stay available via
+    functions/multimodal.py:wav_feature_extract and are bound-tested in
+    tests/test_multimodal.py."""
     from kafka_streams_demo_spark.functions.multimodal import (
         attach_synthetic_wav,
         wav_feature_extract,
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    return wav_feature_extract(attach_synthetic_wav(docs))
+    out = wav_feature_extract(attach_synthetic_wav(docs))
+    return out.select(
+        F.col("doc_id").alias("key"),
+        "n_samples",
+        (F.abs(F.col("rms") - F.lit(0.5 / 2 ** 0.5)) < F.lit(0.01)).alias("rms_ok"),
+        ((F.col("peak") > F.lit(0.45)) & (F.col("peak") <= F.lit(0.51))).alias(
+            "peak_ok"
+        ),
+    )
 
 
