@@ -651,8 +651,10 @@ def bm25_search_queries_pruned(
         )
         .select("query_id")
     )
+    # both sides are |queries|-row frames; without the hint this anti-
+    # join lands as the plan's only sort-merge join
     survivors = qterms.select("query_id").distinct().join(
-        pruned_q, "query_id", "left_anti"
+        hint(pruned_q), "query_id", "left_anti"
     )
 
     # PHASE 2: for unpruned queries, the matching docs OUTSIDE phase 1
