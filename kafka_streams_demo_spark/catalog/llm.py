@@ -1037,15 +1037,19 @@ def multimodal_frames_q(spark, sf_dir):
 
 @register(
     "multimodal_features",
-    # The byte-histogram STUB is closed-form over the payload bytes
-    # (UTF-8 text, ASCII fixture): f0 = |{byte % 16 == 0}| / |bytes|
-    # over the first 4096 bytes (empty payload → divisor 1).
-    "WITH c AS (SELECT doc_id, list_transform(range(1, least(len(text), 4096) + 1), "
-    "i -> unicode(text[i])) AS codes FROM documents) "
+    # The byte-histogram STUB is closed-form over the payload bytes:
+    # f0 = |{byte % 16 == 0}| / |bytes| over the first 4096 bytes
+    # (empty payload → divisor 1). Derived from encode(text) BYTES via
+    # the hex string — byte % 16 == 0 ⇔ the byte's low hex nibble is
+    # '0' — so the gate holds on non-ASCII text too (ADVICE r11: the
+    # previous unicode(text[i]) codepoint form silently assumed ASCII).
+    "WITH b AS (SELECT doc_id, "
+    "hex(encode(text))[1:2*least(octet_length(encode(text)), 4096)] AS h "
+    "FROM documents) "
     "SELECT doc_id, 'image' AS modality, "
-    "ROUND(len(list_filter(codes, x -> x % 16 = 0)) / "
-    "(CASE WHEN len(codes) = 0 THEN 1.0 ELSE len(codes) * 1.0 END), 6) AS f0 "
-    "FROM c",
+    "ROUND(len(list_filter(range(1, len(h)//2 + 1), i -> h[2*i:2*i] = '0')) / "
+    "(CASE WHEN len(h) = 0 THEN 1.0 ELSE (len(h)//2) * 1.0 END), 6) AS f0 "
+    "FROM b",
 )
 def multimodal_features_q(spark, sf_dir):
     """Decode-stub feature extraction over mapInPandas (Arrow batches):

@@ -555,6 +555,50 @@ def topk_bruteforce_arrow(
     )
 
 
+def _kmeans_assign_d2(
+    vectors: DataFrame, centroids: DataFrame,
+    id_col: str = "vid", vec_col: str = "vec",
+) -> DataFrame:
+    """Squared-Euclidean argmin assignment — the Lloyd trainer's own
+    objective (ivf_assign's cosine fold is the SEARCH-time metric; the
+    trainer must assign under the same d² it minimizes in the mean
+    update, or the monotone-SSE contract does not hold). Same shape as
+    the ivf_assign literal fast path: centroid literal + codegen'd fold,
+    one Project, NO Exchange; strict < keeps the lowest cell on exact
+    d² ties (deterministic — no rounding, so the textbook guarantee is
+    preserved bit-for-bit)."""
+    rows, cell_type = _collect_centroids(centroids)
+    cb_lit = _centroid_literal(rows, cell_type)
+    vecs = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).select(
+        "vid", "vec",
+        F.transform(F.col("vec"), lambda x: x.cast("double")).alias("_vd"),
+        cb_lit.alias("_cb"),
+    )
+
+    def cd2(c):
+        return F.aggregate(
+            F.zip_with(F.col("_vd"), c["cvec"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"),
+        F.lit(None).cast(cell_type).alias("cell"),
+    )
+    best = F.aggregate(
+        F.col("_cb"),
+        init,
+        lambda acc, c: F.when(
+            cd2(c) < acc["d2"],
+            F.struct(cd2(c).alias("d2"), c["cell"].alias("cell")),
+        ).otherwise(acc),
+    )
+    return vecs.select("vid", "vec", best["cell"].alias("cell"))
+
+
 def kmeans_train(
     emb: DataFrame, k: int = 8, iters: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -563,8 +607,12 @@ def kmeans_train(
     quantizer when no natural cell key exists).
 
     - deterministic init: the k vectors with smallest (xxhash64(id), id)
-    - per iteration: broadcast the k centroids → cosine-assign every
-      vector (map-only pass, corpus never shuffles) → recompute
+    - per iteration: broadcast the k centroids → d²-argmin-assign every
+      vector (map-only pass, corpus never shuffles; squared-Euclidean,
+      the objective the mean update minimizes — FAISS trains its IVF
+      coarse quantizer with L2 k-means even when the search metric is
+      cosine/IP, and using the search-time cosine here would void the
+      monotone-SSE contract ivf_train_kmeans gates on) → recompute
       elementwise means (posexplode agg, shuffle of |corpus|×dim value
       rows reduced map-side to |k|×dim)
     - the k×dim centroid table is collected to the driver between
@@ -590,7 +638,7 @@ def kmeans_train(
 
     assigned = None
     for _ in range(iters):
-        assigned = ivf_assign(vecs, cents, n=1, id_col="vid", vec_col="vec")
+        assigned = _kmeans_assign_d2(vecs, cents)
         pos = assigned.select("cell", F.posexplode("vec").alias("pos", "v"))
         new_cents = (
             pos.groupBy("cell", "pos")
