@@ -164,6 +164,36 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _single_core_probe() -> float:
+    """Fixed pure-Python workload (~0.3 s on an idle core): a CPU-speed
+    ruler that moves with ambient host load but not with this repo's
+    code, so round-over-round artifacts self-document whether a slowdown
+    is the code or the box (VERDICT r11 task 5 — the r9-r11 ambient-wear
+    forensics lived in BASELINE.md prose; now the artifact carries it)."""
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(4_000_000):
+        acc = (acc * 1103515245 + i) % 2_147_483_647
+    return round(time.monotonic() - t0, 4)
+
+
+def _conditions() -> dict:
+    """Ambient-host context for this bench run: load average (1/5/15 min),
+    uptime, cpu count, and the single-core probe time."""
+    cond: dict = {"cpus": os.cpu_count()}
+    try:
+        cond["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        cond["loadavg"] = None
+    try:
+        with open("/proc/uptime") as fh:
+            cond["uptime_sec"] = round(float(fh.read().split()[0]), 0)
+    except OSError:
+        cond["uptime_sec"] = None
+    cond["single_core_probe_sec"] = _single_core_probe()
+    return cond
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -195,7 +225,9 @@ def main() -> None:
     sec_names = [n for n in SECONDARY if n in qs]
     passes: list[dict[str, float]] = []
     sec_passes: list[dict[str, float]] = []
+    conditions: list[dict] = []
     for _ in range(2):
+        conditions.append(_conditions())
         spark.catalog.clearCache()
         run: dict[str, float] = {}
         for name in names:
@@ -234,6 +266,7 @@ def main() -> None:
                 "passes": passes,
                 "secondary": sec_timings,
                 "secondary_passes": sec_passes,
+                "conditions": conditions,
                 "sf": sf_val,
             }
         )
@@ -248,6 +281,8 @@ def main() -> None:
                 "reference25_total_sec": ref25_total,
                 "reference25_n": len(ref25),
                 "secondary_total_sec": round(sum(sec_timings.values()), 3),
+                "probe_sec": min(c["single_core_probe_sec"] for c in conditions),
+                "load1": conditions[0]["loadavg"][0] if conditions[0]["loadavg"] else None,
                 "sf": sf_val,
             }
         )

@@ -36,6 +36,33 @@ def cents(col: Column) -> Column:
     return F.round(col * 100, 0).cast("long")
 
 
+def fixture_fingerprint(sf_dir: str, table: str) -> str:
+    """(mtime_ns, size) digest of a fixture parquet — the cache-key salt
+    for the session-lifetime persisted-index caches (ADVICE r11: keys on
+    sf_dir alone silently serve a stale index if the fixture is
+    regenerated mid-session). Cheap (one stat), no file read."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "absent"
+
+
+def session_tmpdir(prefix: str) -> str:
+    """mkdtemp registered for atexit removal — the persisted-index caches
+    leak one dir per process otherwise (ADVICE r11)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _events_stream(spark, sf_dir, value="value") -> KStream:
     ev = load_table(spark, "events", sf_dir)
     return KStream.from_df(ev, key="user_id", value=value, timestamp="ts", offset="event_id")

@@ -17,7 +17,9 @@ from kafka_streams_demo_spark.catalog._core import (  # noqa: F401
     QUERIES,
     _events_stream,
     cents,
+    fixture_fingerprint,
     register,
+    session_tmpdir,
 )
 from kafka_streams_demo_spark.operators.kstream import KStream  # noqa: F401
 from kafka_streams_demo_spark.operators.ktable import KTable  # noqa: F401
@@ -443,13 +445,18 @@ def _batched_events_stream_dir(spark, sf_dir: str, n_batches: int = 4) -> str:
     is guaranteed at least one data-less batch after its first
     appearance, so every per-key wall-clock timer provably fires. The
     same closed-form rule is replayed by the entry's oracle. Written
-    once per (session, sf_dir, n_batches)."""
+    once per (session, sf_dir fingerprint, n_batches) — the key carries
+    the events fixture's mtime+size so a regenerated fixture re-derives
+    the batches instead of serving a stale copy, and the dirs are
+    atexit-cleaned (ADVICE r11)."""
     import glob
     import os
     import shutil
     import tempfile
 
-    cache_key = f"{sf_dir}::{n_batches}"
+    cache_key = (
+        f"{sf_dir}::{fixture_fingerprint(sf_dir, 'events')}::{n_batches}"
+    )
     path = _WALLCLOCK_STREAM_DIRS.get(cache_key)
     if path is not None and os.path.isdir(path):
         return path
@@ -459,7 +466,7 @@ def _batched_events_stream_dir(spark, sf_dir: str, n_batches: int = 4) -> str:
         F.col("user_id"),
         F.col("event_id"),
     )
-    path = tempfile.mkdtemp(prefix="kafka_streams_demo_spark_wallclock_")
+    path = session_tmpdir("kafka_streams_demo_spark_wallclock_")
     staging = tempfile.mkdtemp(prefix="kafka_streams_demo_spark_wcstage_")
     base = 1_000_000_000  # fixed epoch base; only the ORDER matters
     for k in range(n_batches):
@@ -1097,7 +1104,17 @@ def approx_distinct_users(spark, sf_dir):
     CALIBRATION entry scores the estimate against the exact count in the
     same pass and emits (key, n_exact, within_3rsd) so the external gate
     hash-verifies the keys, the exact cardinalities, and the 3·rsd error
-    bound (tests/test_aggregations.py pins the same bound)."""
+    bound (tests/test_aggregations.py pins the same bound AND reports
+    the raw margin ratio, so a red is diagnosable as statistical vs
+    regression).
+
+    STATISTICAL-GATE CONTRACT (ADVICE r11): within_3rsd is a 3σ bound —
+    ~0.3% per-key failure mass on an adversarial fixture. It is
+    deterministic per fixture (HLL++ is seed-free here) and verified
+    green at sf0.001/0.01/0.1 on the driver corpus; before pointing the
+    gate at a NEW scale factor or regenerated fixture, re-verify via
+    tools/check_oracle.py first — a red on fresh data may be the bound's
+    tail, not a code regression (the test's margin print tells which)."""
     ev = load_table(spark, "events", sf_dir)
     agg = ev.groupBy(F.col("event_type").alias("key")).agg(
         F.approx_count_distinct("user_id", 0.02).alias("_est"),
@@ -1602,26 +1619,37 @@ def pagerank_cust_supp(spark, sf_dir):
 ORACLES["pagerank_cust_supp"] = _pagerank_oracle()
 
 
-@register("pagerank_cust_supp_prod", None)  # rows-only BY DESIGN (see below)
+@register("pagerank_cust_supp_prod", None)  # oracle attached below (generated)
 def pagerank_cust_supp_prod(spark, sf_dir):
     """The PRODUCTION PageRank plan over the same customer↔supplier
     graph: plain map-side-combined ``F.sum`` per destination
     (``exact_folds=False``) instead of the sorted ``collect_list`` fold
-    the cross-engine gate replays. No per-node contribution list ever
+    the gated sibling replays. No per-node contribution list ever
     materializes, so a power-law hot node costs a partial-aggregated
     shuffle, not one reducer holding its full in-degree — the plan a
     100 TB run must use, and the one the bench measures (VERDICT r7
-    task 2). Deliberately rows-only: a 6dp-rounded shuffle-order
-    ``F.sum`` of doubles is not bit-stable enough to feed the hash gate
-    (boundary values could flip); equivalence to the gated
-    ``pagerank_cust_supp`` is pinned at 6dp by
-    tests/test_graph.py::test_pagerank_plain_sum_parity_at_6dp, and the
-    gated sibling proves the shared iteration logic externally."""
+    task 2).
+
+    Registered against the SAME unrolled-CTE oracle as
+    ``pagerank_cust_supp`` (VERDICT r11 task 2): the two paths differ
+    only in double-addition order (sub-1e-12 per node through 3
+    iterations; realistically ~1e-16 for these ~100-term sums), and the
+    shared final ``ROUND(rank, 6)`` projection absorbs it — 6dp parity
+    is pinned by tests/test_graph.py::test_pagerank_plain_sum_parity_at_6dp,
+    and no rank on the gate fixtures sits within 5e-11 of a rounding
+    boundary (test_pagerank_prod_oracle_boundary_margin asserts it;
+    measured worst 1.4e-10 at sf0.01 — ≥10^5x the noise floor).
+    Residual risk: a NEW fixture could park a rank exactly on a .5e-6
+    edge, where shuffle-order noise could flip the 6th decimal — the
+    margin canary is the tripwire."""
     from kafka_streams_demo_spark.functions.graph import pagerank
 
     return pagerank(
         _pr_edges(spark, sf_dir), iterations=3, damping=0.85, exact_folds=False
     )
+
+
+ORACLES["pagerank_cust_supp_prod"] = _pagerank_oracle()
 
 
 _TRI_EDGES_CTE = """

@@ -17,7 +17,9 @@ from kafka_streams_demo_spark.catalog._core import (  # noqa: F401
     QUERIES,
     _events_stream,
     cents,
+    fixture_fingerprint,
     register,
+    session_tmpdir,
 )
 from kafka_streams_demo_spark.operators.kstream import KStream  # noqa: F401
 from kafka_streams_demo_spark.operators.ktable import KTable  # noqa: F401
@@ -1643,21 +1645,23 @@ _POSTINGS_CACHE: dict[str, str] = {}
 
 def _persisted_bm25_postings(spark, sf_dir: str):
     """The stored BM25 postings index as parquet, written once per
-    (session, sf_dir) — the bench's steady-state (index-already-built)
-    path; production layouts term-bucket it via write_bm25_postings
-    (plan-pinned in tests), which the plain parquet stand-in here does
-    not change bit-wise."""
+    (session, documents-fixture fingerprint) — the bench's steady-state
+    (index-already-built) path; production layouts term-bucket it via
+    write_bm25_postings (plan-pinned in tests), which the plain parquet
+    stand-in here does not change bit-wise. The key carries the
+    fixture's mtime+size so in-session regeneration invalidates, and
+    the dir is atexit-cleaned (ADVICE r11)."""
     import os
-    import tempfile
 
-    path = _POSTINGS_CACHE.get(sf_dir)
+    key = f"{sf_dir}::{fixture_fingerprint(sf_dir, 'documents')}"
+    path = _POSTINGS_CACHE.get(key)
     if path is None or not os.path.isdir(path):
         from kafka_streams_demo_spark.functions.text import bm25_postings
 
         docs = load_table(spark, "documents", sf_dir)
-        path = tempfile.mkdtemp(prefix="kafka_streams_demo_spark_postings_")
+        path = session_tmpdir("kafka_streams_demo_spark_postings_")
         bm25_postings(docs).write.mode("overwrite").parquet(path)
-        _POSTINGS_CACHE[sf_dir] = path
+        _POSTINGS_CACHE[key] = path
     return spark.read.parquet(path)
 
 

@@ -17,7 +17,9 @@ from kafka_streams_demo_spark.catalog._core import (  # noqa: F401
     QUERIES,
     _events_stream,
     cents,
+    fixture_fingerprint,
     register,
+    session_tmpdir,
 )
 from kafka_streams_demo_spark.operators.kstream import KStream  # noqa: F401
 from kafka_streams_demo_spark.operators.ktable import KTable  # noqa: F401
@@ -1269,10 +1271,12 @@ _ASSIGNMENTS_CACHE: dict[str, str] = {}
 
 
 def _persisted_assignments(spark, sf_dir: str) -> "DataFrame":
+    # keyed on (sf_dir, documents fingerprint): in-session fixture
+    # regeneration invalidates; dirs are atexit-cleaned (ADVICE r11)
     import os
-    import tempfile
 
-    path = _ASSIGNMENTS_CACHE.get(sf_dir)
+    key = f"{sf_dir}::{fixture_fingerprint(sf_dir, 'documents')}"
+    path = _ASSIGNMENTS_CACHE.get(key)
     if path is None or not os.path.isdir(path):
         from kafka_streams_demo_spark.functions.dedup import (
             dedup_clusters,
@@ -1283,11 +1287,11 @@ def _persisted_assignments(spark, sf_dir: str) -> "DataFrame":
         pairs = ngram_jaccard_pairs(
             docs, n=3, threshold=0.5, max_doc_freq=None
         ).select("i", "j")
-        path = tempfile.mkdtemp(prefix="kafka_streams_demo_spark_assignments_")
+        path = session_tmpdir("kafka_streams_demo_spark_assignments_")
         dedup_clusters(docs, pairs).select("doc_id", "cluster_id").write.mode(
             "overwrite"
         ).parquet(path)
-        _ASSIGNMENTS_CACHE[sf_dir] = path
+        _ASSIGNMENTS_CACHE[key] = path
     return spark.read.parquet(path)
 
 

@@ -660,11 +660,26 @@ def minhash_lsh_pairs(
     )
 
 
+SIMHASH_BITS = 60  # md5-60-bit token hashes → 60 effective signature bits
+
+
+def simhash_token_hash(token: Column) -> Column:
+    """Per-token 60-bit hash from md5 — the repo-wide cross-engine idiom
+    (DuckDB: ``('0x' || substr(md5(t), 1, 15))::BIGINT``). Replaces the
+    r1–r11 xxhash64 (engine-private, not SQL-replayable — the reason
+    simhash_pairs was the catalog's last signature-family rows-only
+    entry; VERDICT r11 task 3). Always positive (60 < 63 bits)."""
+    return F.conv(
+        F.substring(F.md5(token.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def simhash_from_hashes(hashes: Column) -> Column:
-    """64-bit SimHash from a pre-hashed token array: per-bit majority vote,
-    recomposed into one BIGINT. Takes HASHES (not tokens) so callers can
-    project ``transform(tokens, xxhash64)`` once — the 64 bit-votes then
-    read a materialized array instead of re-hashing every token 64×."""
+    """SimHash from a pre-hashed token array: per-bit majority vote over
+    the 60 hash bits, recomposed into one BIGINT. Takes HASHES (not
+    tokens) so callers can project ``transform(tokens,
+    simhash_token_hash)`` once — the bit-votes then read a materialized
+    array instead of re-hashing every token 60×."""
     def bit_vote(bit: int) -> Column:
         # Σ over token hashes of (+1 if bit set else -1)
         return F.aggregate(
@@ -675,15 +690,15 @@ def simhash_from_hashes(hashes: Column) -> Column:
         )
 
     sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig + F.when(bit_vote(b) > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long"))
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(bit_vote(b) > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
 
 
 def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash of a token array (convenience wrapper; prefer
-    projecting the hash array first in hot paths — see simhash_pairs)."""
-    return simhash_from_hashes(F.transform(tokens, lambda t: F.xxhash64(t)))
+    """SimHash of a token array (convenience wrapper; prefer projecting
+    the hash array first in hot paths — see simhash_pairs)."""
+    return simhash_from_hashes(F.transform(tokens, simhash_token_hash))
 
 
 def simhash_sig(hashed: DataFrame, impl: str = "arrow") -> DataFrame:
@@ -703,13 +718,15 @@ def simhash_sig(hashed: DataFrame, impl: str = "arrow") -> DataFrame:
         [StructField("doc_id", LongType()), StructField("sig", LongType())]
     )
 
+    n_bits = SIMHASH_BITS
+
     # self-contained closure: workers may not have the package importable
     def batches(it):
         import numpy as np
         import pandas as pd
 
-        bits_idx = np.arange(64, dtype=np.int64)
-        weights = [1 << b for b in range(64)]  # Python ints: no uint64 footguns
+        bits_idx = np.arange(n_bits, dtype=np.int64)
+        weights = [1 << b for b in range(n_bits)]  # Python ints, no uint64 footguns
         for pdf in it:
             sigs = []
             for th in pdf["_th"].values:
@@ -720,8 +737,7 @@ def simhash_sig(hashed: DataFrame, impl: str = "arrow") -> DataFrame:
                 # arithmetic >> matches Spark's shiftright; &1 isolates the bit
                 bits = (x[:, None] >> bits_idx[None, :]) & 1
                 votes = (2 * bits - 1).sum(axis=0)
-                v = sum(w for w, vote in zip(weights, votes) if vote > 0)
-                sigs.append(v - (1 << 64) if v >= (1 << 63) else v)
+                sigs.append(sum(w for w, vote in zip(weights, votes) if vote > 0))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "sig": sigs})
 
     return hashed.mapInPandas(batches, out_schema)
@@ -733,9 +749,15 @@ def simhash_pairs(
     signature_impl: str = "arrow",
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming(sig_i, sig_j) ≤ max_hamming.
-    Candidates via 4×16-bit segment equality (pigeonhole for ≤3 bit flips),
-    verified with bit_count(xor). Scales as a 4-way segment equi-join.
+    Candidates via 4×16-bit segment equality (pigeonhole for ≤3 bit flips;
+    the top segment carries the 12 effective bits above bit 47 — the
+    pigeonhole argument only needs the four segments to partition the
+    signature, which they still do), verified with bit_count(xor).
+    Scales as a 4-way segment equi-join.
 
+    Token hashes are the md5-60-bit idiom (simhash_token_hash), so the
+    ENTIRE pipeline — signature, segments, hamming — replays as one
+    DuckDB CTE and the catalog entry is hash-gated (VERDICT r11 task 3).
     Tokens and their hashes are each materialized behind their own
     projection; the signature stage itself is Arrow-vectorized by default
     (simhash_sig — bit-identical native fallback available)."""
@@ -743,7 +765,7 @@ def simhash_pairs(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
     )
     hashed = toks.select(
-        "doc_id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th")
+        "doc_id", F.transform("_toks", simhash_token_hash).alias("_th")
     )
     # Persist: the segment self-join reads sigs from both sides; without
     # the cache each side re-runs tokenize→hash→signature over the corpus.

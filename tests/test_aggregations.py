@@ -99,6 +99,15 @@ def test_approx_count_distinct_error_bound(spark):
         )
         .collect()
     }
+    # raw margin ratio |est-exact| / (3·rsd·exact + 1): the statistical
+    # headroom behind the entry's within_3rsd boolean — printed so a
+    # future red on new data is diagnosable as bound-tail vs regression
+    # (ADVICE r11); must sit well inside the gate here.
+    worst = max(
+        abs(est - exact) / (3 * 0.02 * exact + 1.0)
+        for est, exact in both.values()
+    )
+    print(f"approx_distinct_users margin ratio (1.0 = gate edge): {worst:.3f}")
     for k, (est, exact) in both.items():
         assert abs(est - exact) <= max(2, 0.05 * exact), (k, est, exact)
     entry = catalog.QUERIES["approx_distinct_users"](spark, sf).collect()

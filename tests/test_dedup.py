@@ -37,12 +37,28 @@ def test_ngram_jaccard_identical_and_disjoint(spark):
 
 def test_minhash_lsh_matches_exact_at_high_threshold(spark):
     """On the driver corpus the planted near-dups have J ≥ 0.8 where LSH
-    recall is ≈1 — LSH + exact-verify must equal the exact method."""
+    recall is ≈1 — LSH + exact-verify must equal the exact method.
+
+    Also reports the NEAR-THRESHOLD MARGIN (ADVICE r11): the weakest true
+    pair's Jaccard and its theoretical banding miss probability
+    (1-J⁴)¹⁶ — the number that says whether a future red on new data is
+    a banding-recall tail event or a real regression."""
     docs = load_table(spark, "documents", SF)
-    exact = {(r["i"], r["j"]) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    exact_j = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    exact = set(exact_j)
     lsh = {(r["i"], r["j"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
     assert lsh == exact
     assert len(exact) > 0  # the corpus does contain planted near-dups
+    jmin = min(exact_j.values())
+    miss_p = (1 - jmin**4) ** 16
+    print(
+        f"minhash_lsh_pairs weakest true pair J={jmin:.4f}, "
+        f"banding miss probability {miss_p:.2e} "
+        f"(sum over {len(exact)} pairs: {miss_p * len(exact):.2e})"
+    )
 
 
 def test_minhash_lsh_precision_is_exact(spark):

@@ -267,3 +267,41 @@ def test_powerlaw_edges_shape_and_determinism(spark):
     assert counts[0] >= 10 * max(1, median), (counts[0], median)  # heavy hub
     old = {(r["a"], r["b"]) for r in powerlaw_edges(spark, n, edge_factor=3).collect()}
     assert old < rows1  # strict prefix subset
+
+
+def test_pagerank_prod_oracle_boundary_margin():
+    """pagerank_cust_supp_prod is hash-gated against the same unrolled-CTE
+    oracle as the sorted-fold sibling (VERDICT r11 task 2); the gate is
+    sound only while no rank sits so close to a .5e-6 rounding boundary
+    that the prod path's addition-order noise could flip the 6th
+    decimal. The realistic noise of a ~100-term double sum of ~1e-3
+    magnitude is n·eps·Σ ≈ 1e-16 per node per iteration (the sub-1e-12
+    figure in the docstrings is already conservative). This canary
+    computes the UNROUNDED oracle ranks on the gate fixtures and
+    asserts every rank is ≥5e-11 from a boundary — ≥10^5x the noise
+    floor (measured: 1.4e-10 worst at sf0.01, 'a few' e-10 at
+    sf0.001). Pure DuckDB (no Spark session needed)."""
+    import duckdb
+
+    from kafka_streams_demo_spark.catalog.parity import _PR_EDGES_CTE
+    from kafka_streams_demo_spark.functions.graph import pagerank_sql
+
+    sql = pagerank_sql(_PR_EDGES_CTE, iterations=3, damping=0.85)
+    # strip the final ROUND projection → raw double ranks
+    body, tail = sql.rsplit("\nSELECT node, ROUND(rank, 6) AS rank", 1)
+    assert tail.startswith(" FROM r3")
+    raw_sql = body + "\nSELECT node, rank" + tail
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('/root/testdata/{sf}/{t}.parquet')"
+            )
+        ranks = [r[1] for r in con.sql(raw_sql).fetchall()]
+        margins = [abs((r * 1e6) % 1 - 0.5) for r in ranks]
+        worst = min(margins)
+        print(f"{sf}: {len(ranks)} nodes, worst boundary margin "
+              f"{worst:.2e} (x1e-6 rank units)")
+        # 5e-5 in scaled units = 5e-11 in rank units (≥10^5x noise)
+        assert worst > 5e-5, (sf, worst)

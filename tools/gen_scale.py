@@ -1,0 +1,125 @@
+"""Scale-tier generator (VERDICT r11 task 1): derive an sf1-equivalent
+dataset (10x sf0.1) from the DRIVER's own fixtures, so scaling exponents
+are measured on the same distributions the catalog grades on.
+
+NOT new synthetic data: each table is the driver table replayed
+``replicas`` times with disjoint key ranges (offset = r * 10^9, which
+preserves every ``key % k`` residue the catalog's splits rely on —
+10^9 % 20 = 0), mirroring how TPC-H scales (facts and dims grow
+linearly, region/nation stay fixed). Two tables get a content
+transform so workload SHAPE survives the replication:
+
+- documents: every token in replica r>0 gets suffix ``r`` (one
+  regexp_replace) — cross-replica shingle sets become disjoint, so the
+  planted near-dup structure repeats PER replica instead of every doc
+  becoming a 10-way near-dup cluster (which would inflate pair counts
+  x45 and grade the dedup tier on a shape no real corpus has).
+  n_chars is recomputed from the transformed text.
+- embeddings: replica r's vectors are rotated by r positions —
+  norm-preserving, decorrelates replicas so brute-force top-k doesn't
+  degenerate into 10-way exact ties.
+
+Output: /root/repo/.scale/sf1/*.parquet (gitignored; /root/testdata is
+read-only). Deterministic — same input, same output.
+
+Usage: python tools/gen_scale.py [src_sf_dir] [out_dir] [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_streams_demo_spark.session import get_spark  # noqa: E402
+
+OFF = 10**9
+
+# table -> columns to offset by replica * OFF
+KEY_OFFSETS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED = ["region", "nation"]
+
+
+def replicate(df, key_cols, replicas):
+    """explode(array(0..r-1)) — row-local fan-out, no upstream re-run."""
+    rep = df.select(
+        F.explode(F.array(*[F.lit(r) for r in range(replicas)])).alias("_r"), "*"
+    )
+    for c in key_cols:
+        rep = rep.withColumn(c, F.col(c) + F.col("_r").cast("long") * F.lit(OFF))
+    return rep
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark(app_name="gen-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+
+    for t in FIXED:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+        print(f"{t}: copied")
+
+    for t, keys in KEY_OFFSETS.items():
+        df = replicate(spark.read.parquet(f"{src}/{t}.parquet"), keys, replicas)
+        if t == "documents":
+            # suffix every token with the replica number (r>0): shingle
+            # sets become disjoint across replicas, near-dup structure
+            # repeats per replica (Spark 4 regexp_replace takes a Column
+            # replacement — "$1" + r)
+            df = df.withColumn(
+                "text",
+                F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                    F.regexp_replace(
+                        F.col("text"),
+                        F.lit(r"(\S+)"),
+                        F.concat(F.lit("$1"), F.col("_r").cast("string")),
+                    )
+                ),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        if t == "embeddings":
+            # rotate replica r's vectors by r positions: norm-preserving,
+            # decorrelates replicas (no 10-way exact-tie degeneracy)
+            dim = len(
+                spark.read.parquet(f"{src}/{t}.parquet").first()["embedding"]
+            )
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
+                    F.concat(
+                        F.slice(
+                            "embedding",
+                            F.col("_r") + 1,
+                            F.lit(dim) - F.col("_r"),
+                        ),
+                        F.slice("embedding", F.lit(1), F.col("_r")),
+                    )
+                ),
+            )
+        df = df.drop("_r")
+        df.repartition(max(2, replicas)).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+        n = spark.read.parquet(f"{out}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
