@@ -144,7 +144,9 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # session), count_distinct_types / distinct_pairs /
 # set_ops_intersect_except (sibling extension ops), and the probabilistic
 # no-oracle rows approx_distinct_users / minhash_lsh_pairs / simhash_pairs
-# (their real gates are the property/parity pytest suites).
+# (historical: all three have since earned oracles — calibration gate in
+# r11 for the first, exact-pair-set gate in r11 for minhash, and the
+# full md5-signature CTE replay in r12 for simhash).
 #
 # Round-5 rotation (VERDICT r4 tasks #1 + #3): the 12 pre-declared r4
 # additions (avro_wire_roundtrip, ktable_fk_join, sliding_window_count +
@@ -460,33 +462,36 @@ DRIVER_PRIORITY: list[str] = [
     "word_count", "q1_pricing_summary", "ktable_latest",
     "stream_table_join_segment", "processor_running_count",
     "avro_wire_roundtrip",
-    # round-11 earners: the r10 red, now canonicalizer-safe
-    "embedding_quantize_int8",
-    # round-11 earners: formerly rows-only, now oracled (task 3)
-    "ann_topk_arrow", "minhash_lsh_pairs", "minhash_lsh_incremental",
-    "approx_distinct_users", "approx_percentile_value",
-    "ivf_train_kmeans", "pq_codebooks_refined",
-    "multimodal_frames", "multimodal_features", "multimodal_resize",
-    # round-11 earners: new entries (tasks 4/5/7/8)
-    "split_leakage_safe_indexed",
-    "triangle_census_powerlaw", "triangle_census_powerlaw_incremental",
-    "bm25_bulk_direct", "bm25_bulk_postings", "bm25_bulk_pruned",
-    "bm25_zipf_direct", "bm25_zipf_pruned",
+    # round-12 earners: formerly rows-only, now hash-gated (VERDICT r11
+    # tasks 2-3) — simhash's md5-60-bit signature pipeline replays as
+    # one CTE; pagerank's PRODUCTION plan registers against the gated
+    # sibling's unrolled-CTE oracle (the sibling stays in-window so both
+    # fold paths verify against the same oracle this round)
+    "simhash_pairs", "pagerank_cust_supp_prod", "pagerank_cust_supp",
+    # round-12 earners: the power-law skewed-JOIN pair (task 4), same
+    # oracle for both strategies
+    "skew_join_powerlaw", "skew_join_powerlaw_salted",
+    # round-12 changed-path entries (MUST re-verify): d2-argmin trainer,
+    # byte-derived multimodal oracles (ADVICE r11), and the three
+    # entries whose persisted-index session caches gained fingerprint
+    # keys + atexit cleanup
+    "ivf_train_kmeans", "multimodal_features", "multimodal_resize",
+    "bm25_bulk_postings", "split_leakage_safe_indexed",
     "wallclock_punctuated_drive",
-    # round-11 earner: changed scoring path (ADVICE fixes)
-    "quality_classifier_incremental",
-    # per-family green representatives (all D10-green;
-    # orders_high_value_semi and ann_ivf_topk demote for the zipf pair —
-    # joins keep asof_join_purchase_1h/ktable_fk_join + the anchor, IVF
-    # keeps ann_ivf_pq_topk)
+    # statistical-gate entries (margin contracts documented r12): keep
+    # in-window so the documented bounds stay externally exercised
+    "minhash_lsh_pairs", "approx_distinct_users",
+    # per-family green representatives (rotation: the r11 earners that
+    # are unchanged this round — embedding_quantize_int8, ann_topk_arrow,
+    # minhash_lsh_incremental, approx_percentile_value,
+    # pq_codebooks_refined, multimodal_frames, the triangle-census and
+    # bm25 zipf/bulk-direct/pruned pairs, quality_classifier_incremental
+    # — demote on cumulative external green; families keep a sibling)
     "asof_join_purchase_1h", "ktable_fk_join",
     "session_window_sum_cents", "scd2_current_view",
     "cms_point_queries", "hll_distinct_users",
     "semdedup_cells", "dedup_embedding_cosine",
     "contamination_check", "quality_score", "pii_scan",
-    # multimodal_wav_features gained its calibration oracle late in r11
-    # and earns here (pipeline_clean_corpus demotes — curation family
-    # keeps contamination/quality/pii/semdedup/embedding-cosine reps)
     "multimodal_wav_features",
     "jpeg_decode_all_layouts",
     "rollup_revenue", "top3_orders_per_cust",
@@ -495,6 +500,12 @@ DRIVER_PRIORITY: list[str] = [
     "token_budget_select", "split_leakage_safe",
     "quality_classifier_filter",
     "ann_ivf_pq_topk",
+    # re-verification rotation: green in earlier rounds, not driver-
+    # checked recently — keeps old families earning fresh external rows
+    "dedup_exact", "tumbling_window_count",
+    "sliding_window_full_count_bucketed", "cogroup_user_metrics",
+    "bm25_search_multi", "hybrid_rrf_fusion",
+    "pack_sequences", "sessionize_gap",
 ]
 
 

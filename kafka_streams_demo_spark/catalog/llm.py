@@ -1098,6 +1098,12 @@ def skew_join_powerlaw_q(spark, sf_dir):
     finding: salting is the only protection at thresholds AQE won't
     touch (tools/bench_skew.py lowers the threshold to emulate at-scale
     triggering and measures the crossover)."""
+    # Measured (BASELINE.md r12, multi-mapper facts, thresholds lowered
+    # to the bench-scale trigger): AQE split beats both naive and salted
+    # at 600k AND 6M rows; salted costs ~2x at 6M (x32 dim replication).
+    # AQE also CANNOT act when the map side is one task — single-row-
+    # group file — because splits are mapper-block-granular; salting is
+    # the remaining tool there and for streaming/stateful joins.
     joined = _skewed_facts(spark, sf_dir).join(
         _skew_dims(spark).hint("merge"), F.col("skew_key") == F.col("dim_key")
     )

@@ -48,7 +48,7 @@ def facts(spark, sf_dir: str, replicas: int):
             F.explode(F.array(*[F.lit(r) for r in range(replicas)])).alias("_r"),
             "*",
         ).select(
-            (F.col("l_orderkey") + F.col("_r") * F.lit(10**9)).alias("l_orderkey"),
+            (F.col("l_orderkey") + F.col("_r").cast("long") * F.lit(10**9)).alias("l_orderkey"),
             "l_linenumber",
             "l_quantity",
         )
@@ -90,8 +90,27 @@ def rollup(joined):
     )
 
 
-def build(spark, sf_dir: str, replicas: int, strategy: str):
-    f, d = facts(spark, sf_dir, replicas), dims(spark).hint("merge")
+def materialized_facts(spark, sf_dir: str, replicas: int, n_files: int = 64):
+    """The skewed facts written to a temp parquet in ``n_files`` files,
+    read back. TWO reasons this is the honest shape: (1) all scenarios
+    then time the JOIN, not the md5 key derivation; (2) AQE's skew split
+    operates on MAPPER blocks — the driver's single-row-group parquet
+    yields ONE mapper, whose one block per reduce partition is
+    unsplittable, so OptimizeSkewedJoin silently declines no matter the
+    thresholds (found empirically: mapStats showed top=686 KB vs median
+    84 KB — flagged skewed, yet no split). A 100 TB input has thousands
+    of mappers; n_files=64 emulates that."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="bench_skew_facts_")
+    facts(spark, sf_dir, replicas).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def build_from(spark, f, strategy: str):
+    d = dims(spark).hint("merge")
     if strategy == "salted":
         from kafka_streams_demo_spark.functions.skew import salted_join
 
@@ -108,6 +127,7 @@ def main() -> None:
             replicas = int(sys.argv[1:][i + 1])
     spark = get_spark(app_name="bench-skew")
     spark.sparkContext.setLogLevel("ERROR")
+    f = materialized_facts(spark, sf_dir, replicas)
 
     scenarios = {
         # (skewJoin.enabled, lowered thresholds, strategy)
@@ -135,7 +155,7 @@ def main() -> None:
         skew_split = False
         for _ in range(3):
             spark.catalog.clearCache()
-            df = build(spark, sf_dir, replicas, strategy)
+            df = build_from(spark, f, strategy)
             t0 = time.monotonic()
             # collect, not a noop write: the result is 10 rows, and only
             # an action on THIS DataFrame finalizes its own adaptive plan

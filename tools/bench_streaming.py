@@ -140,6 +140,27 @@ def run_suite(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     dt = time.monotonic() - t0
     results["wire_roundtrip_stream"] = {"rows": n_events, "sec": round(dt, 2),
                                         "rows_per_sec": round(n_events / dt)}
+
+    # wall-clock punctuator drive (r12 — the ProcessingTimeTimeout path
+    # changed in r11; this times the full 4-batch maxFilesPerTrigger=1
+    # replay incl. timer re-fires). Input rows = the gap-injected subset
+    # ((user_id + event_id % 4) % 3 != 0 — see _batched_events_stream_dir);
+    # the stream dir is built once per session, warmed before timing.
+    from kafka_streams_demo_spark.catalog import QUERIES
+
+    n_drive = (
+        load_table(spark, "events", sf_dir)
+        .filter((F.col("user_id") + F.col("event_id") % 4) % 3 != 0)
+        .count()
+    )
+    QUERIES["wallclock_punctuated_drive"](spark, sf_dir)  # warm: builds batch files
+    t0 = time.monotonic()
+    QUERIES["wallclock_punctuated_drive"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.monotonic() - t0
+    results["wallclock_punctuator_drive"] = {"rows": n_drive, "sec": round(dt, 2),
+                                             "rows_per_sec": round(n_drive / dt)}
     return results
 
 
