@@ -114,10 +114,12 @@ def state_get(
     source evaluates both filters AFTER the scan (no
     SupportsPushDownFilters — the plan shows a codegen Filter directly
     over the BatchScan, pinned in tests), so this bounds which partition
-    may EMIT rows, not which partitions are opened; the partition
-    computation is what lets a deployment route a true single-partition
-    read (and makes the lookup prune for free the day the source learns
-    pushdown)."""
+    may EMIT rows, not which partitions are opened. For the true
+    single-partition read — one input partition, one partition's
+    snapshot+delta files — use :func:`state_get_point` (r12, VERDICT
+    r11 task 8), which rides the source's own
+    snapshotPartitionId/snapshotStartBatchId options; this function
+    remains the no-snapshot-yet fallback."""
     kwargs.pop("flatten", None)  # lookups always flatten (filters need it)
     raw = state_store(spark, checkpoint, flatten=False, **kwargs)
     df = raw.select("key.*", "value.*", "partition_id")
@@ -133,6 +135,94 @@ def state_get(
             spark, key, num_partitions, key_schema=raw.schema["key"].dataType
         )
         df = df.filter(F.col("partition_id") == F.lit(p))
+    for col, val in key.items():
+        df = df.filter(F.col(col) == F.lit(val))
+    return df
+
+
+def latest_partition_snapshot(
+    checkpoint: str, partition: int, operator_id: int = 0,
+    store_name: str | None = None,
+) -> int | None:
+    """The newest state VERSION with a ``.snapshot`` file in ONE
+    partition's checkpoint directory (``state/<op>/<p>[/<store>]/``), or
+    None if maintenance hasn't produced one yet. Local-FS listing (this
+    repo's deployment); an HDFS/S3 deployment swaps in its FileSystem
+    listing — the layout is identical."""
+    import os
+
+    d = os.path.join(checkpoint, "state", str(operator_id), str(partition))
+    if store_name is not None and store_name != "default":
+        d = os.path.join(d, store_name)
+    try:
+        versions = [
+            int(f[: -len(".snapshot")])
+            for f in os.listdir(d)
+            if f.endswith(".snapshot")
+        ]
+    except OSError:
+        return None
+    return max(versions) if versions else None
+
+
+def state_get_point(
+    spark: SparkSession,
+    checkpoint: str,
+    key: dict[str, object],
+    operator_id: int = 0,
+    store_name: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``store.get(key)`` as a TRUE single-partition read (VERDICT r11
+    task 8): computes the key's state partition, finds that partition's
+    newest ``.snapshot`` version, and drives the state source with
+    ``snapshotPartitionId`` + ``snapshotStartBatchId`` — the Spark 4
+    options that scope the scan to ONE partition's snapshot + trailing
+    deltas (SPARK-45833 family). The returned scan has exactly one
+    input partition (``rdd.getNumPartitions() == 1``, test-pinned), so
+    a 100 TB state store answers a point lookup by opening one
+    partition's files instead of scanning all of them.
+
+    Availability contract: the HDFS-backed provider writes snapshots
+    asynchronously (maintenance thread, every
+    ``minDeltasForSnapshot`` deltas), so a young store may have only
+    deltas — the source REFUSES a snapshot read it cannot serve
+    (CANNOT_READ_MISSING_SNAPSHOT_FILE, verified empirically), it never
+    silently widens. When no snapshot exists yet this helper falls back
+    to :func:`state_get` (partition-filtered full scan) — correct,
+    just not single-partition; the fallback is visible in the plan
+    (32-partition scan vs 1)."""
+    raw = state_store(
+        spark, checkpoint, operator_id=operator_id,
+        store_name=store_name, flatten=False,
+    )
+    if num_partitions is None:
+        meta = state_metadata(spark, checkpoint)
+        num_partitions = int(
+            meta.filter(F.col("operatorId") == operator_id)
+            .select("numPartitions").first()[0]
+        )
+    p = state_partition(
+        spark, key, num_partitions, key_schema=raw.schema["key"].dataType
+    )
+    ver = latest_partition_snapshot(checkpoint, p, operator_id, store_name)
+    if ver is None:
+        return state_get(
+            spark, checkpoint, key, num_partitions=num_partitions,
+            operator_id=operator_id,
+            **({"store_name": store_name} if store_name else {}),
+        )
+    reader = (
+        spark.read.format("statestore")
+        .option("operatorId", operator_id)
+        # state version v is written by batch v-1: replay starts at the
+        # snapshot and applies trailing deltas up to the last commit
+        .option("snapshotStartBatchId", ver - 1)
+        .option("snapshotPartitionId", p)
+    )
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    df = reader.load(checkpoint).select("key.*", "value.*", "partition_id")
     for col, val in key.items():
         df = df.filter(F.col(col) == F.lit(val))
     return df

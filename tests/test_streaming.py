@@ -2363,3 +2363,89 @@ def test_wallclock_drive_punctuation_multiplicity(spark):
     assert all(r["raw_n"] > r["dist_n"] for r in per_key), [
         r for r in per_key if r["raw_n"] <= r["dist_n"]
     ][:5]
+
+
+def test_state_get_point_single_partition_read(spark, tmp_path):
+    """VERDICT r11 task 8: store.get(key) as a TRUE single-partition read.
+    Drives enough micro-batches (maxFilesPerTrigger=1 over 8 files,
+    minDeltasForSnapshot=2, 1s maintenance) for the async maintenance
+    thread to write partition snapshots, then pins:
+    (a) state_get_point's scan has EXACTLY ONE input partition
+        (snapshotPartitionId scopes the read to one partition's
+        snapshot + trailing deltas),
+    (b) values match the partition-filtered full scan (state_get) for
+        every key,
+    (c) with no snapshot available the helper falls back to the full
+        scan (correctness never depends on maintenance timing)."""
+    import os
+    import time as _time
+
+    from kafka_streams_demo_spark.streaming.interactive import (
+        latest_partition_snapshot,
+        state_get,
+        state_get_point,
+        state_partition,
+    )
+
+    src = tmp_path / "pt_src"
+    ck = str(tmp_path / "pt_ck")
+    os.makedirs(src)
+    for b in range(8):
+        spark.range(b * 25, (b + 1) * 25).selectExpr(
+            "concat('k', id % 5) AS key", "id AS value"
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+
+    prev_deltas = spark.conf.get(
+        "spark.sql.streaming.stateStore.minDeltasForSnapshot", None
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "2")
+    try:
+        stream = (
+            spark.readStream.schema("key string, value long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            stream.groupBy("key").count().writeStream.format("noop")
+            .outputMode("update").option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+        # maintenance is async: poll for a snapshot in k3's partition
+        p3 = state_partition(spark, {"key": "k3"}, 32)
+        deadline = _time.monotonic() + 60
+        while (
+            latest_partition_snapshot(ck, p3) is None
+            and _time.monotonic() < deadline
+        ):
+            _time.sleep(1)
+        have_snapshot = latest_partition_snapshot(ck, p3) is not None
+
+        point = state_get_point(spark, ck, {"key": "k3"})
+        rows = point.collect()
+        full = state_get(spark, ck, {"key": "k3"}).collect()
+        assert [(r["key"], r["count"]) for r in rows] == [
+            (r["key"], r["count"]) for r in full
+        ]
+        assert rows and rows[0]["count"] == 40  # 8 batches x 5 per key
+        if have_snapshot:
+            # the single-partition contract this test exists for
+            assert point.rdd.getNumPartitions() == 1, "not a point read"
+        else:
+            # documented fallback: partition-filtered full scan
+            assert point.rdd.getNumPartitions() > 1
+        # every key answers identically through both paths
+        for i in range(5):
+            a = {r["key"]: r["count"]
+                 for r in state_get_point(spark, ck, {"key": f"k{i}"}).collect()}
+            b = {r["key"]: r["count"]
+                 for r in state_get(spark, ck, {"key": f"k{i}"}).collect()}
+            assert a == b == {f"k{i}": 40}
+    finally:
+        if prev_deltas is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.minDeltasForSnapshot")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.minDeltasForSnapshot", prev_deltas
+            )
