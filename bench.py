@@ -152,6 +152,12 @@ SECONDARY = [
     # there but is not bench-priced (BASELINE.md r11).
     "bm25_zipf_direct",
     "bm25_zipf_pruned",
+    # round 12: the power-law skewed-join pair (VERDICT r11 task 4) —
+    # same-oracle strategy pair; the AQE-vs-salt crossover measurement
+    # lives in tools/bench_skew.py + BASELINE.md r12, these rows keep
+    # the two plans' costs visible round-over-round
+    "skew_join_powerlaw",
+    "skew_join_powerlaw_salted",
     # the recall harness recomputes all six approximate-ANN tiers plus
     # the exact baseline in one plan — a diagnostic you run after
     # retuning, not a throughput query; tracked here so tier regressions
