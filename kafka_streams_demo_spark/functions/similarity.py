@@ -555,19 +555,92 @@ def topk_bruteforce_arrow(
     )
 
 
+def _make_kmeans_d2_kernel(bc):
+    """Arrow d²-argmin kernel (by-value closure — workers never import
+    this module). Replays the literal fold's degenerate semantics: a
+    NULL vector, NULL element, wrong-length, or NaN-element row keeps
+    the fold's NULL-cell init (for d², NaN < acc is always false — note
+    this DIFFERS from the cosine kernel, where NaN sorts greatest);
+    exact ties keep the lowest cell (argmin first-occurrence over cells
+    sorted ascending = the fold's strict-< rule)."""
+
+    def run(it):
+        import numpy as _np
+        import pandas as _pd
+
+        cells, C, _cn = bc.value
+        dim = C.shape[1]
+        c2 = (C * C).sum(axis=1)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            null_row = _np.asarray([bool(b) for b in pdf["_vnull"]], dtype=bool)
+            V = _np.array(
+                [
+                    _np.asarray(v, dtype=_np.float64)
+                    if v is not None and len(v) == dim
+                    else _np.full(dim, _np.nan)
+                    for v in pdf["vec"]
+                ]
+            )
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+            nan_row = _np.isnan(d2).any(axis=1)
+            d2 = _np.where(_np.isnan(d2), _np.inf, d2)
+            idx = d2.argmin(axis=1)
+            bad = null_row | nan_row
+            out_cells = [
+                None if b else cells[int(i)] for b, i in zip(bad, idx)
+            ]
+            yield _pd.DataFrame(
+                {"vid": pdf["vid"], "vec": pdf["vec"], "cell": out_cells}
+            )
+
+    return run
+
+
 def _kmeans_assign_d2(
     vectors: DataFrame, centroids: DataFrame,
     id_col: str = "vid", vec_col: str = "vec",
+    literal_max_elements: int | None = None,
 ) -> DataFrame:
     """Squared-Euclidean argmin assignment — the Lloyd trainer's own
     objective (ivf_assign's cosine fold is the SEARCH-time metric; the
     trainer must assign under the same d² it minimizes in the mean
-    update, or the monotone-SSE contract does not hold). Same shape as
-    the ivf_assign literal fast path: centroid literal + codegen'd fold,
-    one Project, NO Exchange; strict < keeps the lowest cell on exact
-    d² ties (deterministic — no rounding, so the textbook guarantee is
-    preserved bit-for-bit)."""
+    update, or the monotone-SSE contract does not hold). Same dispatch
+    shape as ivf_assign: below ``literal_max_elements`` (default
+    IVF_LITERAL_MAX_ELEMENTS) a centroid literal + codegen'd fold — one
+    Project, NO Exchange; strict < keeps the lowest cell on exact d²
+    ties (deterministic, no rounding, so the textbook guarantee is
+    preserved bit-for-bit). Above it (production nlist — FAISS trains
+    coarse quantizers at 10⁵–10⁶ cells) the same argmin runs as an
+    Arrow kernel over a broadcast numpy matrix (r12; assignment parity
+    with the fold is test-pinned on separated fixtures — the two
+    branches' float-sum ORDERS differ, so a vector exactly equidistant
+    between centroids could in principle split, same caveat as every
+    cross-impl d² comparison)."""
     rows, cell_type = _collect_centroids(centroids)
+    cap = (
+        IVF_LITERAL_MAX_ELEMENTS
+        if literal_max_elements is None
+        else literal_max_elements
+    )
+    if sum(len(r["centroid"]) for r in rows) > cap:
+        from pyspark.sql.types import StructField, StructType
+
+        bc = _ivf_assign_broadcast(vectors.sparkSession.sparkContext, rows)
+        dim = int(bc.value[1].shape[1])
+        vecs = vectors.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        ).withColumn(
+            "_vnull",
+            F.col("vec").isNull()
+            | F.exists(F.col("vec"), lambda x: x.isNull())
+            | (F.size(F.col("vec")) != F.lit(dim)),
+        )
+        schema = StructType(
+            [vecs.schema["vid"], vecs.schema["vec"], StructField("cell", cell_type)]
+        )
+        return vecs.mapInPandas(_make_kmeans_d2_kernel(bc), schema)
     cb_lit = _centroid_literal(rows, cell_type)
     vecs = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")

@@ -662,3 +662,44 @@ def test_round6_block_exact_replay_beyond_mantissa_magnitude(spark):
         for r in df.select("i", F.round("x", 6).alias("r")).orderBy("i").collect()
     ]
     assert list(got) == want
+
+
+def test_kmeans_d2_assign_arrow_matches_fold(spark):
+    """The trainer's d2-argmin has the same two-branch dispatch as
+    ivf_assign (r12): centroid literal + codegen fold below the element
+    cap, Arrow broadcast-matrix kernel above it (production nlist). On
+    a separated fixture the two branches must assign identically, both
+    must be zero-Exchange map passes, and degenerate rows (NULL vector /
+    NULL element / wrong length / NaN element) must take the fold's
+    NULL cell in BOTH branches (for d2, NaN < acc is always false —
+    unlike the cosine kernel where NaN sorts greatest)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.similarity import _kmeans_assign_d2
+
+    rng = random.Random(13)
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = [
+        (i, [x + rng.uniform(-0.5, 0.5) for x in centers[i % 3]])
+        for i in range(60)
+    ]
+    rows += [(100, None), (101, [1.0, None, 2.0]), (102, [1.0, 2.0]),
+             (103, [float("nan"), 0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vid long, vec array<double>")
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, centroid array<double>"
+    )
+
+    fold = _kmeans_assign_d2(vecs, cents)
+    arrow = _kmeans_assign_d2(vecs, cents, literal_max_elements=0)
+    got_f = {r["vid"]: r["cell"] for r in fold.collect()}
+    got_a = {r["vid"]: r["cell"] for r in arrow.collect()}
+    assert got_f == got_a
+    for vid in (100, 101, 102, 103):
+        assert got_f[vid] is None, (vid, got_f[vid])
+    assert all(got_f[i] is not None for i in range(60))
+    for df in (fold, arrow):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

@@ -62,6 +62,36 @@ def replicate(df, key_cols, replicas):
     return rep
 
 
+def transform_documents(rep):
+    """Replica r>0: suffix every token with r (disjoint cross-replica
+    shingles — the near-dup structure repeats per replica) and recompute
+    n_chars from the transformed text. Expects the ``_r`` column."""
+    return rep.withColumn(
+        "text",
+        F.when(F.col("_r") == 0, F.col("text")).otherwise(
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1"), F.col("_r").cast("string")),
+            )
+        ),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def transform_embeddings(rep, dim):
+    """Replica r's vectors rotated by r positions: norm-preserving,
+    decorrelates replicas. Expects the ``_r`` column."""
+    return rep.withColumn(
+        "embedding",
+        F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
+            F.concat(
+                F.slice("embedding", F.col("_r") + 1, F.lit(dim) - F.col("_r")),
+                F.slice("embedding", F.lit(1), F.col("_r")),
+            )
+        ),
+    )
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
@@ -79,39 +109,12 @@ def main() -> None:
     for t, keys in KEY_OFFSETS.items():
         df = replicate(spark.read.parquet(f"{src}/{t}.parquet"), keys, replicas)
         if t == "documents":
-            # suffix every token with the replica number (r>0): shingle
-            # sets become disjoint across replicas, near-dup structure
-            # repeats per replica (Spark 4 regexp_replace takes a Column
-            # replacement — "$1" + r)
-            df = df.withColumn(
-                "text",
-                F.when(F.col("_r") == 0, F.col("text")).otherwise(
-                    F.regexp_replace(
-                        F.col("text"),
-                        F.lit(r"(\S+)"),
-                        F.concat(F.lit("$1"), F.col("_r").cast("string")),
-                    )
-                ),
-            ).withColumn("n_chars", F.length("text").cast("long"))
+            df = transform_documents(df)
         if t == "embeddings":
-            # rotate replica r's vectors by r positions: norm-preserving,
-            # decorrelates replicas (no 10-way exact-tie degeneracy)
             dim = len(
                 spark.read.parquet(f"{src}/{t}.parquet").first()["embedding"]
             )
-            df = df.withColumn(
-                "embedding",
-                F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
-                    F.concat(
-                        F.slice(
-                            "embedding",
-                            F.col("_r") + 1,
-                            F.lit(dim) - F.col("_r"),
-                        ),
-                        F.slice("embedding", F.lit(1), F.col("_r")),
-                    )
-                ),
-            )
+            df = transform_embeddings(df, dim)
         df = df.drop("_r")
         df.repartition(max(2, replicas)).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
