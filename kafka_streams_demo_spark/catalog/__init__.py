@@ -481,6 +481,12 @@ DRIVER_PRIORITY: list[str] = [
     # statistical-gate entries (margin contracts documented r12): keep
     # in-window so the documented bounds stay externally exercised
     "minhash_lsh_pairs", "approx_distinct_users",
+    # round-12 earners: the catalog's LAST rows-only entries, now under
+    # the unrolled-merge-round CTE oracle (zero rows-only from here on);
+    # split_leakage_safe and compaction_plan demote to make room (both
+    # cumulatively green with in-window siblings
+    # split_leakage_safe_indexed / compaction_roundtrip)
+    "bpe_train_merges", "bpe_token_counts",
     # per-family green representatives (rotation: the r11 earners that
     # are unchanged this round — embedding_quantize_int8, ann_topk_arrow,
     # minhash_lsh_incremental, approx_percentile_value,
@@ -496,8 +502,8 @@ DRIVER_PRIORITY: list[str] = [
     "jpeg_decode_all_layouts",
     "rollup_revenue", "top3_orders_per_cust",
     "funnel_signup_click_purchase",
-    "zorder_layout", "compaction_roundtrip", "compaction_plan",
-    "token_budget_select", "split_leakage_safe",
+    "zorder_layout", "compaction_roundtrip",
+    "token_budget_select",
     "quality_classifier_filter",
     "ann_ivf_pq_topk",
     # re-verification rotation: green in earlier rounds, not driver-

@@ -1131,29 +1131,54 @@ def skew_join_powerlaw_salted_q(spark, sf_dir):
     return _skew_rollup(joined)
 
 
-@register("bpe_train_merges")  # no SQL oracle: iterative (greedy merge rounds)
+def _bpe_oracles():
+    from kafka_streams_demo_spark.functions.bpe import (
+        bpe_token_counts_sql,
+        bpe_train_sql,
+    )
+
+    return bpe_train_sql(20, 2), bpe_token_counts_sql(20, 2)
+
+
+_BPE_TRAIN_ORACLE, _BPE_COUNTS_ORACLE = _bpe_oracles()
+
+
+@register("bpe_train_merges", _BPE_TRAIN_ORACLE)
 def bpe_train_merges_q(spark, sf_dir):
     """Distributed BPE vocabulary training (round 7 — functions/bpe.py,
     Sennrich et al. 2016): 20 merge rules learned from the documents
     corpus. Iterative (one pair-count aggregate + one bounded argmax
     collect + one row-local merge per round over the VOCAB-sized
-    word-type table, localCheckpoint'ed), so rows-only by design;
-    correctness is pinned by the paper's worked example, a pure-Python
-    reference trainer on randomized corpora, and the train/encode
-    consistency invariant in tests/test_bpe.py."""
+    word-type table, localCheckpoint'ed).
+
+    HASH-GATED since r12 — the catalog's LAST rows-only entries retire:
+    the fixed num_merges=20 unrolls as 20 MATERIALIZED CTE rounds
+    (functions/bpe.py:bpe_train_sql — the pagerank_sql idiom), each
+    round = pair-count over zipped adjacent symbols → (cnt DESC, l, r)
+    argmax → greedy left-to-right merge replayed as a list_reduce over
+    a chr(31)-joined string accumulator. Early stop replays for free: a
+    sub-threshold round freezes the symbol table, so every later round
+    recomputes the same invalid best — exactly the trainer's break.
+    (MATERIALIZED is load-bearing: inlined, the chain re-expands s{k}
+    twice per round → 2^20 base scans — found as an fd exhaustion.)
+    The paper's worked example, the pure-Python reference trainer and
+    the train/encode invariant in tests/test_bpe.py all remain."""
     from kafka_streams_demo_spark.functions.bpe import bpe_train
 
     return bpe_train(load_table(spark, "documents", sf_dir), num_merges=20)
 
 
-@register("bpe_token_counts")  # no SQL oracle: applies the iterative artifact
+@register("bpe_token_counts", _BPE_COUNTS_ORACLE)
 def bpe_token_counts_q(spark, sf_dir):
     """Corpus tokenization with the learned BPE merges: (doc_id,
     n_tokens) per document — the vocabulary-aware sibling of
     token_counts. The bounded merge table ships in a mapInPandas
     closure with a per-batch word cache; encoding is embarrassingly
-    parallel. Rows-only (depends on the iterative trainer); the greedy
-    application is invariant-pinned to training in tests/test_bpe.py."""
+    parallel. HASH-GATED since r12: the oracle extends the unrolled
+    training chain one conditional merge further to the final symbol
+    table, then sums each doc's word occurrences' symbol counts — so
+    the gate also externally proves the Python encode kernel ≡ the
+    trained symbol table (previously a test-only invariant)."""
     from kafka_streams_demo_spark.functions.bpe import bpe_encode, bpe_train
 
     docs = load_table(spark, "documents", sf_dir)

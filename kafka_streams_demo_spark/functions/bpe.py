@@ -20,10 +20,13 @@ Scale design (the textbook BPE trick, Spark-shaped):
   closure; each worker applies merges in rank order per word with a
   per-batch word cache.
 
-Iterative, so the catalog entries are rows-only by design; correctness
-is pinned by the published worked example (the Sennrich corpus), a
-train/encode consistency invariant, detokenization round-trips, and a
-property test against a pure-Python reference trainer.
+Iterative — yet HASH-GATED since r12: with num_merges fixed, the merge
+rounds unroll as MATERIALIZED DuckDB CTEs (``bpe_train_sql`` /
+``bpe_token_counts_sql`` below — the pagerank_sql idiom), so both
+catalog entries sit under the full cross-engine gate. The published
+worked example (the Sennrich corpus), the train/encode consistency
+invariant, detokenization round-trips, and the property test against a
+pure-Python reference trainer all remain in tests/test_bpe.py.
 """
 
 from __future__ import annotations
@@ -196,3 +199,93 @@ def bpe_encode(
     return docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).mapInPandas(fn, "doc_id long, n_tokens long, tokens array<string>")
+
+
+def _bpe_round_ctes(num_merges: int, min_pair_count: int) -> str:
+    """The shared CTE chain for the BPE oracles: word types → initial
+    symbol lists → ``num_merges`` unrolled (pair-count → argmax →
+    conditional greedy merge) rounds — the ``pagerank_sql`` idiom
+    applied to the one remaining iterative trainer (r12: retires the
+    catalog's last rows-only entries).
+
+    The greedy left-to-right merge replays as a ``list_reduce`` over a
+    chr(31)-joined STRING accumulator (DuckDB's reduce seeds the
+    accumulator with the first element — equivalent to the Spark fold's
+    empty-init, since a lone first element always takes the append
+    branch; chr(31) cannot occur in whitespace-split ASCII tokens or in
+    "</w>"). Early stop replays WITHOUT a validity chain: a round whose
+    best pair falls under ``min_pair_count`` leaves the symbol table
+    frozen, so every later round recomputes the SAME sub-threshold best
+    and stays invalid — exactly Spark's ``break``."""
+    parts = [
+        "w0 AS MATERIALIZED (SELECT w, count(*) AS n FROM ("
+        "SELECT unnest(list_filter(string_split(lower(coalesce(text,'')), ' '), "
+        "x -> x <> '')) AS w FROM documents) GROUP BY 1)",
+        "s1 AS MATERIALIZED (SELECT w, list_append(list_transform(range(1, len(w)+1), "
+        "i -> w[i:i]), '</w>') AS s, n FROM w0)",
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, "
+            f"CAST(SUM(n) AS BIGINT) AS cnt FROM ("
+            f"SELECT unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS pr, n "
+            f"FROM s{k}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT l, r, l || r AS merged, cnt, "
+            f"cnt >= {min_pair_count} AS valid "
+            f"FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if k < num_merges:
+            parts.append(
+                f"s{k + 1} AS MATERIALIZED (SELECT w, CASE WHEN b{k}.valid THEN "
+                f"string_split(list_reduce(s, (acc, x) -> "
+                f"CASE WHEN string_split(acc, chr(31))[-1] = b{k}.l AND x = b{k}.r "
+                f"THEN acc[1:len(acc) - len(string_split(acc, chr(31))[-1])] "
+                f"|| b{k}.merged "
+                f"ELSE acc || chr(31) || x END), chr(31)) "
+                f"ELSE s END AS s, n FROM s{k} CROSS JOIN b{k})"
+            )
+    return ",\n".join(parts)
+
+
+def bpe_train_sql(num_merges: int = 20, min_pair_count: int = 2) -> str:
+    """DuckDB oracle for :func:`bpe_train` — (rank, left, right, merged,
+    n_pair), invalid (post-break) rounds excluded."""
+    body = _bpe_round_ctes(num_merges, min_pair_count)
+    rows = " UNION ALL ".join(
+        f'SELECT {k - 1} AS rank, l AS "left", r AS "right", merged, '
+        f"cnt AS n_pair, valid FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return (
+        f"WITH {body}\n"
+        f'SELECT rank, "left", "right", merged, n_pair '
+        f"FROM ({rows}) WHERE valid"
+    )
+
+
+def bpe_token_counts_sql(num_merges: int = 20, min_pair_count: int = 2) -> str:
+    """DuckDB oracle for the ``bpe_token_counts`` entry — (doc_id,
+    n_tokens): the fully-merged symbol table is already the chain's last
+    state, one more conditional merge applies round ``num_merges``'s
+    rule, then each doc sums its word occurrences' symbol counts (empty
+    docs keep an explicit 0 via the LEFT JOIN)."""
+    body = _bpe_round_ctes(num_merges, min_pair_count)
+    k = num_merges
+    return (
+        f"WITH {body},\n"
+        f"sfin AS MATERIALIZED (SELECT w, CASE WHEN b{k}.valid THEN "
+        f"string_split(list_reduce(s, (acc, x) -> "
+        f"CASE WHEN string_split(acc, chr(31))[-1] = b{k}.l AND x = b{k}.r "
+        f"THEN acc[1:len(acc) - len(string_split(acc, chr(31))[-1])] "
+        f"|| b{k}.merged "
+        f"ELSE acc || chr(31) || x END), chr(31)) "
+        f"ELSE s END AS s, n FROM s{k} CROSS JOIN b{k}),\n"
+        f"dw AS (SELECT doc_id, unnest(list_filter("
+        f"string_split(lower(coalesce(text,'')), ' '), x -> x <> '')) AS w "
+        f"FROM documents)\n"
+        f"SELECT d.doc_id, CAST(coalesce(SUM(len(f.s)), 0) AS BIGINT) AS n_tokens "
+        f"FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id "
+        f"LEFT JOIN sfin f ON dw.w = f.w GROUP BY 1"
+    )
