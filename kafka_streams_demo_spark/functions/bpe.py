@@ -232,9 +232,18 @@ def _bpe_round_ctes(num_merges: int, min_pair_count: int) -> str:
             f"FROM s{k}) GROUP BY 1, 2)"
         )
         parts.append(
-            f"b{k} AS MATERIALIZED (SELECT l, r, l || r AS merged, cnt, "
-            f"cnt >= {min_pair_count} AS valid "
-            f"FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1)"
+            # ALWAYS exactly one row: with zero rows (every word fully
+            # merged → no adjacent pairs anywhere) the downstream CROSS
+            # JOIN would wipe the symbol table where Spark breaks —
+            # LEFT JOIN ON TRUE + valid=FALSE freezes it instead
+            f"b{k} AS MATERIALIZED (SELECT coalesce(t.l, '') AS l, "
+            f"coalesce(t.r, '') AS r, "
+            f"coalesce(t.l, '') || coalesce(t.r, '') AS merged, "
+            f"coalesce(t.cnt, 0) AS cnt, "
+            f"coalesce(t.cnt >= {min_pair_count}, FALSE) AS valid "
+            f"FROM (SELECT 1 AS one) o LEFT JOIN "
+            f"(SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1) t "
+            f"ON TRUE)"
         )
         if k < num_merges:
             parts.append(

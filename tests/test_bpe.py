@@ -135,3 +135,45 @@ def test_bpe_encode_multiword_and_null(spark):
     assert got[2]["n_tokens"] == 0 and got[2]["tokens"] == []
     assert got[3]["n_tokens"] == 0
     assert got[4]["tokens"] == ["z", "z", "q", END]
+
+
+def test_bpe_sql_oracle_matches_trainer_incl_exhaustion(spark):
+    """r12: the unrolled-CTE oracle (bpe_train_sql / bpe_token_counts_sql)
+    must replay the trainer bit-for-bit INCLUDING the two stop paths —
+    min_pair_count break AND full exhaustion (every word collapsed to
+    one symbol, pair table empty: the oracle's always-one-row b{k}
+    freezes the chain where Spark breaks; a bare LIMIT 1 would have
+    wiped the symbol table through the CROSS JOIN)."""
+    import duckdb
+
+    from kafka_streams_demo_spark.functions.bpe import (
+        bpe_encode,
+        bpe_token_counts_sql,
+        bpe_train,
+        bpe_train_sql,
+    )
+
+    corpora = {
+        "exhaustion": [(1, "aa aa bb bb"), (2, "aa bb")],
+        "break": [(1, "ab cd ef"), (2, "ab gh ij")],  # only (a,b)+ends repeat
+        "mixed": [(1, "the cat sat on the mat"), (2, "the cat ran"),
+                  (3, "a cat and the mat")],
+    }
+    for name, rows in corpora.items():
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        m = bpe_train(docs, num_merges=20)
+        sm = sorted(
+            (r["rank"], r["left"], r["right"], r["merged"], r["n_pair"])
+            for r in m.collect()
+        )
+        enc = {r["doc_id"]: r["n_tokens"]
+               for r in bpe_encode(docs, m).select("doc_id", "n_tokens").collect()}
+        con = duckdb.connect()
+        vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+        )
+        om = sorted(con.sql(bpe_train_sql(20, 2)).fetchall())
+        otc = dict(con.sql(bpe_token_counts_sql(20, 2)).fetchall())
+        assert sm == om, (name, sm, om)
+        assert enc == otc, (name, enc, otc)
