@@ -40,18 +40,31 @@ from kafka_streams_demo_spark.sources.registry import load_table  # noqa: E402
 
 
 def facts(spark, sf_dir: str, replicas: int):
+    """The CATALOG's skewed-facts derivation (the measured plan must be
+    the oracle-gated plan — catalog/llm.py:_skewed_facts is imported,
+    not duplicated), with an optional replica fan-out: lineitem replayed
+    with disjoint orderkey ranges so each replica draws fresh md5
+    uniforms — same skew shape, N× the rows."""
+    from kafka_streams_demo_spark.catalog.llm import _skewed_facts
+
+    if replicas <= 1:
+        return _skewed_facts(spark, sf_dir)
     li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+        F.explode(F.array(*[F.lit(r) for r in range(replicas)])).alias("_r"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+    ).select(
+        (F.col("l_orderkey") + F.col("_r").cast("long") * F.lit(10**9)).alias(
+            "l_orderkey"
+        ),
+        "l_linenumber",
+        "l_quantity",
     )
-    if replicas > 1:
-        li = li.select(
-            F.explode(F.array(*[F.lit(r) for r in range(replicas)])).alias("_r"),
-            "*",
-        ).select(
-            (F.col("l_orderkey") + F.col("_r").cast("long") * F.lit(10**9)).alias("l_orderkey"),
-            "l_linenumber",
-            "l_quantity",
-        )
+    # replica branch re-derives the key with the SAME closed form as
+    # _skewed_facts (which reads lineitem from sf_dir and can't see the
+    # replicated frame); parity of the replicas=1 path with the catalog
+    # entry is structural (it IS the catalog function)
     h = F.conv(
         F.substring(
             F.md5(
@@ -75,19 +88,15 @@ def facts(spark, sf_dir: str, replicas: int):
 
 
 def dims(spark):
-    return spark.range(1000).select(
-        F.col("id").alias("dim_key"),
-        (F.col("id") % 10).alias("g"),
-        ((F.col("id") * 7 + 3) % 100).alias("w_c"),
-    )
+    from kafka_streams_demo_spark.catalog.llm import _skew_dims
+
+    return _skew_dims(spark)
 
 
 def rollup(joined):
-    return joined.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_c"),
-        F.sum("w_c").alias("w_sum"),
-    )
+    from kafka_streams_demo_spark.catalog.llm import _skew_rollup
+
+    return _skew_rollup(joined)
 
 
 def materialized_facts(spark, sf_dir: str, replicas: int, n_files: int = 64):
