@@ -517,8 +517,18 @@ def wallclock_punctuated_drive(spark, sf_dir):
     deterministic part — per-key counts at each present-batch boundary
     (proving multi-batch state accumulation AND batch ordering); the
     timing-dependent fire multiplicity is asserted in
-    tests/test_streaming.py."""
-    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+    tests/test_streaming.py.
+
+    Driven via run_punctuated_until_settled (r12): a 1 ms punctuator
+    re-registers its timer on every fire, so availableNow never drains
+    — the old awaitTermination(120)-expiry drive cost a flat 120 s and
+    would have returned a truncated prefix on a box slow enough to not
+    finish the data batches in time; the settled drive stops after the
+    input is exhausted + 2 pure timer batches (every live key provably
+    fired after the last data batch — the punctuation under test)."""
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        run_punctuated_until_settled,
+    )
     from kafka_streams_demo_spark.streaming.processor import (
         wallclock_punctuated_processor,
     )
@@ -529,7 +539,7 @@ def wallclock_punctuated_drive(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    out = run_available_now(
+    out = run_punctuated_until_settled(
         wallclock_punctuated_processor(stream, punctuate_interval_ms=1),
         output_mode="update",
     )

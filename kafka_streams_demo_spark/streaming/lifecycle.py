@@ -61,6 +61,73 @@ def run_available_now(
     return spark.table(name)
 
 
+def run_punctuated_until_settled(
+    out: DataFrame,
+    output_mode: str = "update",
+    name: str | None = None,
+    checkpoint: str | None = None,
+    settle_batches: int = 2,
+    deadline_s: int = 300,
+) -> DataFrame:
+    """Drive a ProcessingTimeTimeout (wall-clock punctuator) plan and
+    STOP it deterministically (r12).
+
+    ``trigger(availableNow)`` never self-terminates under a short
+    punctuation interval: every timer fire re-registers the timer, so
+    "available work" never drains and the query spins no-data batches
+    until something external stops it. The previous path leaned on
+    ``awaitTermination(120)`` expiring — 120 s of wall time PER DRIVE
+    regardless of data (found while profiling the 122 s streaming-tier
+    row), and a latent liveness hazard: had the DATA batches ever taken
+    longer than the timeout under load, the drive would have returned a
+    truncated prefix.
+
+    This helper watches query progress instead: once ``settle_batches``
+    CONSECUTIVE progress events carry zero input rows (all source files
+    consumed — so every data batch committed — and ≥ that many pure
+    timer batches ran, so every live key's timer fired after the last
+    data batch), the query stops. Termination is event-driven (~the
+    cost of the real batches), the wall-clock-timer semantics under
+    test are fully exercised, and ``deadline_s`` is only the safety
+    backstop."""
+    import time as _time
+
+    if hasattr(out, "output_mode") and hasattr(out, "df"):
+        output_mode = out.output_mode
+        out = out.df
+    spark = out.sparkSession
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    deadline = _time.monotonic() + deadline_s
+    last_seen: str | None = None
+    idle = 0
+    while _time.monotonic() < deadline and q.isActive:
+        p = q.lastProgress
+        if p is not None and p.get("batchId") is not None:
+            marker = f"{p['batchId']}"
+            if marker != last_seen:
+                last_seen = marker
+                if int(p.get("numInputRows", 0) or 0) == 0:
+                    idle += 1
+                    if idle >= settle_batches:
+                        break
+                else:
+                    idle = 0
+        _time.sleep(0.05)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
+    return spark.table(name)
+
+
 def run_foreach_batch(
     out: DataFrame,
     fn: Callable[[DataFrame, int], None],

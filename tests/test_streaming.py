@@ -18,6 +18,7 @@ from kafka_streams_demo_spark.streaming.lifecycle import (
     clean_up,
     materialize_ktable,
     run_available_now,
+    run_punctuated_until_settled,
 )
 from kafka_streams_demo_spark.streaming.processor import running_count_processor
 
@@ -481,7 +482,9 @@ def test_wallclock_punctuated_processor(spark, tmp_path):
     # 1 ms interval: the second micro-batch always starts later than that,
     # so 'a' (absent from batch 2) must re-forward via its timer
     out_df = wallclock_punctuated_processor(src, punctuate_interval_ms=1)
-    rows = run_available_now(out_df, output_mode="update").collect()
+    # settled drive (r12): stops after input drains + 2 pure timer
+    # batches instead of waiting out awaitTermination(120)
+    rows = run_punctuated_until_settled(out_df, output_mode="update").collect()
     emissions = [(r["key"], r["value"]) for r in rows]
     assert emissions.count(("a", 2)) >= 2, emissions
     assert ("b", 2) in emissions, emissions
@@ -2331,7 +2334,9 @@ def test_wallclock_drive_punctuation_multiplicity(spark):
     from kafka_streams_demo_spark.catalog.parity import (
         _batched_events_stream_dir,
     )
-    from kafka_streams_demo_spark.streaming.lifecycle import run_available_now
+    from kafka_streams_demo_spark.streaming.lifecycle import (
+        run_punctuated_until_settled,
+    )
     from kafka_streams_demo_spark.streaming.processor import (
         wallclock_punctuated_processor,
     )
@@ -2343,7 +2348,7 @@ def test_wallclock_drive_punctuation_multiplicity(spark):
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    raw = run_available_now(
+    raw = run_punctuated_until_settled(
         wallclock_punctuated_processor(stream, punctuate_interval_ms=1),
         output_mode="update",
     ).select("key", "value")
