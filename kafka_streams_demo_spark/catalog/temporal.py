@@ -1050,8 +1050,14 @@ def ivf_train_kmeans(spark, sf_dir):
     SSE(iter k+1) = Σ min_c d²(v, C_{k+1}) ≤ Σ d²(v, C_{k+1}[A(v)]) ≤
     Σ d²(v, C_k[A(v)]) = SSE(iter k), where A is iteration k+1's
     assignment (= the free reassignment against C_k) and the middle
-    step is the mean-minimizes-d² identity. Holds on any fixture at
-    any scale factor, not just this one."""
+    step is the mean-minimizes-d² identity. On the literal-fold branch
+    (corpus ≤ IVF_LITERAL_MAX_ELEMENTS — including this entry) the
+    chain is exact, fixture- and scale-independent; on the Arrow branch
+    the kernel computes d² via the expanded |v|²−2v·c+|c|² whose
+    rounding can split a near-exact tie differently from the fold
+    (caveat pinned in similarity.py:_kmeans_assign_d2), so there the
+    guarantee holds up to float-rounding of the expanded form — an ε
+    SSE increase on a tie is possible, not a Lloyd violation."""
     from kafka_streams_demo_spark.functions.pq import pq_quantization_error
     from kafka_streams_demo_spark.functions.similarity import kmeans_train
 

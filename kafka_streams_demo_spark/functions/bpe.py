@@ -36,6 +36,11 @@ from pyspark.sql import functions as F
 
 END = "</w>"
 
+# bpe_train_sql / bpe_token_counts_sql are parity-tested against the
+# Spark trainer up to this many unrolled rounds (tests/test_bpe.py).
+# The guard in _bpe_round_ctes refuses beyond it — see its message.
+SQL_TESTED_MAX_MERGES = 40
+
 
 def _word_types(docs: DataFrame, text_col: str) -> DataFrame:
     """(w, n) word-type table: lowercased whitespace tokens + counts."""
@@ -212,16 +217,34 @@ def _bpe_round_ctes(num_merges: int, min_pair_count: int) -> str:
     chr(31)-joined STRING accumulator (DuckDB's reduce seeds the
     accumulator with the first element — equivalent to the Spark fold's
     empty-init, since a lone first element always takes the append
-    branch; chr(31) cannot occur in whitespace-split ASCII tokens or in
-    "</w>"). Early stop replays WITHOUT a validity chain: a round whose
+    branch). U+001F is ASCII but NOT whitespace, so a corpus token CAN
+    contain it and would corrupt the accumulator split — the s1 CTE
+    therefore fail-louds via ``error()`` on any such token instead of
+    silently diverging from the Spark trainer (the driver fixtures are
+    printable-ASCII, so the guard is a tripwire, not a filter).
+    Early stop replays WITHOUT a validity chain: a round whose
     best pair falls under ``min_pair_count`` leaves the symbol table
     frozen, so every later round recomputes the SAME sub-threshold best
     and stays invalid — exactly Spark's ``break``."""
+    if num_merges > SQL_TESTED_MAX_MERGES:
+        raise ValueError(
+            f"bpe oracle: num_merges={num_merges} exceeds the tested bound "
+            f"{SQL_TESTED_MAX_MERGES}. Each round adds ~3 MATERIALIZED CTEs; "
+            "the chain is parity-tested up to the bound (tests/test_bpe.py), "
+            "and WITHOUT the MATERIALIZED keyword the inlined form re-expands "
+            "to 2^n scans (pinned as an fd-exhaustion crash at n=20). Audit "
+            "the MATERIALIZED discipline and extend the parity test before "
+            "raising the bound."
+        )
     parts = [
         "w0 AS MATERIALIZED (SELECT w, count(*) AS n FROM ("
         "SELECT unnest(list_filter(string_split(lower(coalesce(text,'')), ' '), "
         "x -> x <> '')) AS w FROM documents) GROUP BY 1)",
-        "s1 AS MATERIALIZED (SELECT w, list_append(list_transform(range(1, len(w)+1), "
+        # U+001F guard: fail loud, never silently diverge (see docstring)
+        "s1 AS MATERIALIZED (SELECT CASE WHEN contains(w, chr(31)) THEN "
+        "error('bpe oracle: corpus token contains U+001F accumulator "
+        "separator') ELSE w END AS w, "
+        "list_append(list_transform(range(1, len(w)+1), "
         "i -> w[i:i]), '</w>') AS s, n FROM w0)",
     ]
     for k in range(1, num_merges + 1):

@@ -89,7 +89,15 @@ def run_punctuated_until_settled(
     data batch), the query stops. Termination is event-driven (~the
     cost of the real batches), the wall-clock-timer semantics under
     test are fully exercised, and ``deadline_s`` is only the safety
-    backstop."""
+    backstop.
+
+    Progress is read from ``q.recentProgress`` (retains ~100 events)
+    keyed by batchId, so EVERY batch's numInputRows is observed exactly
+    — sampling ``lastProgress`` on a 50 ms poll could skip events for
+    batches faster than the poll, making the consecutive-zero count
+    approximate (under availableNow that could only delay termination,
+    never fabricate it, but exact observation positively verifies the
+    source drained)."""
     import time as _time
 
     if hasattr(out, "output_mode") and hasattr(out, "df"):
@@ -107,20 +115,20 @@ def run_punctuated_until_settled(
         .start()
     )
     deadline = _time.monotonic() + deadline_s
-    last_seen: str | None = None
+    seen: set[int] = set()
     idle = 0
     while _time.monotonic() < deadline and q.isActive:
-        p = q.lastProgress
-        if p is not None and p.get("batchId") is not None:
-            marker = f"{p['batchId']}"
-            if marker != last_seen:
-                last_seen = marker
-                if int(p.get("numInputRows", 0) or 0) == 0:
-                    idle += 1
-                    if idle >= settle_batches:
-                        break
-                else:
-                    idle = 0
+        for p in q.recentProgress:
+            bid = p.get("batchId")
+            if bid is None or bid in seen:
+                continue
+            seen.add(bid)
+            if int(p.get("numInputRows", 0) or 0) == 0:
+                idle += 1
+            else:
+                idle = 0
+        if idle >= settle_batches:
+            break
         _time.sleep(0.05)
     if q.isActive:
         q.stop()

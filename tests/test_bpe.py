@@ -177,3 +177,82 @@ def test_bpe_sql_oracle_matches_trainer_incl_exhaustion(spark):
         otc = dict(con.sql(bpe_token_counts_sql(20, 2)).fetchall())
         assert sm == om, (name, sm, om)
         assert enc == otc, (name, enc, otc)
+
+
+def test_bpe_sql_oracle_replays_at_40_rounds(spark):
+    """r13 (VERDICT task 6): the MATERIALIZED chain must still replay at
+    num_merges=40 — double the default contract — on BOTH stop shapes:
+    a corpus with 40 genuine merges (min_pair_count=1 keeps every round
+    valid) and one that exhausts early (frozen chain carried through 40
+    rounds). The 2^n-expansion failure mode was pinned only at 20
+    before; this is the extension the guard's bound promises."""
+    import duckdb
+
+    from kafka_streams_demo_spark.functions.bpe import (
+        bpe_token_counts_sql,
+        bpe_train_sql,
+    )
+
+    corpora = {
+        "deep": [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick onyx goblin jumps over the lazy dwarf"),
+        ],
+        "exhaustion": [(1, "aa aa bb bb"), (2, "aa bb")],
+    }
+    for name, rows in corpora.items():
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        m = bpe_train(docs, num_merges=40, min_pair_count=1)
+        sm = sorted(
+            (r["rank"], r["left"], r["right"], r["merged"], r["n_pair"])
+            for r in m.collect()
+        )
+        enc = {r["doc_id"]: r["n_tokens"]
+               for r in bpe_encode(docs, m).select("doc_id", "n_tokens").collect()}
+        if name == "deep":
+            assert len(sm) == 40, (name, len(sm))
+        con = duckdb.connect()
+        vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+        )
+        om = sorted(con.sql(bpe_train_sql(40, 1)).fetchall())
+        otc = dict(con.sql(bpe_token_counts_sql(40, 1)).fetchall())
+        assert sm == om, (name, sm, om)
+        assert enc == otc, (name, enc, otc)
+
+
+def test_bpe_sql_num_merges_guard_refuses_beyond_tested_bound():
+    """The oracle generator refuses num_merges beyond the parity-tested
+    bound instead of emitting an unaudited CTE chain."""
+    import pytest
+
+    from kafka_streams_demo_spark.functions.bpe import (
+        SQL_TESTED_MAX_MERGES,
+        bpe_train_sql,
+    )
+
+    with pytest.raises(ValueError, match="tested bound"):
+        bpe_train_sql(SQL_TESTED_MAX_MERGES + 1)
+    # the bound itself generates fine
+    assert "MATERIALIZED" in bpe_train_sql(SQL_TESTED_MAX_MERGES)
+
+
+def test_bpe_sql_oracle_fail_louds_on_u001f_token():
+    """ADVICE r12: U+001F is ASCII but not whitespace — a corpus token
+    containing the oracle's accumulator separator must raise, never
+    silently corrupt the merge replay."""
+    import duckdb
+    import pytest
+
+    from kafka_streams_demo_spark.functions.bpe import bpe_train_sql
+
+    con = duckdb.connect()
+    sep = chr(31)
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, 'ok ok'), (2, 'bad{sep}tok bad{sep}tok')) t(doc_id, text)"
+    )
+    with pytest.raises(duckdb.Error, match="U\\+001F"):
+        con.sql(bpe_train_sql(3)).fetchall()

@@ -4,8 +4,13 @@ are measured on the same distributions the catalog grades on.
 
 NOT new synthetic data: each table is the driver table replayed
 ``replicas`` times with disjoint key ranges (offset = r * 10^9, which
-preserves every ``key % k`` residue the catalog's splits rely on —
-10^9 % 20 = 0), mirroring how TPC-H scales (facts and dims grow
+preserves ``key % k`` residues for every k dividing 10^9 — 2, 4, 5,
+10, 20, ... — the moduli the catalog's split/bucket rules use; NOT
+mod 3: 10^9 ≡ 1 (mod 3), so the wallclock gap-injection rule
+``(user_id + event_id % 4) % 3`` selects a per-replica-shifted subset
+at the scale tiers. Gates stay consistent — the oracle replays the
+same rule on the same data — but that subset's SHAPE is not
+residue-preserved), mirroring how TPC-H scales (facts and dims grow
 linearly, region/nation stay fixed). Two tables get a content
 transform so workload SHAPE survives the replication:
 
@@ -79,16 +84,24 @@ def transform_documents(rep):
 
 
 def transform_embeddings(rep, dim):
-    """Replica r's vectors rotated by r positions: norm-preserving,
-    decorrelates replicas. Expects the ``_r`` column."""
+    """Replica r's vectors rotated by ``r % dim`` positions (the shift
+    wraps when replicas exceed the dimension — the 100x tier) with a
+    sign flip on every second wrap band (``(r // dim) % 2``): both are
+    norm-preserving, and together they keep all replicas < 2*dim
+    pairwise-decorrelated. Expects the ``_r`` column."""
+    rot = F.col("_r") % F.lit(dim)
+    rotated = F.when(rot == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice("embedding", rot + 1, F.lit(dim) - rot),
+            F.slice("embedding", F.lit(1), rot),
+        )
+    )
     return rep.withColumn(
         "embedding",
-        F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
-            F.concat(
-                F.slice("embedding", F.col("_r") + 1, F.lit(dim) - F.col("_r")),
-                F.slice("embedding", F.lit(1), F.col("_r")),
-            )
-        ),
+        F.when(
+            (F.col("_r") / F.lit(dim)).cast("int") % 2 == 1,
+            F.transform(rotated, lambda x: -x),
+        ).otherwise(rotated),
     )
 
 
