@@ -2454,3 +2454,71 @@ def test_state_get_point_single_partition_read(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.minDeltasForSnapshot", prev_deltas
             )
+
+
+def test_state_get_point_snapshot_deterministic(spark, tmp_path):
+    """VERDICT r12 task 4: the single-partition point read is reached
+    DETERMINISTICALLY on a freshly-driven checkpoint — no sleeps, no
+    have-a-snapshot branch. snapshot_eager pins minDeltasForSnapshot=1 +
+    100ms maintenance for the drive; await_partition_snapshot is a
+    bounded event-wait on the snapshot file (written at latest by the
+    final on-unload maintenance pass, SPARK-40492); the 1-partition
+    plan is then asserted UNCONDITIONALLY for every key."""
+    import os
+
+    from kafka_streams_demo_spark.streaming.interactive import (
+        await_partition_snapshot,
+        snapshot_eager,
+        state_get,
+        state_get_point,
+        state_partition,
+    )
+
+    src = tmp_path / "det_src"
+    ck = str(tmp_path / "det_ck")
+    os.makedirs(src)
+    for b in range(3):
+        spark.range(b * 20, (b + 1) * 20).selectExpr(
+            "concat('k', id % 4) AS key", "id AS value"
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+
+    with snapshot_eager(spark):
+        stream = (
+            spark.readStream.schema("key string, value long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            stream.groupBy("key").count().writeStream.format("noop")
+            .outputMode("update").option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        # bounded event-wait (not a sleep): every key's partition must
+        # produce a snapshot under the eager confs
+        for i in range(4):
+            p = state_partition(spark, {"key": f"k{i}"}, 32)
+            assert await_partition_snapshot(ck, p, timeout_s=30) >= 1
+
+    for i in range(4):
+        point = state_get_point(spark, ck, {"key": f"k{i}"})
+        assert point.rdd.getNumPartitions() == 1, f"k{i}: not a point read"
+        got = [(r["key"], r["count"]) for r in point.collect()]
+        want = [
+            (r["key"], r["count"])
+            for r in state_get(spark, ck, {"key": f"k{i}"}).collect()
+        ]
+        assert got == want and got == [(f"k{i}", 15)]
+
+
+def test_await_partition_snapshot_times_out_with_guidance(tmp_path):
+    """The bounded wait fails loudly (with the configs to pin) instead of
+    hanging when no maintenance will ever write a snapshot."""
+    import pytest
+
+    from kafka_streams_demo_spark.streaming.interactive import (
+        await_partition_snapshot,
+    )
+
+    with pytest.raises(TimeoutError, match="snapshot_eager"):
+        await_partition_snapshot(str(tmp_path), 0, timeout_s=0.2)
