@@ -457,61 +457,52 @@ ORACLE_CASTS: dict[str, dict[str, str]] = {
 # family is covered by the arrow sibling sharing its oracle). Whole
 # 50-name window re-verified with check_oracle at sf0.01 before commit
 # (standing rule).
+# Round 13 (VERDICT r12 task 5): the window is now BUILT FROM
+# tools/window_staleness.py — per-entry last-external-green round vs
+# line-level last-touch commit (blame -M -C through the r10 package
+# split). All 44 stale entries (touched after their last external
+# green, mostly r4-r9 greens predating the r10 split's mechanical
+# relocation — line-level blame clears the rest of the catalog) take
+# the head, then this round's changed-oracle/changed-path entries
+# (the BPE pair's oracle gained the U+001F error() guard, the
+# punctuator drive's settle loop was rewritten on recentProgress,
+# ivf_train_kmeans appears in both sets via its docstring touch),
+# then 3 standing anchors (word_count, q1, the flagship entry()).
+# Whole 50-name window re-verified with check_oracle at sf0.01 before
+# commit (standing rule). Everything demoted is cumulatively
+# hash-green with code untouched since (WINDOW_STALENESS_r13.json).
 DRIVER_PRIORITY: list[str] = [
-    # §2 anchors (green every round; families stay represented)
-    "word_count", "q1_pricing_summary", "ktable_latest",
-    "stream_table_join_segment", "processor_running_count",
-    "avro_wire_roundtrip",
-    # round-12 earners: formerly rows-only, now hash-gated (VERDICT r11
-    # tasks 2-3) — simhash's md5-60-bit signature pipeline replays as
-    # one CTE; pagerank's PRODUCTION plan registers against the gated
-    # sibling's unrolled-CTE oracle (the sibling stays in-window so both
-    # fold paths verify against the same oracle this round)
-    "simhash_pairs", "pagerank_cust_supp_prod", "pagerank_cust_supp",
-    # round-12 earners: the power-law skewed-JOIN pair (task 4), same
-    # oracle for both strategies
-    "skew_join_powerlaw", "skew_join_powerlaw_salted",
-    # round-12 changed-path entries (MUST re-verify): d2-argmin trainer,
-    # byte-derived multimodal oracles (ADVICE r11), and the three
-    # entries whose persisted-index session caches gained fingerprint
-    # keys + atexit cleanup
-    "ivf_train_kmeans", "multimodal_features", "multimodal_resize",
-    "bm25_bulk_postings", "split_leakage_safe_indexed",
-    "wallclock_punctuated_drive",
-    # statistical-gate entries (margin contracts documented r12): keep
-    # in-window so the documented bounds stay externally exercised
-    "minhash_lsh_pairs", "approx_distinct_users",
-    # round-12 earners: the catalog's LAST rows-only entries, now under
-    # the unrolled-merge-round CTE oracle (zero rows-only from here on);
-    # split_leakage_safe and compaction_plan demote to make room (both
-    # cumulatively green with in-window siblings
-    # split_leakage_safe_indexed / compaction_roundtrip)
-    "bpe_train_merges", "bpe_token_counts",
-    # per-family green representatives (rotation: the r11 earners that
-    # are unchanged this round — embedding_quantize_int8, ann_topk_arrow,
-    # minhash_lsh_incremental, approx_percentile_value,
-    # pq_codebooks_refined, multimodal_frames, the triangle-census and
-    # bm25 zipf/bulk-direct/pruned pairs, quality_classifier_incremental
-    # — demote on cumulative external green; families keep a sibling)
-    "asof_join_purchase_1h", "ktable_fk_join",
-    "session_window_sum_cents", "scd2_current_view",
-    "cms_point_queries", "hll_distinct_users",
-    "semdedup_cells", "dedup_embedding_cosine",
-    "contamination_check", "quality_score", "pii_scan",
-    "multimodal_wav_features",
-    "jpeg_decode_all_layouts",
-    "rollup_revenue", "top3_orders_per_cust",
-    "funnel_signup_click_purchase",
-    "zorder_layout", "compaction_roundtrip",
-    "token_budget_select",
-    "quality_classifier_filter",
-    "ann_ivf_pq_topk",
-    # re-verification rotation: green in earlier rounds, not driver-
-    # checked recently — keeps old families earning fresh external rows
-    "dedup_exact", "tumbling_window_count",
-    "sliding_window_full_count_bucketed", "cogroup_user_metrics",
-    "bm25_search_multi", "hybrid_rrf_fusion",
-    "pack_sequences", "sessionize_gap",
+    # stale: externally green r4-r6, lines touched since
+    "ngram_jaccard_pairs", "token_counts",
+    "q6_forecast_revenue", "q17_small_quantity_revenue",
+    "contamination_check_bloom", "doc_chunk_overlap",
+    "dedup_exact_incremental", "lang_id",
+    "gif_decode_meta", "jpeg_decode_meta",
+    "q4_late_ship_priority", "q14_promo_revenue",
+    "q19_disjunctive_revenue", "bm25_search",
+    "bm25_search_postings", "hybrid_rrf_fusion_multi",
+    # stale: externally green r7
+    "triangle_counts_incremental", "event_time_extract",
+    "ann_ivf_index_topk", "ann_ivf_assign_incremental",
+    "dedup_embedding_cosine_incremental", "salted_count_skew",
+    "jpeg_decode_restart", "funnel_conversion",
+    "retention_cohorts", "pipeline_training_data",
+    "tfidf_top_terms", "dedup_clusters_incremental",
+    # stale: externally green r8-r9
+    "clustering_coefficient", "curriculum_phases",
+    "jpeg_decode_subsampled", "moving_avg_per_user",
+    "robust_zscore_outliers", "event_paths_topk",
+    "unpivot_charge_components", "triangle_counts_coorder",
+    "semdedup_cells_incremental", "embedding_knn_blocked",
+    "customers_without_orders_anti", "cube_status_priority",
+    "vocab_token_freq", "user_journey_paths",
+    "daily_rollup_gapfill",
+    # r13 changed-oracle / changed-path entries (MUST re-verify)
+    "ivf_train_kmeans",          # also stale (r13 docstring touch)
+    "bpe_train_merges", "bpe_token_counts",  # oracle SQL changed (guard)
+    "wallclock_punctuated_drive",  # settle loop rewritten (recentProgress)
+    # standing anchors
+    "word_count", "q1_pricing_summary", "stream_table_join_segment",
 ]
 
 

@@ -305,3 +305,53 @@ def test_pagerank_prod_oracle_boundary_margin():
               f"{worst:.2e} (x1e-6 rank units)")
         # 5e-5 in scaled units = 5e-11 in rank units (≥10^5x noise)
         assert worst > 5e-5, (sf, worst)
+
+
+def test_pagerank_prod_oracle_boundary_margin_scale_tiers():
+    """FIXTURES.md regeneration checklist: the canary must also clear
+    every scale tier the gate runs on. The 10x tier (r12's gated
+    ceiling for pagerank) is checked here with a TIER-AWARE threshold:
+    the worst min-over-n margin shrinks ~1/n_nodes as node count grows
+    (measured 1.4e-10 rank units at 1.6k nodes -> 7.7e-12 at 160k —
+    almost exactly the 100x node growth), while the addition-order
+    noise stays ~1e-16 per rank, so the gate's safety factor at the
+    10x tier is still ~10^4.9. The assertion demands >=10^4
+    (1e-12 rank units = 1e-6 in scaled units).
+
+    The 100x tier is deliberately ABSENT: its oracle replay (the
+    distinct-pair edge build over 60M lineitem x 15M orders, then 3
+    unrolled iterations) exceeds 30 min in DuckDB (measured r13), so
+    sf10 is bench-only for pagerank — there is no sf10 hash gate for
+    this canary to protect (SCALE_CORRECTNESS_sf10_r13.json documents
+    the exclusion). Tiers are gitignored local artifacts — skip when
+    absent."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from kafka_streams_demo_spark.catalog.parity import _PR_EDGES_CTE
+    from kafka_streams_demo_spark.functions.graph import pagerank_sql
+
+    tier = "/root/repo/.scale/sf1"
+    if not os.path.isdir(tier):
+        pytest.skip("no local 10x tier generated (tools/gen_scale.py)")
+
+    sql = pagerank_sql(_PR_EDGES_CTE, iterations=3, damping=0.85)
+    body, tail = sql.rsplit("\nSELECT node, ROUND(rank, 6) AS rank", 1)
+    assert tail.startswith(" FROM r3")
+    raw_sql = body + "\nSELECT node, rank" + tail
+    con = duckdb.connect()
+    con.sql("SET threads = 8")
+    for t in ("orders", "lineitem"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tier}/{t}.parquet/*.parquet')"
+        )
+    ranks = [r[1] for r in con.sql(raw_sql).fetchall()]
+    margins = [abs((r * 1e6) % 1 - 0.5) for r in ranks]
+    worst = min(margins)
+    print(f"{tier}: {len(ranks)} nodes, worst boundary margin "
+          f"{worst:.2e} (x1e-6 rank units)")
+    # 1e-6 scaled = 1e-12 rank units = 10^4 x the ~1e-16 noise floor
+    assert worst > 1e-6, (tier, worst)

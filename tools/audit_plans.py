@@ -12,7 +12,9 @@ two hazard flags:
   1-row-stats crossJoin pattern (corpus aggregates, quantile thresholds,
   N-row); the artifact lists every site so a reviewer can check new ones.
 
-Usage: python tools/audit_plans.py [--json OUT.json] [sf_dir]
+Usage: python tools/audit_plans.py [--json OUT.json] [sf_dir] [query ...]
+(optional query names restrict the audit — e.g. the scale-tier subset
+audited at .scale/sf10 for the decade-over-decade plan diff, r13)
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ def main() -> int:
         out_path = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from kafka_streams_demo_spark import catalog
     from kafka_streams_demo_spark.plans.explain import audit
@@ -43,6 +46,8 @@ def main() -> int:
     results: dict[str, dict] = {}
     cartesians: list[str] = []
     for name, fn in catalog.queries().items():
+        if only and name not in only:
+            continue
         try:
             df = fn(spark, sf_dir)
             a = audit(df)
