@@ -88,7 +88,17 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     for i in range(iterations):
-        contribs = e.join(ranks, e["src"] == ranks["node"]).select(
+        # ranks is node-count-sized (tiny next to edges) but derives from
+        # localCheckpointed RDDs whose size Catalyst cannot estimate, so
+        # the planner picked SortMergeJoin and re-shuffled the EDGE table
+        # by src every iteration (r13 plan audit: 3 extra edge-wide
+        # Exchange+Sort pairs). Broadcasting ranks pins the hash join and
+        # leaves the groupBy(dst) exchange as the iteration's only
+        # shuffle. At cluster scale ranks is |nodes| rows — broadcast is
+        # right whenever the node set fits (the usual PageRank regime);
+        # callers with billion-node graphs would partition both sides
+        # once instead.
+        contribs = e.join(F.broadcast(ranks), e["src"] == ranks["node"]).select(
             F.col("dst").alias("node"), (F.col("rank") / F.col("_od")).alias("_c")
         )
         # exact_folds: sorted fold — bit-deterministic, what the oracle
@@ -110,7 +120,10 @@ def pagerank(
         # take its outgoing rank mass with it. Missing sum ⇒ 0, so its
         # rank settles at the teleport floor 0.15/N. For nodes with
         # in-edges the math is bit-identical (coalesce never fires).
-        ranks = nodes.join(summed, "node", "left").crossJoin(n_row).select(
+        # summed is ≤ |nodes| rows: broadcast it so the full-node-set rank
+        # rebuild is a hash join against the checkpointed nodes RDD
+        # instead of an Exchange+Sort of both sides per iteration.
+        ranks = nodes.join(F.broadcast(summed), "node", "left").crossJoin(n_row).select(
             "node",
             (
                 F.lit(0.15) / F.col("_n")
@@ -253,10 +266,14 @@ def triangle_counts(
         "shuffle_hash"
     )
     tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
-    corners = (
-        tris.select(F.col("a").alias("node"))
-        .unionByName(tris.select(F.col("b").alias("node")))
-        .unionByName(tris.select(F.col("c").alias("node")))
+    # corners via ONE explode, not a 3-branch union: Catalyst does not
+    # dedupe common subtrees across union branches, so the union form
+    # re-ran the whole wedge+closing join THREE times (r13 plan audit:
+    # 3 ShuffledHashJoin nodes for one triangle set). explode(array(...))
+    # yields the identical 3 corner rows per triangle from a single
+    # evaluation of `tris`.
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
 
