@@ -172,7 +172,12 @@ def ngram_jaccard_pairs(
     1000 (the scale-safe mode is opt-OUT); pass ``None`` for exact
     all-pairs Jaccard when the corpus is known small (the oracle-gated
     catalog entry does, so the SQL oracle stays an exact match)."""
-    sh = shingle_rows(docs, n, text_col, id_col)
+    # Shingle ONCE into an eager checkpoint: the shingle rows feed BOTH
+    # sides of the pairing self-join plus (via the array) the set-size
+    # projection, and Catalyst re-runs the HOF shingling chain per
+    # reference — 3 full passes in the r12 plan (r13 profile).
+    ss = doc_shingle_sets(docs, n, text_col, id_col).localCheckpoint(eager=True)
+    sh = ss.select("doc_id", F.explode("shset").alias("s"))
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("s")
@@ -182,12 +187,8 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
     # per-doc set size is ROW-LOCAL (size of the distinct shingle array —
-    # always the UNguarded count, per the lower-bound contract above); the
-    # old explode+groupBy formulation re-shingled the corpus through an
-    # extra exchange for the same numbers
-    sizes = doc_shingle_sets(docs, n, text_col, id_col).select(
-        "doc_id", F.size("shset").alias("n_sh")
-    )
+    # always the UNguarded count, per the lower-bound contract above)
+    sizes = ss.select("doc_id", F.size("shset").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -229,8 +230,21 @@ def ngram_jaccard_pairs_incremental(
     map-side-combined over the corpus (persist it alongside the corpus
     to make that delta-priced too). ``max_doc_freq`` counts document
     frequency across the whole corpus, matching the batch guard."""
-    sh_all = shingle_rows(corpus, n, text_col, id_col)
-    sh_new = shingle_rows(new_docs, n, text_col, id_col)
+    # Shingle the corpus ONCE into an eager checkpoint: the r12 shape
+    # re-ran the HOF shingling chain per DataFrame reference (sh_old,
+    # the delta side referenced from BOTH union branches, the set-size
+    # projection — ~4 full shingling passes in one plan; r13 decomposed
+    # the ingest entry at 3.8 s of which most was re-shingling). The
+    # delta's shingle sets are recovered from the checkpoint by id —
+    # sound because ``corpus`` must contain every referenced doc (the
+    # contract above). One row per doc with the distinct-shingle array —
+    # small next to the exploded rows, safe to materialize.
+    ss_all = doc_shingle_sets(corpus, n, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    sh_all = ss_all.select("doc_id", F.explode("shset").alias("s"))
+    new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    sh_new = sh_all.join(F.broadcast(new_ids), ["doc_id"], "left_semi")
     if max_doc_freq is not None:
         hot = (
             sh_all.groupBy("s")
@@ -241,13 +255,10 @@ def ngram_jaccard_pairs_incremental(
         sh_all = sh_all.join(F.broadcast(hot), "s", "left_anti")
         sh_new = sh_new.join(F.broadcast(hot), "s", "left_anti")
     # row-local per-doc set sizes (unguarded, same contract as the batch)
-    sizes = doc_shingle_sets(corpus, n, text_col, id_col).select(
-        "doc_id", F.size("shset").alias("n_sh")
-    )
+    sizes = ss_all.select("doc_id", F.size("shset").alias("n_sh"))
     # split the probe so every shared shingle matches EXACTLY once (no
     # dedup exchange): new×old pairs can only match in one orientation
     # (the old side is corpus-minus-delta), new×new pairs take a.id < b.id
-    new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
     sh_old = sh_all.join(new_ids, ["doc_id"], "left_anti")
     a = sh_new.alias("a")
     no = (

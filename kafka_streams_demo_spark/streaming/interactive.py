@@ -191,6 +191,24 @@ def snapshot_eager(spark: SparkSession):
         for k, v in SNAPSHOT_EAGER_CONFS.items():
             prior[k] = spark.conf.get(k, None)
             spark.conf.set(k, v)
+        # The state-store maintenance task is a JVM-global singleton whose
+        # interval is FIXED when the first stateful query loads a store —
+        # in a long-lived session that already ran one, the 100 ms conf
+        # above never reaches the running thread and the old (default
+        # 60 s) cadence stays, so the bounded snapshot wait times out
+        # (r13: reproduced — eager drive after any plain stateful drive
+        # never snapshots within 8 s; the full-suite failure of
+        # test_state_get_point_snapshot_deterministic). StateStore.stop()
+        # unloads idle providers and kills that thread; the drive's first
+        # store load then restarts maintenance WITH the pinned interval.
+        # Safe between queries (providers reload on demand); local-mode
+        # scope — on a cluster each executor owns its singleton, so pin
+        # the confs before the FIRST stateful query instead.
+        try:
+            jvm = spark._jvm  # type: ignore[attr-defined]
+            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:  # pragma: no cover — non-local sessions
+            pass
         try:
             yield
         finally:
