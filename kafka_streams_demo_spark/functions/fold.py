@@ -42,6 +42,7 @@ def sorted_fold_sum(
     out_col: str,
     round_dp: int | None = None,
     count_col: str | None = None,
+    extras: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Per-``group_cols`` ascending-sorted left-fold sum of ``value``.
 
@@ -54,6 +55,11 @@ def sorted_fold_sum(
     by the sum exactly as collect_list skips them (they sort first, add
     nothing). ``count_col`` counts ROWS per group (collect-era
     ``F.count(F.lit(1))`` parity), not non-null values.
+
+    ``extras``: additional per-group aggregates ``{out_name: agg_expr}``
+    evaluated over the same whole-partition frame (e.g. ``F.sum("c")``).
+    Only ORDER-INSENSITIVE aggregates belong here (integer sums, counts,
+    min/max) — they see rows in value-sorted order, not arrival order.
     """
     tagged = df.withColumn("_fold_v", value)
     gw = Window.partitionBy(*group_cols).orderBy(F.asc("_fold_v"))
@@ -64,6 +70,8 @@ def sorted_fold_sum(
     cols = [*group_cols, s.alias(out_col)]
     if count_col is not None:
         cols.append(F.count(F.lit(1)).over(full).alias(count_col))
+    for name, agg in (extras or {}).items():
+        cols.append(agg.over(full).alias(name))
     return (
         tagged.withColumn("_fold_rn", F.row_number().over(gw))
         .select(*cols, "_fold_rn")

@@ -220,9 +220,18 @@ def ngram_lm_score(
     contrib = db.join(model, ["w1", "w2"]).select(
         "doc_id", "c", (F.col("c").cast("double") * F.log10("s")).alias("v")
     )
-    return contrib.groupBy("doc_id").agg(
-        F.sum("c").alias("t"),
-        F.round(-_sorted_sum(F.col("v")) / F.sum("c").cast("double"), 6).alias("nll"),
+    # window fold (functions/fold.py): same sorted-order sum of v as the
+    # collect_list fold, one Sort+Window pass instead of the object agg;
+    # t = Σc is an integer sum — order-insensitive, safe as an extra
+    from kafka_streams_demo_spark.functions.fold import sorted_fold_sum
+
+    folded = sorted_fold_sum(
+        contrib, ["doc_id"], F.col("v"), "_sv", extras={"t": F.sum("c")}
+    )
+    return folded.select(
+        "doc_id",
+        "t",
+        F.round(-F.col("_sv") / F.col("t").cast("double"), 6).alias("nll"),
     )
 
 
