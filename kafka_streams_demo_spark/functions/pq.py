@@ -391,22 +391,27 @@ def pq_adc_topk(
     round(adist, 6) ascending, vec_id tie-break. Self-matches (n_id ==
     q_id) are excluded to mirror the exact-ANN entries."""
     dtab = _query_dtab(queries, codebooks, dim, m, q_id_col, q_vec_col)
-    from kafka_streams_demo_spark.functions.fold import sorted_fold_sum
-
-    scored = sorted_fold_sum(
+    scored = (
         codes.filter(F.col("vec_id").isNotNull())
         .join(F.broadcast(dtab), ["sub", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("n_id", F.col("vec_id")),
-        ["q_id", "n_id"],
-        F.col("dq"),
-        "adist",
-        round_dp=6,
-        count_col="_nm",
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("dq")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adist"),
+            F.count(F.lit(1)).alias("_nm"),
+        )
         # exactly m matched table entries per (q, v): a no-match code
         # (malformed vector → −1) must exclude the vector, not let it
         # rank with a spuriously small partial sum
-    ).filter(F.col("_nm") == m)
+        .filter(F.col("_nm") == m)
+    )
     w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -482,22 +487,27 @@ def ivf_pq_topk(
         keep_cols=("cell",),
     )
     dtab = _query_dtab(qin, cbs, dim, m)
-    from kafka_streams_demo_spark.functions.fold import sorted_fold_sum
-
-    scored = sorted_fold_sum(
+    scored = (
         cell_codes.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(dtab), ["q_id", "sub", "code"])
-        .withColumn("n_id", F.col("vec_id")),
-        ["q_id", "n_id"],
-        F.col("dq"),
-        "adist",
-        round_dp=6,
-        count_col="_nm",
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("dq")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adist"),
+            F.count(F.lit(1)).alias("_nm"),
+        )
         # exactly m matched table entries per (q, v): a no-match code
         # (malformed vector → −1) must exclude the vector, not let it
         # rank with a spuriously small partial sum
-    ).filter(F.col("_nm") == m)
+        .filter(F.col("_nm") == m)
+    )
     w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -618,24 +628,29 @@ def ivf_pq_residual_topk(
         "q_id", "cell", "sub", "code",
         _subvec_d2(F.col("_qs"), F.col("cvec")).alias("dq"),
     )
-    from kafka_streams_demo_spark.functions.fold import sorted_fold_sum
-
-    scored = sorted_fold_sum(
+    scored = (
         cell_codes.join(
             F.broadcast(probes.select(F.col("vid").alias("q_id"), "cell")), "cell"
         )
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(dtab), ["q_id", "cell", "sub", "code"])
-        .withColumn("n_id", F.col("vec_id")),
-        ["q_id", "n_id"],
-        F.col("dq"),
-        "adist",
-        round_dp=6,
-        count_col="_nm",
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("dq")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adist"),
+            F.count(F.lit(1)).alias("_nm"),
+        )
         # exactly m matched table entries per (q, v): a no-match code
         # (malformed vector → −1) must exclude the vector, not let it
         # rank with a spuriously small partial sum
-    ).filter(F.col("_nm") == m)
+        .filter(F.col("_nm") == m)
+    )
     w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
