@@ -1713,28 +1713,39 @@ def triangle_counts_incremental_q(spark, sf_dir):
     by canonical triple, and added to the old counts. Registered against
     the SAME oracle as `triangle_counts_coorder`, so a driver green
     proves old + delta == rebuild exactly — the graph-analytics member
-    of the index+delta contract. Cost prices on delta-edge degree sums,
-    never the union wedge space."""
+    of the index+delta contract. Cost prices on delta-edge neighbor
+    intersections, never the union wedge space.
+
+    The old/delta split is built in ONE self-join+groupBy pass (r13):
+    each co-order pair row carries (ship1 < cutoff AND ship2 < cutoff)
+    and an edge is OLD iff any order asserts it — identical to the
+    previous pairs(old) / pairs(all) / anti-join construction (old =
+    distinct pairs among pre-cutoff lineitems; delta = the rest), which
+    ran the lineitem self-join three times and the distinct twice
+    inside the checkpoint job (guide §2.4 duplicated subtrees)."""
     from kafka_streams_demo_spark.functions.graph import (
         triangle_counts_incremental,
     )
 
     li = load_table(spark, "lineitem", sf_dir)
-
-    def pairs(df):
-        l1 = df.select("l_orderkey", F.col("l_partkey").alias("a"))
-        l2 = df.select("l_orderkey", F.col("l_partkey").alias("b"))
-        return (
-            l1.join(l2, "l_orderkey")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .distinct()
-        )
-
-    old_und = pairs(li.filter(F.col("l_shipdate") < F.lit("1995-06-01")))
-    all_und = pairs(li)
-    delta_und = all_und.join(old_und, ["a", "b"], "left_anti")
-    return triangle_counts_incremental(old_und, delta_und)
+    cutoff = F.lit("1995-06-01")
+    l1 = li.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("a"),
+        (F.col("l_shipdate") < cutoff).alias("_s1"),
+    )
+    l2 = li.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("b"),
+        (F.col("l_shipdate") < cutoff).alias("_s2"),
+    )
+    flagged = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg((~F.max(F.col("_s1") & F.col("_s2"))).alias("_new"))
+    )
+    return triangle_counts_incremental(flagged_union=flagged)
 
 
 ORACLES["triangle_counts_incremental"] = _tri_oracle()

@@ -218,38 +218,47 @@ def triangle_counts(
     generated exactly once as its lowest-ordered vertex's wedge) and
     close against the oriented edge set.
 
-    The closing join is the dominant shuffle — O(m^1.5) wedge rows move
-    to meet m edges. ``bloom_prefilter`` fronts it with the repo's
-    broadcast bloom (functions/bloom.py) over the oriented edge keys so
-    only closing candidates enter the exchange. It is OFF by default on
-    measurement: the TPC-H co-purchase graph closes most wedges (dense
-    overlapping orders), so at sf0.1 the per-wedge probe cost (string
-    key + 5 hashes x 18M wedges) more than doubled the runtime while
-    filtering little. Turn it on for SPARSE closure rates — social /
-    web graphs where wedges outnumber triangles 100:1 — where the same
-    trade runs the other way (the contamination_check_bloom lesson:
-    a bloom pays when the probe side vastly exceeds the hit set).
-    Results are IDENTICAL either way (false negatives impossible;
-    positives removed by the exact join) — the parity test pins it."""
-    # oriented edges feed three branches (two wedge sides + the closing
-    # join) — materialize once instead of re-deriving the orientation
-    # joins per branch
+    Default path (r13): per-edge out-neighborhood INTERSECTION instead
+    of wedge materialization. For oriented edge (u, v), every
+    z in N+(u) ∩ N+(v) closes the triangle (u, v, z) exactly once (z is
+    the top of both out-edges; the wedge at u and the closing edge
+    (v, z) are implied). The out-adjacency collapses to one array row
+    per node — bounded at O(sqrt(m)) elements by the orientation — so
+    the only data that ever crosses an exchange is m edge rows plus the
+    node-count-sized adjacency table, instead of the O(m^1.5) wedge
+    rows the closing join used to move (~40 bytes/edge vs 24 bytes x
+    out-degree; guide §2.3 "shuffle keys and metadata instead of
+    payloads"). The intersection itself is JVM-native ``array_intersect``
+    over whole arrays. Measured at sf0.1 on the co-order graph:
+    7.1 → 4.7 s warm, node-count parity exact.
+
+    ``bloom_prefilter`` keeps the previous wedge+closing formulation and
+    fronts its closing exchange with the repo's broadcast bloom
+    (functions/bloom.py). It remains the right plan when per-node
+    adjacency arrays are unwelcome (extreme hubs where even the
+    O(sqrt(m))-capped array row is too large, or memory-tight reducers):
+    wedge rows stream row-at-a-time and never build per-node state.
+    Results are IDENTICAL on every path (the cross-implementation
+    parity test pins it)."""
+    # oriented edges feed three branches (adjacency + both probe joins)
+    # — materialize once instead of re-deriving the orientation joins
+    # per branch
     oe = orient_edges(undirected).localCheckpoint(eager=True)
-    e1 = oe.select(
-        F.col("src").alias("a"),
-        F.col("dst").alias("b"),
-        F.col("dst_deg").alias("bd"),
-    )
-    e2 = oe.select(
-        F.col("src").alias("a"),
-        F.col("dst").alias("c"),
-        F.col("dst_deg").alias("cd"),
-    )
-    wedges = e1.join(e2, "a").filter(
-        (F.col("bd") < F.col("cd"))
-        | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
-    )
     if bloom_prefilter:
+        e1 = oe.select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.col("dst_deg").alias("bd"),
+        )
+        e2 = oe.select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("c"),
+            F.col("dst_deg").alias("cd"),
+        )
+        wedges = e1.join(e2, "a").filter(
+            (F.col("bd") < F.col("cd"))
+            | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+        )
         from kafka_streams_demo_spark.functions.bloom import (
             bloom_build,
             bloom_might_contain,
@@ -268,32 +277,53 @@ def triangle_counts(
                 F.concat_ws("|", F.col("b").cast("string"), F.col("c").cast("string")),
             )
         )
-    # SHUFFLE-HASH the closing join: the wedge side is O(m^1.5) rows and
-    # a sort-merge join SORTS it; hashing the m-row edge side instead
-    # lets wedges stream unsorted past a per-partition hash map
-    # (measured 13.6 → 7.9 s at sf0.1, identical results). At scale the
-    # build side is m/partitions edges per task — size partitions to
-    # executor memory; Spark 3+ SHJ spills rather than OOMs.
-    closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c")).hint(
-        "shuffle_hash"
-    )
-    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
-    # corners via ONE explode, not a 3-branch union: Catalyst does not
-    # dedupe common subtrees across union branches, so the union form
-    # re-ran the whole wedge+closing join THREE times (r13 plan audit:
-    # 3 ShuffledHashJoin nodes for one triangle set). explode(array(...))
-    # yields the identical 3 corner rows per triangle from a single
-    # evaluation of `tris`.
-    corners = tris.select(
-        F.explode(F.array("a", "b", "c")).alias("node")
-    )
+        # SHUFFLE-HASH the closing join: the wedge side is O(m^1.5) rows
+        # and a sort-merge join SORTS it; hashing the m-row edge side
+        # instead lets wedges stream unsorted past a per-partition hash
+        # map. At scale the build side is m/partitions edges per task —
+        # size partitions to executor memory; Spark 3+ SHJ spills rather
+        # than OOMs.
+        closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c")).hint(
+            "shuffle_hash"
+        )
+        tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+        # corners via ONE explode, not a 3-branch union: Catalyst does
+        # not dedupe common subtrees across union branches (r13 plan
+        # audit: the union form ran the wedge+closing join THREE times).
+        corners = tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    else:
+        out_adj = oe.groupBy(F.col("src").alias("p")).agg(
+            F.collect_list("dst").alias("nb")
+        )
+        # SHUFFLE-HASH both adjacency joins: the array table is
+        # node-count-sized (hash it), edges stream past unsorted.
+        cand = (
+            oe.select("src", "dst")
+            .join(
+                out_adj.withColumnsRenamed({"p": "src", "nb": "_nu"}).hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .join(
+                out_adj.withColumnsRenamed({"p": "dst", "nb": "_nv"}).hint(
+                    "shuffle_hash"
+                ),
+                "dst",
+            )
+            .select(
+                "src", "dst", F.explode(F.array_intersect("_nu", "_nv")).alias("z")
+            )
+        )
+        corners = cand.select(F.explode(F.array("src", "dst", "z")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
 
 
 def triangle_counts_incremental(
-    old_und: DataFrame,
-    delta_und: DataFrame,
+    old_und: DataFrame | None = None,
+    delta_und: DataFrame | None = None,
     old_counts: DataFrame | None = None,
+    flagged_union: DataFrame | None = None,
 ) -> DataFrame:
     """Index+delta triangle maintenance: per-node counts over
     old ∪ delta edges, priced on the delta.
@@ -318,35 +348,63 @@ def triangle_counts_incremental(
 
     ``old_counts``: the PRODUCTION path — pass the persisted per-node
     count table from the last run and the old-graph batch recount is
-    skipped entirely, making the whole update delta-priced (probe rows
-    = Σ_delta deg_union(a)). When omitted (the same-oracle catalog
-    entry does, so the hash gate proves old + delta == rebuild), the
-    old counts are rebuilt from the checkpointed old edges."""
-    union = (
-        old_und.withColumn("_new", F.lit(False))
-        .unionByName(delta_und.withColumn("_new", F.lit(True)))
-        .localCheckpoint(eager=True)
-    )
+    skipped entirely, making the whole update delta-priced. When
+    omitted (the same-oracle catalog entry does, so the hash gate
+    proves old + delta == rebuild), the old counts are rebuilt from the
+    checkpointed old edges.
+
+    ``flagged_union``: alternative input — ONE frame (a, b, _new) with
+    the provenance flag already attached, for callers whose old/delta
+    split is a column of a single derivation (the catalog entry tags
+    each co-order edge old/new in one self-join+groupBy pass). Passing
+    the halves separately forces the checkpoint job to evaluate the
+    shared upstream once per half (Catalyst replans a referenced
+    subtree per branch), plus a third time inside the anti-join that
+    usually defines the delta.
+
+    Probe (r13): per-delta-edge neighbor-set INTERSECTION. For delta
+    edge (a, b), every c in N(a) ∩ N(b) over the union adjacency closes
+    a gained triangle; the adjacency collapses to one array row per
+    node, so the probe exchanges |delta| edge rows + the node-count
+    adjacency table instead of Σ_delta deg(a) exploded candidate rows
+    (at sf0.1 that was 147M rows into the closing semi-join — 10.5 s;
+    the intersection probe is 2.7 s, triple-set parity exact). The
+    intersection is JVM-native ``array_intersect``; b ∈ N(a) never
+    intersects (no self-loops), so the old q != b guard is implicit.
+    Scale caveat: union adjacency arrays are FULL neighborhoods — a
+    power-law hub's row is O(deg) (unlike the batch path's
+    O(sqrt(m))-capped oriented arrays). At 100 TB, split hub rows or
+    fall back to the row-streaming probe for the hot keys (same
+    hot-key-cap discipline as the LSH bucket caps)."""
+    if flagged_union is not None:
+        union = flagged_union.select("a", "b", "_new").localCheckpoint(eager=True)
+    else:
+        union = (
+            old_und.withColumn("_new", F.lit(False))
+            .unionByName(delta_und.withColumn("_new", F.lit(True)))
+            .localCheckpoint(eager=True)
+        )
     old_e = union.filter(~F.col("_new")).select("a", "b")
     delta_e = union.filter(F.col("_new")).select("a", "b")
     und = union.select("a", "b")
     adj = und.select(F.col("a").alias("p"), F.col("b").alias("q")).unionByName(
         und.select(F.col("b").alias("p"), F.col("a").alias("q"))
     )
+    adj_arr = adj.groupBy("p").agg(F.collect_list("q").alias("nb"))
+    # SHUFFLE-HASH both adjacency joins: hash the node-count-sized
+    # array table per partition, delta edges stream past unsorted.
     cand = (
-        delta_e.join(adj, delta_e["a"] == adj["p"])
-        .filter(F.col("q") != F.col("b"))
-        .select("a", "b", F.col("q").alias("c"))
+        delta_e.join(
+            adj_arr.withColumnsRenamed({"p": "a", "nb": "_na"}).hint("shuffle_hash"),
+            "a",
+        )
+        .join(
+            adj_arr.withColumnsRenamed({"p": "b", "nb": "_nb"}).hint("shuffle_hash"),
+            "b",
+        )
+        .select("a", "b", F.explode(F.array_intersect("_na", "_nb")).alias("c"))
     )
-    closing = und.select(
-        F.least("a", "b").alias("_lo"), F.greatest("a", "b").alias("_hi")
-    ).hint("shuffle_hash")  # hash the edge side; probe rows stream unsorted
-    tri = cand.join(
-        closing,
-        (F.least("b", "c") == F.col("_lo")) & (F.greatest("b", "c") == F.col("_hi")),
-        "left_semi",
-    )
-    triples = tri.select(
+    triples = cand.select(
         F.array_sort(F.array("a", "b", "c")).alias("t")
     ).distinct()
     new_corners = (

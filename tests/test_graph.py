@@ -219,12 +219,42 @@ def test_triangle_incremental_with_persisted_old_counts(spark):
     assert got == rebuild
 
 
+def test_triangle_incremental_flagged_union_parity(spark):
+    """The r13 single-frame input: a caller whose old/delta split is a
+    provenance column of one derivation passes (a, b, _new) directly —
+    must emit exactly what the two-frame form emits (and therefore the
+    full rebuild, by the test above)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.functions.graph import (
+        triangle_counts_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)], "a long, b long"
+    )
+    delta = spark.createDataFrame([(2, 4), (1, 5), (2, 5)], "a long, b long")
+    want = sorted(
+        map(tuple, triangle_counts_incremental(old, delta).collect())
+    )
+    flagged = old.withColumn("_new", F.lit(False)).unionByName(
+        delta.withColumn("_new", F.lit(True))
+    )
+    got = sorted(
+        map(
+            tuple,
+            triangle_counts_incremental(flagged_union=flagged).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_triangle_closing_join_is_shuffle_hash(spark):
-    """The census's dominant cost is the wedge-closing join: its probe
-    side is O(m^1.5) wedge rows, so a sort-merge join would SORT them.
-    The hint pins ShuffledHashJoin — edges hash per partition, wedges
-    stream unsorted (measured ~1.7x at sf0.1). Regression here silently
-    re-sorts the biggest intermediate in the repo."""
+    """The census's adjacency joins hash the node-count-sized array
+    table per partition while the m-row edge side streams unsorted —
+    a sort-merge join would SORT the edges twice for nothing. The hint
+    pins ShuffledHashJoin (same discipline as the r12 wedge-closing
+    join this path replaced in r13)."""
     from kafka_streams_demo_spark.functions.graph import triangle_counts
 
     und = spark.createDataFrame(
