@@ -1792,7 +1792,10 @@ def bm25_zipf_direct_q(spark, sf_dir):
     )
 
     n = load_table(spark, "documents", sf_dir).count()
-    docs = zipf_corpus(spark, 10 * n)
+    # materialize the generated corpus ONCE: the stats pass, the posting
+    # build and the query build each re-ran the 60-md5-per-doc generator
+    # otherwise (three evaluations per run — r13, guide §2.4)
+    docs = zipf_corpus(spark, 10 * n).localCheckpoint(eager=True)
     return bm25_search_queries(docs, _zipf_queries(docs), k=5)
 
 
@@ -1814,7 +1817,8 @@ def bm25_zipf_pruned_q(spark, sf_dir):
     )
 
     n = load_table(spark, "documents", sf_dir).count()
-    docs = zipf_corpus(spark, 10 * n)
+    # one corpus materialization — same rationale as bm25_zipf_direct
+    docs = zipf_corpus(spark, 10 * n).localCheckpoint(eager=True)
     return bm25_search_queries_pruned(docs, _zipf_queries(docs), k=5)
 
 
