@@ -904,6 +904,7 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_block_size: int | None = 10_000,
     on_oversized: str = "drop",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (i < j) within a blocking key whose
     cosine (rounded to 6 dp) clears ``threshold``.
@@ -913,24 +914,115 @@ def embedding_cosine_pairs(
     Pair with ``ivf_assign`` cells as the blocking key when no natural one
     exists. Blocks larger than ``max_block_size`` are dropped from pairing
     — a documented lower bound; audit with ``oversized_blocks`` or pass
-    ``on_oversized="error"`` to fail loudly instead (see ``_cap_blocks``)."""
+    ``on_oversized="error"`` to fail loudly instead (see ``_cap_blocks``).
+
+    impl='arrow' (default, r13): whole blocks pair inside one numpy
+    kernel (groupBy block → applyInPandas) instead of a block self-join
+    with an interpreted 64-element HOF fold per pair — the pair ROWS
+    never materialize on the JVM side at all, only survivors return.
+    Bit-identical to the HOF path: the kernel accumulates dot and norm²
+    SEQUENTIALLY over dimensions (``acc += A[:,d]·B[:,d]`` — vectorized
+    across pairs, ordered across dims, so every pair's IEEE addition
+    sequence equals the zip_with/aggregate left fold), final rounding +
+    threshold stay in Spark on the raw doubles (the kernel prefilters at
+    threshold − 1e-6, below any value that could round up to clear).
+    Pairs of unequal-length vectors score NULL natively (zip_with pads →
+    NULL sum) — the kernel matches by pairing only within equal-length
+    classes; NULL-element vectors are excluded (NULL cos → filtered),
+    while NaN elements / zero norms emit NaN pairs exactly like the HOF
+    path (Spark orders NaN above the threshold).
+    impl='native': the HOF formulation — no Python runtime in the plan.
+    Parity pinned in tests/test_dedup.py (both impls, boundary cosines).
+    """
     from kafka_streams_demo_spark.functions.similarity import dot, norm
 
     emb = _cap_blocks(emb, block_col, max_block_size, on_oversized)
-    a = emb.select(
-        F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
-    ).select("*", norm(F.col("va")).alias("na"))
-    b = emb.select(
-        F.col(id_col).alias("j"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb")
-    ).select("*", norm(F.col("vb")).alias("nb"))
-    return (
-        a.join(b, ["blk"])
-        .filter(F.col("i") < F.col("j"))
-        .select(
-            "i", "j",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+    if impl == "native":
+        a = emb.select(
+            F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
+        ).select("*", norm(F.col("va")).alias("na"))
+        b = emb.select(
+            F.col(id_col).alias("j"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb")
+        ).select("*", norm(F.col("vb")).alias("nb"))
+        return (
+            a.join(b, ["blk"])
+            .filter(F.col("i") < F.col("j"))
+            .select(
+                "i", "j",
+                F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
         )
-        .filter(F.col("cos") >= threshold)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    pre = emb.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("i"),
+        F.col(vec_col).alias("_v"),
+    )
+    idt = pre.schema["i"].dataType
+    out_schema = StructType(
+        [StructField("i", idt), StructField("j", idt), StructField("_raw", DoubleType())]
+    )
+    thr = float(threshold)
+
+    # self-contained closure: workers may not have the package importable
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["i"].values
+        empty = pd.DataFrame({"i": ids[:0], "j": ids[:0], "_raw": np.array([], dtype=np.float64)})
+        # bucket rows by exact vector length. A NULL element scores every
+        # touching pair NULL natively (acc + NULL = NULL) → filtered, so
+        # the row is excluded here; a NaN element (or zero norm) scores
+        # NaN, which Spark ORDERS ABOVE the threshold (NaN > any value)
+        # → the pair is EMITTED with cos NaN, so NaN rows stay in.
+        by_len: dict = {}
+        for r, v in enumerate(pdf["_v"].values):
+            if v is None:
+                continue
+            if (getattr(v, "dtype", None) is None or v.dtype == object) and any(
+                e is None for e in v
+            ):
+                continue
+            row = np.asarray(v, dtype=np.float64)
+            if row.ndim != 1:
+                continue
+            by_len.setdefault(row.shape[0], []).append((r, row))
+        outs = []
+        for d, rows in by_len.items():
+            if len(rows) < 2:
+                continue
+            ridx = np.array([r for r, _ in rows])
+            V = np.stack([row for _, row in rows])
+            n = V.shape[0]
+            nsq = np.zeros(n)
+            for k in range(d):          # sequential over dims == HOF fold
+                nsq += V[:, k] * V[:, k]
+            nrm = np.sqrt(nsq)
+            iu, ju = np.triu_indices(n, 1)
+            acc = np.zeros(iu.size)
+            for k in range(d):          # sequential over dims == HOF fold
+                acc += V[iu, k] * V[ju, k]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                raw = acc / (nrm[iu] * nrm[ju])
+            ii, jj = ids[ridx[iu]], ids[ridx[ju]]
+            # NaN pairs stay (Spark's filter keeps them: NaN > threshold)
+            keep = ((raw >= thr - 1e-6) | np.isnan(raw)) & (ii != jj)
+            if not keep.any():
+                continue
+            ii, jj, raw = ii[keep], jj[keep], raw[keep]
+            swap = jj < ii
+            lo = np.where(swap, jj, ii)
+            hi = np.where(swap, ii, jj)
+            outs.append(pd.DataFrame({"i": lo, "j": hi, "_raw": raw}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    pairs = pre.groupBy("_blk").applyInPandas(block_pairs, out_schema)
+    return pairs.select("i", "j", F.round("_raw", 6).alias("cos")).filter(
+        F.col("cos") >= threshold
     )
 
 

@@ -119,6 +119,46 @@ def test_embedding_cosine_pairs_detects_copies(spark):
     assert (1, 5) in got and got[(1, 5)] < 1.0
 
 
+def test_embedding_cosine_pairs_impls_are_bit_identical(spark):
+    """arrow (block kernel, sequential-dim fold) and native (HOF fold)
+    pair paths must emit the identical pair set with bit-equal cosines —
+    the impl flag is a runtime choice, never a semantic one. Fixture
+    stresses the boundaries: near-threshold cosines, ties, a >2-member
+    clique, negative components, an unequal-length vector (its pairs
+    score NULL natively → absent), and a NULL-element vector (absent)."""
+    import math
+
+    from kafka_streams_demo_spark.functions.dedup import embedding_cosine_pairs
+
+    rows = []
+    # a clique of near-duplicates around [1, 0, 0] plus scattered points
+    base = [(1.0, 0.0, 0.0), (0.999, 0.01, 0.0), (0.98, 0.1, -0.05),
+            (0.6, 0.6, 0.3), (-1.0, 0.0, 0.0), (0.7072, 0.7070, 0.0),
+            (0.35, 0.35, 0.0), (1e-30, 0.0, 0.0)]
+    for blk in range(3):
+        for k, v in enumerate(base):
+            rows.append((blk * 100 + k, blk, [x + blk * 0.001 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    short = spark.createDataFrame(
+        [(990, 0, [1.0, 0.0])], "vec_id long, label int, embedding array<double>"
+    )
+    nullel = spark.createDataFrame(
+        [(991, 0, [1.0, None, 0.0])], "vec_id long, label int, embedding array<double>"
+    )
+    df = df.unionByName(short).unionByName(nullel)
+    for thr in (0.35, 0.9999):
+        a = {(r["i"], r["j"]): r["cos"] for r in
+             embedding_cosine_pairs(df, threshold=thr, block_col="label", impl="arrow").collect()}
+        n = {(r["i"], r["j"]): r["cos"] for r in
+             embedding_cosine_pairs(df, threshold=thr, block_col="label", impl="native").collect()}
+        assert set(a) == set(n)
+        for key in a:
+            ca, cn = a[key], n[key]
+            assert (ca == cn) or (math.isnan(ca) and math.isnan(cn)), (key, ca, cn)
+        assert a  # non-trivial
+        assert not any(990 in k or 991 in k for k in a)
+
+
 def test_minhash_sig_impls_are_bit_identical(spark):
     """arrow and native signature paths must produce identical values —
     the impl flag is a runtime choice, never a semantic one."""
