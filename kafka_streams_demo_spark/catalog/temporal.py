@@ -2165,27 +2165,36 @@ def _cleaned_corpus(spark, sf_dir):
     """Shared front half of the cleaning compositions: C4 line rules →
     Gopher quality gate → exact dedup election on the CLEANED text →
     surviving (doc_id, n_kept, new_text)."""
+    from kafka_streams_demo_spark.functions.spread import spread
     from kafka_streams_demo_spark.functions.text import c4_line_clean, gopher_quality
 
-    docs = load_table(spark, "documents", sf_dir).select(
+    # spread the one-partition documents scan: the whole C4+Gopher chain
+    # is row-local and otherwise runs on one core (functions/spread.py)
+    docs = spread(load_table(spark, "documents", sf_dir).select(
         "doc_id",
         F.regexp_replace(F.col("text"), " (table|value) ", ".\n").alias("text"),
-    )
+    ))
     cleaned = c4_line_clean(docs).select("doc_id", "n_kept", "new_text")
     flat = cleaned.select(
         "doc_id", "n_kept",
         F.regexp_replace(F.col("new_text"), "\n", " ").alias("text"),
         "new_text",
     )
-    g = gopher_quality(
-        flat, min_words=10, min_mean_word_len=2.0, max_mean_word_len=10.0,
-        min_stopwords=1, min_alpha_frac=0.0, max_symbol_ratio=1e9,
-        max_bullet_frac=1e9, max_ellipsis_frac=1e9,
-    ).select("doc_id", "keep")
+    # keep_cols pass-through: the previous flat⋈gopher join-back on
+    # doc_id re-evaluated the whole C4 chain per branch (r13)
     gate = (
-        flat.join(g, ["doc_id"])
+        gopher_quality(
+            flat, min_words=10, min_mean_word_len=2.0, max_mean_word_len=10.0,
+            min_stopwords=1, min_alpha_frac=0.0, max_symbol_ratio=1e9,
+            max_bullet_frac=1e9, max_ellipsis_frac=1e9,
+            keep_cols=("n_kept", "new_text"),
+        )
         .filter((F.col("n_kept") >= 1) & F.col("keep"))
         .select("doc_id", "n_kept", "new_text")
+        # survivors feed the election groupBy AND the semi-join back —
+        # materialize the cleaned text once (stage boundary, as the
+        # curation pipeline does)
+        .localCheckpoint(eager=True)
     )
     canon = gate.groupBy(F.md5(F.col("new_text").cast("binary"))).agg(
         F.min("doc_id").alias("keep_id")

@@ -176,7 +176,9 @@ def ngram_jaccard_pairs(
     # sides of the pairing self-join plus (via the array) the set-size
     # projection, and Catalyst re-runs the HOF shingling chain per
     # reference — 3 full passes in the r12 plan (r13 profile).
-    ss = doc_shingle_sets(docs, n, text_col, id_col).localCheckpoint(eager=True)
+    ss = doc_shingle_sets(docs, n, text_col, id_col, spread=True).localCheckpoint(
+        eager=True
+    )
     sh = ss.select("doc_id", F.explode("shset").alias("s"))
     if max_doc_freq is not None:
         hot = (
@@ -239,7 +241,7 @@ def ngram_jaccard_pairs_incremental(
     # sound because ``corpus`` must contain every referenced doc (the
     # contract above). One row per doc with the distinct-shingle array —
     # small next to the exploded rows, safe to materialize.
-    ss_all = doc_shingle_sets(corpus, n, text_col, id_col).localCheckpoint(
+    ss_all = doc_shingle_sets(corpus, n, text_col, id_col, spread=True).localCheckpoint(
         eager=True
     )
     sh_all = ss_all.select("doc_id", F.explode("shset").alias("s"))
@@ -370,7 +372,8 @@ def minhash_sig_array(
 
 
 def doc_shingle_sets(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    spread: bool = False,
 ) -> DataFrame:
     """(doc_id, shset) with the distinct shingle set kept ROW-LOCAL as an
     array column — zero shuffle: tokenize/shingle/dedup are per-row
@@ -383,10 +386,23 @@ def doc_shingle_sets(
     measured). No size() filter here — Catalyst would push it down by
     substituting the full inline expression, re-creating the slow path;
     empty sets drop out downstream (explode yields no rows, jaccard nulls
-    fail thresholds)."""
+    fail thresholds).
+
+    ``spread``: round-robin the (usually one-partition) corpus scan
+    across the cluster before the per-doc shingle pass (functions/
+    spread.py; no-op at real scale). OPT-IN per call site — the A/B at
+    sf0.1 (r13) won only where the shingle pass itself dominates
+    (ngram_jaccard batch 1.84 → 0.98 s, incremental via the ingest
+    pipeline): under minhash the signature mapInPandas re-batches
+    anyway (+0.37 s), and the contamination probes shingle corpora too
+    small to amortize the extra exchange (+0.1–0.2 s)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
     )
+    if spread:
+        from kafka_streams_demo_spark.functions.spread import spread as _spread
+
+        toks = _spread(toks)
     return toks.select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("_toks"), n)).alias("shset"),
@@ -772,6 +788,9 @@ def simhash_pairs(
     Tokens and their hashes are each materialized behind their own
     projection; the signature stage itself is Arrow-vectorized by default
     (simhash_sig — bit-identical native fallback available)."""
+    # NOT spread (functions/spread.py): the signature table is persisted
+    # and everything downstream reads the cache, so the extra exchange
+    # cost exceeded the one-pass parallelism gain (0.69 → 0.83 s; r13)
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
     )

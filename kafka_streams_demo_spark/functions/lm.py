@@ -59,6 +59,10 @@ def _sorted_sum(col: Column) -> Column:
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # NOT spread (functions/spread.py): consumers reference the token
+    # frame from several branches (uni+bigram unions, train+score), so a
+    # repartition here runs once PER BRANCH — measured net-negative at
+    # sf0.1 (quality_classifier_filter 1.46 → 1.93 s; r13)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ").alias("_ts"),

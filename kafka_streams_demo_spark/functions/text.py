@@ -319,6 +319,10 @@ def bm25_postings(docs, id_col: str = "doc_id", text_col: str = "text"):
     ``""`` posting, dl=1 — matching the direct path, which applies the
     same coalesce) so N/avgdl recovered from postings stay bit-equal to
     the direct path even on corpora with NULL rows."""
+    # NOT spread (functions/spread.py): A/B at sf0.1 was flat
+    # (bm25_bulk_postings 3.04 → 3.08 s) — the posting build's groupBy
+    # exchange already redistributes, so the extra round-robin pass
+    # buys nothing (r13)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_sort(
@@ -770,6 +774,7 @@ def gopher_quality(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ):
     """The published Gopher quality-filter rule bundle (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", Appendix A) as ONE row-local
@@ -783,7 +788,13 @@ def gopher_quality(
 
     100 TB design: pure column expressions — an embarrassingly parallel
     map stage inside WholeStageCodegen, zero shuffle, composable with
-    pipeline_keeplist/ingest_keeplist as an extra gate predicate."""
+    pipeline_keeplist/ingest_keeplist as an extra gate predicate.
+
+    ``keep_cols``: input columns carried through to the output — a
+    composition that needs them (the cleaning stack keeps the cleaned
+    text) would otherwise join this output back to its input on doc_id,
+    re-evaluating the caller's whole upstream chain per branch (r13:
+    the clean-corpus pipeline ran C4 twice that way)."""
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     lines = F.split(F.col(text_col), "\n")
     n_words = F.size(words)
@@ -830,6 +841,7 @@ def gopher_quality(
     )
     out = docs.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         n_words.cast("long").alias("n_words"),
         F.coalesce(mean_wl, F.lit(0.0)).alias("mean_word_len"),
         F.coalesce(symbol_ratio, F.lit(0.0)).alias("symbol_ratio"),
@@ -1060,6 +1072,12 @@ def gopher_repetition(
     zero Python). Bit-identical — parity-tested and both green against
     the same SQL oracle; the flag is a runtime choice, never a
     semantic one."""
+    from kafka_streams_demo_spark.functions.spread import spread
+
+    # single-small-file corpus scans are ONE partition — the whole
+    # per-doc pass ran on one core (2.4 → 0.55 s at sf0.1; no-op on
+    # real-scale scans — functions/spread.py)
+    docs = spread(docs.select(F.col(id_col), F.col(text_col)))
     if impl == "arrow":
         fn = _make_gopher_rep_arrow(
             dict(GOPHER_TOP_NGRAM_LIMITS), dict(GOPHER_DUP_NGRAM_LIMITS),

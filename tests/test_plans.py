@@ -124,12 +124,15 @@ def test_dedup_family_stays_jvm_side(spark):
     exception: its signature stage is Arrow-vectorized numpy (measured 4×
     over the interpreted HOF chain) — exactly ONE Python node (the
     mapInPandas signature pass), twice in the plan because LSH candidates
-    and verification both read the shingle sets."""
-    for name in ["dedup_exact",
-                 "ngram_jaccard_pairs", "dedup_embedding_cosine", "embedding_knn_blocked"]:
+    and verification both read the shingle sets. embedding cosine pairing
+    is the other sanctioned kernel (r13): within-block pairs form inside
+    one numpy applyInPandas kernel (bit-identical sequential-dim fold,
+    parity-tested vs the HOF path in test_dedup.py) instead of a block
+    self-join, so its plan carries exactly one FlatMapGroupsInPandas."""
+    for name in ["dedup_exact", "ngram_jaccard_pairs", "embedding_knn_blocked"]:
         a = _audit(spark, name)
         assert a.python_evals == 0, f"{name} fell off the JVM path:\n{a.plan}"
-    for name in ["minhash_lsh_pairs", "simhash_pairs"]:
+    for name in ["minhash_lsh_pairs", "simhash_pairs", "dedup_embedding_cosine"]:
         a = _audit(spark, name)
         assert 1 <= a.python_evals <= 2, f"unexpected Python nodes:\n{a.plan}"
 
