@@ -50,7 +50,14 @@ __all__ = [
 
 
 def _sorted_sum(col: Column) -> Column:
-    """Order-insensitive double sum: fold the sorted contribution list."""
+    """Order-insensitive double sum: fold the sorted contribution list.
+    Still the right aggregate for the NB scoring paths — the r13 A/B of
+    the window fold (functions/fold.py) was a wash-to-slightly-worse
+    there (quality_classifier_filter 1.33 → 1.39 s, token_budget_select
+    1.46 → 1.51 s at sf0.1) while dsir_weights kept the fold (clear win,
+    1.44 → 1.21 s): the NB contribution join emits fewer, pre-combined
+    rows per doc, so the map-side partial combine beats the raw-row
+    exchange."""
     return F.aggregate(
         F.array_sort(F.collect_list(col)),
         F.lit(0.0),
@@ -363,9 +370,12 @@ def dsir_weights(
     contrib = feats.join(F.broadcast(ratios), "bucket").select(
         "doc_id", (F.col("c").cast("double") * F.col("lr")).alias("v")
     )
-    return contrib.groupBy("doc_id").agg(
-        F.round(_sorted_sum(F.col("v")), 6).alias("w")
-    )
+    # window fold (functions/fold.py): identical sorted-order sum as the
+    # collect_list fold, one Exchange+Sort+Window pass instead of the
+    # sort-fallback ObjectHashAggregate (~256 contributions/doc)
+    from kafka_streams_demo_spark.functions.fold import sorted_fold_sum
+
+    return sorted_fold_sum(contrib, ["doc_id"], F.col("v"), "w", round_dp=6)
 
 
 def dsir_select(
