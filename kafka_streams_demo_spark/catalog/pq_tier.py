@@ -380,15 +380,31 @@ def ann_recall_report_q(spark, sf_dir):
     (tests/test_similarity.py::test_ann_tier_recall_floors_on_
     clustered_fixture — IVF ≥ 0.9, residual-PQ strictly > raw-PQ), so
     a recall regression fails CI rather than hiding in the noise."""
+    from concurrent.futures import ThreadPoolExecutor
     from functools import reduce
 
-    exact = QUERIES["ann_topk_bruteforce"](spark, sf_dir).select("q_id", "n_id")
-    parts = [
-        QUERIES[t](spark, sf_dir).select(
-            F.lit(t).alias("method"), "q_id", "n_id"
+    # Build the tier frames CONCURRENTLY (guide §2.6 — overlap
+    # independent jobs): each tier's construction runs eager setup jobs
+    # (centroid checkpoint, codebook collects, literal folds) that are
+    # serial driver round-trips; a small pool back-fills the cluster
+    # while another tier's collect drains its stage tail. The resulting
+    # union plan is IDENTICAL to the sequential build (pool.map keeps
+    # tier order) — measured 6.4 → 3.3 s of build time at sf0.1 (r13).
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fut_exact = pool.submit(
+            lambda: QUERIES["ann_topk_bruteforce"](spark, sf_dir).select(
+                "q_id", "n_id"
+            )
         )
-        for t in _RECALL_TIERS
-    ]
+        parts = list(
+            pool.map(
+                lambda t: QUERIES[t](spark, sf_dir).select(
+                    F.lit(t).alias("method"), "q_id", "n_id"
+                ),
+                _RECALL_TIERS,
+            )
+        )
+        exact = fut_exact.result()
     appr = reduce(lambda a, b: a.unionByName(b), parts)
     joined = appr.join(
         exact.withColumn("_hit", F.lit(1)), ["q_id", "n_id"], "left"

@@ -443,7 +443,7 @@ def minhash_index(
     document always produces the same band rows, so index rows from
     different runs compose. Write partitioned/bucketed by ``band`` for
     co-located delta joins."""
-    ds = doc_shingle_sets(docs, n, text_col, id_col)
+    ds = doc_shingle_sets(docs, n, text_col, id_col, spread=True)
     sig = minhash_sig_array(ds, num_hashes, impl=signature_impl)
     return _band_rows(sig, num_hashes, bands).filter(F.col("bucket").isNotNull())
 
@@ -619,7 +619,11 @@ def minhash_lsh_pairs(
     candidates are not reported (they are exact-dup work, not near-dup
     work)."""
     rows = num_hashes // bands
-    ds = doc_shingle_sets(docs, n, text_col, id_col)
+    # spread=True: interleaved 4-pass A/B at sf0.1 — equal-or-better warm
+    # (2.35/2.52 vs 2.34/2.37 s) and 2× better cold (6.9 vs 3.3 s); the
+    # whole shingle+signature chain otherwise runs on the scan's single
+    # partition until the bucket groupBy (r13)
+    ds = doc_shingle_sets(docs, n, text_col, id_col, spread=True)
     sig = minhash_sig_array(ds, num_hashes, impl=signature_impl)
     banded = _band_rows(sig, num_hashes, bands)
     # Candidate pairs via bucket grouping, NOT a self-join: a self-join
