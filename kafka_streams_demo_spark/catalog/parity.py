@@ -1686,16 +1686,37 @@ def triangle_counts_coorder(spark, sf_dir):
     co-occurrence graph at 100 TB that is the difference between a big
     join and an impossible one. Within-order pair expansion is bounded
     by order size (~7 lineitems in TPC-H). Pure integer math: the oracle
-    replays orientation, wedges, and closure exactly."""
+    replays orientation, wedges, and closure exactly.
+
+    Edge build (r13): groupBy(order) + in-array pair expansion instead
+    of the lineitem⋈lineitem self-join — the self-join shuffled the
+    lineitem projection TWICE (both join inputs) and joined before the
+    a<b filter could drop half the pairs; collecting each order's
+    distinct sorted partkeys into one array row shuffles the table once
+    and expands pairs JVM-native inside the row (bounded by order size,
+    ~7 in TPC-H). Set-identical to the self-join (A/B exceptAll both
+    ways = 0 at sf0.1; the shared oracle replays the self-join form)."""
     from kafka_streams_demo_spark.functions.graph import triangle_counts
 
     li = load_table(spark, "lineitem", sf_dir)
-    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
-    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    arr = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     und = (
-        l1.join(l2, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
     )
     return triangle_counts(und)
@@ -1722,29 +1743,45 @@ def triangle_counts_incremental_q(spark, sf_dir):
     previous pairs(old) / pairs(all) / anti-join construction (old =
     distinct pairs among pre-cutoff lineitems; delta = the rest), which
     ran the lineitem self-join three times and the distinct twice
-    inside the checkpoint job (guide §2.4 duplicated subtrees)."""
+    inside the checkpoint job (guide §2.4 duplicated subtrees).
+
+    Edge build (r13, second pass): the remaining self-join became a
+    groupBy(order) + in-array pair expansion, same as the batch entry —
+    per (order, part) the flag collapses first (max over an order's
+    lineitem PAIRS of s1∧s2 equals max(s1)∧max(s2), a boolean identity),
+    then each order's sorted (part, flag) structs expand to a<b pairs
+    inside the row. One lineitem shuffle instead of two join inputs;
+    flagged set A/B-identical both ways at sf0.1."""
     from kafka_streams_demo_spark.functions.graph import (
         triangle_counts_incremental,
     )
 
     li = load_table(spark, "lineitem", sf_dir)
     cutoff = F.lit("1995-06-01")
-    l1 = li.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("a"),
-        (F.col("l_shipdate") < cutoff).alias("_s1"),
+    op = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.max(F.col("l_shipdate") < cutoff).alias("s")
     )
-    l2 = li.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("b"),
-        (F.col("l_shipdate") < cutoff).alias("_s2"),
+    arr = op.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.struct("l_partkey", "s"))).alias("ps")
     )
-    flagged = (
-        l1.join(l2, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg((~F.max(F.col("_s1") & F.col("_s2"))).alias("_new"))
-    )
+    pairs = arr.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                        lambda y: F.struct(
+                            x["l_partkey"].alias("a"),
+                            y["l_partkey"].alias("b"),
+                            (x["s"] & y["s"]).alias("f"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.a", "e.b", "e.f")
+    flagged = pairs.groupBy("a", "b").agg((~F.max("f")).alias("_new"))
     return triangle_counts_incremental(flagged_union=flagged)
 
 
