@@ -291,7 +291,7 @@ def pipeline_quality_curation_q(spark, sf_dir):
     # these become `.checkpoint()`/table writes between stages — exactly
     # how a production curation run stages its intermediates.
     scored = ccnet_bucket(
-        ngram_lm_score(docs, train_docs=docs.where(F.col("doc_id") % 5 != 0)),
+        ngram_lm_score(docs, train_pred=F.col("doc_id") % 5 != 0),
         cutoffs=(1.4722, 1.4861),
     ).localCheckpoint(eager=True)
     surv = docs.join(
@@ -894,7 +894,7 @@ def ccnet_perplexity_q(spark, sf_dir):
     from kafka_streams_demo_spark.functions.lm import ccnet_bucket, ngram_lm_score
 
     docs = load_table(spark, "documents", sf_dir)
-    scored = ngram_lm_score(docs, train_docs=docs.where(F.col("doc_id") % 5 != 0))
+    scored = ngram_lm_score(docs, train_pred=F.col("doc_id") % 5 != 0)
     return ccnet_bucket(scored, cutoffs=(1.4722, 1.4861))
 
 

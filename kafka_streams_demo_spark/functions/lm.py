@@ -65,27 +65,37 @@ def _sorted_sum(col: Column) -> Column:
     )
 
 
-def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
     # NOT spread (functions/spread.py): consumers reference the token
     # frame from several branches (uni+bigram unions, train+score), so a
     # repartition here runs once PER BRANCH — measured net-negative at
     # sf0.1 (quality_classifier_filter 1.46 → 1.93 s; r13)
+    names = list(extra) if extra else []
     return docs.select(
         F.col(id_col).alias("doc_id"),
+        *(expr.alias(name) for name, expr in (extra or {}).items()),
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ").alias("_ts"),
-    ).select("doc_id", "_ts", F.size("_ts").alias("_n"))
+    ).select("doc_id", *names, "_ts", F.size("_ts").alias("_n"))
 
 
-def _bigram_rows(toks: DataFrame) -> DataFrame:
-    """(doc_id, w1, w2, c) — per-doc bigram multiplicities. ``_ts`` is a
-    bound attribute (the run_starts HOF contract), and docs shorter than
-    2 tokens are filtered before the 0-based ``sequence(0, _n-2)`` is
-    built (Spark's sequence DESCENDS when start > stop — never evaluate
-    it on an empty doc)."""
+def _bigram_rows(toks: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, [carry...], w1, w2, c) — per-doc bigram multiplicities.
+    ``_ts`` is a bound attribute (the run_starts HOF contract), and docs
+    shorter than 2 tokens are filtered before the 0-based
+    ``sequence(0, _n-2)`` is built (Spark's sequence DESCENDS when
+    start > stop — never evaluate it on an empty doc). ``carry`` names
+    per-doc-constant columns to keep through the aggregate (added to the
+    group keys; doc_id determines them, so the groups are unchanged)."""
     return (
         toks.where(F.col("_n") >= 2)
         .select(
             "doc_id",
+            *carry,
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.col("_n") - 2),
@@ -96,7 +106,9 @@ def _bigram_rows(toks: DataFrame) -> DataFrame:
                 )
             ).alias("_b"),
         )
-        .groupBy("doc_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        .groupBy(
+            "doc_id", *carry, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
+        )
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
@@ -148,6 +160,7 @@ def ngram_lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     counts: tuple[DataFrame, DataFrame] | None = None,
+    train_pred: Column | None = None,
 ) -> DataFrame:
     """Per-document Stupid Backoff bigram cross-entropy.
 
@@ -156,7 +169,12 @@ def ngram_lm_score(
     actually exercised; CCNet trains on target-domain text and scores
     the crawl). Or pass ``counts`` — (cb, cu) tables from ``lm_counts``
     / ``merge_lm_counts`` — to score against a persisted model without
-    re-tokenizing the training corpus (N is recovered as Σcu). Score per doc: ``nll = -(1/T) Σ log10 S(w_i | w_{i-1})``
+    re-tokenizing the training corpus (N is recovered as Σcu). Or pass
+    ``train_pred`` — a boolean Column over ``docs`` — when the train
+    split is a subset of the scoring set: the train bigram counts are
+    then re-aggregated from the scoring set's persisted per-doc bigram
+    frame instead of tokenized a second time (bit-identical counts;
+    guide §2.4). Score per doc: ``nll = -(1/T) Σ log10 S(w_i | w_{i-1})``
     over the T = n−1 bigram positions, where
 
         S(w2|w1) = count(w1 w2) / count(w1)        if the bigram was seen
@@ -176,8 +194,21 @@ def ngram_lm_score(
     doc-keyed aggregate folds contributions in sorted order. No global
     window anywhere.
     """
+    train_from_db = counts is None and train_pred is not None
     if counts is not None:
         cb, cu = counts
+    elif train_from_db:
+        # train ⊆ docs selected by a per-doc predicate: the scoring set's
+        # per-doc bigram frame (db below) already holds every train
+        # bigram with its multiplicity, so cb is a re-aggregation of the
+        # persisted db instead of a second tokenize+bigram pass over the
+        # train corpus (guide §2.4 — duplicated subtrees; r13: cb alone
+        # was 0.6 s warm at sf0.1, ~all of it shared with db). cb is
+        # derived after db exists; cu (unigram counts) still needs a
+        # token-level pass — the bigram frame cannot recover the last
+        # token of each doc.
+        cb = None
+        cu = None
     else:
         if train_docs is None:
             train_docs = docs
@@ -193,18 +224,35 @@ def ngram_lm_score(
     # unpersist the caller's long-lived model behind its back.
     from kafka_streams_demo_spark.functions.dedup import _track_cache
 
+    if train_from_db:
+        stoks = _tokens(docs, id_col, text_col, extra={"_tr": train_pred})
+        db = _bigram_rows(stoks, carry=("_tr",)).persist()
+        _track_cache(db)
+        # identical integers to lm_counts on docs.where(train_pred):
+        # summing per-doc multiplicities over the train docs counts the
+        # same bigram positions
+        cb = (
+            db.where(F.col("_tr")).groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+        )
+        cu = (
+            stoks.where(F.col("_tr"))
+            .select(F.explode("_ts").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cu"))
+        )
+    else:
+        stoks = _tokens(docs, id_col, text_col)
+        # score each DISTINCT scoring-set bigram once against the model;
+        # the per-doc bigram rows feed both the distinct probe set and
+        # the contribution join — persist so the scoring corpus
+        # tokenizes once
+        db = _bigram_rows(stoks).persist()
+        _track_cache(db)
     cu = cu.select("w", "cu").persist()
     _track_cache(cu)
-    stoks = _tokens(docs, id_col, text_col)
     # N = Σ cu — exact integer identity with counting the exploded
     # tokens, and derivable from stored counts alone
     n_tok = cu.agg(F.sum("cu").cast("double").alias("n_tok"))
-
-    # score each DISTINCT scoring-set bigram once against the model;
-    # the per-doc bigram rows feed both the distinct probe set and the
-    # contribution join — persist so the scoring corpus tokenizes once
-    db = _bigram_rows(stoks).persist()
-    _track_cache(db)
     sb = db.select("w1", "w2").distinct()
     cu1 = cu.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
     cu2 = cu.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))

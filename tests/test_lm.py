@@ -130,6 +130,26 @@ def test_merge_lm_counts_equals_batch(spark):
     assert via_counts == direct
 
 
+def test_train_pred_equals_train_docs(spark):
+    # the train_pred fast path (cb re-aggregated from the scoring set's
+    # per-doc bigram frame, r13) must be bit-equal to passing the same
+    # subset as train_docs — including docs exercising backoff, ties,
+    # short/NULL docs, and a train split that is a strict subset
+    docs = _docs(
+        spark,
+        [(i, f"a b c a b w{i % 3} end extra{i % 5}") for i in range(20)]
+        + [(20, "a"), (21, None), (22, "a b")],
+    )
+    pred = F.col("doc_id") % 5 != 0
+    via_pred = sorted(
+        map(tuple, ngram_lm_score(docs, train_pred=pred).collect())
+    )
+    via_docs = sorted(
+        map(tuple, ngram_lm_score(docs, train_docs=docs.where(pred)).collect())
+    )
+    assert via_pred == via_docs
+
+
 def test_nb_scores_separate_classes(spark):
     from kafka_streams_demo_spark.functions.lm import nb_quality_scores
 
