@@ -104,13 +104,18 @@ def pq_sample_codebooks(
 
 
 # m·k·ds codebook elements above which pq_encode abandons the SQL
-# literal for the Arrow broadcast-matrix kernel — same rationale and
-# scale as similarity.IVF_LITERAL_MAX_ELEMENTS: the literal is free at
-# the m=8/k=16 contract (~1k elements) but a production PQ at k=256
-# over dim 768 embeds MBs of SQL text, growing parse/codegen cost with
-# the plan string. Both branches are zero-Exchange map passes; parity
-# is pinned in tests/test_pq.py.
-PQ_LITERAL_MAX_ELEMENTS = 32768
+# literal for the Arrow broadcast-matrix kernel. Originally 32768 on the
+# assumption the literal is "free" at the m=8/k=16 contract (~1k
+# elements); r13 measured otherwise: HOF lambdas evaluate INTERPRETED
+# (no whole-stage codegen inside aggregate/transform), so the per-row
+# argmin fold costs ~0.5 ms/row at 1024 codebook elements — the numpy
+# kernel beats it at any corpus size past a few hundred rows
+# (ivf_pq_residual_topk 3.2 → 2.2 s at sf0.1; every PQ tier moves).
+# 512 keeps the literal for genuinely tiny codebooks and for
+# Python-worker-free deployments (literal_max_elements override — the
+# parity + tie-order tests in tests/test_pq.py pin both branches
+# bit-equal). Both branches remain zero-Exchange map passes.
+PQ_LITERAL_MAX_ELEMENTS = 512
 
 
 def _collect_codebooks(codebooks: DataFrame, m: int) -> dict[int, list]:
@@ -320,16 +325,25 @@ def pq_encode(
         init = F.struct(
             F.lit(float("inf")).alias("d2"), F.lit(-1).alias("code")
         )
-        folded = F.aggregate(
+        # distances bound ONCE per codeword via transform, then a fold
+        # over the small (d2, code) structs: the previous single fold
+        # inlined _subvec_d2 twice per codeword (condition + kept value),
+        # doubling both the expression tree Catalyst must analyze/codegen
+        # and the runtime d2 evaluations on every when-true step — the
+        # residual entry's dominant fixed cost at bench scale (r13,
+        # guide §1.2). Identical result: the same deterministic d2 feeds
+        # the same strict-< first-wins comparison.
+        scored_cw = F.transform(
             cwords,
+            lambda cw: F.struct(
+                F.round(_subvec_d2(subvec, cw["cvec"]), 6).alias("d2"),
+                cw["code"].alias("code"),
+            ),
+        )
+        folded = F.aggregate(
+            scored_cw,
             init,
-            lambda acc, cw: F.when(
-                F.round(_subvec_d2(subvec, cw["cvec"]), 6) < acc["d2"],
-                F.struct(
-                    F.round(_subvec_d2(subvec, cw["cvec"]), 6).alias("d2"),
-                    cw["code"].alias("code"),
-                ),
-            ).otherwise(acc),
+            lambda acc, sc: F.when(sc["d2"] < acc["d2"], sc).otherwise(acc),
         )
         return folded["code"]
 

@@ -459,14 +459,18 @@ def ivf_assign(
         F.lit(None).cast(cell_type).alias("cell"),
     )
     # cells iterate in ascending order, strict > keeps the lowest
-    # cell among rounded-cosine ties — the window's (DESC, ASC) rule
-    best = F.aggregate(
+    # cell among rounded-cosine ties — the window's (DESC, ASC) rule.
+    # Cosines bound ONCE per cell via transform (the old fold inlined
+    # ccos(c) twice — condition + kept value — doubling the codegen'd
+    # expression tree and the when-true evaluations; r13, guide §1.2).
+    scored_cells = F.transform(
         F.col("_cb"),
+        lambda c: F.struct(ccos(c).alias("ccos"), c["cell"].alias("cell")),
+    )
+    best = F.aggregate(
+        scored_cells,
         init,
-        lambda acc, c: F.when(
-            ccos(c) > acc["ccos"],
-            F.struct(ccos(c).alias("ccos"), c["cell"].alias("cell")),
-        ).otherwise(acc),
+        lambda acc, sc: F.when(sc["ccos"] > acc["ccos"], sc).otherwise(acc),
     )
     return vecs.select("vid", "vec", best["cell"].alias("cell"))
 
@@ -661,13 +665,18 @@ def _kmeans_assign_d2(
         F.lit(float("inf")).alias("d2"),
         F.lit(None).cast(cell_type).alias("cell"),
     )
-    best = F.aggregate(
+    # d² bound ONCE per cell via transform before the fold (the old fold
+    # inlined cd2(c) twice — same restructure as ivf_assign; r13). The
+    # exact unrounded d2 feeds the same strict-< comparison, so the
+    # monotone-SSE tie semantics are untouched.
+    scored_cells = F.transform(
         F.col("_cb"),
+        lambda c: F.struct(cd2(c).alias("d2"), c["cell"].alias("cell")),
+    )
+    best = F.aggregate(
+        scored_cells,
         init,
-        lambda acc, c: F.when(
-            cd2(c) < acc["d2"],
-            F.struct(cd2(c).alias("d2"), c["cell"].alias("cell")),
-        ).otherwise(acc),
+        lambda acc, sc: F.when(sc["d2"] < acc["d2"], sc).otherwise(acc),
     )
     return vecs.select("vid", "vec", best["cell"].alias("cell"))
 
