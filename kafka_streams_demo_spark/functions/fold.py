@@ -43,6 +43,7 @@ def sorted_fold_sum(
     round_dp: int | None = None,
     count_col: str | None = None,
     extras: dict[str, Column] | None = None,
+    shuffle_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-``group_cols`` ascending-sorted left-fold sum of ``value``.
 
@@ -60,8 +61,23 @@ def sorted_fold_sum(
     evaluated over the same whole-partition frame (e.g. ``F.sum("c")``).
     Only ORDER-INSENSITIVE aggregates belong here (integer sums, counts,
     min/max) — they see rows in value-sorted order, not arrival order.
+
+    ``shuffle_cols``: optional strict PREFIX-SUBSET of ``group_cols`` to
+    hash-exchange on instead of the full group key. HashPartitioning(S)
+    satisfies ClusteredDistribution(G) whenever S ⊆ G, so the fold's
+    window accepts the coarser layout — and a downstream window/groupBy
+    keyed on ``shuffle_cols`` (e.g. the per-query rank after a
+    per-(query, doc) score fold) then REUSES the same exchange instead
+    of re-shuffling every group row (guide §2.4: operations keyed the
+    same way share one exchange). Identical results for any
+    partitioning; only pass keys whose per-key row volume is
+    task-bounded (the downstream window has that same bound already).
     """
     tagged = df.withColumn("_fold_v", value)
+    if shuffle_cols is not None:
+        if not set(shuffle_cols) <= set(group_cols):
+            raise ValueError("shuffle_cols must be a subset of group_cols")
+        tagged = tagged.repartition(*[F.col(c) for c in shuffle_cols])
     gw = Window.partitionBy(*group_cols).orderBy(F.asc("_fold_v"))
     full = gw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     s = F.sum("_fold_v").over(full)

@@ -460,12 +460,17 @@ def bm25_search_queries(
     # ObjectHashAggregate — 2.7× faster on the 5.6M-row bulk load (r13).
     from kafka_streams_demo_spark.functions.fold import sorted_fold_sum
 
+    # shuffle_cols=[query_id]: the fold exchanges on query_id alone (a
+    # subset satisfies the window's clustering), so the rank window
+    # below reuses the SAME exchange instead of re-shuffling every
+    # (query, doc) score row (guide §2.4 — one exchange, two windows)
     scored = sorted_fold_sum(
         rel.join(hint(qterms), ["term"]).crossJoin(hint(stats)),
         ["query_id", "doc_id"],
         contrib,
         "score",
         round_dp=6,
+        shuffle_cols=["query_id"],
     )
     from pyspark.sql import Window
 
@@ -609,11 +614,17 @@ def bm25_search_queries_pruned(
     def full_scores(match):
         # match: (query_id, doc_id, _c) rows — every matching (q, d, t);
         # identical sorted-fold + rounding as the exhaustive path, via
-        # the window fold (functions/fold.py — bit-equal, no object agg)
+        # the window fold (functions/fold.py — bit-equal, no object agg).
+        # query_id-only exchange: the theta/final rank windows reuse it
         from kafka_streams_demo_spark.functions.fold import sorted_fold_sum
 
         return sorted_fold_sum(
-            match, ["query_id", "doc_id"], F.col("_c"), "score", round_dp=6
+            match,
+            ["query_id", "doc_id"],
+            F.col("_c"),
+            "score",
+            round_dp=6,
+            shuffle_cols=["query_id"],
         )
 
     # PHASE 1: candidate docs (rarest-term matches), scored fully.
@@ -659,6 +670,21 @@ def bm25_search_queries_pruned(
         .join(hint(cand), ["query_id", "doc_id"], "left_anti")
     )
     p2 = full_scores(m2_match)
+    # θ-filter (exact): when the query has a full phase-1 top-k, any
+    # phase-2 doc whose ROUNDED score is strictly below θ (the k-th best
+    # rounded phase-1 score) is outranked by ≥ k phase-1 docs and can
+    # never enter the final top-k — drop it before the union so the
+    # re-rank window sorts survivors, not every phase-2 match (r13;
+    # score == θ stays, ties can win on the doc_id tiebreak). Queries
+    # without a θ row keep every row (coalesce to -inf).
+    p2 = (
+        p2.join(hint(theta), "query_id", "left")
+        .filter(
+            F.col("score")
+            >= F.coalesce(F.col("_theta"), F.lit(float("-inf")))
+        )
+        .drop("_theta")
+    )
 
     out = p1.unionByName(p2)
     w = _W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -105,3 +105,27 @@ def test_sorted_fold_sum_null_only_and_singleton_groups(spark):
     assert got[0] is None
     assert got[1] == 2.5
     assert got[2] == -0.0
+
+
+def test_sorted_fold_sum_shuffle_cols_subset_reuses_exchange(spark):
+    # shuffle_cols: identical values to the full-key exchange on a
+    # scrambled multi-partition input, one Exchange in the plan when a
+    # downstream window is keyed on the subset, and a guard on non-subset
+    import pytest
+    from pyspark.sql import Window
+
+    rows = [(q, d, float(v)) for q in range(5) for d in range(7) for v in (3, -1, 2, 0)]
+    df = spark.createDataFrame(rows, "q long, d long, v double").repartition(16)
+    base = sorted_fold_sum(df, ["q", "d"], F.col("v"), "s", round_dp=6)
+    sub = sorted_fold_sum(
+        df, ["q", "d"], F.col("v"), "s", round_dp=6, shuffle_cols=["q"]
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, sub.collect()))
+    w = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("d"))
+    ranked = sub.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # fold + rank share ONE hash shuffle (the input scrambler above is
+    # round-robin, not counted)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    with pytest.raises(ValueError):
+        sorted_fold_sum(df, ["q"], F.col("v"), "s", shuffle_cols=["d"])
