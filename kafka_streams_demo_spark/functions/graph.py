@@ -333,8 +333,9 @@ def triangle_counts_incremental(
     by the delta contains >= 1 delta edge, so it is found by probing the
     union adjacency from delta edges only: for delta edge (a, b), each
     union-neighbor c of a with union-edge (b, c) closes a triangle. A
-    triangle with k delta edges (k = 1..3) surfaces k times — the
-    canonical sorted triple distinct() collapses them — so
+    triangle with k delta edges (k = 1..3) is reachable from k probe
+    edges — the flagged-adjacency canonical rule (see below) counts it
+    exactly once, at its lexicographically smallest delta edge — so
     old_counts + new_corner_counts == rebuild exactly (the catalog
     registers this against the SAME oracle as the batch build).
 
@@ -364,13 +365,19 @@ def triangle_counts_incremental(
 
     Probe (r13): per-delta-edge neighbor-set INTERSECTION. For delta
     edge (a, b), every c in N(a) ∩ N(b) over the union adjacency closes
-    a gained triangle; the adjacency collapses to one array row per
-    node, so the probe exchanges |delta| edge rows + the node-count
-    adjacency table instead of Σ_delta deg(a) exploded candidate rows
-    (at sf0.1 that was 147M rows into the closing semi-join — 10.5 s;
-    the intersection probe is 2.7 s, triple-set parity exact). The
-    intersection is JVM-native ``array_intersect``; b ∈ N(a) never
-    intersects (no self-loops), so the old q != b guard is implicit.
+    a gained triangle; the adjacency collapses to one row per node
+    carrying two plain arrays (ALL union neighbors, OLD-edge
+    neighbors), so the probe exchanges |delta| edge rows + the
+    node-count adjacency table instead of Σ_delta deg(a) exploded
+    candidate rows (at sf0.1 that was 147M rows into the closing
+    semi-join — 10.5 s; the intersection probe is ~2 s, triple-set
+    parity exact). The intersections are JVM-native ``array_intersect``;
+    b ∈ N(a) never intersects (no self-loops), so the old q != b guard
+    is implicit. Duplicate suppression is ROW-LOCAL (r13, second pass):
+    the all/old array pair encodes each co-edge's provenance, and a
+    candidate is kept only where (a, b) is the triangle's first delta
+    edge in lexicographic order — replacing the shuffled distinct()
+    over ~3x-duplicated sorted triples the mostly-delta fixture paid.
     Scale caveat: union adjacency arrays are FULL neighborhoods — a
     power-law hub's row is O(deg) (unlike the batch path's
     O(sqrt(m))-capped oriented arrays). At 100 TB, split hub rows or
@@ -386,29 +393,83 @@ def triangle_counts_incremental(
         )
     old_e = union.filter(~F.col("_new")).select("a", "b")
     delta_e = union.filter(F.col("_new")).select("a", "b")
-    und = union.select("a", "b")
-    adj = und.select(F.col("a").alias("p"), F.col("b").alias("q")).unionByName(
-        und.select(F.col("b").alias("p"), F.col("a").alias("q"))
+    # Flagged adjacency: each node's neighbor map q -> is_new(edge p,q).
+    # Carrying the provenance flag into the adjacency lets the probe
+    # count each gained triangle exactly once at its lexicographically
+    # smallest delta edge (a ROW-LOCAL filter) instead of generating a
+    # candidate per contained delta edge (~3x triangles on a
+    # mostly-delta graph) and collapsing them through a shuffled
+    # distinct() over sorted triples (guide §2.4 — the removed exchange
+    # carried the full candidate set; r13: probe 4.1 -> ~2 s at sf0.1).
+    adj = union.select(
+        F.col("a").alias("p"), F.col("b").alias("q"), F.col("_new").alias("f")
+    ).unionByName(
+        union.select(
+            F.col("b").alias("p"), F.col("a").alias("q"), F.col("_new").alias("f")
+        )
     )
-    adj_arr = adj.groupBy("p").agg(F.collect_list("q").alias("nb"))
+    # Two plain arrays per node: ALL union neighbors and OLD-edge
+    # neighbors (collect_list drops the when()'s nulls). Plain long
+    # arrays keep the canonical-rule intersections on the native
+    # hash-based array_intersect — a neighbor->flag map was measured
+    # 40% WORSE here because element_at on a Spark MapType is a linear
+    # scan per lookup (maps are unsorted entry arrays).
+    adj_arr = adj.groupBy("p").agg(
+        F.collect_list("q").alias("nb"),
+        F.collect_list(F.when(~F.col("f"), F.col("q"))).alias("nbo"),
+    )
     # SHUFFLE-HASH both adjacency joins: hash the node-count-sized
     # array table per partition, delta edges stream past unsorted.
-    cand = (
+    # Normalize the probe edge to lo < hi (the undirected contract does
+    # not promise column order) so the canonical-edge case analysis
+    # below is well-defined.
+    a_lo = F.col("a") < F.col("b")
+    joined = (
         delta_e.join(
-            adj_arr.withColumnsRenamed({"p": "a", "nb": "_na"}).hint("shuffle_hash"),
+            adj_arr.withColumnsRenamed(
+                {"p": "a", "nb": "_na", "nbo": "_noa"}
+            ).hint("shuffle_hash"),
             "a",
         )
         .join(
-            adj_arr.withColumnsRenamed({"p": "b", "nb": "_nb"}).hint("shuffle_hash"),
+            adj_arr.withColumnsRenamed(
+                {"p": "b", "nb": "_nb", "nbo": "_nob"}
+            ).hint("shuffle_hash"),
             "b",
         )
-        .select("a", "b", F.explode(F.array_intersect("_na", "_nb")).alias("c"))
+        .select(
+            F.least("a", "b").alias("lo"),
+            F.greatest("a", "b").alias("hi"),
+            F.when(a_lo, F.col("_na")).otherwise(F.col("_nb")).alias("_nl"),
+            F.when(a_lo, F.col("_noa")).otherwise(F.col("_nob")).alias("_nol"),
+            F.when(a_lo, F.col("_nb")).otherwise(F.col("_na")).alias("_nh"),
+            F.when(a_lo, F.col("_nob")).otherwise(F.col("_noa")).alias("_noh"),
+        )
     )
-    triples = cand.select(
-        F.array_sort(F.array("a", "b", "c")).alias("t")
-    ).distinct()
+    # For delta edge (lo, hi) and common neighbor c, the sorted triple's
+    # edges in lexicographic order are:
+    #   c < lo:        (c,lo) < (c,hi) < (lo,hi)
+    #   lo < c < hi:   (lo,c) < (lo,hi) < (c,hi)
+    #   c > hi:        (lo,hi) < (lo,c) < (hi,c)
+    # Count the triangle here iff (lo, hi) is its FIRST delta edge —
+    # i.e. every lexicographically earlier edge is old. The three
+    # c-ranges are disjoint, so the concat never duplicates; each range
+    # draws from the intersection that encodes exactly its required
+    # old-edge constraints.
+    lo_c, hi_c = F.col("lo"), F.col("hi")
+    closers = F.concat(
+        F.filter(F.array_intersect("_nl", "_nh"), lambda c: c > hi_c),
+        F.filter(
+            F.array_intersect("_nol", "_nh"),
+            lambda c: (c > lo_c) & (c < hi_c),
+        ),
+        F.filter(F.array_intersect("_nol", "_noh"), lambda c: c < lo_c),
+    )
+    cand = joined.select("lo", "hi", closers.alias("_cs")).select(
+        "lo", "hi", F.explode("_cs").alias("c")
+    )
     new_corners = (
-        triples.select(F.explode("t").alias("node"))
+        cand.select(F.explode(F.array("lo", "hi", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("_new"))
     )
