@@ -228,12 +228,6 @@ def ngram_lm_score(
         stoks = _tokens(docs, id_col, text_col, extra={"_tr": train_pred})
         db = _bigram_rows(stoks, carry=("_tr",)).persist()
         _track_cache(db)
-        # identical integers to lm_counts on docs.where(train_pred):
-        # summing per-doc multiplicities over the train docs counts the
-        # same bigram positions
-        cb = (
-            db.where(F.col("_tr")).groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
-        )
         cu = (
             stoks.where(F.col("_tr"))
             .select(F.explode("_ts").alias("w"))
@@ -253,12 +247,23 @@ def ngram_lm_score(
     # N = Σ cu — exact integer identity with counting the exploded
     # tokens, and derivable from stored counts alone
     n_tok = cu.agg(F.sum("cu").cast("double").alias("n_tok"))
-    sb = db.select("w1", "w2").distinct()
+    if train_from_db:
+        # the distinct scoring-bigram set AND its train count in ONE
+        # aggregate over the persisted bigram frame: sum(when(_tr, c))
+        # ignores non-train rows and yields NULL for a never-in-train
+        # bigram — exactly the left-join-miss the backoff branch keys on
+        # (integer sum, order-insensitive; identical to the previous
+        # distinct() + train-side groupBy + (w1,w2) join-back, which
+        # exchanged db twice and ran a second join — guide §2.4)
+        sb = db.groupBy("w1", "w2").agg(
+            F.sum(F.when(F.col("_tr"), F.col("c"))).alias("cb")
+        )
+    else:
+        sb = db.select("w1", "w2").distinct().join(cb, ["w1", "w2"], "left")
     cu1 = cu.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
     cu2 = cu.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
     model = (
-        sb.join(cb, ["w1", "w2"], "left")
-        .join(cu1, "w1", "left")
+        sb.join(cu1, "w1", "left")
         .join(cu2, "w2", "left")
         .crossJoin(n_tok)  # 1-row stats — broadcast by construction
         .select(
