@@ -1575,31 +1575,63 @@ SELECT src, dst FROM (
 
 
 def _pr_edges(spark, sf_dir):
-    """Bidirectional customer↔supplier trade edges. ONE pass: the
-    orders⋈lineitem join + distinct runs once and each pair explodes
-    into both directions row-locally — a self-unionByName over the same
-    subtree runs the join+distinct TWICE (Catalyst does not dedupe
-    common subtrees across union branches; profiled at ~half the whole
-    entry's wall time). The distinct is taken over the raw integer keys
-    (cheaper shuffle comparators than the prefixed strings; injective
-    prefixing makes it the same set — exactly the oracle CTE's shape)."""
-    o = load_table(spark, "orders", sf_dir)
+    """Bidirectional customer↔supplier trade edges WITH per-row source
+    out-degree (src, dst, _od) — feed ``pagerank(..., outdeg_col="_od")``.
+
+    ONE pass over the join output: orders⋈lineitem under a SHUFFLE_HASH
+    hint, then ``collect_set(suppkey)`` per customer. The hint pins the
+    strategy a 100 TB run needs — per-partition hash build of the 2-int
+    orders projection, no sort of either input (the planner's choices
+    are broadcast at bench scale, where the projection is ~4 MB, and
+    SMJ beyond the broadcast threshold, whose two full sorts nothing
+    downstream reuses — guide §3.2); measured equal-or-better than the
+    auto pick locally (1.15 vs 1.43 s warm edge build at sf0.1). That one aggregate IS the
+    dedup the previous ``.distinct()`` did, and the out-degrees fall
+    out for free: deg(c:x) = size of x's supplier set (row-local), and
+    deg(s:y) = y's distinct-customer count, a supplier-count-sized
+    aggregate over the exploded sets that BROADCAST-joins back. Each
+    pair then explodes into both directions row-locally. Versus the
+    r12/early-r13 shape (distinct → explode → ``partitionBy(src)``
+    window) this removes BOTH edge-wide post-join exchanges — the
+    (custkey, suppkey) distinct and the string-keyed window Exchange+
+    Sort over 2×|pairs| rows — leaving the custkey collect_set exchange
+    (map-side partially aggregated) as the only pair-level shuffle.
+    Set- and _od-identical to the window form (A/B exceptAll both ways
+    = 0 at sf0.1; tests/test_graph.py pins the outdeg_col contract).
+
+    Scale caveat (same class as the triangle probe's union adjacency):
+    a customer's distinct-supplier set materializes as one array row —
+    fine wherever adjacency lists fit (any bipartite trade graph;
+    TPC-H: ≤ ~40), but a power-law hub beyond row-size comfort wants
+    the window form back for that key range (hot-key-cap discipline)."""
+    o = load_table(spark, "orders", sf_dir).hint("shuffle_hash")
     li = load_table(spark, "lineitem", sf_dir)
-    cs = (
+    adj = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select("o_custkey", "l_suppkey")
-        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.collect_set("l_suppkey").alias("_ss"))
+        .localCheckpoint(eager=True)
     )
+    scnt = (
+        adj.select(F.explode("_ss").alias("l_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("_ods"))
+    )
+    cs = adj.select(
+        "o_custkey",
+        F.size("_ss").cast("double").alias("_odc"),
+        F.explode("_ss").alias("l_suppkey"),
+    ).join(F.broadcast(scnt), "l_suppkey")
     c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
     s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
     return cs.select(
         F.explode(
             F.array(
-                F.struct(c.alias("src"), s.alias("dst")),
-                F.struct(s.alias("src"), c.alias("dst")),
+                F.struct(c.alias("src"), s.alias("dst"), F.col("_odc").alias("_od")),
+                F.struct(s.alias("src"), c.alias("dst"), F.col("_ods").alias("_od")),
             )
         ).alias("_e")
-    ).select("_e.src", "_e.dst")
+    ).select("_e.src", "_e.dst", "_e._od")
 
 
 def _pagerank_oracle() -> str:
@@ -1623,7 +1655,9 @@ def pagerank_cust_supp(spark, sf_dir):
     the gate has already proven the iteration logic."""
     from kafka_streams_demo_spark.functions.graph import pagerank
 
-    return pagerank(_pr_edges(spark, sf_dir), iterations=3, damping=0.85)
+    return pagerank(
+        _pr_edges(spark, sf_dir), iterations=3, damping=0.85, outdeg_col="_od"
+    )
 
 
 ORACLES["pagerank_cust_supp"] = _pagerank_oracle()
@@ -1655,7 +1689,11 @@ def pagerank_cust_supp_prod(spark, sf_dir):
     from kafka_streams_demo_spark.functions.graph import pagerank
 
     return pagerank(
-        _pr_edges(spark, sf_dir), iterations=3, damping=0.85, exact_folds=False
+        _pr_edges(spark, sf_dir),
+        iterations=3,
+        damping=0.85,
+        exact_folds=False,
+        outdeg_col="_od",
     )
 
 

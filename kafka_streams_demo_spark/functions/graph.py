@@ -45,6 +45,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 5,
     exact_folds: bool = True,
+    outdeg_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst).
 
@@ -59,6 +60,16 @@ def pagerank(
     through iterations).
 
     rank_{t+1}(v) = 0.15/N + 0.85 * sum_{u->v} rank_t(u)/outdeg(u)
+
+    ``outdeg_col``: name of a column on ``edges`` already holding each
+    row's source out-degree. When the caller's edge construction yields
+    the degree as a by-product (e.g. an adjacency-array build where the
+    degree is the array size), passing it here skips this function's
+    edge-wide ``partitionBy(src)`` window — on a string-keyed 100 TB
+    edge list that window's Exchange+Sort is the edge build's dominant
+    shuffle. The column must equal the per-src row count of ``edges``
+    (the window's definition); tests/test_graph.py pins bit-equality of
+    the two paths.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -75,14 +86,19 @@ def pagerank(
     # the edge build before the first iteration ran; the window form pays
     # one edge-build pass + one src-keyed exchange (r13: entry 6.4 s →
     # ~3.9 s at sf0.1, identical output — _od is the same count cast).
-    e = (
-        edges.select("src", "dst")
-        .withColumn(
-            "_od",
-            F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double"),
+    if outdeg_col is not None:
+        e = edges.select(
+            "src", "dst", F.col(outdeg_col).cast("double").alias("_od")
+        ).localCheckpoint(eager=True)
+    else:
+        e = (
+            edges.select("src", "dst")
+            .withColumn(
+                "_od",
+                F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
     # nodes is referenced TWICE PER ITERATION (the full-node-set rank
     # rebuild and, via n_row, the damping term) plus once at setup; left
     # lazy each reference re-runs the edge-wide distinct shuffle — at 3

@@ -51,6 +51,30 @@ def test_pagerank_validation():
         pagerank(None, iterations=0)
 
 
+def test_pagerank_outdeg_col_bit_equal(spark):
+    """outdeg_col pass-through (r13): supplying the per-src out-degree
+    as a column must be BIT-equal to the window-computed path — the
+    iteration math sees identical (src, dst, _od) rows either way.
+    Asymmetric multigraph-ish shape (repeated dst from one src is
+    legal) so degrees differ per node; exact_folds both ways."""
+    from pyspark.sql import functions as F
+
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"),
+             ("c", "a"), ("c", "b"), ("d", "a"), ("b", "d")]
+    e = _edges(spark, pairs)
+    deg = {s: sum(1 for p in pairs if p[0] == s) for s, _ in pairs}
+    e_od = e.withColumn(
+        "n_out",
+        F.udf(lambda s: float(deg[s]), "double")(F.col("src")),
+    )
+    base = {r["node"]: r["rank"] for r in pagerank(e, 3).collect()}
+    pre = {
+        r["node"]: r["rank"]
+        for r in pagerank(e_od, 3, outdeg_col="n_out").collect()
+    }
+    assert base == pre  # exact equality — same floats, same rounding
+
+
 def test_orient_edges_total_order(spark):
     # path a-b-c: deg(b)=2 > deg(a)=deg(c)=1 — both edges point INTO b
     oe = orient_edges(_edges(spark, [("a", "b"), ("b", "c")], cols=("a", "b"))).collect()

@@ -292,17 +292,26 @@ def test_join_counts_positional_cache_dedup(spark):
 
 
 def test_pagerank_edge_build_single_pass(spark):
-    """Round 10: the bidirectional edge list must come from ONE
-    join+distinct pass (explode of both orientations), never a
-    self-union that re-executes the subtree — exactly one scan of
-    lineitem and one of orders in the whole edge plan."""
+    """Round 10 (shape updated r13): the bidirectional edge list must
+    come from ONE join pass — never a self-union that re-executes the
+    subtree. r13 moved the join+dedup inside an eager adjacency
+    checkpoint (collect_set per customer; degrees fall out as array
+    sizes + one broadcast count), so the returned plan reads the
+    checkpoint RDD instead of re-scanning parquet, carries the
+    orientation explode, and needs NO src-keyed window — the edge-wide
+    Exchange+Sort the window form paid."""
     from kafka_streams_demo_spark.catalog.parity import _pr_edges
 
-    plan = _pr_edges(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("lineitem.parquet") == 1
-    assert plan.count("orders.parquet") == 1
+    df = _pr_edges(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # parquet is scanned only inside the one eager adjacency checkpoint,
+    # never by the returned plan (a second scan would mean re-execution)
+    assert plan.count("lineitem.parquet") == 0
+    assert plan.count("orders.parquet") == 0
     assert "Generate explode" in plan  # the one-pass orientation explode
     assert "Union" not in plan
+    assert "Window" not in plan  # out-degree is precomputed, not windowed
+    assert "_od" in df.columns  # the outdeg_col contract for pagerank()
 
 
 def test_token_budget_select_bounded_exchanges(spark):
