@@ -1796,11 +1796,30 @@ def triangle_counts_incremental_q(spark, sf_dir):
 
     li = load_table(spark, "lineitem", sf_dir)
     cutoff = F.lit("1995-06-01")
-    op = li.groupBy("l_orderkey", "l_partkey").agg(
-        F.max(F.col("l_shipdate") < cutoff).alias("s")
+    # ONE lineitem-wide exchange (r13, third pass): collect every
+    # (partkey, pre-cutoff?) struct per order, then collapse each
+    # partkey's flag ROW-LOCALLY — array_sort orders runs (partkey asc,
+    # s asc: false < true), so a run's LAST element carries max(s), and
+    # the indexed filter keeps exactly those. Replaces the previous
+    # groupBy(order, part).max(s) → groupBy(order).collect_list chain,
+    # whose (order, part) partitioning cannot satisfy the second
+    # groupBy's order-only clustering — two full-width lineitem
+    # exchanges where one suffices (guide §2.3). Flag set A/B-identical
+    # (exceptAll both ways = 0 at sf0.1) and the shared oracle gate
+    # replays the (order, part)-max form.
+    arr0 = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_partkey", (F.col("l_shipdate") < cutoff).alias("s"))
+            )
+        ).alias("ps0")
     )
-    arr = op.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list(F.struct("l_partkey", "s"))).alias("ps")
+    arr = arr0.select(
+        F.filter(
+            F.col("ps0"),
+            lambda x, i: (i == F.size("ps0") - 1)
+            | (F.get(F.col("ps0"), i + 1)["l_partkey"] != x["l_partkey"]),
+        ).alias("ps")
     )
     pairs = arr.select(
         F.explode(
