@@ -431,18 +431,20 @@ def bm25_search_queries(
     ).filter(F.col("term") != "")
     # restrict postings to query-relevant terms BEFORE any aggregate: df_t
     # must count each (term, doc) once even when several queries share the
-    # term, so the distinct-term semi-join comes first. df_t is a WINDOW
-    # count over the matched rows, not a groupBy+join-back: the posting
-    # subtree has no exchange for Spark to reuse, so referencing it from
-    # two branches would recompute the whole row-local posting build —
-    # the window formulation reads it exactly once, paying one term-keyed
-    # exchange of the (tiny, query-relevant) matched rows instead.
-    from pyspark.sql import Window as _Window
-
-    rel = postings.join(hint(qterms.select("term").distinct()), ["term"])
-    rel = rel.withColumn(
-        "_df", F.count(F.lit(1)).over(_Window.partitionBy("term"))
-    )
+    # term, so the distinct-term semi-join comes first. df_t is a
+    # groupBy(term) count BROADCAST-joined back (r13 continuation): the
+    # count map-side-combines to ≤ |query vocab| rows — a KB-to-MB frame
+    # by the same argument that broadcasts the queries — so the exchange
+    # carries per-partition term counts instead of EVERY matched posting
+    # row, and rel needs no term-keyed Exchange+Sort at all. The price is
+    # a second evaluation of the row-local posting build (Catalyst
+    # replans the subtree per branch — no exchange exists to reuse), and
+    # the A/B says that is the right trade: 6.3 → 5.2 s warm on
+    # bm25_zipf_direct at sf0.1, results bit-identical (the r12 window
+    # form paid the full rel exchange to read the subtree once).
+    rel0 = postings.join(hint(qterms.select("term").distinct()), ["term"])
+    dfc_tbl = rel0.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    rel = rel0.join(hint(dfc_tbl), ["term"])
     tf = F.col("tf").cast("double")
     dfc = F.col("_df").cast("double")
     contrib = (
@@ -571,9 +573,13 @@ def bm25_search_queries_pruned(
     # query-relevant postings, with df and the exact per-row contribution
     # (the same formula the exhaustive path folds); materialized ONCE —
     # candidates, bounds and both phases all read it, and its lineage
-    # (posting build + semi-join) must not replay per consumer
-    rel = postings.join(hint(qterms.select("term").distinct()), ["term"])
-    rel = rel.withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("term")))
+    # (posting build + semi-join) must not replay per consumer. df is the
+    # groupBy+broadcast-join-back form (see bm25_search_queries — the
+    # vocab-bounded count exchange beats the rel-wide window sort; here
+    # the double subtree evaluation lands pre-checkpoint and is paid once)
+    rel0 = postings.join(hint(qterms.select("term").distinct()), ["term"])
+    _dfc_tbl = rel0.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    rel = rel0.join(hint(_dfc_tbl), ["term"])
     tf = F.col("tf").cast("double")
     dfc = F.col("_df").cast("double")
     rel = (
