@@ -183,9 +183,44 @@ def _single_core_probe() -> float:
     return round(time.monotonic() - t0, 4)
 
 
+def _parallel_probe() -> dict | None:
+    """The single-core probe run across cpu_count() processes at once —
+    measures the host's EFFECTIVE parallel capacity, which the per-core
+    probe cannot see (r13 continuation: a sandbox respawn moved this box
+    from ~32 to ~21.5 effective cores while the single-core probe got
+    15% FASTER — parallel-stage-heavy entries read ~1.5-2.5x slower with
+    every plan byte-identical). effective_cores = n · fastest_task /
+    wall: the parallelism a fully-subscribed CPU-bound stage actually
+    gets. Additive metadata only — no timing methodology changes."""
+    try:
+        from concurrent.futures import ProcessPoolExecutor
+
+        n = os.cpu_count() or 1
+        t0 = time.monotonic()
+        with ProcessPoolExecutor(n) as ex:
+            times = list(ex.map(_pp_task, range(n)))
+        wall = time.monotonic() - t0
+        return {
+            "n": n,
+            "wall_sec": round(wall, 3),
+            "effective_cores": round(n * min(times) / wall, 1),
+        }
+    except Exception:
+        return None
+
+
+def _pp_task(_i: int) -> float:
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(4_000_000):
+        acc = (acc * 1103515245 + i) % 2_147_483_647
+    return time.monotonic() - t0
+
+
 def _conditions() -> dict:
     """Ambient-host context for this bench run: load average (1/5/15 min),
-    uptime, cpu count, and the single-core probe time."""
+    uptime, cpu count, the single-core probe time, and the parallel
+    effective-capacity probe."""
     cond: dict = {"cpus": os.cpu_count()}
     try:
         cond["loadavg"] = [round(x, 2) for x in os.getloadavg()]
@@ -197,6 +232,7 @@ def _conditions() -> dict:
     except OSError:
         cond["uptime_sec"] = None
     cond["single_core_probe_sec"] = _single_core_probe()
+    cond["parallel_probe"] = _parallel_probe()
     return cond
 
 
