@@ -294,10 +294,20 @@ def main() -> None:
     ref25_total = round(sum(timings[n] for n in ref25), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full detail first (both raw passes — round-over-round honesty),
-    # then ONE compact summary line LAST: the driver's tail-capture
-    # truncates long lines from the head (VERDICT r4 #2 — BENCH_r04
-    # recorded "parsed": null), so the line it parses must be the short
-    # one and must come after everything else.
+    # then short per-tier lines, then ONE compact summary line LAST: the
+    # driver's tail-capture keeps only the final 2000 characters and
+    # parses the last line (VERDICT r4 #2 — BENCH_r04 recorded
+    # "parsed": null when that line was long), so everything the driver
+    # must see lives in lines that fit the tail. r13's summary dropped
+    # the per-query map to stay short, which cost the driver all
+    # per-query round-over-round visibility (PERF_r13 per_query: {},
+    # null geomean — VERDICT r13 issue 1 / task 2). Fix (r14,
+    # measurement-output only — query lists, warmup, two-pass/min
+    # methodology, clear-cache discipline and every timing are
+    # unchanged): the summary line carries "queries" again (the original
+    # round-1 contract shape) with compact separators — 48 entries
+    # measure ~1.6 KB worst-case, under the 2000-char tail — and the
+    # secondary tier gets its own short line just before it.
     print(
         json.dumps(
             {
@@ -316,6 +326,16 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "metric": "secondary_queries_per_query",
+                "queries": sec_timings,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+    )
+    print(
+        json.dumps(
+            {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
@@ -326,7 +346,9 @@ def main() -> None:
                 "probe_sec": min(c["single_core_probe_sec"] for c in conditions),
                 "load1": conditions[0]["loadavg"][0] if conditions[0]["loadavg"] else None,
                 "sf": sf_val,
-            }
+                "queries": timings,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -1,8 +1,8 @@
-"""Per-query profiling for the r13 optimization round.
+"""Per-query profiling for the optimization rounds.
 
 Times named catalog entries (noop sink, per-query min over N passes, same
 methodology as bench.py) and optionally dumps `.explain("formatted")` to
-plans/r13/<name>_<tag>.txt.
+plans/<plans-dir>/<name>_<tag>.txt.
 
 Usage:
   python tools/profile_query.py [--sf SF_DIR] [--passes N] [--plans TAG] q1 q2 ...
@@ -23,6 +23,7 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--plans", default=None, help="dump plans with this tag (before/after)")
+    ap.add_argument("--plans-dir", default="r14", help="subdir of plans/ for dumps")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -45,7 +46,7 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.plans_dir)
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
 
