@@ -1574,7 +1574,7 @@ SELECT src, dst FROM (
 """
 
 
-def _pr_edges(spark, sf_dir):
+def _pr_edges(spark, sf_dir, hub_cap: int = 100_000):
     """Bidirectional customer↔supplier trade edges WITH per-row source
     out-degree (src, dst, _od) — feed ``pagerank(..., outdeg_col="_od")``.
 
@@ -1599,29 +1599,117 @@ def _pr_edges(spark, sf_dir):
     Set- and _od-identical to the window form (A/B exceptAll both ways
     = 0 at sf0.1; tests/test_graph.py pins the outdeg_col contract).
 
-    Scale caveat (same class as the triangle probe's union adjacency):
-    a customer's distinct-supplier set materializes as one array row —
-    fine wherever adjacency lists fit (any bipartite trade graph;
-    TPC-H: ≤ ~40), but a power-law hub beyond row-size comfort wants
-    the window form back for that key range (hot-key-cap discipline)."""
+    Hot-key cap (r14, VERDICT r13 task 4 — the r13 caveat wired in, not
+    just described): a customer's distinct-supplier set materializes as
+    one array row — fine wherever adjacency lists fit (any bipartite
+    trade graph; TPC-H: ≤ ~40), but a power-law hub beyond row-size
+    comfort must not build one giant row. Customers whose DEGREE UPPER
+    BOUND exceeds ``hub_cap`` get their sets split across
+    ceil(bound/cap) deterministic salt buckets INSIDE the same
+    aggregate (arrays stay ≈cap-bounded; one pair exchange as before),
+    and their _odc is the salted sizes summed over a window that
+    exchanges ONLY the hub rows. The trigger is conservative and never
+    re-runs the pair join: per-customer LINEITEM totals (≥ the distinct
+    supplier count) from the |orders|-row (orderkey → custkey)
+    projection joined to per-order lineitem counts, COLLECTED (hub sets
+    are a handful of rows by the power-law assumption) so that the
+    no-hub case — every non-adversarial dataset, TPC-H included —
+    compiles to exactly the r13 plan and pays only the one trigger
+    aggregate job (skew-fixture parity is test-pinned in
+    tests/test_graph.py::test_pr_edges_hub_cap_routes_hot_customers).
+
+    Remaining scale caveats: ``F.broadcast(scnt)`` ships a
+    |suppliers|-row table (TPC-H: |customers|/15 — MBs at bench scale,
+    GBs at 100 TB where it exceeds the broadcast cap; past that, drop
+    the hint and let AQE pick the suppkey-keyed exchange the r12 window
+    form paid), and the hot-customer table itself is assumed to be a
+    handful of rows (power-law hubs), which is what justifies
+    broadcasting it into the trigger join."""
     o = load_table(spark, "orders", sf_dir).hint("shuffle_hash")
     li = load_table(spark, "lineitem", sf_dir)
-    adj = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_custkey")
-        .agg(F.collect_set("l_suppkey").alias("_ss"))
-        .localCheckpoint(eager=True)
-    )
+    licnt = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_lc"))
+    # the hot table is assumed to be a handful of rows (power-law hubs),
+    # so COLLECT it: when empty — every non-adversarial dataset — the
+    # build below emits exactly the r13 plan and the guard's entire cost
+    # is the trigger itself (the lazy-DataFrame form was measured ~10%
+    # worse at bench scale: three broadcast builds + the union/anti/semi
+    # branches taxed the never-firing path). The trigger is HIERARCHICAL
+    # so its common-case cost is one parquet-footer count: a customer's
+    # degree is a count of DISTINCT suppliers, so deg ≤ |supplier table|
+    # — while |suppliers| ≤ hub_cap NO customer can exceed the cap and
+    # the per-customer lineitem-total pass (measured 0.9 s warm at
+    # sf0.1) never runs.
+    if load_table(spark, "supplier", sf_dir).count() <= hub_cap:
+        hot_rows = []
+    else:
+        hot_rows = (
+            load_table(spark, "orders", sf_dir)
+            .select("o_orderkey", "o_custkey")
+            .join(licnt, F.col("o_orderkey") == licnt["l_orderkey"])
+            .groupBy("o_custkey")
+            .agg(F.sum("_lc").alias("_ub"))
+            .filter(F.col("_ub") > hub_cap)
+            .select(
+                "o_custkey",
+                F.ceil(F.col("_ub") / F.lit(hub_cap)).cast("long").alias("_ns"),
+            )
+            .collect()
+        )
+    pj = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    if not hot_rows:
+        adj = (
+            pj.groupBy("o_custkey")
+            .agg(F.collect_set("l_suppkey").alias("_ss"))
+            .localCheckpoint(eager=True)
+        )
+        cs0 = adj.select(
+            "o_custkey",
+            F.size("_ss").cast("double").alias("_odc"),
+            F.explode("_ss").alias("l_suppkey"),
+        )
+    else:
+        hot = F.broadcast(
+            spark.createDataFrame(hot_rows, "o_custkey long, _ns long")
+        )
+        adj = (
+            pj.join(hot, "o_custkey", "left")
+            .groupBy(
+                "o_custkey",
+                F.coalesce(
+                    F.pmod(F.xxhash64("l_suppkey"), F.col("_ns")), F.lit(0)
+                ).alias("_sl"),
+            )
+            .agg(F.collect_set("l_suppkey").alias("_ss"))
+            .localCheckpoint(eager=True)
+        )
+        # cold customers: exactly the r13 row-local form; hub customers:
+        # _odc = Σ salted sizes — the window exchanges hub rows only
+        # (salted sets are disjoint by the hash split, so the sum IS the
+        # distinct count and explode still yields each pair once)
+        from pyspark.sql import Window as _W
+
+        cold_cs = adj.join(hot, "o_custkey", "left_anti").select(
+            "o_custkey",
+            F.size("_ss").cast("double").alias("_odc"),
+            F.explode("_ss").alias("l_suppkey"),
+        )
+        hot_cs = (
+            adj.join(hot, "o_custkey", "left_semi")
+            .withColumn(
+                "_odc",
+                F.sum(F.size("_ss"))
+                .over(_W.partitionBy("o_custkey"))
+                .cast("double"),
+            )
+            .select("o_custkey", "_odc", F.explode("_ss").alias("l_suppkey"))
+        )
+        cs0 = cold_cs.unionByName(hot_cs)
     scnt = (
         adj.select(F.explode("_ss").alias("l_suppkey"))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).cast("double").alias("_ods"))
     )
-    cs = adj.select(
-        "o_custkey",
-        F.size("_ss").cast("double").alias("_odc"),
-        F.explode("_ss").alias("l_suppkey"),
-    ).join(F.broadcast(scnt), "l_suppkey")
+    cs = cs0.join(F.broadcast(scnt), "l_suppkey")
     c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
     s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
     return cs.select(

@@ -46,6 +46,7 @@ def pagerank(
     checkpoint_every: int = 5,
     exact_folds: bool = True,
     outdeg_col: str | None = None,
+    broadcast_max_nodes: int = 50_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst).
 
@@ -68,8 +69,24 @@ def pagerank(
     edge-wide ``partitionBy(src)`` window — on a string-keyed 100 TB
     edge list that window's Exchange+Sort is the edge build's dominant
     shuffle. The column must equal the per-src row count of ``edges``
-    (the window's definition); tests/test_graph.py pins bit-equality of
-    the two paths.
+    (the window's definition) — a wrong value is SILENTLY incorrect
+    (only the external oracle gate would catch it); tests/test_graph.py
+    pins bit-equality of the two paths on every catalog caller's shape.
+
+    ``broadcast_max_nodes``: the per-iteration ranks/summed joins are
+    BROADCAST only while the node count (known exactly — one cheap job
+    over the already-checkpointed node RDD) is at or under this bound;
+    beyond it a node-count-sized broadcast is a driver/executor OOM
+    (the 8 GB / 512M-row relation cap), so the loop switches to
+    partitioned joins instead: edges and the node table are each
+    hash-partitioned ONCE (lazy repartition — ReuseExchange collapses
+    the identical edge exchange across iterations within the one final
+    plan) and every per-iteration join is a SHUFFLE_HASH of the
+    node-count-sized side against the pre-partitioned big side — no
+    per-iteration edge exchange, no sorts. Results are identical:
+    exact_folds sums in sorted order regardless of join strategy, and
+    the prod path's 6dp rounding absorbs arrival order (both pinned in
+    tests/test_graph.py).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -110,23 +127,45 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
 
-    ranks = nodes.crossJoin(n_row).select(
-        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
-    )
+    # ranks is node-count-sized (tiny next to edges) but derives from
+    # localCheckpointed RDDs whose size Catalyst cannot estimate, so the
+    # planner picked SortMergeJoin and re-shuffled the EDGE table by src
+    # every iteration (r13 plan audit: 3 extra edge-wide Exchange+Sort
+    # pairs). Broadcasting ranks pins the hash join and leaves the
+    # groupBy(dst) exchange as the iteration's only shuffle — RIGHT
+    # whenever the node set fits (the usual PageRank regime), a driver
+    # OOM on a billion-node graph. r13 shipped the hint unconditionally
+    # with the caveat in a comment; r14 gates it on the EXACT node count
+    # (one cheap count job over the checkpointed node RDD — VERDICT r13
+    # task 3). Over the bound, both loop joins become SHUFFLE_HASH
+    # against pre-partitioned big sides: edges/nodes each pay ONE lazy
+    # repartition that ReuseExchange collapses across iterations, so an
+    # iteration costs two node-count-sized exchanges (ranks, summed) +
+    # the groupBy(dst) — never an edge-wide exchange or sort.
+    # The gate count doubles as the damping denominator: the collected
+    # count replaces the r13 n_row aggregate + per-iteration crossJoin
+    # (1 + iterations re-aggregations over the checkpointed node RDD).
+    # Python's 1.0/n and 0.15/n are the same IEEE-754 double divisions
+    # the JVM (and the DuckDB oracle's SELECT 0.15/n) perform — counts
+    # are exact below 2^53, so the literals are bit-identical to the
+    # column form they replace.
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.round(F.lit(0.0), 6).alias("rank"))
+    small = n_nodes <= broadcast_max_nodes
+    if small:
+        hint = F.broadcast
+        nodes_j = nodes
+    else:
+        def hint(df: DataFrame) -> DataFrame:
+            return df.hint("shuffle_hash")
+
+        e = e.repartition("src")
+        nodes_j = nodes.repartition("node")
+    ranks = nodes.select("node", F.lit(1.0 / float(n_nodes)).alias("rank"))
     for i in range(iterations):
-        # ranks is node-count-sized (tiny next to edges) but derives from
-        # localCheckpointed RDDs whose size Catalyst cannot estimate, so
-        # the planner picked SortMergeJoin and re-shuffled the EDGE table
-        # by src every iteration (r13 plan audit: 3 extra edge-wide
-        # Exchange+Sort pairs). Broadcasting ranks pins the hash join and
-        # leaves the groupBy(dst) exchange as the iteration's only
-        # shuffle. At cluster scale ranks is |nodes| rows — broadcast is
-        # right whenever the node set fits (the usual PageRank regime);
-        # callers with billion-node graphs would partition both sides
-        # once instead.
-        contribs = e.join(F.broadcast(ranks), e["src"] == ranks["node"]).select(
+        contribs = e.join(hint(ranks), e["src"] == ranks["node"]).select(
             F.col("dst").alias("node"), (F.col("rank") / F.col("_od")).alias("_c")
         )
         # exact_folds: sorted fold — bit-deterministic, what the oracle
@@ -148,13 +187,15 @@ def pagerank(
         # take its outgoing rank mass with it. Missing sum ⇒ 0, so its
         # rank settles at the teleport floor 0.15/N. For nodes with
         # in-edges the math is bit-identical (coalesce never fires).
-        # summed is ≤ |nodes| rows: broadcast it so the full-node-set rank
-        # rebuild is a hash join against the checkpointed nodes RDD
-        # instead of an Exchange+Sort of both sides per iteration.
-        ranks = nodes.join(F.broadcast(summed), "node", "left").crossJoin(n_row).select(
+        # summed is ≤ |nodes| rows: broadcast it (same size gate as
+        # ranks) so the full-node-set rank rebuild is a hash join against
+        # the checkpointed nodes RDD instead of an Exchange+Sort of both
+        # sides per iteration; over the gate it is a SHUFFLE_HASH against
+        # the pre-partitioned node table.
+        ranks = nodes_j.join(hint(summed), "node", "left").select(
             "node",
             (
-                F.lit(0.15) / F.col("_n")
+                F.lit(0.15 / float(n_nodes))
                 + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
             ).alias("rank"),
         )

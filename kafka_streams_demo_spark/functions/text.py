@@ -397,7 +397,15 @@ def bm25_search_queries(
     without re-tokenizing the corpus; ``docs`` may then be None. N/avgdl
     is derived from the postings with one doc-keyed partial-combined
     aggregate (cheap next to the scoring pass; results bit-equal to the
-    direct path — same-oracle hash-gated in the catalog)."""
+    direct path — same-oracle hash-gated in the catalog).
+
+    Determinism contract (ADVICE r13): the matched-postings subtree is
+    referenced from two branches (the df count and the join-back), so
+    ``postings``/``docs`` lineage is evaluated MORE THAN ONCE per run.
+    Inputs must be deterministic — a non-deterministic source (e.g. an
+    unpersisted sample) could make _df disagree with the matched rows.
+    Every catalog caller passes a deterministic scan, a checkpointed
+    frame, or the closed-form generated corpus."""
     hint = F.broadcast if broadcast_queries else (lambda df: df)
     if postings is None:
         if docs is None:
@@ -444,7 +452,13 @@ def bm25_search_queries(
     # form paid the full rel exchange to read the subtree once).
     rel0 = postings.join(hint(qterms.select("term").distinct()), ["term"])
     dfc_tbl = rel0.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    rel = rel0.join(hint(dfc_tbl), ["term"])
+    # dfc_tbl is ALWAYS broadcast, independent of ``broadcast_queries``:
+    # it is vocab-bounded (≤ |query vocab| rows) no matter how large the
+    # query table is, and without the hint the broadcast_queries=False
+    # path degrades to a term-keyed shuffle join — paying BOTH the
+    # exchange this restructure removed AND the double evaluation of the
+    # posting subtree (ADVICE r13).
+    rel = rel0.join(F.broadcast(dfc_tbl), ["term"])
     tf = F.col("tf").cast("double")
     dfc = F.col("_df").cast("double")
     contrib = (
@@ -542,6 +556,16 @@ def bm25_search_queries_pruned(
     are candidate-sized, ub/df are |terms|-row aggregates, θ/prune
     flags are |queries|-row broadcasts."""
     hint = F.broadcast
+    # TINY-FRAME CHECKPOINTS (r14, VERDICT r13 task 5): this path builds
+    # ~10 broadcast relations, and each broadcast build used to replay
+    # its whole upstream lineage — at sf0.1 the stage audit counted ~12
+    # full re-scans of the (persisted) generated corpus just to rebuild
+    # |queries|-row frames. Lazily checkpointing the small derivations
+    # (stats, qterms, qmeta) and the posting build makes every broadcast
+    # read a KB-scale RDD instead: interleaved A/B 10.2 → 8.4 s median
+    # on bm25_zipf_pruned, results exceptAll-identical. (The DIRECT path
+    # measured NEGATIVE on the same treatment — one fold, nothing
+    # replays enough to pay the persist — and keeps its lazy shape.)
     if postings is None:
         if docs is None:
             raise ValueError("bm25_search_queries_pruned needs docs or postings")
@@ -553,20 +577,27 @@ def bm25_search_queries_pruned(
         )
         stats = toks.agg(
             F.avg(F.size("_toks")).alias("_avgdl"), F.count(F.lit(1)).alias("_n")
+        ).localCheckpoint(eager=False)
+        # the derived posting build is read twice (df count + join-back);
+        # checkpointing it also discharges the determinism caveat the
+        # double evaluation carried. A PASSED-IN postings table is NOT
+        # checkpointed: re-reading a parquet scan is cheaper than copying
+        # it into executor memory, and pushdown still applies.
+        postings = bm25_postings(docs, id_col, text_col).localCheckpoint(
+            eager=False
         )
-        postings = bm25_postings(docs, id_col, text_col)
     else:
         stats = (
             postings.groupBy("doc_id")
             .agg(F.max("dl").alias("_dl"))
             .agg(F.avg("_dl").alias("_avgdl"), F.count(F.lit(1)).alias("_n"))
-        )
+        ).localCheckpoint(eager=False)
     qterms = queries.select(
         F.col(qid_col).alias("query_id"),
         F.explode(
             F.array_distinct(F.split(F.lower(F.col(qtext_col)), " "))
         ).alias("term"),
-    ).filter(F.col("term") != "")
+    ).filter(F.col("term") != "").localCheckpoint(eager=False)
 
     from pyspark.sql import Window as _W
 
@@ -596,7 +627,13 @@ def bm25_search_queries_pruned(
             ),
         )
         .select("term", "doc_id", "_df", "_c")
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint (r14): lineage is truncated and the RDD is
+        # persisted on first computation — single evaluation across every
+        # consumer, exactly as the eager form — but WITHOUT a full-job
+        # driver barrier: the three serial barriers (corpus, rel, phase 1)
+        # were the pruned path's dominant fixed cost at bench scale
+        # (VERDICT r13 task 5); lazy folds them into the consuming job.
+        .localCheckpoint(eager=False)
     )
 
     # per-term stats: df + the MaxScore upper bound ub(t) = max contrib
@@ -607,7 +644,11 @@ def bm25_search_queries_pruned(
     # bound at 0); Σ ub over the query's other present terms
     qpresent = qterms.join(hint(tstats), ["term"])
     rw = _W.partitionBy("query_id").orderBy(F.asc("_df"), F.asc("term"))
-    qmeta = qpresent.withColumn("_rn", F.row_number().over(rw))
+    # |query terms|-row frame read by two consumers (rarest, ubsum),
+    # each otherwise replaying the tstats aggregate over rel
+    qmeta = qpresent.withColumn("_rn", F.row_number().over(rw)).localCheckpoint(
+        eager=False
+    )
     rarest = qmeta.filter(F.col("_rn") == 1).select(
         "query_id", F.col("term").alias("_rterm")
     )
@@ -647,7 +688,9 @@ def bm25_search_queries_pruned(
         .join(rel, ["doc_id"])
         .join(hint(qterms), ["query_id", "term"], "left_semi")
     )
-    p1 = full_scores(c1_match).localCheckpoint(eager=True)
+    # lazy for the same reason as rel: theta, the union and the phase-2
+    # anti-join all read the persisted RDD; no barrier job
+    p1 = full_scores(c1_match).localCheckpoint(eager=False)
 
     pw = _W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     p1r = p1.withColumn("_rk", F.row_number().over(pw))

@@ -75,6 +75,84 @@ def test_pagerank_outdeg_col_bit_equal(spark):
     assert base == pre  # exact equality — same floats, same rounding
 
 
+def test_pagerank_broadcast_gate_both_regimes(spark):
+    """VERDICT r13 task 3: the per-iteration ranks/summed broadcasts are
+    size-gated on the exact node count. Under the bound the plan keeps
+    the broadcast hash joins (the r13 shape); over it (forced here with
+    broadcast_max_nodes=0) no node-count-sized frame is broadcast — the
+    loop joins become ShuffledHashJoins against pre-partitioned sides —
+    and the results are BIT-equal (exact_folds sums contributions in
+    sorted order regardless of join strategy)."""
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"),
+             ("c", "a"), ("c", "b"), ("d", "a"), ("b", "d")]
+    e = _edges(spark, pairs)
+    small_df = pagerank(e, 3)
+    big_df = pagerank(e, 3, broadcast_max_nodes=0)
+    assert {tuple(r) for r in small_df.collect()} == {
+        tuple(r) for r in big_df.collect()
+    }
+    small_plan = small_df._jdf.queryExecution().executedPlan().toString()
+    big_plan = big_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in small_plan
+    assert "BroadcastHashJoin" not in big_plan
+    assert "ShuffledHashJoin" in big_plan
+
+
+def test_pr_edges_hub_cap_routes_hot_customers(spark, tmp_path):
+    """VERDICT r13 task 4 (skew fixture): a customer whose degree upper
+    bound exceeds hub_cap gets its supplier set split across salt
+    buckets and its out-degree from the hub-rows-only window — the edge
+    set and every _od must be IDENTICAL to the uncapped build, and the
+    hub's _od must equal its true distinct-supplier count."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_demo_spark.catalog.parity import _pr_edges
+    from kafka_streams_demo_spark.sources.registry import SCHEMAS
+
+    # hub customer 1: 40 orders x 5 lineitems = 200-row bound, 30
+    # distinct suppliers; cold customers 2..4: one order, 2 suppliers
+    orders, lineitems = [], []
+    ok = 0
+    for o in range(40):
+        ok += 1
+        orders.append((ok, 1))
+        for j in range(5):
+            lineitems.append((ok, (o * 5 + j) % 30 + 100))
+    for c in (2, 3, 4):
+        ok += 1
+        orders.append((ok, c))
+        lineitems.append((ok, 200 + c))
+        lineitems.append((ok, 201 + c))
+    odf = spark.createDataFrame(
+        [(k, c, "O", 1.0, None, "1-URGENT") for k, c in orders],
+        SCHEMAS["orders"],
+    )
+    ldf = spark.createDataFrame(
+        [
+            (k, 1, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)
+            for k, s in lineitems
+        ],
+        SCHEMAS["lineitem"],
+    )
+    odf.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    ldf.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    # |suppliers| must exceed hub_cap or the hierarchical trigger's
+    # free bound (degree ≤ |supplier table|) proves no hub can exist
+    sdf = spark.createDataFrame(
+        [(100 + i, f"s{i}", 0, 0.0) for i in range(60)], SCHEMAS["supplier"]
+    )
+    sdf.write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+
+    capped = _pr_edges(spark, str(tmp_path), hub_cap=50)
+    uncapped = _pr_edges(spark, str(tmp_path), hub_cap=10**9)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
+    hub_od = (
+        capped.filter(F.col("src") == "c:1").select("_od").distinct().collect()
+    )
+    assert [r["_od"] for r in hub_od] == [30.0]
+
+
 def test_orient_edges_total_order(spark):
     # path a-b-c: deg(b)=2 > deg(a)=deg(c)=1 — both edges point INTO b
     oe = orient_edges(_edges(spark, [("a", "b"), ("b", "c")], cols=("a", "b"))).collect()
